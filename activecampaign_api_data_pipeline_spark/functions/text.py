@@ -1,0 +1,125 @@
+"""Text-analysis column functions for the large-scale training-data path.
+
+All built-in expressions (regexp/split/aggregate/transform) — no Python UDFs,
+so they run inside whole-stage codegen and scale with partitions. These power
+the `documents`-table operators: language-ID, quality scoring, token
+counting, fingerprinting, and the shingle generator shared by the
+MinHash / Jaccard dedup family (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+#: language-ID. Deliberately small + deterministic (mirrors what a fastText
+#: fallback heuristic does, public-knowledge approach).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for",
+    "with", "as", "at", "by", "be", "this", "that", "are",
+)
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    c = F.col(c) if isinstance(c, str) else c
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Regex word/punct segmentation, a BPE-ish proxy for LLM token counts.
+
+    Counts maximal runs of word chars plus isolated punctuation — the common
+    public heuristic (≈ GPT-2 pre-tokenizer word split) for budgeting.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(c, F.lit(r"\w+|[^\w\s]"))
+
+
+def char_ngrams(c: Column | str, n: int = 5) -> Column:
+    """All character n-grams (shingles) of the normalized text, as an array.
+
+    Built from ``sequence`` + ``transform`` + ``substring`` — pure
+    expressions, no UDF. Normalization: lowercase, collapse whitespace.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    n_sh = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_sh)
+    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+    )
+
+
+def word_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Word n-grams joined by single spaces (for n-gram Jaccard dedup)."""
+    toks = tokens(c)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_sh)
+    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def punct_ratio(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    n_punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_score(c: Column | str, lang: str) -> Column:
+    """Stopword-marker hit count for one language."""
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(c: Column | str) -> Column:
+    """Argmax language over marker hit counts; ties break by language code.
+
+    Deterministic: builds ``struct(score, neg-ord)`` per language and takes
+    ``greatest``; on equal score the lexicographically-smaller code wins.
+    """
+    langs = sorted(LANG_MARKERS)
+    structs = [
+        F.struct(
+            lang_score(c, lg).alias("score"),
+            F.lit(-i).alias("ord"),
+            F.lit(lg).alias("lang"),
+        )
+        for i, lg in enumerate(langs)
+    ]
+    return F.greatest(*structs).getField("lang")
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    The reference fingerprints rows via md5 of canonicalized content
+    (run_ac_extraction.py:93-131); for documents we normalize (lowercase,
+    collapse whitespace, strip punctuation) then md5 — catches
+    formatting-only duplicates.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    norm = F.regexp_replace(F.regexp_replace(F.lower(F.trim(c)), r"[^\w\s]", ""), r"\s+", " ")
+    return F.md5(norm)

@@ -1,0 +1,282 @@
+"""Deduplication operator family — exact through approximate.
+
+Exact dedup re-expresses the reference's content-hash dedup
+(run_ac_extraction.py:164-173, SURVEY.md A1). The approximate family
+(MinHash+LSH, SimHash, n-gram Jaccard) is the 100 TB training-data
+extension: all are expressed as declarative DataFrame plans whose only
+shuffles are the LSH band group-join and the final pair dedup.
+
+Design for scale:
+- Signatures (MinHash, SimHash) are computed PER-ROW with array
+  expressions (``transform``/``aggregate``/``array_min``) — no explode, no
+  shuffle, whole-stage codegen.
+- Candidate generation shuffles on (band_id, band_hash) — the classic
+  LSH bucket join; bucket sizes are bounded w.h.p., and AQE splits
+  stragglers.
+- Hashing uses :func:`hash60` (md5-derived) so the DuckDB oracle can
+  reproduce signatures exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.functions.hashing import hash60, with_row_hash
+from activecampaign_api_data_pipeline_spark.functions.text import word_ngrams
+
+#: Mersenne prime modulus for the universal-hash permutations. Small enough
+#: that a*x+b stays inside int64 in BOTH Spark and DuckDB (no int128 needed).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i * x + b_i) mod p.
+
+    Derived from a fixed linear congruential walk (NOT random at runtime —
+    signatures must be stable across runs and reproducible in the oracle).
+    """
+    params = []
+    a, b = 1_103_515_245, 12_345
+    for _ in range(num_perm):
+        a = (a * 69_069 + 1) % MINHASH_P
+        b = (b * 69_069 + 101) % MINHASH_P
+        params.append((a or 1, b))
+    return params
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Content-hash exact dedup (reference A1, :164-173).
+
+    ``keep="first"`` is made deterministic with an explicit order
+    (reference relies on pandas file order — no distributed equivalent,
+    SURVEY.md §7.3). With ``order_cols=None`` falls back to
+    ``dropDuplicates`` (any winner) — cheaper, use when rows are identical
+    anyway.
+    """
+    hashed = with_row_hash(df, content_cols)
+    if order_cols is None:
+        return hashed.dropDuplicates(["_row_hash"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_row_hash").orderBy(*[F.col(c).asc() for c in order_cols])
+    return hashed.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def incremental_dedup(new: DataFrame, old: DataFrame, content_cols: list[str] | None = None) -> DataFrame:
+    """Idempotent append: rows of ``new`` whose content hash is unseen.
+
+    The scalable replacement for the reference's full-master
+    read-concat-rewrite (:159-173): bronze stays append-only and each run
+    appends only ``incremental_dedup(delta, bronze)`` (left anti join on
+    the hash — broadcast or shuffled-hash as sizes dictate).
+    """
+    new_h = with_row_hash(new, content_cols)
+    old_h = with_row_hash(old, content_cols).select("_row_hash").distinct()
+    return new_h.join(old_h, "_row_hash", "left_anti")
+
+
+def minhash_signature(
+    text_col: Column | str, num_perm: int = 32, ngram: int = 3
+) -> Column:
+    """MinHash signature as an array<long> of length ``num_perm``.
+
+    Per-row, shuffle-free: shingle → hash60 → k permuted mins via
+    ``array_min(transform(...))``. h is reduced mod p BEFORE the multiply
+    so a*h fits int64 (also how the oracle SQL does it).
+    """
+    shingles = F.array_distinct(word_ngrams(text_col, ngram))
+    hashes = F.transform(shingles, lambda s: hash60(s) % MINHASH_P)
+    sig = []
+    for a, b in minhash_perm_params(num_perm):
+        sig.append(
+            F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified by exact Jaccard.
+
+    Plan shape (the standard scale-out LSH dedup, e.g. the public
+    Spark-based web-dedup pipelines):
+
+    1. signature per doc (no shuffle),
+    2. explode ``bands`` band-hashes per doc (rows × bands),
+    3. shuffle on (band, band_hash); self-join inside buckets → candidates,
+    4. distinct candidate pairs (second small shuffle),
+    5. verify candidates with exact shingle Jaccard (join back to shingle
+       sets — only candidate pairs pay this cost).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows = num_perm // bands
+    sigd = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), num_perm, ngram).alias("sig"),
+        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    band_exprs = []
+    for j in range(bands):
+        band_exprs.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col("sig")[j * rows + r].cast("string") for r in range(rows)])
+                ).alias("bh"),
+            )
+        )
+    banded = sigd.select("doc_id", F.explode(F.array(*band_exprs)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sigd.select("doc_id", "shingles")
+    verified = (
+        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs (ground truth for the sketches).
+
+    Explode distinct shingles → self-join on shingle (the shuffle is on the
+    shingle key — at 100 TB, cap postings per shingle or pre-filter stop
+    shingles to bound the join) → intersection counts → Jaccard filter.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), ngram))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signature(text_col: Column | str, bits: int = 60, ngram: int = 3) -> Column:
+    """SimHash: per-bit majority vote over shingle hash60s, packed to a bigint.
+
+    Per-row expression work only. Bit j of the signature is 1 iff the
+    count of shingles whose hash has bit j set is at least half the
+    shingle count. Features are word n-grams, not tokens — on corpora with
+    a shared vocabulary token-level SimHash saturates (every doc looks
+    alike); shingles keep the signature discriminative. ``bits`` ≤ 60
+    (hash60 provides 60 usable bits).
+    """
+    toks = F.array_distinct(word_ngrams(text_col, ngram))
+    hashes = F.transform(toks, lambda t: hash60(t))
+    n = F.size(hashes)
+    parts = []
+    for j in range(min(bits, 60)):
+        ones = F.size(F.filter(hashes, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1))
+        bit = F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        parts.append(F.shiftleft(bit, j))
+    sig = parts[0]
+    for p in parts[1:]:
+        sig = sig + p
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via chunk banding.
+
+    Pigeonhole: distance ≤ k with ``chunks`` = k+1 bands guarantees at
+    least one identical 15-bit chunk → candidates come from equality joins
+    on chunks (scales like LSH), then exact popcount verification.
+    """
+    width = 60 // chunks
+    sigd = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_signature(F.col(text_col)).alias("sig")
+    )
+    chunk_rows = sigd.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.shiftright("sig", j * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for j in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    cand = (
+        chunk_rows.alias("a")
+        .join(chunk_rows.alias("b"), ["chunk", "cv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

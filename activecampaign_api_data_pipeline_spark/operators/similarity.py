@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (BASELINE.json): approximate-nearest-neighbor over the
+``embeddings`` table. Two paths:
+
+- :func:`cosine_topk` — brute-force exact top-k, the correctness baseline.
+  Dot products are built-in array expressions (``zip_with`` +
+  ``aggregate``) in double precision, sequential order — reproducible by
+  the SQL oracle.
+- :func:`ivf_topk` — IVF-style partitioned search: assign every vector to
+  its nearest centroid (coarse quantizer), then search only the query's
+  cell. At 100 TB this is the scale path: the expensive pairwise join is
+  confined to cells (data is shuffled once on cell_id; each cell is a
+  separate hash-join partition), and nprobe trades recall for cost.
+
+Both avoid Python UDFs entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two array<float> columns."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    sq = F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (brute force).
+
+    Queries (a small set) are broadcast against the full collection —
+    a map-side join, no shuffle of the big side; the per-query top-k is a
+    window ranked by (similarity desc, neighbor_id) for determinism.
+    """
+    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin(query_ids))
+    elif max_query_id is not None:
+        q = q.filter(F.col("query_id") < max_query_id)
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    pairs = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def assign_cells(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: cell = argmax cosine over the centroid set.
+
+    Centroids are the first ``n_centroids`` vectors by id — deterministic
+    (a real deployment would k-means them; the assignment plan is
+    identical). Ties break to the lower centroid id.
+    """
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents)).withColumn(
+        "cc", cosine(F.col(vec_col), F.col("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 10,
+) -> DataFrame:
+    """ANN top-k searching only the query's IVF cell (nprobe=1).
+
+    The pairwise work drops from O(Q·N) to O(Q·N/C); the join is
+    co-partitioned on ``cell``. Recall < 1 by design — the exact
+    counterpart is :func:`cosine_topk`.
+    """
+    cells = assign_cells(emb, n_centroids, id_col, vec_col)
+    q = cells.filter(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    c = cells.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cell")
+    pairs = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b).
+
+    Brute-force all-pairs here (exact ground truth); at scale, run the
+    same verify over IVF/LSH candidates instead — same final operator.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

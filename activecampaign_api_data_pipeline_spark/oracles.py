@@ -1,0 +1,527 @@
+"""DuckDB oracle SQL — the ANSI-SQL twin of every query in queries.py.
+
+Built programmatically from the SAME constants the Spark implementations
+use (minhash permutation params, language marker lists, stopword lists), so
+sketch signatures match bit-for-bit. Conventions mirrored from queries.py:
+
+- ``strftime(ts, '%Y-%m-%d %H:%M:%S')`` == Spark ``date_format`` w/ UTC tz
+- decimal casts before every sum; final cast to DOUBLE
+- explicit INTEGER casts where Spark emits int32 (size/length/row_number)
+"""
+
+from __future__ import annotations
+
+from activecampaign_api_data_pipeline_spark.functions.text import LANG_MARKERS, STOPWORDS_EN
+from activecampaign_api_data_pipeline_spark.operators.dedup import MINHASH_P, minhash_perm_params
+
+TS = "strftime(ts, '%Y-%m-%d %H:%M:%S')"
+DEC = "CAST({c} AS DECIMAL(18,2))"
+ONE = "CAST(1 AS DECIMAL(18,2))"
+HASH60 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+# shared: events with standard derived columns
+EVENTS_STD = f"""
+SELECT event_id, user_id, event_type, ts, {TS} AS ts_str,
+       CAST(value AS DECIMAL(18,2)) AS value_dec, props
+FROM events
+"""
+
+# shared: conformed union of events + orders (mirrors plans/chatter.py)
+CONFORMED = """
+SELECT 'events' AS source,
+       concat_ws(':', 'ev', CAST(event_id AS VARCHAR)) AS event_id,
+       user_id,
+       ts AS event_ts,
+       event_type,
+       concat_ws(' ', 'Event:', event_type) AS title,
+       concat_ws('=', 'k', regexp_extract(props, '"k":\\s*(\\d+)', 1)) AS detail,
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS amount
+FROM events
+UNION ALL
+SELECT 'orders',
+       concat_ws(':', 'ord', CAST(o_orderkey AS VARCHAR)),
+       o_custkey,
+       o_orderdate,
+       concat_ws('_', 'order', lower(o_orderstatus)),
+       concat_ws(' ', 'Order', o_orderpriority),
+       concat_ws('=', 'status', o_orderstatus),
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+FROM orders
+"""
+
+# shared: distinct word 3-gram shingles per document
+SHINGLES = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' '))
+         ) AS shingles
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+
+def _rowhash_expr(cols: list[str]) -> str:
+    parts = ", ".join(f"coalesce(CAST({c} AS VARCHAR), '')" for c in cols)
+    return f"md5(concat_ws('||', {parts}))"
+
+
+def _cos(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _minhash_sql(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    rows = num_perm // bands
+    params = minhash_perm_params(num_perm)
+    mins = ",\n      ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MINHASH_P}))" for a, b in params
+    )
+    band_cols = " , ".join(
+        f"CAST(sig[j*{rows}+{r+1}] AS VARCHAR)" for r in range(rows)
+    )
+    return f"""
+WITH {SHINGLES},
+hs AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {HASH60.format(s='s')} % {MINHASH_P}) AS h
+  FROM sh WHERE len(shingles) > 0
+),
+sigs AS (
+  SELECT doc_id, shingles,
+         [{mins}] AS sig
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, j, md5(concat_ws(',', {band_cols})) AS bh
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS j) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.shingles, y.shingles)) AS ni,
+         len(x.shingles) AS na, len(y.shingles) AS nb
+  FROM cand JOIN hs x ON x.doc_id = cand.doc_a JOIN hs y ON y.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b, round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard FROM v
+) WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_sql(max_hamming: int = 3, chunks: int = 4) -> str:
+    width = 60 // chunks
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {j}) & 1 = 1)) >= len(h) "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {j})"
+        for j in range(60)
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {j} AS chunk, (sig >> {j * width}) & {(1 << width) - 1} AS cv FROM sigs"
+        for j in range(chunks)
+    )
+    return f"""
+WITH {SHINGLES},
+hs AS (
+  SELECT doc_id, list_transform(shingles, s -> {HASH60.format(s='s')}) AS h
+  FROM sh
+),
+sigs AS (SELECT doc_id, {bit_terms} AS sig FROM hs),
+chunked AS ({chunk_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def _lang_id_sql() -> str:
+    branches = []
+    for i, lg in enumerate(sorted(LANG_MARKERS)):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        branches.append(
+            f"SELECT doc_id, lang, '{lg}' AS cand, {i} AS ord, "
+            f"len(list_filter(toks, x -> x IN ({markers}))) AS score FROM t"
+        )
+    scores = "\n  UNION ALL ".join(branches)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+  FROM documents
+),
+s AS (
+  {scores}
+)
+SELECT doc_id, lang, cand AS lang_pred FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord ASC) AS rn FROM s
+) WHERE rn = 1
+"""
+
+
+def build_oracles() -> dict[str, str]:
+    dec_ep = DEC.format(c="l_extendedprice")
+    dec_di = DEC.format(c="l_discount")
+    rev = f"{dec_ep} * ({ONE} - {dec_di})"
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+
+    o: dict[str, str] = {}
+
+    o["flagship_chatter"] = f"""
+WITH unified AS ({CONFORMED}),
+capped AS (
+  SELECT * FROM (
+    SELECT u.*, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY strftime(event_ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC
+    ) AS rn FROM unified u
+  ) WHERE rn <= 20
+),
+dim AS (
+  SELECT c_custkey AS user_id, c_name AS customer_name, n_name AS nation_name,
+         c_mktsegment AS segment
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+),
+enr AS (
+  SELECT capped.*, customer_name, nation_name, segment,
+         coalesce(
+           nullif(trim(concat_ws(' ', coalesce(customer_name, ''), coalesce(nation_name, ''))), ''),
+           concat('user:', CAST(capped.user_id AS VARCHAR))
+         ) AS contact_name
+  FROM capped LEFT JOIN dim ON capped.user_id = dim.user_id
+)
+SELECT user_id, event_id,
+       strftime(event_ts, '%Y-%m-%d %H:%M:%S') AS event_ts_str,
+       event_type, title, detail, amount, customer_name, nation_name, segment, contact_name,
+       concat_ws(' — ',
+         strftime(event_ts, '%Y-%m-%d %H:%M:%S'),
+         event_type,
+         concat_ws(': ', title, nullif(detail, '')),
+         contact_name
+       ) AS chatter_line
+FROM enr
+"""
+
+    o["w1_latest_per_key"] = f"""
+WITH b AS ({EVENTS_STD})
+SELECT user_id, event_id, event_type, ts_str, CAST(value_dec AS DOUBLE) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_str DESC, event_id DESC) AS rn FROM b)
+WHERE rn = 1
+"""
+
+    o["w2_top3_per_user"] = f"""
+WITH b AS ({EVENTS_STD})
+SELECT user_id, event_id, event_type, ts_str
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_str DESC, event_id DESC) AS rn FROM b)
+WHERE rn <= 3
+"""
+
+    o["w3_earliest3_per_user"] = f"""
+WITH b AS ({EVENTS_STD})
+SELECT user_id, event_id, event_type, ts_str
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_str ASC, event_id ASC) AS rn FROM b)
+WHERE rn <= 3
+"""
+
+    hash_cols = ["event_id", "user_id", "event_type", "ts_str", "value_str", "props"]
+    o["a1_exact_dedup"] = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, {TS} AS ts_str,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str, props
+  FROM events
+),
+doubled AS (SELECT * FROM base UNION ALL SELECT * FROM base),
+hashed AS (SELECT *, {_rowhash_expr(hash_cols)} AS h FROM doubled),
+ded AS (SELECT h, min(event_type) AS event_type FROM hashed GROUP BY h)
+SELECT event_type, count(*) AS n FROM ded GROUP BY event_type
+"""
+
+    o["a4_watermark_max_id"] = (
+        "SELECT max(event_id) AS max_id, count(*) AS n FROM events"
+    )
+
+    o["a5_set_rollup"] = f"""
+WITH b AS ({EVENTS_STD})
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ', ') AS event_types,
+       count(*) AS n_events,
+       CAST(sum(value_dec) AS DOUBLE) AS total_value
+FROM b GROUP BY user_id
+"""
+
+    o["a6_contact_digest"] = f"""
+WITH b AS ({EVENTS_STD}),
+l AS (SELECT user_id, ts_str, event_id, concat_ws(' — ', ts_str, event_type) AS line FROM b),
+a AS (SELECT user_id, list(line ORDER BY ts_str, event_id) AS ls FROM l GROUP BY user_id)
+SELECT user_id,
+       array_to_string(list_slice(ls, greatest(len(ls) - 2, 1), len(ls)), chr(10)) AS digest
+FROM a
+"""
+
+    o["j1_broadcast_enrich"] = f"""
+SELECT p_brand, s_nationkey,
+       CAST(sum({rev}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_nationkey
+"""
+
+    o["j3_left_join_coalesce"] = """
+SELECT o_orderkey,
+       coalesce(nullif(trim(c_name), ''), concat('cust:', CAST(o_custkey AS VARCHAR))) AS customer_name,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey < 1000
+"""
+
+    o["j5_chained_lookup"] = """
+SELECT event_id, user_id,
+       coalesce(name1, name2, concat('user:', CAST(user_id AS VARCHAR))) AS resolved_name
+FROM events
+LEFT JOIN (SELECT c_custkey AS k1, c_name AS name1 FROM customer WHERE c_custkey % 3 = 0) l1
+  ON user_id = k1
+LEFT JOIN (SELECT c_custkey AS k2, c_name AS name2 FROM customer WHERE c_custkey % 3 = 1) l2
+  ON user_id = k2
+"""
+
+    o["u2_conform_union"] = f"""
+WITH unified AS ({CONFORMED})
+SELECT source, event_type, count(*) AS n,
+       CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+FROM unified GROUP BY source, event_type
+"""
+
+    o["u3_set_ops_users"] = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+    o["p2_rowhash"] = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, {TS} AS ts_str,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str, props
+  FROM events
+)
+SELECT event_id, {_rowhash_expr(hash_cols)} AS row_hash FROM base
+"""
+
+    o["p3_id_from_url"] = r"""
+WITH b AS (
+  SELECT doc_id,
+         concat('https://example.com/api/3/docs/', CAST(doc_id AS VARCHAR),
+                CASE WHEN doc_id % 2 = 0 THEN '?x=1' ELSE '' END) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       coalesce(
+         TRY_CAST(trim(nullif(regexp_extract(url, '/(\d+)(?:\?|$)', 1), '')) AS BIGINT),
+         -1
+       ) AS extracted_id
+FROM b
+"""
+
+    o["p8_sentinel_cleanup"] = f"""
+WITH b AS (
+  SELECT event_id, regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k, {TS} AS ts_str
+  FROM events
+),
+c AS (
+  SELECT event_id,
+         CASE WHEN trim(k) IN ('', '0', 'None', 'nan') THEN NULL ELSE trim(k) END AS k_clean,
+         ts_str
+  FROM b
+)
+SELECT event_id, k_clean,
+       coalesce(nullif(trim(k_clean), ''), nullif(trim(ts_str), '')) AS picked
+FROM c
+"""
+
+    o["p_scalar_derivations"] = """
+SELECT c_custkey,
+       coalesce(TRY_CAST(trim(CAST(c_name AS VARCHAR)) AS BIGINT), 0) AS name_as_int,
+       coalesce(
+         CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'Auto' WHEN 'BUILDING' THEN 'Bldg' END,
+         c_mktsegment
+       ) AS segment_label,
+       coalesce(
+         nullif(trim(concat_ws(' ', coalesce(c_name, ''), coalesce(n_name, ''))), ''),
+         'unknown'
+       ) AS display_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+    dec_q = DEC.format(c="l_quantity")
+    dec_tax = DEC.format(c="l_tax")
+    disc_price = f"CAST({rev} AS DECIMAL(18,4))"
+    o["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({dec_q}) AS DOUBLE) AS sum_qty,
+       CAST(sum({dec_ep}) AS DOUBLE) AS sum_base_price,
+       CAST(sum({disc_price}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({disc_price} * ({ONE} + {dec_tax})) AS DOUBLE) AS sum_charge,
+       CAST(sum({dec_q}) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum({dec_ep}) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum({dec_di}) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["q3_shipping_priority"] = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+       CAST(sum({rev}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+    o["q5_revenue_by_nation"] = f"""
+SELECT n_name,
+       CAST(sum({rev}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+    o["q_anti_join"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+    o["q_semi_join"] = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND o_orderstatus = 'O'
+)
+"""
+
+    o["t_window_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["dedup_exact_fingerprint"] = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(lower(trim(text)), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+    o["dedup_minhash_lsh"] = _minhash_sql(num_perm=32, bands=8, threshold=0.5)
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH {SHINGLES}
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+           6
+         ) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.1
+"""
+
+    o["dedup_simhash"] = _simhash_sql(max_hamming=3, chunks=4)
+
+    emb = "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    o["sim_cosine_topk"] = f"""
+{emb},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, v AS nv FROM e),
+p AS (
+  SELECT query_id, neighbor_id, {_cos('qv', 'nv')} AS cos
+  FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM p)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
+FROM r WHERE rk <= 5
+"""
+
+    o["sim_ivf_topk"] = f"""
+{emb},
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+scored AS (SELECT e.vec_id, e.v, cent_id, {_cos('v', 'cv')} AS cc FROM e CROSS JOIN cents),
+assign AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, v AS nv, cell FROM assign),
+p AS (
+  SELECT query_id, neighbor_id, {_cos('qv', 'nv')} AS cos
+  FROM q JOIN c USING (cell) WHERE neighbor_id <> query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM p)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
+FROM r WHERE rk <= 3
+"""
+
+    o["sim_embedding_neardup"] = f"""
+{emb},
+a AS (SELECT vec_id AS id_a, v AS va FROM e),
+b AS (SELECT vec_id AS id_b, v AS vb FROM e)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+  SELECT id_a, id_b, {_cos('va', 'vb')} AS cos
+  FROM a JOIN b ON id_a < id_b
+) WHERE cos >= 0.4
+"""
+
+    o["text_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS INTEGER) AS avg_token_len,
+       round(
+         CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> x IN ({stop}))) AS DOUBLE)
+         / CAST(len(toks) AS INTEGER),
+         6
+       ) AS stopword_ratio
+FROM t
+"""
+
+    o["text_lang_id"] = _lang_id_sql()
+
+    o["text_token_counts"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_ish_tokens
+FROM documents
+"""
+
+    return o

@@ -1,0 +1,483 @@
+"""Driver-facing query registry: every implemented operator as a query.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+columns are deterministically reproducible by the matching ANSI-SQL oracle
+in :mod:`activecampaign_api_data_pipeline_spark.oracles` (run by DuckDB on the
+same parquet). Reproducibility rules used throughout:
+
+- timestamps are emitted as formatted strings (session tz pinned to UTC) or
+  epoch integers — never raw timestamps (parquet ns vs µs truncation).
+- money/measure aggregations go through ``decimal`` casts so sums are exact
+  (FP addition order is not reproducible across engines; decimal is).
+- every window/dedup order includes a unique tiebreaker column.
+- all computed columns are explicitly aliased (driver hashes by column name).
+
+Query keys are prefixed with the SURVEY.md §2 operator ids they cover.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.functions.hashing import with_row_hash
+from activecampaign_api_data_pipeline_spark.functions.scalars import (
+    code_map,
+    full_name,
+    id_from_url,
+    nullify_sentinels,
+    pick_ts,
+    safe_int,
+)
+from activecampaign_api_data_pipeline_spark.functions import text as TX
+from activecampaign_api_data_pipeline_spark.operators import dedup as DD
+from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+from activecampaign_api_data_pipeline_spark.operators.conform import conform_union
+from activecampaign_api_data_pipeline_spark.operators.rollup import digest_lines, set_rollup
+from activecampaign_api_data_pipeline_spark.operators.snapshots import (
+    head_n_per_group,
+    latest_per_key,
+    top_n_per_group,
+)
+from activecampaign_api_data_pipeline_spark.plans.chatter import chatter_master_from_dir
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+DATE_FMT = "yyyy-MM-dd"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _events_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with oracle-reproducible derived columns."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts"),
+        F.date_format("ts", TS_FMT).alias("ts_str"),
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        "props",
+    )
+
+
+# ---------------------------------------------------------------- flagship
+
+def flagship_chatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return chatter_master_from_dir(spark, sf_dir, top_n=20)
+
+
+# ------------------------------------------------------- windows / snapshots
+
+def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_std(spark, sf_dir)
+    out = latest_per_key(ev, ["user_id"], [F.col("ts_str"), F.col("event_id")])
+    return out.select(
+        "user_id", "event_id", "event_type", "ts_str", F.col("value_dec").cast("double").alias("value")
+    )
+
+
+def w2_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_std(spark, sf_dir)
+    out = top_n_per_group(ev, ["user_id"], [F.col("ts_str"), F.col("event_id")], 3)
+    return out.select("user_id", "event_id", "event_type", "ts_str")
+
+
+def w3_earliest3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-N chronological per group (tail-N is exercised in a6_contact_digest)."""
+    ev = _events_std(spark, sf_dir)
+    out = head_n_per_group(ev, ["user_id"], [F.col("ts_str"), F.col("event_id")], 3)
+    return out.select("user_id", "event_id", "event_type", "ts_str")
+
+
+# ------------------------------------------------------------- aggregations
+
+def a1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup of a doubled table → original counts survive."""
+    ev = _events_std(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_str",
+        F.col("value_dec").cast("string").alias("value_str"),
+        "props",
+    )
+    doubled = ev.unionAll(ev)
+    deduped = DD.exact_dedup(doubled)
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def a4_watermark_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.max("event_id").alias("max_id"), F.count("*").alias("n"))
+
+
+def a5_set_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_std(spark, sf_dir)
+    rolled = set_rollup(ev, "user_id", {"event_types": "event_type"})
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_dec").cast("double").alias("total_value"),
+    )
+    return rolled.join(stats, "user_id")
+
+
+def a6_contact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_std(spark, sf_dir).withColumn(
+        "line", F.concat_ws(" — ", F.col("ts_str"), F.col("event_type"))
+    )
+    return digest_lines(ev, "user_id", "ts_str", "line", "event_id", n=3)
+
+
+# -------------------------------------------------------------------- joins
+
+def j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dims: revenue per part brand + supplier nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("p_brand", "s_nationkey")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def j3_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + blank-backfill (reference :1525-1529)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left"
+    )
+    return joined.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.trim("c_name"), F.lit("")),
+            F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")),
+        ).alias("customer_name"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total"),
+    )
+
+
+def j5_chained_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level lookup fallback chain (reference :1235-1239,1083-1086)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    lk1 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k1"), F.col("c_name").alias("name1")
+    )
+    lk2 = cust.filter(F.col("c_custkey") % 3 == 1).select(
+        F.col("c_custkey").alias("k2"), F.col("c_name").alias("name2")
+    )
+    out = (
+        ev.join(F.broadcast(lk1), ev["user_id"] == lk1["k1"], "left")
+        .join(F.broadcast(lk2), ev["user_id"] == lk2["k2"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(
+                "name1", "name2", F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+            ).alias("resolved_name"),
+        )
+    )
+    return out
+
+
+# ------------------------------------------------------------------- unions
+
+def u2_conform_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activecampaign_api_data_pipeline_spark.plans.chatter import conform_activity_sources
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    uni = conform_activity_sources(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders")
+    )
+    return uni.groupBy("source", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total_amount"),
+    )
+
+
+def u3_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    users = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+    out = users("click").intersect(users("purchase")).subtract(users("error"))
+    return out.select(F.col("user_id").alias("user_id"))
+
+
+# ------------------------------------------------------------- projections
+
+def p2_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_std(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_str",
+        F.col("value_dec").cast("string").alias("value_str"),
+        "props",
+    )
+    return with_row_hash(ev).select("event_id", F.col("_row_hash").alias("row_hash"))
+
+
+def p3_id_from_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://example.com/api/3/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?x=1")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), safe_int(id_from_url(url), -1).alias("extracted_id")
+    )
+
+
+def p8_sentinel_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_std(spark, sf_dir)
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    clean = nullify_sentinels(k)
+    picked = pick_ts(clean, F.col("ts_str"))
+    return ev.select(
+        "event_id",
+        clean.alias("k_clean"),
+        picked.alias("picked"),
+    )
+
+
+def p_scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    seg_map = {"AUTOMOBILE": "Auto", "BUILDING": "Bldg"}
+    joined = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"], "left"
+    )
+    return joined.select(
+        "c_custkey",
+        safe_int(F.col("c_name")).alias("name_as_int"),
+        code_map(F.col("c_mktsegment"), seg_map).alias("segment_label"),
+        full_name(F.col("c_name"), F.col("n_name"), F.lit("unknown")).alias("display_name"),
+    )
+
+
+# ------------------------------------------------------- relational queries
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = (dec("l_extendedprice") * (one - dec("l_discount"))).cast("decimal(18,4)")
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (one - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", DATE_FMT).alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (one - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01")) & (F.col("o_orderstatus") == "O")
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# ----------------------------------------------------- streaming-equivalent
+
+def t_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg (batch twin of the streaming path)."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ----------------------------------------------------------- dedup (LLM ops)
+
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, num_perm=32, bands=8, ngram=3, jaccard_threshold=0.5)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, ngram=3, threshold=0.1)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=3)
+
+
+# ------------------------------------------------------ similarity (LLM ops)
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, k=5, max_query_id=10)
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, n_centroids=8, k=3, max_query_id=10)
+
+
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+# --------------------------------------------------------- text (LLM ops)
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    tok_lens = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        (tok_lens.cast("double") / TX.token_count(F.col("text"))).alias("avg_token_len"),
+        F.round(TX.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_chatter": flagship_chatter,
+    "w1_latest_per_key": w1_latest_per_key,
+    "w2_top3_per_user": w2_top3_per_user,
+    "w3_earliest3_per_user": w3_earliest3_per_user,
+    "a1_exact_dedup": a1_exact_dedup,
+    "a4_watermark_max_id": a4_watermark_max_id,
+    "a5_set_rollup": a5_set_rollup,
+    "a6_contact_digest": a6_contact_digest,
+    "j1_broadcast_enrich": j1_broadcast_enrich,
+    "j3_left_join_coalesce": j3_left_join_coalesce,
+    "j5_chained_lookup": j5_chained_lookup,
+    "u2_conform_union": u2_conform_union,
+    "u3_set_ops_users": u3_set_ops_users,
+    "p2_rowhash": p2_rowhash,
+    "p3_id_from_url": p3_id_from_url,
+    "p8_sentinel_cleanup": p8_sentinel_cleanup,
+    "p_scalar_derivations": p_scalar_derivations,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "q_anti_join": q_anti_join,
+    "q_semi_join": q_semi_join,
+    "t_window_hourly": t_window_hourly,
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_embedding_neardup": sim_embedding_neardup,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_token_counts": text_token_counts,
+}

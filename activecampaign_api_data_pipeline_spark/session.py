@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the configs
+below are chosen to also hold on a multi-executor cluster at 100 TB:
+
+- AQE on (runtime coalescing + skew-join splitting replaces hand-tuned
+  shuffle partition counts at scale).
+- Arrow on (Pandas UDF / toPandas paths are batch-columnar, not per-row).
+- Session timezone pinned to UTC: the reference renders timestamps in a
+  configurable tz (run_ac_extraction.py:1401-1404); we standardize on UTC so
+  results are deterministic regardless of host tz.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "acdp-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    n_shuffle = shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def pin_session_defaults(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on a session we did not create.
+
+    The correctness driver hands us its own SparkSession; timestamp
+    formatting (``date_format``/``from_unixtime``) renders in the session
+    timezone, so we pin UTC for deterministic, oracle-matching output.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,34 @@
+"""Canonical loader for the driver's parquet tables.
+
+Two session-level guards applied at read time (both runtime-settable, so
+they work on a SparkSession we did not create):
+
+- session timezone pinned UTC — timestamp formatting must not depend on
+  host tz (the reference renders local-tz strings via config,
+  run_ac_extraction.py:1401-1404; we standardize on UTC).
+- ``spark.sql.legacy.parquet.nanosAsLong`` — the ``events`` table stores
+  TIMESTAMP(NANOS) which Spark's parquet reader rejects as a timestamp
+  type; we read it as epoch-ns int64 and rebuild a (µs-truncated)
+  timestamp column. DuckDB keeps ns precision, so every cross-engine
+  comparison formats timestamps to whole seconds with a unique-id
+  tiebreaker anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pin_confs(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
