@@ -80,23 +80,38 @@ def incremental_dedup(new: DataFrame, old: DataFrame, content_cols: list[str] | 
     return new_h.join(old_h, "_row_hash", "left_anti")
 
 
-def minhash_signature(
-    text_col: Column | str, num_perm: int = 32, ngram: int = 3
-) -> Column:
-    """MinHash signature as an array<long> of length ``num_perm``.
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
+    """(doc_id, shingles array) with empty-shingle docs dropped."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
 
-    Per-row, shuffle-free: shingle → hash60 → k permuted mins via
-    ``array_min(transform(...))``. h is reduced mod p BEFORE the multiply
-    so a*h fits int64 (also how the oracle SQL does it).
+
+def minhash_signatures(
+    shingle_sets: DataFrame, num_perm: int = 32
+) -> DataFrame:
+    """(doc_id, sig array<long>) via explode → hash-once → k min-aggregates.
+
+    Each shingle is md5-hashed exactly ONCE (explode), then the k permuted
+    mins are map-side partial aggregates — the formulation that scales:
+    a per-row ``array_min(transform(...))`` expression tree re-inlines the
+    hashing per permutation and chokes codegen, and a 100 TB corpus wants
+    the shuffle to carry (doc_id, 8-byte hash), not raw text. h is reduced
+    mod p BEFORE the multiply so a*h stays inside int64 (exactly how the
+    oracle SQL does it).
     """
-    shingles = F.array_distinct(word_ngrams(text_col, ngram))
-    hashes = F.transform(shingles, lambda s: hash60(s) % MINHASH_P)
-    sig = []
-    for a, b in minhash_perm_params(num_perm):
-        sig.append(
-            F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
-        )
-    return F.array(*sig)
+    ex = shingle_sets.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", (hash60(F.col("s")) % MINHASH_P).alias("h")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(minhash_perm_params(num_perm))
+    ]
+    agg = ex.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -123,11 +138,8 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows = num_perm // bands
-    sigd = docs.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col), num_perm, ngram).alias("sig"),
-        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    sh = _shingle_sets(docs, id_col, text_col, ngram)
+    sigs = minhash_signatures(sh, num_perm)
     band_exprs = []
     for j in range(bands):
         band_exprs.append(
@@ -138,7 +150,7 @@ def minhash_lsh_pairs(
                 ).alias("bh"),
             )
         )
-    banded = sigd.select("doc_id", F.explode(F.array(*band_exprs)).alias("b")).select(
+    banded = sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     left = banded.alias("l")
@@ -149,7 +161,6 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = sigd.select("doc_id", "shingles")
     verified = (
         cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
@@ -181,9 +192,8 @@ def ngram_jaccard_pairs(
     shingle key — at 100 TB, cap postings per shingle or pre-filter stop
     shingles to bound the join) → intersection counts → Jaccard filter.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), ngram))).alias("shingle"),
+    sh = _shingle_sets(docs, id_col, text_col, ngram).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -205,28 +215,38 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_signature(text_col: Column | str, bits: int = 60, ngram: int = 3) -> Column:
-    """SimHash: per-bit majority vote over shingle hash60s, packed to a bigint.
+def simhash_signatures(
+    shingle_sets: DataFrame, bits: int = 60
+) -> DataFrame:
+    """(doc_id, sig bigint): per-bit majority vote over shingle hash60s.
 
-    Per-row expression work only. Bit j of the signature is 1 iff the
-    count of shingles whose hash has bit j set is at least half the
-    shingle count. Features are word n-grams, not tokens — on corpora with
-    a shared vocabulary token-level SimHash saturates (every doc looks
-    alike); shingles keep the signature discriminative. ``bits`` ≤ 60
-    (hash60 provides 60 usable bits).
+    Features are word n-grams, not tokens — on corpora with a shared
+    vocabulary token-level SimHash saturates (every doc looks alike);
+    shingles keep the signature discriminative.
+
+    Same scale shape as :func:`minhash_signatures`: explode → hash each
+    shingle ONCE → ``bits`` ±1 sum-aggregates (map-side combined) → pack.
+    Bit j is 1 iff ``count(hash bit j set) * 2 >= count(shingles)``,
+    i.e. the ±1 vote sum is ≥ 0. ``bits`` ≤ 60 (hash60 width).
     """
-    toks = F.array_distinct(word_ngrams(text_col, ngram))
-    hashes = F.transform(toks, lambda t: hash60(t))
-    n = F.size(hashes)
-    parts = []
-    for j in range(min(bits, 60)):
-        ones = F.size(F.filter(hashes, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1))
-        bit = F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        parts.append(F.shiftleft(bit, j))
-    sig = parts[0]
-    for p in parts[1:]:
-        sig = sig + p
-    return sig
+    bits = min(bits, 60)
+    ex = shingle_sets.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", hash60(F.col("s")).alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        bit = F.when(F.col(f"_v{j}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + F.shiftleft(bit, j)
+    return agg.select("doc_id", sig.alias("sig"))
 
 
 def simhash_pairs(
@@ -235,6 +255,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    ngram: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k via chunk banding.
 
@@ -243,9 +264,7 @@ def simhash_pairs(
     on chunks (scales like LSH), then exact popcount verification.
     """
     width = 60 // chunks
-    sigd = docs.select(
-        F.col(id_col).alias("doc_id"), simhash_signature(F.col(text_col)).alias("sig")
-    )
+    sigd = simhash_signatures(_shingle_sets(docs, id_col, text_col, ngram))
     chunk_rows = sigd.select(
         "doc_id",
         "sig",

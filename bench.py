@@ -1,0 +1,75 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is evaluated end-to-end into the noop sink (full compute, no
+result materialization on the driver, no Catalyst pruning of unobserved
+columns). Session warmup is excluded via a trivial pre-query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from activecampaign_api_data_pipeline_spark.queries import REGISTRY  # noqa: E402
+from activecampaign_api_data_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_chatter",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "j1_broadcast_enrich",
+    "w1_latest_per_key",
+    "a5_set_rollup",
+    "a1_exact_dedup",
+    "t_window_hourly",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_embedding_neardup",
+    "text_lang_id",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("acdp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer reads, excluded from timings
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
