@@ -135,17 +135,75 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b).
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b). Exact.
 
-    Brute-force all-pairs here (exact ground truth); at scale, run the
-    same verify over IVF/LSH candidates instead — same final operator.
+    Blocked all-pairs with a BLAS inner kernel: vectors are hashed into
+    ``n_blocks`` blocks, every unordered block pair (i ≤ j) becomes one
+    task, and each task computes the full normalized ``A @ B.T`` with
+    numpy over Arrow batches. Row-at-a-time evaluation of the dot product
+    (``zip_with``/``aggregate`` or a DuckDB-style scalar loop) costs
+    ~35 µs per pair interpreted; the matmul amortizes it to nanoseconds.
+
+    Scale shape: replication factor is ~(n_blocks+1)/2 per row and each
+    task touches two blocks only — pick ``n_blocks`` so a block fits an
+    executor (rows/blocks grow together, task count grows as B², no
+    unbounded cross join). At 100 TB you'd additionally gate the block
+    pairs on LSH candidates; the verify kernel stays identical.
     """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    pair_rows = []
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            pid = i * n_blocks + j
+            if i == j:
+                pair_rows.append((i, pid, "ab"))
+            else:
+                pair_rows.append((i, pid, "a"))
+                pair_rows.append((j, pid, "b"))
+    spark = emb.sparkSession
+    assign = spark.createDataFrame(pair_rows, "blk int, pair_id int, side string")
+
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
+    replicated = base.join(F.broadcast(assign), "blk").select(
+        "pair_id", "side", "vid", "v"
+    )
+
+    def _block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["side"].isin(("a", "ab"))]
+        b = pdf[pdf["side"].isin(("b", "ab"))]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ma = np.stack(a["v"].to_numpy()).astype("float64")
+        mb = np.stack(b["v"].to_numpy()).astype("float64")
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia = a["vid"].to_numpy()
+        ib = b["vid"].to_numpy()
+        if (pdf["side"] == "ab").any():
+            # diagonal block: both sides hold the same rows → each unordered
+            # pair appears twice; keep the strictly-ordered half.
+            mask = (sims >= threshold) & (ia[:, None] < ib[None, :])
+        else:
+            # cross block: sides are disjoint, every pair appears once, but
+            # id order does not follow block order → normalize below.
+            mask = sims >= threshold
+        rows, cols = np.nonzero(mask)
+        lo = np.minimum(ia[rows], ib[cols])
+        hi = np.maximum(ia[rows], ib[cols])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[rows, cols]})
+
+    out = replicated.groupBy("pair_id").applyInPandas(
+        _block_pairs, "id_a long, id_b long, cos double"
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
