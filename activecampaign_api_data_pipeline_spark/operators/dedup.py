@@ -7,9 +7,9 @@ extension: all are expressed as declarative DataFrame plans whose only
 shuffles are the LSH band group-join and the final pair dedup.
 
 Design for scale:
-- Signatures (MinHash, SimHash) are computed PER-ROW with array
-  expressions (``transform``/``aggregate``/``array_min``) — no explode, no
-  shuffle, whole-stage codegen.
+- Signatures (MinHash, SimHash) are explode → hash-each-shingle-once →
+  map-side partial min/vote aggregates; the signature shuffle carries
+  (doc_id, 8-byte hash), never raw text.
 - Candidate generation shuffles on (band_id, band_hash) — the classic
   LSH bucket join; bucket sizes are bounded w.h.p., and AQE splits
   stragglers.

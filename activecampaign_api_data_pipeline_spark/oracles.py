@@ -410,6 +410,19 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+    # medallion gold snapshot == latest event per user with explicit total
+    # order (the run split/overlap and hash-dedup are invisible in the
+    # observable state — that is exactly the T2 idempotency claim)
+    o["k2_medallion_snapshot"] = f"""
+WITH e AS (SELECT event_id, user_id, event_type, {TS} AS ts_str FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts_str DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id, event_type, ts_str FROM r WHERE rn = 1
+"""
+
     o["q_anti_join"] = """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -355,6 +355,37 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment")
 
 
+# -------------------------------------------------------- persistence (K2)
+
+def k2_medallion_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end medallion persist: two overlapping runs → gold snapshot.
+
+    Exercises the full write path (lineage, content-hash dedup of the
+    overlap, bucket-pruned silver append, dynamic-partition gold refresh)
+    through real parquet I/O; the oracle reproduces the observable result
+    (latest event per user) in plain SQL.
+    """
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.storage import TableStore
+
+    ev = _events_std(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_str",
+        F.concat(F.col("ts_str"), F.lit("|"), F.lpad(F.col("event_id").cast("string"), 12, "0")).alias("_upd"),
+    )
+    run1 = ev.filter(F.col("event_id") % 3 != 1)
+    run2 = ev.filter(F.col("event_id") % 3 != 0)  # %3==2 rows overlap both runs
+    store = TableStore(spark, tempfile.mkdtemp(prefix="acdp_store_"), n_buckets=8)
+    store.persist(run1, "events", ["user_id"], run_id="r1", updated_col="_upd",
+                  extracted_at="2020-06-01 00:00:00")
+    store.persist(run2, "events", ["user_id"], run_id="r2", updated_col="_upd",
+                  extracted_at="2020-06-02 00:00:00")
+    return store.read("gold", "events").select("user_id", "event_id", "event_type", "ts_str")
+
+
 # ----------------------------------------------------- streaming-equivalent
 
 def t_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +498,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_revenue_by_nation": q5_revenue_by_nation,
+    "k2_medallion_snapshot": k2_medallion_snapshot,
     "q_anti_join": q_anti_join,
     "q_semi_join": q_semi_join,
     "t_window_hourly": t_window_hourly,

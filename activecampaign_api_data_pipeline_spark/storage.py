@@ -1,0 +1,236 @@
+"""Medallion table store — the reference's write path, re-designed for scale.
+
+Re-expresses ``persist_table_dual`` (reference run_ac_extraction.py:134-188)
+and the JSON state checkpoint (:70-80, :1557-1559, :1696-1700) WITHOUT the
+reference's read-modify-rewrite of the whole master on every run (the
+scalability cliff called out in SURVEY.md §3.2):
+
+- **delta**  ``runs/<run_id>/<table>/``  — immutable per-run drop (K1/K2).
+- **bronze** ``bronze/<table>/run_id=…`` — append-only history, partitioned
+  by run, never rewritten (reference "raw" before dedup).
+- **silver** ``silver/<table>/_kb=…``    — content-hash-deduped history
+  (reference "raw" after A1 dedup), partitioned by a key-hash bucket.
+- **gold**   ``gold/<table>/_kb=…``      — last-per-key snapshot (reference
+  "latest", A2/W1), same bucketing.
+
+Why the bucket column ``_kb = pmod(xxhash64(keys), n_buckets)`` is the load-
+bearing design: exact duplicates agree on their key columns, so they agree
+on ``_kb``. Both incremental maintenance joins can therefore be restricted
+to the buckets the new batch actually touches:
+
+- silver append = ``new LEFT ANTI JOIN silver ON (_kb, _row_hash)`` — the
+  probe side reads ONLY affected bucket partitions (partition pruning) and
+  only the ``_row_hash`` column (column pruning).
+- gold refresh  = latest-per-key over silver restricted to affected buckets,
+  written with dynamic partition overwrite — untouched buckets are not read
+  and not rewritten.
+
+So per run, work is O(new batch + touched buckets), not O(master) as in the
+reference. At 100 TB raise ``n_buckets`` so a bucket ≪ executor memory; a
+run touching k buckets rewrites k/n_buckets of gold, nothing else.
+
+Determinism: gold ordering is an explicit total order
+(updated_col DESC, extracted_at DESC, run_id DESC, _row_hash DESC) — the
+reference leans on pandas' stable mergesort file order (:186), which has no
+distributed equivalent (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.functions.hashing import row_hash
+
+LINEAGE_COLS = ("run_id", "extracted_at")
+BUCKET_COL = "_kb"
+HASH_COL = "_row_hash"
+
+
+@dataclass
+class PersistResult:
+    table: str
+    run_id: str
+    n_delta: int
+    n_new_silver: int
+    touched_buckets: list[int]
+
+
+def _key_bucket(key_cols: list[str], n_buckets: int) -> Column:
+    ks = [F.coalesce(F.col(k).cast("string"), F.lit("\x00null")) for k in key_cols]
+    return F.pmod(F.xxhash64(*ks), F.lit(n_buckets)).cast("int")
+
+
+class TableStore:
+    """Bronze/silver/gold store rooted at a directory (local or DFS URI)."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.n_buckets = n_buckets
+
+    # ------------------------------------------------------------- paths/fs
+
+    def _path(self, layer: str, table: str) -> str:
+        return f"{self.root}/{layer}/{table}"
+
+    def _exists(self, path: str) -> bool:
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
+    # ------------------------------------------------------------- persist
+
+    def persist(
+        self,
+        df: DataFrame,
+        table: str,
+        key_cols: list[str],
+        run_id: str,
+        updated_col: str | None = None,
+        extracted_at: str | None = None,
+    ) -> PersistResult:
+        """Tri-destination persist (reference :134-188), incremental form.
+
+        ``df`` is one run's extract. ``updated_col`` orders the gold
+        snapshot (reference's update-column, fallback ``extracted_at``).
+        ``extracted_at`` may be pinned for reproducible tests; defaults to
+        the driver's current UTC time, constant for the whole run.
+        """
+        content_cols = [c for c in df.columns if c not in LINEAGE_COLS]
+        stamp = (
+            F.lit(extracted_at)
+            if extracted_at is not None
+            else F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+        )
+        # P1 lineage + P2 content hash + bucket, all expression work (no UDFs)
+        staged = (
+            df.select(*content_cols)
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("extracted_at", stamp)
+            .withColumn(HASH_COL, row_hash(df, content_cols))
+            .withColumn(BUCKET_COL, _key_bucket(key_cols, self.n_buckets))
+        )
+        # batch-internal exact dedup first (A1 within the run)
+        staged = staged.dropDuplicates([HASH_COL])
+        staged.persist()
+        try:
+            n_delta = staged.count()
+
+            # 1. delta: immutable per-run drop
+            staged.drop(BUCKET_COL).write.mode("errorifexists").parquet(
+                f"{self.root}/runs/{run_id}/{table}"
+            )
+            # 2. bronze: append-only, partitioned by run (never read-modify)
+            staged.drop(BUCKET_COL).withColumn("run_id", F.lit(run_id)).write.mode(
+                "append"
+            ).partitionBy("run_id").parquet(self._path("bronze", table))
+
+            # 3. silver: anti-join on (_kb, _row_hash) — bucket-pruned probe
+            silver_path = self._path("silver", table)
+            buckets = [
+                r[0] for r in staged.select(BUCKET_COL).distinct().collect()
+            ]
+            if self._exists(silver_path):
+                old = (
+                    self.spark.read.parquet(silver_path)
+                    .filter(F.col(BUCKET_COL).isin(buckets))
+                    .select(BUCKET_COL, HASH_COL)
+                )
+                fresh = staged.join(old, [BUCKET_COL, HASH_COL], "left_anti")
+            else:
+                fresh = staged
+            fresh.persist()
+            n_new = fresh.count()
+            # collect BEFORE the append: writing to silver_path invalidates
+            # any cached plan that reads it (fresh's anti-join does), and a
+            # recompute after the append would anti-join away its own rows.
+            touched = [r[0] for r in fresh.select(BUCKET_COL).distinct().collect()]
+            if n_new:
+                fresh.write.mode("append").partitionBy(BUCKET_COL).parquet(silver_path)
+
+                # 4. gold: recompute ONLY touched buckets from silver,
+                #    dynamic partition overwrite leaves the rest untouched
+                silver = self.spark.read.parquet(silver_path).filter(
+                    F.col(BUCKET_COL).isin(touched)
+                )
+                order = []
+                if updated_col is not None:
+                    order.append(F.col(updated_col).desc_nulls_last())
+                order += [
+                    F.col("extracted_at").desc_nulls_last(),
+                    F.col("run_id").desc_nulls_last(),
+                    F.col(HASH_COL).desc(),
+                ]
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*key_cols).orderBy(*order)
+                latest = (
+                    silver.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                latest.write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy(BUCKET_COL).parquet(self._path("gold", table))
+            else:
+                touched = []
+            fresh.unpersist()
+        finally:
+            staged.unpersist()
+        return PersistResult(table, run_id, n_delta, n_new, sorted(touched))
+
+    # --------------------------------------------------------------- reads
+
+    def read(self, layer: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(layer, table))
+
+    def read_best(self, table: str) -> DataFrame:
+        """Gold if present else silver (reference ``_read_best_table`` :1000-1008)."""
+        for layer in ("gold", "silver"):
+            if self._exists(self._path(layer, table)):
+                return self.read(layer, table).drop(BUCKET_COL)
+        raise FileNotFoundError(f"{table}: no gold or silver layer in {self.root}")
+
+    # ------------------------------------------------- state checkpoint (K3)
+
+    @property
+    def _state_path(self) -> str:
+        return f"{self.root}/state.json"
+
+    def load_state(self) -> dict:
+        """Reference ``load_json`` of state.json (:70-74, :1557-1559)."""
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)
+        return {}
+
+    def save_state(self, state: dict) -> None:
+        """Atomic-rename write, advanced only after a successful run (:1696-1700)."""
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._state_path)
+
+
+def max_id_watermark(df: DataFrame, id_col: str) -> int | None:
+    """A4/T1: high-watermark over a monotone key (reference :266, :1697-1698)."""
+    row = df.agg(F.max(F.col(id_col).cast("long")).alias("m")).collect()[0]
+    return row["m"]
+
+
+def write_digests(df: DataFrame, path: str, key_col: str, text_col: str) -> None:
+    """K4 per-entity text sink: one directory per key holding its digest text
+
+    (reference writes ``contact_<id>.txt`` per contact, :1684-1692).
+    """
+    df.select(F.col(key_col), F.col(text_col).alias("value")).write.mode(
+        "overwrite"
+    ).partitionBy(key_col).text(path)

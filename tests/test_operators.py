@@ -1,0 +1,102 @@
+"""Unit tests for window/dedup/rollup/conform operators."""
+
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.operators.conform import conform_union, union_by_name
+from activecampaign_api_data_pipeline_spark.operators.dedup import exact_dedup, incremental_dedup
+from activecampaign_api_data_pipeline_spark.operators.rollup import digest_lines, set_rollup
+from activecampaign_api_data_pipeline_spark.operators.snapshots import (
+    head_n_per_group,
+    last_n_per_group,
+    latest_per_key,
+    top_n_per_group,
+)
+
+EV = "k string, ts string, id string, v string"
+
+
+def _ev(spark):
+    rows = [
+        ("a", "2020-01-01", "1", "x"),
+        ("a", "2020-01-03", "2", "y"),
+        ("a", "2020-01-03", "3", "z"),  # ts tie -> id breaks it
+        ("a", "2020-01-02", "4", "w"),
+        ("b", "2020-01-05", "5", "q"),
+    ]
+    return spark.createDataFrame(rows, EV)
+
+
+def test_latest_per_key_tiebreak(spark):
+    out = latest_per_key(_ev(spark), ["k"], [F.col("ts"), F.col("id")])
+    got = {r["k"]: r["id"] for r in out.collect()}
+    assert got == {"a": "3", "b": "5"}  # id "3" wins the 01-03 tie
+
+
+def test_top_head_last_n(spark):
+    ev = _ev(spark)
+    top2 = top_n_per_group(ev, ["k"], [F.col("ts"), F.col("id")], 2)
+    assert sorted(r["id"] for r in top2.filter("k='a'").collect()) == ["2", "3"]
+    head2 = head_n_per_group(ev, ["k"], [F.col("ts"), F.col("id")], 2)
+    assert sorted(r["id"] for r in head2.filter("k='a'").collect()) == ["1", "4"]
+    last2 = last_n_per_group(ev, ["k"], [F.col("ts"), F.col("id")], 2)
+    assert sorted(r["id"] for r in last2.filter("k='a'").collect()) == ["2", "3"]
+
+
+def test_exact_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("x", "r2"), ("x", "r1"), ("y", "r1")], "content string, run string"
+    )
+    out = exact_dedup(df, content_cols=["content"], order_cols=["run"])
+    got = {r["content"]: r["run"] for r in out.collect()}
+    assert got == {"x": "r1", "y": "r1"}
+
+
+def test_incremental_dedup_idempotent(spark):
+    old = spark.createDataFrame([("a",), ("b",)], "c string")
+    new = spark.createDataFrame([("b",), ("c",), ("c",)], "c string")
+    out = incremental_dedup(new, old, ["c"])
+    assert sorted(r["c"] for r in out.collect()) == ["c", "c"]
+    # replaying an already-applied batch appends nothing
+    replay = incremental_dedup(old, old, ["c"])
+    assert replay.count() == 0
+
+
+def test_set_rollup_sorted_distinct(spark):
+    df = spark.createDataFrame(
+        [("a", "t2"), ("a", "t1"), ("a", "t2"), ("b", "t9")], "k string, tag string"
+    )
+    out = {r["k"]: r["tags"] for r in set_rollup(df, "k", {"tags": "tag"}).collect()}
+    assert out == {"a": "t1, t2", "b": "t9"}
+
+
+def test_digest_lines_tail_n(spark):
+    rows = [("a", f"2020-01-0{i}", str(i), f"L{i}") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, EV).withColumnRenamed("v", "line")
+    df = df.withColumn("line", F.concat(F.lit("L"), F.col("id")))
+    out = digest_lines(df, "k", "ts", "line", "id", n=3).collect()[0]
+    assert out["digest"] == "L3\nL4\nL5"
+
+
+def test_conform_union_typed_nulls(spark):
+    schema_cols = [("event_id", "string"), ("amount", "double"), ("kind", "string")]
+    s1 = spark.createDataFrame([("1", 2.5)], "id string, amt double")
+    s2 = spark.createDataFrame([("9",)], "nid string")
+    out = conform_union(
+        [
+            ("one", s1, {"event_id": F.col("id"), "amount": F.col("amt")}),
+            ("two", s2, {"event_id": F.col("nid"), "kind": F.lit("k")}),
+        ],
+        schema_cols,
+    )
+    assert out.columns == ["source", "event_id", "amount", "kind"]
+    rows = {r["source"]: r for r in out.collect()}
+    assert rows["one"]["amount"] == 2.5 and rows["one"]["kind"] is None
+    assert rows["two"]["amount"] is None and rows["two"]["kind"] == "k"
+
+
+def test_union_by_name_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, "y")], "id int, b string")
+    out = union_by_name([a, b])
+    assert set(out.columns) == {"id", "a", "b"}
+    assert out.count() == 2

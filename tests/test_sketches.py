@@ -1,0 +1,123 @@
+"""Near-dup sketches + similarity: behavior on controlled corpora."""
+
+import math
+
+import pytest
+
+from activecampaign_api_data_pipeline_spark.operators import dedup as DD
+from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # high word-3-gram overlap
+    far = "completely unrelated text about spark distributed query execution engines"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)],  # 4 == exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_lsh_finds_near_and_exact(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.minhash_lsh_pairs(docs, num_perm=32, bands=8, jaccard_threshold=0.3).collect()
+    }
+    assert pairs.get((1, 4)) == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.3
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, ngram=3, threshold=0.3).collect()
+    }
+    assert pairs.get((1, 4)) == 1.0
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in DD.simhash_pairs(docs).collect()}
+    assert pairs.get((1, 4)) == 0
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_jaccard_estimate_tracks_truth(spark):
+    # signature agreement rate should approximate true shingle Jaccard
+    a = "w%d " * 50 % tuple(range(50))
+    b = "w%d " * 50 % tuple(range(10, 60))  # 40/60 overlap of tokens
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sh = DD._shingle_sets(docs, "doc_id", "text", 1)
+    sigs = {r["doc_id"]: r["sig"] for r in DD.minhash_signatures(sh, 64).collect()}
+    est = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 64
+    truth = 40 / 60
+    assert abs(est - truth) < 0.2
+
+
+def _brute_cosine_pairs(vecs, threshold):
+    out = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            c = dot / (na * nb)
+            if c >= threshold:
+                out[(a, b)] = round(c, 6)
+    return out
+
+
+def test_embedding_neardup_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)}
+    vecs[40] = [v * 2.0 for v in vecs[0]]  # same direction as 0 -> cos 1.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # cast to float32 loses precision -> recompute truth from the float32 values
+    stored = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    truth = _brute_cosine_pairs(stored, 0.8)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in SIM.embedding_neardup_pairs(emb, threshold=0.8, n_blocks=3).collect()
+    }
+    assert set(got) == set(truth)
+    assert (0, 40) in got and got[(0, 40)] == 1.0
+    for k, v in truth.items():
+        assert abs(got[k] - v) < 1e-5
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = SIM.cosine_topk(emb, k=2, max_query_id=1).collect()
+    assert [r["neighbor_id"] for r in out] == [3, 1]  # identical first, then near
+    assert out[0]["cos"] == 1.0
+
+
+def test_ivf_topk_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = SIM.cosine_topk(emb, k=5, max_query_id=5)
+    approx = SIM.ivf_topk(emb, n_centroids=4, k=5, max_query_id=5)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    # every ANN hit is a real vector pair with correctly computed cosine;
+    # recall<=1 by design, but queries must all be answered
+    assert {r["query_id"] for r in approx_rows} == set(range(5))
+    assert len(exact_pairs) == 25

@@ -1,0 +1,141 @@
+"""Medallion store: idempotency / incremental-equivalence properties (SURVEY §5.3).
+
+The invariants the reference guarantees via full-master rewrites
+(run_ac_extraction.py:134-188) must hold for the incremental store:
+
+1. re-running the same batch changes nothing (T2 idempotency);
+2. two half-batches end in the same silver/gold state as one batch;
+3. gold keeps exactly the newest row per key with deterministic ties.
+"""
+
+import pytest
+
+from activecampaign_api_data_pipeline_spark.storage import TableStore, max_id_watermark
+
+SCHEMA = "cid string, email string, udate string"
+
+
+def _rows(*triples):
+    return list(triples)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "lake"), n_buckets=4)
+
+
+def _silver_set(store, table):
+    return {
+        (r["cid"], r["email"], r["udate"])
+        for r in store.read("silver", table).collect()
+    }
+
+
+def _gold_map(store, table):
+    return {r["cid"]: (r["email"], r["udate"]) for r in store.read("gold", table).collect()}
+
+
+def test_persist_layers_and_lineage(spark, store):
+    df = spark.createDataFrame(_rows(("1", "a@x", "2020-01-01")), SCHEMA)
+    res = store.persist(df, "contacts", ["cid"], run_id="r1", extracted_at="2020-06-01 00:00:00")
+    assert res.n_delta == 1 and res.n_new_silver == 1
+    row = store.read("silver", "contacts").collect()[0]
+    assert row["run_id"] == "r1" and row["extracted_at"] == "2020-06-01 00:00:00"
+    assert row["_row_hash"]
+    assert store.read_best("contacts").count() == 1
+
+
+def test_idempotent_rerun(spark, store):
+    df = spark.createDataFrame(
+        _rows(("1", "a@x", "2020-01-01"), ("2", "b@x", "2020-01-02")), SCHEMA
+    )
+    store.persist(df, "contacts", ["cid"], run_id="r1", extracted_at="2020-06-01 00:00:00")
+    s1, g1 = _silver_set(store, "contacts"), _gold_map(store, "contacts")
+    res2 = store.persist(df, "contacts", ["cid"], run_id="r2", extracted_at="2020-06-02 00:00:00")
+    assert res2.n_new_silver == 0
+    assert _silver_set(store, "contacts") == s1
+    assert _gold_map(store, "contacts") == g1
+
+
+def test_split_equals_single_batch(spark, tmp_path):
+    all_rows = [
+        ("1", "a@x", "2020-01-01"),
+        ("1", "a2@x", "2020-02-01"),  # newer version of key 1
+        ("2", "b@x", "2020-01-05"),
+        ("3", "c@x", "2020-01-07"),
+    ]
+    s_one = TableStore(spark := spark, root=str(tmp_path / "one"), n_buckets=4)
+    df_all = spark.createDataFrame(all_rows, SCHEMA)
+    s_one.persist(df_all, "t", ["cid"], run_id="r1", updated_col="udate",
+                  extracted_at="2020-06-01 00:00:00")
+
+    s_two = TableStore(spark, str(tmp_path / "two"), n_buckets=4)
+    s_two.persist(spark.createDataFrame(all_rows[:2], SCHEMA), "t", ["cid"],
+                  run_id="r1", updated_col="udate", extracted_at="2020-06-01 00:00:00")
+    s_two.persist(spark.createDataFrame(all_rows[2:], SCHEMA), "t", ["cid"],
+                  run_id="r2", updated_col="udate", extracted_at="2020-06-02 00:00:00")
+
+    assert _silver_set(s_one, "t") == _silver_set(s_two, "t")
+    assert _gold_map(s_one, "t") == _gold_map(s_two, "t")
+    assert _gold_map(s_two, "t")["1"] == ("a2@x", "2020-02-01")
+
+
+def test_gold_latest_per_key_with_updates_across_runs(spark, store):
+    store.persist(
+        spark.createDataFrame(_rows(("1", "old@x", "2020-01-01")), SCHEMA),
+        "c", ["cid"], run_id="r1", updated_col="udate", extracted_at="2020-06-01 00:00:00",
+    )
+    store.persist(
+        spark.createDataFrame(_rows(("1", "new@x", "2020-03-01")), SCHEMA),
+        "c", ["cid"], run_id="r2", updated_col="udate", extracted_at="2020-06-02 00:00:00",
+    )
+    assert _gold_map(store, "c") == {"1": ("new@x", "2020-03-01")}
+    # silver keeps FULL history (reference raw layer)
+    assert len(_silver_set(store, "c")) == 2
+
+
+def test_gold_tie_broken_by_extracted_then_run(spark, store):
+    # same key, same udate -> later run wins deterministically
+    store.persist(
+        spark.createDataFrame(_rows(("1", "v1@x", "2020-01-01")), SCHEMA),
+        "c", ["cid"], run_id="r1", updated_col="udate", extracted_at="2020-06-01 00:00:00",
+    )
+    store.persist(
+        spark.createDataFrame(_rows(("1", "v2@x", "2020-01-01")), SCHEMA),
+        "c", ["cid"], run_id="r2", updated_col="udate", extracted_at="2020-06-02 00:00:00",
+    )
+    assert _gold_map(store, "c")["1"] == ("v2@x", "2020-01-01")
+
+
+def test_untouched_buckets_not_rewritten(spark, store):
+    # keys spread over buckets; second run touches a subset of buckets only
+    df1 = spark.createDataFrame(
+        [(str(i), f"u{i}@x", "2020-01-01") for i in range(12)], SCHEMA
+    )
+    r1 = store.persist(df1, "c", ["cid"], run_id="r1", updated_col="udate",
+                       extracted_at="2020-06-01 00:00:00")
+    assert len(r1.touched_buckets) > 1
+    df2 = spark.createDataFrame([("0", "updated@x", "2020-02-01")], SCHEMA)
+    r2 = store.persist(df2, "c", ["cid"], run_id="r2", updated_col="udate",
+                       extracted_at="2020-06-02 00:00:00")
+    assert len(r2.touched_buckets) == 1  # only key "0"'s bucket recomputed
+    g = _gold_map(store, "c")
+    assert g["0"] == ("updated@x", "2020-02-01")
+    assert len(g) == 12  # other buckets' gold rows intact
+
+
+def test_state_checkpoint_roundtrip(store, spark):
+    assert store.load_state() == {}
+    store.save_state({"max_contact_id": 41, "last_run_utc": "2020-06-01T00:00:00Z"})
+    assert store.load_state()["max_contact_id"] == 41
+    df = spark.createDataFrame([("39",), ("42",)], "id string")
+    assert max_id_watermark(df, "id") == 42
+
+
+def test_read_best_falls_back_to_silver(spark, store, tmp_path):
+    # a table persisted with zero new gold rows still exposes silver
+    df = spark.createDataFrame(_rows(("1", "a@x", "2020-01-01")), SCHEMA)
+    store.persist(df, "t2", ["cid"], run_id="r1", extracted_at="2020-06-01 00:00:00")
+    assert store.read_best("t2").count() == 1
+    with pytest.raises(FileNotFoundError):
+        store.read_best("nope")
