@@ -444,6 +444,8 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
+    # the streaming run must land on the identical result as the batch twin
+    o["t_stream_window_hourly"] = o["t_window_hourly"]
 
     o["dedup_exact_fingerprint"] = r"""
 SELECT doc_id,

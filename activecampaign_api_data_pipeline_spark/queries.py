@@ -407,6 +407,60 @@ def t_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly windows computed by a real Structured Streaming job.
+
+    readStream over the events parquet, availableNow trigger, complete
+    output into a memory sink — so the streaming engine's result is
+    oracle-checkable against the identical SQL as the batch twin. The
+    watermark/late-data path is exercised in tests/test_streaming.py
+    (append-mode emission is batch-arrival-dependent, so it is a test
+    concern, not an oracle one).
+    """
+    import uuid
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from pyspark.sql import types as T
+
+    import os
+    import tempfile
+
+    pin_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a directory; expose the single-file
+    # table through a symlinked dir (a real deployment streams a directory)
+    stream_dir = tempfile.mkdtemp(prefix="acdp_stream_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    win = F.window("ts", "1 hour")
+    agg = (
+        stream.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # ----------------------------------------------------------- dedup (LLM ops)
 
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +556,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_anti_join": q_anti_join,
     "q_semi_join": q_semi_join,
     "t_window_hourly": t_window_hourly,
+    "t_stream_window_hourly": t_stream_window_hourly,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

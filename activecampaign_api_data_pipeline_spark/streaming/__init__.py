@@ -1,0 +1,15 @@
+from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+    incremental_batch,
+    windowed_counts,
+    session_rollup,
+    stream_dedup,
+    stream_into_store,
+)
+
+__all__ = [
+    "incremental_batch",
+    "windowed_counts",
+    "session_rollup",
+    "stream_dedup",
+    "stream_into_store",
+]

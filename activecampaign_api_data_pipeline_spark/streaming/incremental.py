@@ -1,0 +1,167 @@
+"""Incremental & streaming semantics (SURVEY.md §2.8 T1-T3).
+
+The reference's incremental story is a keyset watermark over a monotone id
+persisted in ``state.json`` (run_ac_extraction.py:249-270, :1557-1559,
+:1696-1700) plus content-hash idempotency on the write path. Two Spark-first
+re-expressions live here:
+
+- **Incremental batch** (:func:`incremental_batch`): the direct equivalent —
+  ``WHERE id > watermark``, advance the watermark only after a successful
+  persist. Composes with :class:`~activecampaign_api_data_pipeline_spark.storage.TableStore`,
+  whose hash-dedup silver makes replays no-ops (T2), so crash-and-rerun is
+  safe exactly like the reference.
+
+- **Structured Streaming**: the capability the reference lacks. Event-time
+  tumbling windows and session windows with ``withWatermark`` for bounded
+  state / late-data handling, streaming dedup, and a ``foreachBatch`` sink
+  that upserts each micro-batch through the medallion store — giving the
+  reference's delta→raw→latest semantics continuously instead of per-run.
+
+Scale notes: windowed aggregates shuffle on (window, key) and keep only
+watermark-bounded state; ``foreachBatch`` reuses the store's bucket-pruned
+maintenance, so a micro-batch costs O(batch + touched buckets). State-store
+backends (RocksDB at scale) are a config, not a code change.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.storage import TableStore, max_id_watermark
+
+WATERMARK_KEY = "max_id"
+
+
+def incremental_batch(
+    df: DataFrame,
+    id_col: str,
+    state: dict,
+    process: Callable[[DataFrame], None],
+) -> dict:
+    """Keyset-cursor incremental batch (reference S2/T1, :249-270).
+
+    Filters to rows above the stored watermark, runs ``process`` on the
+    delta, and returns the NEW state (caller persists it after — matching
+    the reference's advance-only-on-success at :1696-1700). The watermark
+    detects new *ids*, not updated rows for old ids — same semantics as the
+    reference's ``id_greater`` cursor (SURVEY.md §2.8 note).
+    """
+    wm = state.get(WATERMARK_KEY)
+    delta = df.filter(F.col(id_col).cast("long") > F.lit(wm)) if wm is not None else df
+    process(delta)
+    new_max = max_id_watermark(delta, id_col)
+    if new_max is None:  # empty delta: watermark unchanged
+        return dict(state)
+    out = dict(state)
+    out[WATERMARK_KEY] = max(new_max, wm) if wm is not None else new_max
+    return out
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Tumbling event-time window aggregate with late-data watermark (T3).
+
+    Late rows beyond ``watermark`` are dropped and window state is evicted
+    once the watermark passes — bounded state at any scale. The batch twin
+    (same plan minus the watermark) is queries.t_window_hourly.
+    """
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value")
+        )
+    out_cols = ["n"] + (["total_value"] if value_col is not None else [])
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(*aggs)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *group_cols,
+            *out_cols,
+        )
+    )
+
+
+def session_rollup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: activity bursts per key separated by ``gap`` silence.
+
+    The reference has no session concept (§2.8 "not present"); this is the
+    idiomatic addition — ``session_window`` merges adjacent state as events
+    arrive, watermark closes sessions for emission.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon (A1, continuous).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — the unbounded-state-safe form of streaming dedup.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_into_store(
+    stream: DataFrame,
+    store: TableStore,
+    table: str,
+    key_cols: list[str],
+    checkpoint: str,
+    updated_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous medallion ingest: each micro-batch persists through the
+    store (delta/bronze/silver/gold), giving exactly-once-observable output.
+
+    Exactly-once-ish reasoning (T2): Structured Streaming replays a failed
+    micro-batch from the checkpoint; the store's content-hash silver makes
+    the replay a no-op and gold is a deterministic function of silver — the
+    same idempotency argument as the reference's re-runs, continuously.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.persist(
+            batch_df,
+            table,
+            key_cols,
+            run_id=f"batch_{batch_id:08d}",
+            updated_col=updated_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,195 @@
+"""Streaming/incremental semantics: watermark cursor, windows, late data,
+micro-batch medallion ingest."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.storage import TableStore
+from activecampaign_api_data_pipeline_spark.streaming import (
+    incremental_batch,
+    session_rollup,
+    stream_dedup,
+    stream_into_store,
+    windowed_counts,
+)
+
+EV_SCHEMA = "id long, ts timestamp, user_id long, kind string, value double"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA).withColumn("ts", F.col("ts"))
+
+
+def _rows(spark, *data):
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    return spark.createDataFrame(
+        [(i, t(ts), u, k, v) for (i, ts, u, k, v) in data], EV_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------- T1 cursor
+
+def test_incremental_batch_cursor_advances_and_filters(spark):
+    df = _rows(
+        spark,
+        (1, "2020-01-01 00:00:00", 1, "a", 1.0),
+        (2, "2020-01-01 01:00:00", 1, "a", 1.0),
+        (5, "2020-01-01 02:00:00", 2, "b", 1.0),
+    )
+    seen = []
+    state = incremental_batch(df, "id", {}, lambda d: seen.append(d.count()))
+    assert state["max_id"] == 5 and seen == [3]
+    # second run over the same table: nothing above the watermark
+    state2 = incremental_batch(df, "id", state, lambda d: seen.append(d.count()))
+    assert seen[-1] == 0
+    assert state2["max_id"] == 5  # unchanged on empty delta
+
+
+def test_incremental_batch_only_new_ids(spark):
+    df = _rows(
+        spark,
+        (1, "2020-01-01 00:00:00", 1, "a", 1.0),
+        (9, "2020-01-01 01:00:00", 1, "a", 1.0),
+    )
+    got = []
+    incremental_batch(df, "id", {"max_id": 1}, lambda d: got.extend(r["id"] for r in d.collect()))
+    assert got == [9]
+
+
+# ----------------------------------------------------- streaming micro-batch
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    return d
+
+
+def _start_stream(spark, stream_dir):
+    return (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+
+
+def _run_available(q_builder, out_name):
+    q = q_builder.format("memory").queryName(out_name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_stream_matches_batch(spark, stream_dir, tmp_path):
+    # Three files -> three micro-batches (maxFilesPerTrigger=1). Append mode
+    # emits a window during the batch AFTER the watermark passes its end:
+    # batch2 moves the watermark to 02:10, batch3 triggers the emission.
+    _rows(
+        spark,
+        (1, "2020-01-01 00:10:00", 1, "click", 2.0),
+        (2, "2020-01-01 00:50:00", 1, "click", 3.0),
+        (3, "2020-01-01 01:10:00", 2, "buy", 5.0),
+    ).write.mode("append").parquet(str(stream_dir))
+    _rows(spark, (4, "2020-01-01 03:10:00", 2, "buy", 1.0)).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    _rows(spark, (5, "2020-01-01 10:00:00", 3, "noise", 0.0)).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    stream = _start_stream(spark, stream_dir)
+    agg = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="1 hour",
+                          group_cols=["kind"])
+    _run_available(agg.writeStream, "win_out")
+    got = {
+        (r["window_start"], r["kind"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from win_out").collect()
+    }
+    # append mode emits only watermark-closed windows; hour 00 and 01 closed by row 4
+    assert got[("2020-01-01 00:00:00", "click")] == (2, 5.0)
+    assert got[("2020-01-01 01:00:00", "buy")] == (1, 5.0)
+
+
+def test_late_row_beyond_watermark_dropped(spark, stream_dir):
+    _rows(
+        spark,
+        (1, "2020-01-01 00:10:00", 1, "click", 1.0),
+        (2, "2020-01-01 06:00:00", 1, "click", 1.0),
+    ).write.mode("append").parquet(str(stream_dir))
+    # second file arrives AFTER the watermark advanced to 05:00
+    _rows(spark, (3, "2020-01-01 00:20:00", 1, "click", 1.0)).write.mode(
+        "append"
+    ).parquet(str(stream_dir))
+    stream = _start_stream(spark, stream_dir)  # maxFilesPerTrigger=1 -> 2 batches
+    agg = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="1 hour",
+                          group_cols=["kind"])
+    _run_available(agg.writeStream, "late_out")
+    got = {r["window_start"]: r["n"] for r in spark.sql("select * from late_out").collect()}
+    # hour-00 window was closed before the late row arrived -> n stays 1
+    assert got.get("2020-01-01 00:00:00") == 1
+
+
+def test_session_rollup(spark, stream_dir):
+    _rows(
+        spark,
+        (1, "2020-01-01 00:00:00", 7, "a", 1.0),
+        (2, "2020-01-01 00:10:00", 7, "a", 1.0),  # same session (gap 30m)
+        (3, "2020-01-01 02:00:00", 7, "a", 1.0),  # new session
+    ).write.mode("append").parquet(str(stream_dir))
+    # second batch moves the watermark to 08:00, third triggers emission
+    _rows(spark, (4, "2020-01-01 09:00:00", 8, "a", 1.0)).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    _rows(spark, (5, "2020-01-01 20:00:00", 9, "a", 1.0)).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    stream = _start_stream(spark, stream_dir)
+    agg = session_rollup(stream, ts_col="ts", gap="30 minutes", watermark="1 hour")
+    _run_available(agg.writeStream, "sess_out")
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert got[(7, "2020-01-01 00:00:00")] == 2
+    assert got[(7, "2020-01-01 02:00:00")] == 1
+
+
+def test_stream_dedup(spark, stream_dir):
+    _rows(
+        spark,
+        (1, "2020-01-01 00:00:00", 1, "a", 1.0),
+        (1, "2020-01-01 00:00:30", 1, "a", 1.0),  # same id within watermark
+        (2, "2020-01-01 00:01:00", 1, "b", 1.0),
+    ).write.mode("append").parquet(str(stream_dir))
+    stream = _start_stream(spark, stream_dir)
+    dd = stream_dedup(stream, ["id"], ts_col="ts", watermark="10 minutes")
+    _run_available(dd.writeStream, "dd_out")
+    assert spark.sql("select count(*) n from dd_out").collect()[0]["n"] == 2
+
+
+def test_stream_into_store_micro_batch_medallion(spark, stream_dir, tmp_path):
+    store = TableStore(spark, str(tmp_path / "lake"), n_buckets=4)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); batch 2 contains
+    # a duplicate of batch 1's row and a newer version of user 1's row
+    _rows(spark, (1, "2020-01-01 00:00:00", 1, "a", 1.0)).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    _rows(
+        spark,
+        (1, "2020-01-01 00:00:00", 1, "a", 1.0),  # exact dup -> silver no-op
+        (2, "2020-01-01 01:00:00", 1, "b", 2.0),
+    ).write.mode("append").parquet(str(stream_dir))
+    stream = _start_stream(spark, stream_dir)
+    q = stream_into_store(
+        stream, store, "events", key_cols=["user_id"],
+        checkpoint=str(tmp_path / "ckpt"), updated_col="ts",
+    )
+    q.awaitTermination(120)
+    silver = store.read("silver", "events")
+    assert silver.count() == 2  # dup row appended once
+    gold = {r["user_id"]: r["kind"] for r in store.read("gold", "events").collect()}
+    assert gold == {1: "b"}  # latest version per key
