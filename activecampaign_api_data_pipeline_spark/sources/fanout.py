@@ -1,0 +1,75 @@
+"""Per-parent child-table fan-out (S4/S5) — the reference's N+1 loops,
+distributed.
+
+The reference fetches 16 child collections per contact in a sequential
+Python loop (run_ac_extraction.py:422-765) and a two-level deals bundle
+(:793-861). Spark-first shape: the parent ids are a DataFrame; fan-out is
+``mapInPandas`` over id partitions — each partition opens one rate-limited
+client and pages through its ids' child endpoints, yielding child rows with
+the parent id attached (the reference's ``row["contact_id"]=cid``, :434).
+
+Scale: ``ids.repartition(n)`` controls fetch concurrency; per-partition
+``rate`` = global API budget / n. Two-level bundles (deals → deal notes)
+are just two chained fan-outs with the intermediate DataFrame in between —
+no nested loops anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def fetch_children(
+    ids: DataFrame,
+    base_url: str,
+    endpoint_template: str,
+    collection: str,
+    fields: list[str],
+    id_col: str = "contact_id",
+    parent_col: str = "contact_id",
+    rate: float = 4.0,
+    page_limit: int = 100,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Fetch ``endpoint_template.format(id=...)`` for every parent id.
+
+    Returns a DataFrame with ``fields`` (all strings) plus ``parent_col``.
+    404s yield no rows (the reference's tolerance for missing child
+    endpoints, :562-567,590-595).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(f, StringType()) for f in fields]
+        + [StructField(parent_col, StringType())]
+    )
+    out_fields = fields  # closure-captured
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from activecampaign_api_data_pipeline_spark.sources.rest_client import RestClient
+
+        client = RestClient(base_url, rate=rate)
+        for pdf in batches:
+            rows_out: list[dict] = []
+            for pid in pdf[id_col].astype(str):
+                rows = client.paged(
+                    endpoint_template.format(id=pid),
+                    collection=collection,
+                    page_limit=page_limit,
+                )
+                for r in rows:
+                    rec = {
+                        f: (None if r.get(f) is None else str(r.get(f)))
+                        for f in out_fields
+                    }
+                    rec[parent_col] = pid
+                    rows_out.append(rec)
+            yield pd.DataFrame(rows_out, columns=out_fields + [parent_col])
+
+    src = ids.select(id_col).distinct()
+    if n_partitions:
+        src = src.repartition(n_partitions)
+    return src.mapInPandas(_fetch, out_schema)
