@@ -514,6 +514,33 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM (
 ) WHERE cos >= 0.4
 """
 
+    # multimodal stubs: byte semantics of the fake decode are ASCII-exact
+    o["mm_frame_sample"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS dur, octet_length(encode(text)) AS clen
+  FROM documents
+),
+f AS (SELECT media_id, dur // 500 AS nf, clen FROM m WHERE dur // 500 >= 1),
+x AS (SELECT media_id, nf, clen, unnest(generate_series(0, nf - 1)) AS i FROM f)
+SELECT media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 500 AS INTEGER) AS ts_ms,
+       CAST(clen // nf AS INTEGER) AS frame_len
+FROM x
+"""
+
+    o["mm_image_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, 16 * (n_chars // 16) AS np
+  FROM documents WHERE n_chars // 16 >= 1
+),
+i AS (SELECT media_id, np, text, unnest(generate_series(1, np)) AS pos FROM m),
+v AS (SELECT media_id, np, least(ord(substr(text, CAST(pos AS INTEGER), 1)) // 16, 15) AS bin FROM i)
+SELECT media_id, CAST(bin AS INTEGER) AS bin,
+       round(CAST(count(*) AS DOUBLE) / np, 6) AS frac
+FROM v GROUP BY media_id, bin, np
+"""
+
     o["text_quality"] = f"""
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents

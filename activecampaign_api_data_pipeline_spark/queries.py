@@ -500,6 +500,57 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
 
 
+# ------------------------------------------------------- multimodal (LLM ops)
+
+def _media_from_docs(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Synthesize a media table from documents: content = utf-8 bytes of the
+    text (pure-ASCII corpus, so byte semantics are oracle-expressible).
+    Real deployments read parquet with actual binary payloads — identical
+    schema, identical plan."""
+    docs = _t(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.lit(16).alias("width"),
+        (F.col("n_chars") / 16).cast("int").alias("height"),
+        F.lit(1).alias("channels"),
+        F.lit(8000).alias("sample_rate"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        F.lit("fake").alias("codec"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out; codec stubbed, offsets/slicing real."""
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import sample_frames
+
+    media = _media_from_docs(spark, sf_dir, "video")
+    frames = sample_frames(media, every_ms=500)
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms", F.length("frame").alias("frame_len")
+    )
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stub) → 16-bin intensity histogram, exploded per bin."""
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import (
+        decode_images,
+        image_features,
+    )
+
+    media = _media_from_docs(spark, sf_dir, "image").filter("meta.height >= 1")
+    feats = image_features(decode_images(media), bins=16)
+    return (
+        feats.select("media_id", F.posexplode("features").alias("bin", "frac"))
+        .filter(F.col("frac") > 0)
+        .select("media_id", "bin", F.round("frac", 6).alias("frac"))
+    )
+
+
 # --------------------------------------------------------- text (LLM ops)
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +615,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_embedding_neardup": sim_embedding_neardup,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_image_features": mm_image_features,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
