@@ -66,13 +66,20 @@ def char_ngrams(c: Column | str, n: int = 5) -> Column:
 
 
 def word_ngrams(c: Column | str, n: int = 3) -> Column:
-    """Word n-grams joined by single spaces (for n-gram Jaccard dedup)."""
+    """Word n-grams joined by single spaces (for n-gram Jaccard dedup).
+
+    Formulated as n parallel ``slice``s folded with ``zip_with`` — a
+    constant number of array scans per row. The obvious
+    ``transform(sequence(...), i -> slice(toks, i, n))`` re-evaluates the
+    conditional token expression per element (no CSE inside higher-order
+    lambdas), which measured ~10× slower on real documents.
+    """
     toks = tokens(c)
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), n_sh)
-    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(toks, j, m), lambda a, b: F.concat_ws(" ", a, b))
+    return acc
 
 
 def punct_ratio(c: Column | str) -> Column:

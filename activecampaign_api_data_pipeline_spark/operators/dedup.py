@@ -81,8 +81,14 @@ def incremental_dedup(new: DataFrame, old: DataFrame, content_cols: list[str] | 
 
 
 def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
-    """(doc_id, shingles array) with empty-shingle docs dropped."""
-    return docs.select(
+    """(doc_id, shingles array) with empty-shingle docs dropped.
+
+    Repartitions narrow scans first: shingling is the CPU-heavy stage and a
+    single-file table would otherwise run it on one core.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("shingles"),
     ).filter(F.size("shingles") > 0)

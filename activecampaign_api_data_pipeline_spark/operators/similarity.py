@@ -54,12 +54,16 @@ def cosine_topk(
     a map-side join, no shuffle of the big side; the per-query top-k is a
     window ranked by (similarity desc, neighbor_id) for determinism.
     """
+    from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
+
     q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     if query_ids is not None:
         q = q.filter(F.col("query_id").isin(query_ids))
     elif max_query_id is not None:
         q = q.filter(F.col("query_id") < max_query_id)
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    c = ensure_min_parallelism(emb).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
     pairs = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
@@ -87,8 +91,13 @@ def assign_cells(
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
     )
-    scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents)).withColumn(
-        "cc", cosine(F.col(vec_col), F.col("cv"))
+    from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
+
+    scored = (
+        ensure_min_parallelism(emb)
+        .select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cents))
+        .withColumn("cc", cosine(F.col(vec_col), F.col("cv")))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
     return (

@@ -53,6 +53,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan widened to core count (single-file table -> 1 partition
+    otherwise, serializing the per-doc expression work)."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
+
+    return ensure_min_parallelism(_t(spark, sf_dir, "documents"))
+
+
 def _events_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with oracle-reproducible derived columns."""
     return _t(spark, sf_dir, "events").select(
@@ -464,7 +472,7 @@ def t_stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- dedup (LLM ops)
 
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -507,7 +515,7 @@ def _media_from_docs(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     text (pure-ASCII corpus, so byte semantics are oracle-expressible).
     Real deployments read parquet with actual binary payloads — identical
     schema, identical plan."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     meta = F.struct(
         F.lit(16).alias("width"),
         (F.col("n_chars") / 16).cast("int").alias("height"),
@@ -554,7 +562,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- text (LLM ops)
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
     tok_lens = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
@@ -569,12 +577,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("ws_tokens"),

@@ -32,3 +32,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the scan is narrower than the cores.
+
+    Small single-file tables arrive as ONE partition, serializing every
+    downstream per-row computation. At scale inputs already have ≥ target
+    partitions and this is a no-op — it never shrinks a wide input.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -30,12 +30,15 @@ HEADLINE = [
     "w1_latest_per_key",
     "a5_set_rollup",
     "a1_exact_dedup",
+    "k2_medallion_snapshot",
     "t_window_hourly",
+    "t_stream_window_hourly",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_embedding_neardup",
+    "mm_image_features",
     "text_lang_id",
     "text_quality",
 ]
