@@ -1,0 +1,363 @@
+"""End-to-end pipeline orchestration — the reference's ``run_pipeline``.
+
+Re-expresses run_ac_extraction.py:1537-1703 (SURVEY.md §3.1) on the Spark
+stack built here: REST connector (sources.ac_rest), medallion store
+(storage.TableStore), conform/enrich/rollup operators, with the
+reference's incremental semantics:
+
+    seed CSV → contact ids [S8]
+    + keyset fetch of NEW contacts above the stored watermark [S2/T1]
+    → contact universe [U3]
+    → TTL-cached dim snapshots [S6]
+    → per-contact child fan-out [S4] → medallion persists [K2]
+    → chatter mart + per-contact digest [§3.3]
+    → advance watermark only after success [T1]
+
+Differences by design (SURVEY.md §7): no full-master rewrites (the store
+is incremental), explicit tiebreakers everywhere, sentinel strings
+normalized to NULL at silver. Stages are independent per table and
+pipelined by Spark; the per-contact fetches run distributed under a rate
+budget instead of the reference's single sequential loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.functions.scalars import full_name, nullify_sentinels
+from activecampaign_api_data_pipeline_spark.operators.conform import conform_union
+from activecampaign_api_data_pipeline_spark.operators.rollup import digest_lines, set_rollup
+from activecampaign_api_data_pipeline_spark.operators.snapshots import top_n_per_group
+from activecampaign_api_data_pipeline_spark.sources.fanout import fetch_children
+from activecampaign_api_data_pipeline_spark.sources.rest_client import RestClient
+from activecampaign_api_data_pipeline_spark.storage import TableStore
+
+#: id-column candidates probed case-insensitively on the seed
+#: (reference :280-301).
+SEED_ID_CANDIDATES = ("id", "contact_id", "contactid")
+
+#: Child collections fetched per contact (reference S4, :422-765). Fields are
+#: the columns the chatter mart consumes; the connector keeps them stringly.
+CHILD_SPECS: dict[str, dict] = {
+    "activities": {"fields": ["id", "tstamp", "reference_type", "description"], "ts": "tstamp"},
+    "contactNotes": {"fields": ["id", "cdate", "note"], "ts": "cdate"},
+    "contactTags": {"fields": ["id", "cdate", "tag"], "ts": "cdate"},
+    "contactLists": {"fields": ["id", "udate", "list"], "ts": "udate"},
+    "contactLogs": {"fields": ["id", "tstamp", "action", "message"], "ts": "tstamp"},
+    "bounceLogs": {"fields": ["id", "tstamp", "reason"], "ts": "tstamp"},
+}
+
+#: Dim snapshot endpoints (reference S6, :387-403).
+DIM_ENDPOINTS: dict[str, list[str]] = {
+    "campaigns": ["id", "name"],
+    "tags": ["id", "tag"],
+    "lists": ["id", "name"],
+    "users": ["id", "firstName", "lastName", "email"],
+}
+
+
+@dataclass
+class PipelineConfig:
+    base_url: str
+    lake_root: str
+    rate: float = 4.0
+    page_limit: int = 100
+    refresh_days: float = 7.0
+    max_events_per_contact: int = 500
+    fetch_partitions: int = 4
+    children: list[str] = field(default_factory=lambda: list(CHILD_SPECS))
+    dims: list[str] = field(default_factory=lambda: list(DIM_ENDPOINTS))
+
+
+# ------------------------------------------------------------------ S8 seed
+
+def resolve_seed_ids(seed: DataFrame) -> DataFrame:
+    """Case-insensitive id-column candidate pick + key dedup (S8/A3).
+
+    Returns a one-column ``contact_id`` string DataFrame; raises if no
+    candidate column exists (the reference aborts the same way, :302-305).
+    """
+    by_lower = {c.lower(): c for c in seed.columns}
+    for cand in SEED_ID_CANDIDATES:
+        if cand in by_lower:
+            col = by_lower[cand]
+            return (
+                seed.select(nullify_sentinels(F.col(col)).alias("contact_id"))
+                .filter(F.col("contact_id").isNotNull())
+                .dropDuplicates(["contact_id"])
+            )
+    raise ValueError(f"seed has no id column among {SEED_ID_CANDIDATES}: {seed.columns}")
+
+
+# ------------------------------------------------------------- S6 dim cache
+
+def load_dim_cached(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    name: str,
+    fields: list[str],
+) -> DataFrame:
+    """TTL-cached dim snapshot (S6, :335-384): parquet + meta JSON sidecar,
+    refetched when older than ``refresh_days``; 404 → empty dim."""
+    cache_dir = f"{cfg.lake_root}/dims/{name}"
+    meta_path = f"{cache_dir}/_meta.json"
+    fresh = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        fresh = (time.time() - meta["fetched_at"]) < cfg.refresh_days * 86400
+    if not fresh:
+        client = RestClient(cfg.base_url, rate=cfg.rate)
+        rows = client.paged(f"api/3/{name}", collection=name, page_limit=cfg.page_limit)
+        data = [tuple(None if r.get(f) is None else str(r.get(f)) for f in fields) for r in rows]
+        schema = ", ".join(f"{f} string" for f in fields)
+        df = spark.createDataFrame(data, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(cache_dir)
+        with open(meta_path, "w") as f:
+            json.dump({"fetched_at": time.time(), "n": len(data)}, f)
+    return spark.read.parquet(cache_dir)
+
+
+# ------------------------------------------------------------ orchestration
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    seed: DataFrame | None = None,
+    incremental_only: bool = False,
+    run_id: str | None = None,
+) -> dict:
+    """One batch run (reference :1537-1703). Returns summary counters."""
+    from activecampaign_api_data_pipeline_spark.sources.ac_rest import ACRestDataSource
+
+    spark.dataSource.register(ACRestDataSource)
+    # required whenever a python source implements pushFilters (S3)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    store = TableStore(spark, cfg.lake_root)
+    state = store.load_state()
+    watermark = int(state.get("max_contact_id", 0))
+    run_id = run_id or time.strftime("%Y%m%d_%H%M%S", time.gmtime())
+
+    # --- contact universe: seed ∪ new-above-watermark (S2/S8/U3, :1562-1584)
+    new_contacts = (
+        spark.read.format("ac_rest")
+        .option("base_url", cfg.base_url)
+        .option("endpoint", "contacts")
+        .option("fields", "id,email,first_name,last_name,udate")
+        .option("rate", str(cfg.rate))
+        .option("page_limit", str(cfg.page_limit))
+        .option("id_greater", str(watermark))
+        .load()
+    )
+    ids_new = new_contacts.select(F.col("id").alias("contact_id"))
+    if incremental_only or seed is None:
+        universe = ids_new
+    else:
+        universe = resolve_seed_ids(seed).unionByName(ids_new).dropDuplicates(["contact_id"])
+
+    # --- contacts table, seed-email backfill (J3, :1593-1595)
+    contacts = new_contacts.select(
+        F.col("id").alias("contact_id"), "email", "first_name", "last_name", "udate"
+    )
+    if seed is not None and "email" in [c.lower() for c in seed.columns]:
+        seed_emails = seed.select(
+            nullify_sentinels(F.col("contact_id")).alias("contact_id"),
+            F.col("email").alias("email_seed"),
+        ).dropDuplicates(["contact_id"])
+        contacts = (
+            universe.join(contacts, "contact_id", "left")
+            .join(F.broadcast(seed_emails), "contact_id", "left")
+            .select(
+                "contact_id",
+                F.coalesce(F.nullif(F.trim("email"), F.lit("")), F.col("email_seed")).alias("email"),
+                "first_name",
+                "last_name",
+                "udate",
+            )
+        )
+    store.persist(contacts, "contacts", ["contact_id"], run_id=run_id, updated_col="udate")
+
+    # --- dims with TTL cache (S6)
+    dims = {d: load_dim_cached(spark, cfg, d, DIM_ENDPOINTS[d]) for d in cfg.dims}
+
+    # --- per-contact child fan-out → persist (S4 → K2, :1605-1664)
+    counts: dict[str, int] = {}
+    for child in cfg.children:
+        spec = CHILD_SPECS[child]
+        df = fetch_children(
+            universe,
+            base_url=cfg.base_url,
+            endpoint_template=f"api/3/contacts/{{id}}/{child}",
+            collection=child,
+            fields=spec["fields"],
+            rate=cfg.rate,
+            page_limit=cfg.page_limit,
+            n_partitions=cfg.fetch_partitions,
+        )
+        res = store.persist(df, child, ["id", "contact_id"], run_id=run_id, updated_col=spec["ts"])
+        counts[child] = res.n_delta
+
+    # --- mart (§3.3)
+    chatter, digest = build_ac_chatter(store, dims, cfg.max_events_per_contact)
+    chatter.write.mode("overwrite").parquet(f"{cfg.lake_root}/mart/chatter_master")
+    digest.write.mode("overwrite").parquet(f"{cfg.lake_root}/mart/contact_digest")
+
+    # --- watermark advanced only after everything succeeded (T1, :1696-1700)
+    new_max = new_contacts.agg(F.max(F.col("id").cast("long"))).collect()[0][0]
+    state["max_contact_id"] = max(watermark, int(new_max or 0))
+    state["last_run_id"] = run_id
+    store.save_state(state)
+    return {"run_id": run_id, "watermark": state["max_contact_id"], "children": counts}
+
+
+# ------------------------------------------------------------------- §3.3
+
+AC_EVENT_SCHEMA: list[tuple[str, str]] = [
+    ("event_id", "string"),
+    ("contact_id", "string"),
+    ("source_row_id", "string"),
+    ("event_ts", "string"),
+    ("event_type", "string"),
+    ("title", "string"),
+    ("detail", "string"),
+]
+
+
+def build_ac_chatter(
+    store: TableStore,
+    dims: dict[str, DataFrame],
+    max_events_per_contact: int = 500,
+) -> tuple[DataFrame, DataFrame]:
+    """Chatter mart + digest from stored gold tables (reference :1016-1507).
+
+    Conform each child source onto AC_EVENT_SCHEMA [U2] with the
+    reference's per-source title/detail templates (:1244-1304), cap
+    per-contact history [W2], enrich names via broadcast joins [J1/J2/P6],
+    render chatter lines [F1], order deterministically [O1], and roll up
+    the per-contact digest [A5/A6/W3].
+    """
+    def best(table: str) -> DataFrame | None:
+        try:
+            return store.read_best(table)
+        except FileNotFoundError:
+            return None
+
+    branches = []
+
+    def add(source: str, df: DataFrame | None, mapping: dict) -> None:
+        if df is not None:
+            base = {
+                "event_id": F.concat_ws(":", F.lit(source), F.col("id")),
+                "contact_id": F.col("contact_id"),
+                "source_row_id": F.col("id"),
+            }
+            branches.append((source, df, {**base, **mapping}))
+
+    add("activities", best("activities"), {
+        "event_ts": F.col("tstamp"),
+        "event_type": F.coalesce(F.col("reference_type"), F.lit("activity")),
+        "title": F.concat_ws(" ", F.lit("Actividad:"), F.col("reference_type")),
+        "detail": F.col("description"),
+    })
+    add("contactNotes", best("contactNotes"), {
+        "event_ts": F.col("cdate"),
+        "event_type": F.lit("note"),
+        "title": F.lit("Nota"),
+        "detail": F.col("note"),
+    })
+    add("contactLogs", best("contactLogs"), {
+        "event_ts": F.col("tstamp"),
+        "event_type": F.concat_ws("_", F.lit("log"), F.col("action")),
+        "title": F.concat_ws(" ", F.lit("Log:"), F.col("action")),
+        "detail": F.col("message"),
+    })
+    add("bounceLogs", best("bounceLogs"), {
+        "event_ts": F.col("tstamp"),
+        "event_type": F.lit("bounce"),
+        "title": F.lit("Email rebotado"),
+        "detail": F.col("reason"),
+    })
+    add("contactTags", best("contactTags"), {
+        "event_ts": F.col("cdate"),
+        "event_type": F.lit("tag_added"),
+        "title": F.lit("Tag"),
+        "detail": F.col("tag"),
+    })
+    add("contactLists", best("contactLists"), {
+        "event_ts": F.col("udate"),
+        "event_type": F.lit("list_membership"),
+        "title": F.lit("Lista"),
+        "detail": F.col("list"),
+    })
+    if not branches:
+        raise FileNotFoundError("no child tables persisted yet")
+
+    unified = conform_union(branches, AC_EVENT_SCHEMA)
+    capped = top_n_per_group(
+        unified, ["contact_id"], [F.col("event_ts"), F.col("event_id")],
+        max_events_per_contact,
+    )
+
+    # tag/list id→name enrichment via broadcast dims (J1)
+    tags = dims.get("tags")
+    if tags is not None:
+        tag_names = tags.select(F.col("id").alias("detail"), F.col("tag").alias("tag_name"))
+        capped = capped.join(F.broadcast(tag_names), "detail", "left").withColumn(
+            "detail",
+            F.when(F.col("event_type") == "tag_added", F.coalesce("tag_name", "detail"))
+            .otherwise(F.col("detail")),
+        ).drop("tag_name")
+    lists = dims.get("lists")
+    if lists is not None:
+        list_names = lists.select(F.col("id").alias("detail"), F.col("name").alias("list_name"))
+        capped = capped.join(F.broadcast(list_names), "detail", "left").withColumn(
+            "detail",
+            F.when(F.col("event_type") == "list_membership", F.coalesce("list_name", "detail"))
+            .otherwise(F.col("detail")),
+        ).drop("list_name")
+
+    # contact enrich + name (J2/P6, :1390-1397)
+    contacts = store.read_best("contacts").select(
+        "contact_id", "email",
+        full_name(F.col("first_name"), F.col("last_name"), F.col("email")).alias("contact_name"),
+    )
+    enriched = capped.join(F.broadcast(contacts), "contact_id", "left")
+
+    line = F.concat_ws(
+        " — ",
+        F.col("event_ts"),
+        F.col("event_type"),
+        F.concat_ws(": ", F.col("title"), F.nullif(F.col("detail"), F.lit(""))),
+    )
+    chatter = enriched.withColumn("chatter_line", line).orderBy(
+        F.col("contact_id").asc(),
+        F.col("event_ts").asc_nulls_last(),
+        F.col("event_id").asc(),
+    )
+
+    # digest: tag/list rollups + last-25 lines (A5/A6/W3, :1427-1506)
+    tags_roll = set_rollup(
+        chatter.filter(F.col("event_type") == "tag_added"), "contact_id", {"tags": "detail"}
+    )
+    lists_roll = set_rollup(
+        chatter.filter(F.col("event_type") == "list_membership"), "contact_id", {"lists": "detail"}
+    )
+    lines = digest_lines(chatter, "contact_id", "event_ts", "chatter_line", "event_id", n=25)
+    digest = (
+        contacts.join(tags_roll, "contact_id", "left")
+        .join(lists_roll, "contact_id", "left")
+        .join(lines, "contact_id", "left")
+        .select(
+            "contact_id", "contact_name", "email",
+            F.coalesce("tags", F.lit("")).alias("tags"),
+            F.coalesce("lists", F.lit("")).alias("lists"),
+            F.coalesce("digest", F.lit("")).alias("digest"),
+        )
+    )
+    return chatter, digest

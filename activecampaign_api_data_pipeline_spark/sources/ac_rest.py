@@ -83,6 +83,10 @@ class ACRestReader(DataSourceReader):
         self.page_limit = int(options.get("page_limit", "100"))
         self.pages_per_partition = int(options.get("pages_per_partition", "4"))
         self.pushed_params: dict[str, str] = {}
+        # explicit keyset start (the orchestrator's watermark, T1) — same
+        # param a pushed GreaterThan(id) filter would produce
+        if "id_greater" in options:
+            self.pushed_params["id_greater"] = str(int(options["id_greater"]))
         # fields eligible for server-side filters[...] (S3)
         self.filterable = set(
             f.strip()

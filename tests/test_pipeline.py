@@ -1,0 +1,154 @@
+"""Golden end-to-end pipeline test (SURVEY §5.2/§5.3): mock API → connector
+→ medallion store → chatter mart/digest, with incremental + idempotent
+semantics across runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.plans.pipeline import (
+    PipelineConfig,
+    resolve_seed_ids,
+    run_pipeline,
+)
+from activecampaign_api_data_pipeline_spark.storage import TableStore
+
+from tests.mock_ac_server import MockAC
+
+
+def _seed_mock(m: MockAC) -> None:
+    m.collections["contacts"] = [
+        {"id": 1, "email": "ada@x.com", "first_name": "Ada", "last_name": "Lovelace", "udate": "2020-01-05"},
+        {"id": 2, "email": "", "first_name": "", "last_name": "", "udate": "2020-01-06"},
+        {"id": 3, "email": "g@x.com", "first_name": "Grace", "last_name": "Hopper", "udate": "2020-01-07"},
+    ]
+    m.collections["campaigns"] = [{"id": 11, "name": "Welcome"}]
+    m.collections["tags"] = [{"id": 21, "tag": "vip"}, {"id": 22, "tag": "beta"}]
+    m.collections["lists"] = [{"id": 31, "name": "Newsletter"}]
+    m.collections["users"] = [{"id": 41, "firstName": "Ops", "lastName": "Bot", "email": "ops@x.com"}]
+    m.children["activities"] = {
+        "1": [
+            {"id": "a1", "tstamp": "2020-02-01 10:00:00", "reference_type": "open", "description": "opened welcome"},
+            {"id": "a2", "tstamp": "2020-02-02 11:00:00", "reference_type": "click", "description": "clicked link"},
+        ],
+        "3": [{"id": "a3", "tstamp": "2020-02-03 09:00:00", "reference_type": "open", "description": "opened digest"}],
+    }
+    m.children["contactNotes"] = {
+        "1": [{"id": "n1", "cdate": "2020-02-05 08:00:00", "note": "called back"}],
+    }
+    m.children["contactTags"] = {
+        "1": [
+            {"id": "t1", "cdate": "2020-02-01 09:00:00", "tag": "21"},
+            {"id": "t2", "cdate": "2020-02-06 09:00:00", "tag": "22"},
+        ],
+    }
+    m.children["contactLists"] = {
+        "3": [{"id": "l1", "udate": "2020-02-04 07:00:00", "list": "31"}],
+    }
+    m.children["contactLogs"] = {}
+    m.children["bounceLogs"] = {}
+
+
+@pytest.fixture()
+def mock():
+    m = MockAC()
+    _seed_mock(m)
+    url = m.start()
+    yield m, url
+    m.stop()
+
+
+@pytest.fixture()
+def cfg(mock, tmp_path):
+    _, url = mock
+    return PipelineConfig(base_url=url, lake_root=str(tmp_path / "lake"), rate=10000,
+                          fetch_partitions=2)
+
+
+def test_resolve_seed_ids_candidates(spark):
+    s1 = spark.createDataFrame([("5", "a@x"), ("5", "b@x"), ("0", "c@x")], "Contact_ID string, email string")
+    out = resolve_seed_ids(s1)
+    assert [r["contact_id"] for r in out.collect()] == ["5"]  # dedup + sentinel "0" dropped
+    s2 = spark.createDataFrame([("x",)], "name string")
+    with pytest.raises(ValueError, match="no id column"):
+        resolve_seed_ids(s2)
+
+
+def test_pipeline_end_to_end_golden(spark, mock, cfg):
+    res = run_pipeline(spark, cfg, run_id="r1")
+    assert res["watermark"] == 3
+    assert res["children"]["activities"] == 3
+    store = TableStore(spark, cfg.lake_root)
+
+    chatter = spark.read.parquet(f"{cfg.lake_root}/mart/chatter_master")
+    digest = spark.read.parquet(f"{cfg.lake_root}/mart/contact_digest")
+
+    # golden rows: contact 1's chronological lines with dim-name enrichment
+    c1 = [r["chatter_line"] for r in chatter.filter("contact_id = '1'")
+          .orderBy("event_ts", "event_id").collect()]
+    assert c1 == [
+        "2020-02-01 09:00:00 — tag_added — Tag: vip",
+        "2020-02-01 10:00:00 — open — Actividad: open: opened welcome",
+        "2020-02-02 11:00:00 — click — Actividad: click: clicked link",
+        "2020-02-05 08:00:00 — note — Nota: called back",
+        "2020-02-06 09:00:00 — tag_added — Tag: beta",
+    ]
+    d = {r["contact_id"]: r for r in digest.collect()}
+    assert d["1"]["contact_name"] == "Ada Lovelace"
+    assert d["1"]["tags"] == "beta, vip"  # sorted distinct names (A5)
+    assert d["2"]["contact_name"] is None or d["2"]["contact_name"] == ""  # no name, no email
+    assert d["3"]["lists"] == "Newsletter"
+    assert "opened digest" in d["3"]["digest"]
+
+    # gold layer: one row per (id, contact_id) key
+    acts = store.read("gold", "activities")
+    assert acts.count() == 3
+
+
+def test_pipeline_idempotent_and_incremental(spark, mock, cfg):
+    m, _ = mock
+    run_pipeline(spark, cfg, run_id="r1")
+    store = TableStore(spark, cfg.lake_root)
+    silver_before = store.read("silver", "activities").count()
+
+    # replay with no new data: watermark blocks contact refetch; child rows
+    # for fetched contacts dedup away in silver
+    res2 = run_pipeline(spark, cfg, run_id="r2")
+    assert res2["children"].get("activities", 0) == 0  # empty universe
+    assert store.read("silver", "activities").count() == silver_before
+
+    # a new contact (id 4) appears with one activity: only the delta lands
+    m.collections["contacts"].append(
+        {"id": 4, "email": "new@x.com", "first_name": "New", "last_name": "One", "udate": "2020-03-01"}
+    )
+    m.children["activities"]["4"] = [
+        {"id": "a9", "tstamp": "2020-03-02 10:00:00", "reference_type": "open", "description": "first open"}
+    ]
+    res3 = run_pipeline(spark, cfg, run_id="r3")
+    assert res3["watermark"] == 4
+    assert res3["children"]["activities"] == 1
+    chatter = spark.read.parquet(f"{cfg.lake_root}/mart/chatter_master")
+    assert chatter.filter("contact_id = '4'").count() == 1
+    # old contacts' history still present in the rebuilt mart
+    assert chatter.filter("contact_id = '1'").count() == 5
+
+
+def test_dim_ttl_cache_not_refetched(spark, mock, cfg):
+    m, _ = mock
+    run_pipeline(spark, cfg, run_id="r1")
+    n_dim_calls_1 = sum("/api/3/tags" in p for p in m.request_log)
+    run_pipeline(spark, cfg, run_id="r2")
+    n_dim_calls_2 = sum("/api/3/tags" in p for p in m.request_log)
+    assert n_dim_calls_1 >= 1
+    assert n_dim_calls_2 == n_dim_calls_1  # TTL cache served the second run
+
+
+def test_seed_union_and_email_backfill(spark, mock, cfg):
+    seed = spark.createDataFrame(
+        [("2", "seeded@x.com")], "contact_id string, email string"
+    )
+    run_pipeline(spark, cfg, seed=seed, run_id="r1")
+    store = TableStore(spark, cfg.lake_root)
+    contacts = {r["contact_id"]: r for r in store.read_best("contacts").collect()}
+    # contact 2 had a blank email in the API -> backfilled from the seed (J3)
+    assert contacts["2"]["email"] == "seeded@x.com"
+    assert contacts["1"]["email"] == "ada@x.com"
