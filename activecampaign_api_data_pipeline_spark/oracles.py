@@ -367,6 +367,30 @@ FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
     dec_q = DEC.format(c="l_quantity")
     dec_tax = DEC.format(c="l_tax")
     disc_price = f"CAST({rev} AS DECIMAL(18,4))"
+    o["f6_json_extraction"] = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_path,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+       to_json(struct_pack(t := event_type, k := CAST(json_extract(props, '$.k') AS INTEGER))) AS rejson
+FROM events
+"""
+
+    o["p9_event_id_synth"] = f"""
+WITH e AS (SELECT event_id, user_id, event_type, {TS} AS ts_str FROM events),
+m AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN '' ELSE CAST(event_id AS VARCHAR) END AS rid,
+         md5(concat_ws('||',
+             coalesce(CAST(user_id AS VARCHAR), ''),
+             coalesce(event_type, ''),
+             coalesce(ts_str, ''))) AS h
+  FROM e
+)
+SELECT event_id,
+       concat_ws(':', 'ev', CASE WHEN rid IS NULL OR trim(rid) = '' THEN h ELSE rid END) AS synth_id
+FROM m
+"""
+
     o["q1_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum({dec_q}) AS DOUBLE) AS sum_qty,

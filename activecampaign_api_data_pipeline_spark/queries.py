@@ -266,6 +266,42 @@ def p8_sentinel_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f6_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling (F6): path extraction + schema'd parse.
+
+    The reference probes a maybe-JSON ``links`` column with json.loads +
+    dict access (:936-947,1070-1081); here both Spark forms — untyped
+    ``get_json_object`` and typed ``from_json`` — against events.props.
+    """
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_path"),
+        parsed.getField("k").alias("k_typed"),
+        F.to_json(F.struct(F.col("event_type").alias("t"), parsed.getField("k").alias("k"))).alias("rejson"),
+    )
+
+
+def p9_event_id_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-id synthesis with row-hash fallback (P9, reference :1197-1200)."""
+    from activecampaign_api_data_pipeline_spark.functions.scalars import event_id_synth
+
+    ev = _events_std(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_str"
+    )
+    # blank out a deterministic subset of ids to exercise the fallback
+    masked = ev.withColumn(
+        "rid",
+        F.when(F.col("event_id") % 7 == 0, F.lit("")).otherwise(F.col("event_id").cast("string")),
+    )
+    hashed = with_row_hash(masked, ["user_id", "event_type", "ts_str"])
+    return hashed.select(
+        "event_id",
+        event_id_synth("ev", "rid", "_row_hash").alias("synth_id"),
+    )
+
+
 def p_scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
@@ -608,6 +644,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p3_id_from_url": p3_id_from_url,
     "p8_sentinel_cleanup": p8_sentinel_cleanup,
     "p_scalar_derivations": p_scalar_derivations,
+    "f6_json_extraction": f6_json_extraction,
+    "p9_event_id_synth": p9_event_id_synth,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_revenue_by_nation": q5_revenue_by_nation,
