@@ -1,0 +1,108 @@
+"""Temporal joins the reference lacks (SURVEY.md §2.3 "not present").
+
+The reference never needs them (its per-entity loops are API-side semi
+joins), but a CRM event engine at scale does: "state of X as of event
+time" and "events within an interval" are the two standard temporal
+shapes. Both are implemented WITHOUT a theta join — a naive
+``l.ts >= r.ts`` join is O(|L|·|R|) per key and dies at scale.
+
+- :func:`asof_join` — ONE shuffle+sort: union the tagged sides,
+  partition by key, order by (ts, side), and carry the right side's
+  columns forward with ``last(..., ignorenulls)`` over an unbounded-
+  preceding window. Linear in |L|+|R| per key; the formulation Flink's
+  temporal join and pandas ``merge_asof`` use, expressed in DataFrame
+  operators.
+- :func:`range_join_bucketed` — equi-join on (key, coarse time bucket)
+  after exploding each interval into the buckets it overlaps, then an
+  exact post-filter. Join fan-out is bounded by interval_span/bucket
+  instead of |R| per key (the standard interval-bucketing trick; pick
+  ``bucket`` near the median interval length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of left join: latest right row with ``right_ts <= left_ts``.
+
+    Right rows must be unique per (on, right_ts) — pre-reduce ties
+    upstream (deterministically) or the carried row is undefined.
+    Returns all left columns plus ``<right_col><suffix>`` columns
+    (NULL when no right row precedes the left row).
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+    )
+    tagged_l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col(c) for c in lcols if c != on],
+    )
+    # right rows sort before left rows at equal ts → the match is inclusive
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc_nulls_last(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_r.unionByName(tagged_l).select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_cols
+        ],
+    )
+    out_cols = [F.col(on)] + [F.col(c) for c in lcols if c != on]
+    out_cols += [F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in right_cols]
+    return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Inner join of point rows to intervals containing them
+    (``start <= ts < end``), bucketized to avoid a theta join.
+
+    Each interval is exploded to the coarse buckets it overlaps; points
+    carry their single bucket; the join is a plain equi-join on
+    (on, bucket) followed by the exact containment filter.
+    """
+    b = F.lit(bucket_seconds)
+    ivals = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(start_col) / b).cast("long"),
+                # end is exclusive: a zero-length interval still owns its bucket
+                ((F.unix_timestamp(end_col) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    pts = left.withColumn("_bkt", (F.unix_timestamp(left_ts) / b).cast("long"))
+    joined = pts.join(ivals, [on, "_bkt"]).filter(
+        (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
+    )
+    return joined.drop("_bkt")

@@ -295,6 +295,31 @@ LEFT JOIN (SELECT c_custkey AS k2, c_name AS name2 FROM customer WHERE c_custkey
   ON user_id = k2
 """
 
+    o["j_asof_last_order"] = f"""
+WITH e AS (SELECT event_id, user_id, ts, {TS} AS ts_str FROM events),
+o AS (
+  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts_str, o.last_orderkey
+FROM e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+    o["j_range_events_in_window"] = f"""
+WITH e AS (SELECT event_id, user_id, ts, {TS} AS ts_str FROM events),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS win_start,
+         ts + INTERVAL 2 HOUR AS win_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, p.purchase_id, e.user_id, e.ts_str,
+       strftime(p.win_start, '%Y-%m-%d %H:%M:%S') AS win_start_str
+FROM e JOIN p
+  ON e.user_id = p.user_id
+ AND e.ts >= p.win_start AND e.ts < p.win_end
+"""
+
     o["u2_conform_union"] = f"""
 WITH unified AS ({CONFORMED})
 SELECT source, event_type, count(*) AS n,

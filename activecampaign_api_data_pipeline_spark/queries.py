@@ -206,6 +206,50 @@ def j5_chained_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def j_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event paired with the user's latest order at or
+    before the event time (temporal join the reference lacks, §2.3)."""
+    from activecampaign_api_data_pipeline_spark.operators.joins import asof_join
+
+    ev = _events_std(spark, sf_dir).select("event_id", "user_id", "ts", "ts_str")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join(
+        ev, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["last_orderkey"], suffix="",
+    )
+    return out.select("event_id", "user_id", "ts_str", "last_orderkey")
+
+
+def j_range_events_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: every event inside the 2-hour window opened by
+    each purchase of the same user (attribution-style interval join)."""
+    from activecampaign_api_data_pipeline_spark.operators.joins import range_join_bucketed
+
+    ev = _events_std(spark, sf_dir).select("event_id", "user_id", "ts", "ts_str")
+    ivals = (
+        _events_std(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+        )
+    )
+    out = range_join_bucketed(
+        ev, ivals, on="user_id", left_ts="ts",
+        start_col="win_start", end_col="win_end", bucket_seconds=3600,
+    )
+    return out.select(
+        "event_id", "purchase_id", "user_id", "ts_str",
+        F.date_format("win_start", TS_FMT).alias("win_start_str"),
+    )
+
+
 # ------------------------------------------------------------------- unions
 
 def u2_conform_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,6 +682,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_broadcast_enrich": j1_broadcast_enrich,
     "j3_left_join_coalesce": j3_left_join_coalesce,
     "j5_chained_lookup": j5_chained_lookup,
+    "j_asof_last_order": j_asof_last_order,
+    "j_range_events_in_window": j_range_events_in_window,
     "u2_conform_union": u2_conform_union,
     "u3_set_ops_users": u3_set_ops_users,
     "p2_rowhash": p2_rowhash,
