@@ -267,6 +267,29 @@ SELECT user_id,
 FROM a
 """
 
+    o["a_rollup_revenue"] = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+    o["w_running_analytics"] = f"""
+WITH e AS (SELECT event_id, user_id, event_type, {TS} AS ts_str,
+                  CAST(value AS DECIMAL(18,2)) AS value_dec FROM events)
+SELECT user_id, event_id, ts_str,
+       CAST(sum(value_dec) OVER w AS DOUBLE) AS running_value,
+       lag(event_type, 1) OVER w2 AS prev_type,
+       lead(event_type, 1) OVER w2 AS next_type,
+       CAST(row_number() OVER w2 AS BIGINT) AS seq
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_str, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY user_id ORDER BY ts_str, event_id)
+"""
+
     o["j1_broadcast_enrich"] = f"""
 SELECT p_brand, s_nationkey,
        CAST(sum({rev}) AS DOUBLE) AS revenue,

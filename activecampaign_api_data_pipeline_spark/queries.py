@@ -143,6 +143,44 @@ def a6_contact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return digest_lines(ev, "user_id", "ts_str", "line", "event_id", n=3)
 
 
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (capability absent from the reference, free in Spark)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def w_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum / lag / lead / rank per user over event time (§2.5 extension)."""
+    from pyspark.sql import Window
+
+    ev = _events_std(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_str", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_str",
+        F.sum("value_dec").over(run).cast("double").alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
 # -------------------------------------------------------------------- joins
 
 def j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +717,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_watermark_max_id": a4_watermark_max_id,
     "a5_set_rollup": a5_set_rollup,
     "a6_contact_digest": a6_contact_digest,
+    "a_rollup_revenue": a_rollup_revenue,
+    "w_running_analytics": w_running_analytics,
     "j1_broadcast_enrich": j1_broadcast_enrich,
     "j3_left_join_coalesce": j3_left_join_coalesce,
     "j5_chained_lookup": j5_chained_lookup,
