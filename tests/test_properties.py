@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the invariants the engine's
+correctness hangs on: hash canonicalization, dedup algebra, shingle
+construction."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.functions.hashing import with_row_hash
+from activecampaign_api_data_pipeline_spark.functions.text import word_ngrams
+from activecampaign_api_data_pipeline_spark.operators.dedup import exact_dedup, incremental_dedup
+
+# text without NUL (parquet/arrow reject it) and without surrogates
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(-1000, 1000), TEXT), min_size=1, max_size=30))
+def test_rowhash_injective_on_rows_up_to_canonicalization(spark, rows):
+    df = spark.createDataFrame(rows, "a long, b string")
+    out = with_row_hash(df).collect()
+    for r in out:
+        same = [x for x in out if (x["a"], x["b"]) == (r["a"], r["b"])]
+        assert all(x["_row_hash"] == r["_row_hash"] for x in same)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), TEXT), min_size=1, max_size=25))
+def test_dedup_algebra(spark, rows):
+    """dedup(x ∪ x) == dedup(x); incremental append of a seen batch is empty."""
+    df = spark.createDataFrame(rows, "a long, b string")
+    once = exact_dedup(df)
+    twice = exact_dedup(df.unionAll(df))
+    assert sorted((r["a"], r["b"]) for r in once.collect()) == sorted(
+        (r["a"], r["b"]) for r in twice.collect()
+    )
+    assert incremental_dedup(df, df).count() == 0
+    # distinct row-set equality with python set semantics
+    assert once.count() == len({(a, b) for a, b in rows})
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=4), max_size=12),
+       st.integers(1, 4))
+def test_word_ngrams_matches_python_reference(spark, toks, n):
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(word_ngrams("t", n).alias("g")).collect()[0]["g"]
+    ref_toks = text.split() if text.strip() else []
+    expected = [" ".join(ref_toks[i : i + n]) for i in range(max(len(ref_toks) - n + 1, 0))]
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=2, max_size=8))
+def test_cosine_expression_matches_python(spark, vec):
+    from activecampaign_api_data_pipeline_spark.operators.similarity import cosine
+
+    if all(abs(v) < 1e-6 for v in vec):
+        return  # zero vector: cosine undefined
+    df = spark.createDataFrame([(vec, vec)], "a array<float>, b array<float>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    assert math.isclose(got, 1.0, rel_tol=1e-6)  # self-cosine is 1
