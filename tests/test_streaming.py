@@ -69,6 +69,22 @@ def stream_dir(tmp_path):
     return d
 
 
+def _write_batch(df, stream_dir, batch_no):
+    """Append a parquet batch and stamp STRICTLY increasing mtimes: the file
+    stream source orders files by modification time, and sub-second writes
+    can tie — which would let the watermark-advancing batch run first and
+    drop earlier event-time rows as late (flaky emissions)."""
+    import glob
+    import os
+
+    df.write.mode("append").parquet(str(stream_dir))
+    base = 1_600_000_000 + batch_no * 60
+    for f in glob.glob(f"{stream_dir}/*.parquet"):
+        if os.stat(f).st_mtime < 1_700_000_000:
+            continue  # already stamped by an earlier batch
+        os.utime(f, (base, base))
+
+
 def _start_stream(spark, stream_dir):
     return (
         spark.readStream.schema(EV_SCHEMA)
@@ -89,18 +105,14 @@ def test_windowed_counts_stream_matches_batch(spark, stream_dir, tmp_path):
     # Three files -> three micro-batches (maxFilesPerTrigger=1). Append mode
     # emits a window during the batch AFTER the watermark passes its end:
     # batch2 moves the watermark to 02:10, batch3 triggers the emission.
-    _rows(
+    _write_batch(_rows(
         spark,
         (1, "2020-01-01 00:10:00", 1, "click", 2.0),
         (2, "2020-01-01 00:50:00", 1, "click", 3.0),
         (3, "2020-01-01 01:10:00", 2, "buy", 5.0),
-    ).write.mode("append").parquet(str(stream_dir))
-    _rows(spark, (4, "2020-01-01 03:10:00", 2, "buy", 1.0)).write.mode("append").parquet(
-        str(stream_dir)
-    )
-    _rows(spark, (5, "2020-01-01 10:00:00", 3, "noise", 0.0)).write.mode("append").parquet(
-        str(stream_dir)
-    )
+    ), stream_dir, 0)
+    _write_batch(_rows(spark, (4, "2020-01-01 03:10:00", 2, "buy", 1.0)), stream_dir, 1)
+    _write_batch(_rows(spark, (5, "2020-01-01 10:00:00", 3, "noise", 0.0)), stream_dir, 2)
     stream = _start_stream(spark, stream_dir)
     agg = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="1 hour",
                           group_cols=["kind"])
@@ -115,15 +127,13 @@ def test_windowed_counts_stream_matches_batch(spark, stream_dir, tmp_path):
 
 
 def test_late_row_beyond_watermark_dropped(spark, stream_dir):
-    _rows(
+    _write_batch(_rows(
         spark,
         (1, "2020-01-01 00:10:00", 1, "click", 1.0),
         (2, "2020-01-01 06:00:00", 1, "click", 1.0),
-    ).write.mode("append").parquet(str(stream_dir))
+    ), stream_dir, 0)
     # second file arrives AFTER the watermark advanced to 05:00
-    _rows(spark, (3, "2020-01-01 00:20:00", 1, "click", 1.0)).write.mode(
-        "append"
-    ).parquet(str(stream_dir))
+    _write_batch(_rows(spark, (3, "2020-01-01 00:20:00", 1, "click", 1.0)), stream_dir, 1)
     stream = _start_stream(spark, stream_dir)  # maxFilesPerTrigger=1 -> 2 batches
     agg = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="1 hour",
                           group_cols=["kind"])
@@ -134,19 +144,15 @@ def test_late_row_beyond_watermark_dropped(spark, stream_dir):
 
 
 def test_session_rollup(spark, stream_dir):
-    _rows(
+    _write_batch(_rows(
         spark,
         (1, "2020-01-01 00:00:00", 7, "a", 1.0),
         (2, "2020-01-01 00:10:00", 7, "a", 1.0),  # same session (gap 30m)
         (3, "2020-01-01 02:00:00", 7, "a", 1.0),  # new session
-    ).write.mode("append").parquet(str(stream_dir))
+    ), stream_dir, 0)
     # second batch moves the watermark to 08:00, third triggers emission
-    _rows(spark, (4, "2020-01-01 09:00:00", 8, "a", 1.0)).write.mode("append").parquet(
-        str(stream_dir)
-    )
-    _rows(spark, (5, "2020-01-01 20:00:00", 9, "a", 1.0)).write.mode("append").parquet(
-        str(stream_dir)
-    )
+    _write_batch(_rows(spark, (4, "2020-01-01 09:00:00", 8, "a", 1.0)), stream_dir, 1)
+    _write_batch(_rows(spark, (5, "2020-01-01 20:00:00", 9, "a", 1.0)), stream_dir, 2)
     stream = _start_stream(spark, stream_dir)
     agg = session_rollup(stream, ts_col="ts", gap="30 minutes", watermark="1 hour")
     _run_available(agg.writeStream, "sess_out")
@@ -159,12 +165,12 @@ def test_session_rollup(spark, stream_dir):
 
 
 def test_stream_dedup(spark, stream_dir):
-    _rows(
+    _write_batch(_rows(
         spark,
         (1, "2020-01-01 00:00:00", 1, "a", 1.0),
         (1, "2020-01-01 00:00:30", 1, "a", 1.0),  # same id within watermark
         (2, "2020-01-01 00:01:00", 1, "b", 1.0),
-    ).write.mode("append").parquet(str(stream_dir))
+    ), stream_dir, 0)
     stream = _start_stream(spark, stream_dir)
     dd = stream_dedup(stream, ["id"], ts_col="ts", watermark="10 minutes")
     _run_available(dd.writeStream, "dd_out")
@@ -175,14 +181,12 @@ def test_stream_into_store_micro_batch_medallion(spark, stream_dir, tmp_path):
     store = TableStore(spark, str(tmp_path / "lake"), n_buckets=4)
     # two files -> two micro-batches (maxFilesPerTrigger=1); batch 2 contains
     # a duplicate of batch 1's row and a newer version of user 1's row
-    _rows(spark, (1, "2020-01-01 00:00:00", 1, "a", 1.0)).write.mode("append").parquet(
-        str(stream_dir)
-    )
-    _rows(
+    _write_batch(_rows(spark, (1, "2020-01-01 00:00:00", 1, "a", 1.0)), stream_dir, 0)
+    _write_batch(_rows(
         spark,
         (1, "2020-01-01 00:00:00", 1, "a", 1.0),  # exact dup -> silver no-op
         (2, "2020-01-01 01:00:00", 1, "b", 2.0),
-    ).write.mode("append").parquet(str(stream_dir))
+    ), stream_dir, 1)
     stream = _start_stream(spark, stream_dir)
     q = stream_into_store(
         stream, store, "events", key_cols=["user_id"],
