@@ -267,6 +267,16 @@ SELECT user_id,
 FROM a
 """
 
+    o["a_count_distinct"] = f"""
+WITH e AS (SELECT event_id, user_id, event_type, {TS} AS ts_str FROM events)
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       min(ts_str) AS first_ts,
+       max(ts_str) AS last_ts
+FROM e GROUP BY event_type
+"""
+
     o["a_rollup_revenue"] = """
 SELECT coalesce(l_returnflag, '<all>') AS returnflag,
        coalesce(l_linestatus, '<all>') AS linestatus,
@@ -625,7 +635,12 @@ SELECT doc_id,
          CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> x IN ({stop}))) AS DOUBLE)
          / CAST(len(toks) AS INTEGER),
          6
-       ) AS stopword_ratio
+       ) AS stopword_ratio,
+       round(
+         CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         / length(text),
+         6
+       ) AS punct_ratio
 FROM t
 """
 

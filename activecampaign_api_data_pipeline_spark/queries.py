@@ -143,6 +143,17 @@ def a6_contact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return digest_lines(ev, "user_id", "ts_str", "line", "event_id", n=3)
 
 
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates per group (absent from reference, §2.4)."""
+    ev = _events_std(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.min("ts_str").alias("first_ts"),
+        F.max("ts_str").alias("last_ts"),
+    )
+
+
 def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate (capability absent from the reference, free in Spark)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -691,6 +702,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count(F.col("text")).alias("n_tokens"),
         (tok_lens.cast("double") / TX.token_count(F.col("text"))).alias("avg_token_len"),
         F.round(TX.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
     )
 
 
@@ -717,6 +729,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_watermark_max_id": a4_watermark_max_id,
     "a5_set_rollup": a5_set_rollup,
     "a6_contact_digest": a6_contact_digest,
+    "a_count_distinct": a_count_distinct,
     "a_rollup_revenue": a_rollup_revenue,
     "w_running_analytics": w_running_analytics,
     "j1_broadcast_enrich": j1_broadcast_enrich,
