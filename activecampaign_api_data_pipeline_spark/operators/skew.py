@@ -40,7 +40,8 @@ def salted_join(
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt")
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).cast("long")
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
     )
     return big_s.join(small_s, [on, "_salt"], how).drop("_salt")
 
