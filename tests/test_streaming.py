@@ -77,7 +77,10 @@ def _write_batch(df, stream_dir, batch_no):
     import glob
     import os
 
-    df.write.mode("append").parquet(str(stream_dir))
+    # ONE part file per batch: a multi-partition write emits several part
+    # files sharing one mtime, and their arbitrary tie order can process a
+    # watermark-advancing row before its same-batch earlier-event rows.
+    df.coalesce(1).write.mode("append").parquet(str(stream_dir))
     base = 1_600_000_000 + batch_no * 60
     for f in glob.glob(f"{stream_dir}/*.parquet"):
         if os.stat(f).st_mtime < 1_700_000_000:
@@ -132,14 +135,17 @@ def test_late_row_beyond_watermark_dropped(spark, stream_dir):
         (1, "2020-01-01 00:10:00", 1, "click", 1.0),
         (2, "2020-01-01 06:00:00", 1, "click", 1.0),
     ), stream_dir, 0)
-    # second file arrives AFTER the watermark advanced to 05:00
-    _write_batch(_rows(spark, (3, "2020-01-01 00:20:00", 1, "click", 1.0)), stream_dir, 1)
-    stream = _start_stream(spark, stream_dir)  # maxFilesPerTrigger=1 -> 2 batches
+    # the late-input filter uses the watermark committed by the PREVIOUS
+    # batch (one-batch lag), so the late row must arrive two batches after
+    # the watermark-advancing row to be observably dropped
+    _write_batch(_rows(spark, (4, "2020-01-01 07:00:00", 1, "click", 1.0)), stream_dir, 1)
+    _write_batch(_rows(spark, (3, "2020-01-01 00:20:00", 1, "click", 1.0)), stream_dir, 2)
+    stream = _start_stream(spark, stream_dir)  # maxFilesPerTrigger=1 -> 3 batches
     agg = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="1 hour",
                           group_cols=["kind"])
     _run_available(agg.writeStream, "late_out")
     got = {r["window_start"]: r["n"] for r in spark.sql("select * from late_out").collect()}
-    # hour-00 window was closed before the late row arrived -> n stays 1
+    # hour-00 window was closed (and emitted) before the late row arrived
     assert got.get("2020-01-01 00:00:00") == 1
 
 
