@@ -226,6 +226,26 @@ def max_id_watermark(df: DataFrame, id_col: str) -> int | None:
     return row["m"]
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed+sorted catalog table for co-located joins.
+
+    Two tables bucketed the same way on their join key hash-join WITHOUT a
+    shuffle (no Exchange in the plan) — the pre-partitioning strategy for
+    repeatedly-joined 100 TB fact tables. Requires the session catalog
+    (``saveAsTable``); plain parquet paths cannot carry bucket metadata.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def write_digests(df: DataFrame, path: str, key_col: str, text_col: str) -> None:
     """K4 per-entity text sink: one directory per key holding its digest text
 
