@@ -139,7 +139,7 @@ class TableStore:
             ]
             if self._exists(silver_path):
                 old = (
-                    self.spark.read.parquet(silver_path)
+                    self.read("silver", table)
                     .filter(F.col(BUCKET_COL).isin(buckets))
                     .select(BUCKET_COL, HASH_COL)
                 )
@@ -157,7 +157,7 @@ class TableStore:
 
                 # 4. gold: recompute ONLY touched buckets from silver,
                 #    dynamic partition overwrite leaves the rest untouched
-                silver = self.spark.read.parquet(silver_path).filter(
+                silver = self.read("silver", table).filter(
                     F.col(BUCKET_COL).isin(touched)
                 )
                 order = []
@@ -189,7 +189,12 @@ class TableStore:
     # --------------------------------------------------------------- reads
 
     def read(self, layer: str, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(layer, table))
+        """mergeSchema: runs may add columns (API payload drift — the
+        reference keeps every field, U1 ``pd.concat`` alignment); files
+        written before a column existed read it as NULL."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self._path(layer, table)
+        )
 
     def read_best(self, table: str) -> DataFrame:
         """Gold if present else silver (reference ``_read_best_table`` :1000-1008)."""

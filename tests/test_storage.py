@@ -124,6 +124,40 @@ def test_untouched_buckets_not_rewritten(spark, store):
     assert len(g) == 12  # other buckets' gold rows intact
 
 
+def test_schema_drift_new_column_survives(spark, store):
+    """A later run carrying a NEW column must not lose it (reference keeps
+    every API field, 'sin perder info'); old rows read it as NULL."""
+    store.persist(
+        spark.createDataFrame(_rows(("1", "a@x", "2020-01-01")), SCHEMA),
+        "c", ["cid"], run_id="r1", updated_col="udate", extracted_at="2020-06-01 00:00:00",
+    )
+    widened = spark.createDataFrame(
+        [("2", "b@x", "2020-01-02", "+49-151")], SCHEMA + ", phone string"
+    )
+    store.persist(widened, "c", ["cid"], run_id="r2", updated_col="udate",
+                  extracted_at="2020-06-02 00:00:00")
+    silver = store.read("silver", "c")
+    assert "phone" in silver.columns
+    got = {r["cid"]: r["phone"] for r in silver.collect()}
+    assert got == {"1": None, "2": "+49-151"}
+
+
+def test_schema_drift_gold_rebuild_mixed_files(spark, tmp_path):
+    """Gold refresh reads pre-drift and post-drift files of ONE bucket
+    together (n_buckets=1 forces the mix) — must not lose the new column."""
+    s = TableStore(spark, str(tmp_path / "one_bucket"), n_buckets=1)
+    s.persist(
+        spark.createDataFrame(_rows(("1", "a@x", "2020-01-01")), SCHEMA),
+        "c", ["cid"], run_id="r1", updated_col="udate", extracted_at="2020-06-01 00:00:00",
+    )
+    s.persist(
+        spark.createDataFrame([("2", "b@x", "2020-01-02", "x1")], SCHEMA + ", phone string"),
+        "c", ["cid"], run_id="r2", updated_col="udate", extracted_at="2020-06-02 00:00:00",
+    )
+    gold = {r["cid"]: r["phone"] for r in s.read("gold", "c").collect()}
+    assert gold == {"1": None, "2": "x1"}
+
+
 def test_state_checkpoint_roundtrip(store, spark):
     assert store.load_state() == {}
     store.save_state({"max_contact_id": 41, "last_run_utc": "2020-06-01T00:00:00Z"})
