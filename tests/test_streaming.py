@@ -203,3 +203,37 @@ def test_stream_into_store_micro_batch_medallion(spark, stream_dir, tmp_path):
     assert silver.count() == 2  # dup row appended once
     gold = {r["user_id"]: r["kind"] for r in store.read("gold", "events").collect()}
     assert gold == {1: "b"}  # latest version per key
+
+
+def test_applyinpandaswithstate_running_stats(spark, stream_dir, tmp_path):
+    """Custom stateful op: per-user totals accumulate across micro-batches."""
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    _write_batch(_rows(
+        spark,
+        (1, "2020-01-01 00:00:00", 7, "a", 1.5),
+        (2, "2020-01-01 00:10:00", 7, "a", 2.5),
+        (3, "2020-01-01 00:20:00", 8, "a", 10.0),
+    ), stream_dir, 0)
+    _write_batch(_rows(spark, (4, "2020-01-01 01:00:00", 7, "a", 4.0)), stream_dir, 1)
+
+    emitted = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend((batch_id, r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+                       for r in batch_df.collect())
+
+    stream = _start_stream(spark, stream_dir)
+    q = (running_user_stats(stream)
+         .writeStream.outputMode("update")
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    final = {u: (n, t, ts) for (_b, u, n, t, ts) in emitted}
+    assert final[7] == (3, 8.0, "2020-01-01 01:00:00")  # state crossed batches
+    assert final[8] == (1, 10.0, "2020-01-01 00:20:00")
+    # user 7 emitted twice (once per batch it appeared in), state accumulating
+    user7 = [(n, t) for (_b, u, n, t, _ts) in emitted if u == 7]
+    assert user7 == [(2, 4.0), (3, 8.0)]
