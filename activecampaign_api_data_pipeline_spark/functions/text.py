@@ -119,6 +119,29 @@ def lang_id(c: Column | str) -> Column:
     return F.greatest(*structs).getField("lang")
 
 
+def winnowing_fingerprints(c: Column | str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprint set (MOSS-style rolling-hash selection).
+
+    Hash every character k-gram, then keep the minimum of each window of
+    ``w`` consecutive k-gram hashes — the classic guarantee: any shared
+    substring of length ≥ k+w-1 yields at least one shared fingerprint,
+    making the selected set a position-robust dedup/similarity signature.
+
+    Pure expressions: the window minima are a ``w``-slice ``zip_with`` fold
+    with ``least`` (same CSE-safe shape as :func:`word_ngrams`). Returns a
+    sorted distinct array<long>.
+    """
+    from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
+
+    grams = char_ngrams(c, k)
+    hashes = F.transform(grams, lambda g: hash60(g))
+    m = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(0))
+    acc = F.slice(hashes, 1, m)
+    for j in range(2, w + 1):
+        acc = F.zip_with(acc, F.slice(hashes, j, m), lambda a, b: F.least(a, b))
+    return F.array_sort(F.array_distinct(acc))
+
+
 def fingerprint(c: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text.
 

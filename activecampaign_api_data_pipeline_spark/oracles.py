@@ -646,6 +646,29 @@ FROM t
 
     o["text_lang_id"] = _lang_id_sql()
 
+    o["text_winnowing"] = f"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(t) - 4, 0)),
+                        i -> {HASH60.format(s="substr(t, CAST(i AS INTEGER), 5)")}) AS hs
+  FROM n
+),
+wmin AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+                          i -> list_min(hs[i:i+3]))
+         ) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fp FROM wmin WHERE len(fps) > 0
+"""
+
     o["text_token_counts"] = r"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS ws_tokens,

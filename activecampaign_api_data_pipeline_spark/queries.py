@@ -711,6 +711,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints, exploded to (doc_id, fp) rows."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.explode(TX.winnowing_fingerprints(F.col("text"), k=5, w=4)).alias("fp")
+    )
+
+
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -765,4 +773,5 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
+    "text_winnowing": text_winnowing,
 }

@@ -133,3 +133,17 @@ def test_fingerprint_normalization(spark):
     )
     out = [r["v"] for r in df.select(TX.fingerprint("t").alias("v")).collect()]
     assert out[0] == out[1] != out[2]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k+w-1 yields >= 1 shared fingerprint."""
+    shared = "the quick brown fox jumps over"
+    df = spark.createDataFrame(
+        [(1, f"AAAA {shared} BBBB"), (2, f"XXXX {shared} YYYY"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: set(r["fps"]) for r in df.select(
+        "doc_id", TX.winnowing_fingerprints("text", k=5, w=4).alias("fps")
+    ).collect()}
+    assert out[1] & out[2], "docs sharing a long substring must share a fingerprint"
+    assert not (out[1] & out[2] & out[3]) or len(out[1] & out[3]) < len(out[1] & out[2])
