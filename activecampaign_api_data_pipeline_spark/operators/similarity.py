@@ -114,17 +114,40 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_id: int | None = 10,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k searching only the query's IVF cell (nprobe=1).
+    """ANN top-k searching the query's ``nprobe`` nearest IVF cells.
 
-    The pairwise work drops from O(Q·N) to O(Q·N/C); the join is
-    co-partitioned on ``cell``. Recall < 1 by design — the exact
-    counterpart is :func:`cosine_topk`.
+    The pairwise work drops from O(Q·N) to O(Q·nprobe·N/C); the join is
+    co-partitioned on ``cell``. ``nprobe`` is the standard recall/cost
+    knob — each collection vector lives in exactly one cell, so probing
+    more cells never duplicates a (query, neighbor) pair. Recall < 1 by
+    design — the exact counterpart is :func:`cosine_topk`.
     """
     cells = assign_cells(emb, n_centroids, id_col, vec_col)
-    q = cells.filter(F.col(id_col) < max_query_id).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
-    )
+    if nprobe <= 1:
+        q = cells.filter(F.col(id_col) < max_query_id).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+        )
+    else:
+        cents = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
+        qs = (
+            emb.filter(F.col(id_col) < max_query_id)
+            .join(F.broadcast(cents))
+            .withColumn("cc", cosine(F.col(vec_col), F.col("cv")))
+        )
+        w_probe = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+        q = (
+            qs.withColumn("_pr", F.row_number().over(w_probe))
+            .filter(F.col("_pr") <= nprobe)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                F.col("cent_id").alias("cell"),
+            )
+        )
     c = cells.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cell")
     pairs = (
         c.join(F.broadcast(q), "cell")

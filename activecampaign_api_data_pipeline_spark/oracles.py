@@ -586,6 +586,26 @@ SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
 FROM r WHERE rk <= 3
 """
 
+    o["sim_ivf_nprobe2"] = f"""
+{emb},
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+scored AS (SELECT e.vec_id, e.v, cent_id, {_cos('v', 'cv')} AS cc FROM e CROSS JOIN cents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM scored
+),
+assign AS (SELECT vec_id, v, cent_id AS cell FROM ranked WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM ranked
+      WHERE vec_id < 10 AND rn <= 2),
+c AS (SELECT vec_id AS neighbor_id, v AS nv, cell FROM assign),
+p AS (
+  SELECT query_id, neighbor_id, {_cos('qv', 'nv')} AS cos
+  FROM q JOIN c USING (cell) WHERE neighbor_id <> query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM p)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
+FROM r WHERE rk <= 3
+"""
+
     o["sim_embedding_neardup"] = f"""
 {emb},
 a AS (SELECT vec_id AS id_a, v AS va FROM e),

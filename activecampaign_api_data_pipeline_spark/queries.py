@@ -632,6 +632,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, n_centroids=8, k=3, max_query_id=10)
 
 
+def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing the 2 nearest cells — the recall/cost knob."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, n_centroids=8, k=3, max_query_id=10, nprobe=2)
+
+
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
@@ -767,6 +773,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_nprobe2": sim_ivf_nprobe2,
     "sim_embedding_neardup": sim_embedding_neardup,
     "mm_frame_sample": mm_frame_sample,
     "mm_image_features": mm_image_features,
