@@ -30,7 +30,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from activecampaign_api_data_pipeline_spark.functions.scalars import full_name, nullify_sentinels
+from activecampaign_api_data_pipeline_spark.functions.scalars import (
+    full_name,
+    id_from_url,
+    nullify_sentinels,
+)
 from activecampaign_api_data_pipeline_spark.operators.conform import conform_union
 from activecampaign_api_data_pipeline_spark.operators.rollup import digest_lines, set_rollup
 from activecampaign_api_data_pipeline_spark.operators.snapshots import top_n_per_group
@@ -46,6 +50,7 @@ SEED_ID_CANDIDATES = ("id", "contact_id", "contactid")
 #: the columns the chatter mart consumes; the connector keeps them stringly.
 CHILD_SPECS: dict[str, dict] = {
     "activities": {"fields": ["id", "tstamp", "reference_type", "description"], "ts": "tstamp"},
+    "emailActivities": {"fields": ["id", "tstamp", "type", "campaignid", "messageid"], "ts": "tstamp"},
     "contactNotes": {"fields": ["id", "cdate", "note"], "ts": "cdate"},
     "contactTags": {"fields": ["id", "cdate", "tag"], "ts": "cdate"},
     "contactLists": {"fields": ["id", "udate", "list"], "ts": "udate"},
@@ -55,7 +60,9 @@ CHILD_SPECS: dict[str, dict] = {
 
 #: Dim snapshot endpoints (reference S6, :387-403).
 DIM_ENDPOINTS: dict[str, list[str]] = {
-    "campaigns": ["id", "name"],
+    "campaigns": ["id", "name", "message_id", "seriesid", "links"],
+    "messages": ["id", "subject"],
+    "automations": ["id", "name"],
     "tags": ["id", "tag"],
     "lists": ["id", "name"],
     "users": ["id", "firstName", "lastName", "email"],
@@ -226,6 +233,8 @@ AC_EVENT_SCHEMA: list[tuple[str, str]] = [
     ("event_type", "string"),
     ("title", "string"),
     ("detail", "string"),
+    ("campaign_id", "string"),
+    ("message_id", "string"),
 ]
 
 
@@ -265,6 +274,13 @@ def build_ac_chatter(
         "title": F.concat_ws(" ", F.lit("Actividad:"), F.col("reference_type")),
         "detail": F.col("description"),
     })
+    add("emailActivities", best("emailActivities"), {
+        "event_ts": F.col("tstamp"),
+        "event_type": F.concat_ws("_", F.lit("email"), F.col("type")),
+        "title": F.concat_ws(" ", F.lit("Email:"), F.col("type")),
+        "campaign_id": nullify_sentinels(F.col("campaignid")),
+        "message_id": nullify_sentinels(F.col("messageid")),
+    })
     add("contactNotes", best("contactNotes"), {
         "event_ts": F.col("cdate"),
         "event_type": F.lit("note"),
@@ -303,6 +319,50 @@ def build_ac_chatter(
         unified, ["contact_id"], [F.col("event_ts"), F.col("event_id")],
         max_events_per_contact,
     )
+
+    # campaign → message → automation enrichment chains (J1/J5/F6,
+    # reference :899-994): campaign name by id; message id from the event
+    # else the campaign's; automation from campaign seriesid else the
+    # maybe-JSON links column (sentinels "" / "0" → NULL throughout)
+    campaigns = dims.get("campaigns")
+    if campaigns is not None:
+        camp = campaigns.select(
+            F.col("id").alias("campaign_id"),
+            F.col("name").alias("campaign_name"),
+            nullify_sentinels(F.col("message_id")).alias("_camp_msg_id"),
+            F.coalesce(
+                nullify_sentinels(F.col("seriesid")),
+                id_from_url(F.get_json_object("links", "$.automation")),
+            ).alias("automation_id"),
+        )
+        capped = (
+            capped.join(F.broadcast(camp), "campaign_id", "left")
+            .withColumn("message_id", F.coalesce(F.col("message_id"), F.col("_camp_msg_id")))
+            .drop("_camp_msg_id")
+        )
+        messages = dims.get("messages")
+        if messages is not None:
+            msg = messages.select(
+                F.col("id").alias("message_id"), F.col("subject").alias("message_subject")
+            )
+            capped = capped.join(F.broadcast(msg), "message_id", "left")
+        automations = dims.get("automations")
+        if automations is not None:
+            autos = automations.select(
+                F.col("id").alias("automation_id"), F.col("name").alias("automation_name")
+            )
+            capped = capped.join(F.broadcast(autos), "automation_id", "left")
+        for c in ("campaign_name", "message_subject", "automation_name"):
+            if c not in capped.columns:
+                capped = capped.withColumn(c, F.lit(None).cast("string"))
+        # email events: detail = subject else campaign name (reference :1241)
+        capped = capped.withColumn(
+            "detail",
+            F.when(
+                F.col("event_type").startswith("email_"),
+                F.coalesce("message_subject", "campaign_name", "detail"),
+            ).otherwise(F.col("detail")),
+        )
 
     # tag/list id→name enrichment via broadcast dims (J1)
     tags = dims.get("tags")

@@ -21,7 +21,33 @@ def _seed_mock(m: MockAC) -> None:
         {"id": 2, "email": "", "first_name": "", "last_name": "", "udate": "2020-01-06"},
         {"id": 3, "email": "g@x.com", "first_name": "Grace", "last_name": "Hopper", "udate": "2020-01-07"},
     ]
-    m.collections["campaigns"] = [{"id": 11, "name": "Welcome"}]
+    m.collections["campaigns"] = [
+        # automation via seriesid; message via campaign's message_id
+        {"id": 11, "name": "Welcome", "message_id": "71", "seriesid": "5", "links": ""},
+        # seriesid sentinel "0" -> automation via links JSON URL (J5/F6)
+        {"id": 12, "name": "Promo", "message_id": "", "seriesid": "0",
+         "links": '{"automation": "https://x/api/3/automations/9"}'},
+        # non-JSON links string -> graceful NULL automation
+        {"id": 13, "name": "Odd", "message_id": "", "seriesid": "", "links": "not json"},
+    ]
+    m.collections["messages"] = [
+        {"id": 71, "subject": "Hi there"},
+        {"id": 72, "subject": "Deal inside"},
+    ]
+    m.collections["automations"] = [
+        {"id": 5, "name": "Onboarding"},
+        {"id": 9, "name": "Winback"},
+    ]
+    m.children["emailActivities"] = {
+        "1": [
+            {"id": "e1", "tstamp": "2020-02-07 10:00:00", "type": "open",
+             "campaignid": "11", "messageid": ""},
+            {"id": "e2", "tstamp": "2020-02-08 10:00:00", "type": "click",
+             "campaignid": "12", "messageid": "72"},
+            {"id": "e3", "tstamp": "2020-02-09 10:00:00", "type": "open",
+             "campaignid": "13", "messageid": ""},
+        ],
+    }
     m.collections["tags"] = [{"id": 21, "tag": "vip"}, {"id": 22, "tag": "beta"}]
     m.collections["lists"] = [{"id": 31, "name": "Newsletter"}]
     m.collections["users"] = [{"id": 41, "firstName": "Ops", "lastName": "Bot", "email": "ops@x.com"}]
@@ -91,7 +117,19 @@ def test_pipeline_end_to_end_golden(spark, mock, cfg):
         "2020-02-02 11:00:00 — click — Actividad: click: clicked link",
         "2020-02-05 08:00:00 — note — Nota: called back",
         "2020-02-06 09:00:00 — tag_added — Tag: beta",
+        "2020-02-07 10:00:00 — email_open — Email: open: Hi there",
+        "2020-02-08 10:00:00 — email_click — Email: click: Deal inside",
+        "2020-02-09 10:00:00 — email_open — Email: open: Odd",
     ]
+
+    # campaign -> message -> automation chains (J1/J5/F6)
+    em = {r["source_row_id"]: r for r in chatter.filter("source = 'emailActivities'").collect()}
+    e1, e2, e3 = em["e1"], em["e2"], em["e3"]
+    assert (e1["message_id"], e1["message_subject"]) == ("71", "Hi there")  # campaign's message
+    assert (e1["automation_id"], e1["automation_name"]) == ("5", "Onboarding")  # via seriesid
+    assert (e2["message_id"], e2["message_subject"]) == ("72", "Deal inside")  # event's own
+    assert (e2["automation_id"], e2["automation_name"]) == ("9", "Winback")  # via links JSON
+    assert e3["automation_id"] is None and e3["message_subject"] is None  # non-JSON links
     d = {r["contact_id"]: r for r in digest.collect()}
     assert d["1"]["contact_name"] == "Ada Lovelace"
     assert d["1"]["tags"] == "beta, vip"  # sorted distinct names (A5)
@@ -129,7 +167,7 @@ def test_pipeline_idempotent_and_incremental(spark, mock, cfg):
     chatter = spark.read.parquet(f"{cfg.lake_root}/mart/chatter_master")
     assert chatter.filter("contact_id = '4'").count() == 1
     # old contacts' history still present in the rebuilt mart
-    assert chatter.filter("contact_id = '1'").count() == 5
+    assert chatter.filter("contact_id = '1'").count() == 8
 
 
 def test_dim_ttl_cache_not_refetched(spark, mock, cfg):
