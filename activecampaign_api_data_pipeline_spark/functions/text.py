@@ -119,27 +119,40 @@ def lang_id(c: Column | str) -> Column:
     return F.greatest(*structs).getField("lang")
 
 
+def kgram_hashes(c: Column | str, k: int = 5) -> Column:
+    """hash60 of every character k-gram — the winnowing input. Materialize
+    this as its OWN projected column before folding windows over it: the
+    fold references the array ``w`` times, and slices of a raw expression
+    tree re-evaluate the per-gram hashing each time (no CSE), while slices
+    of a bound column attribute do not."""
+    from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
+
+    return F.transform(char_ngrams(c, k), lambda g: hash60(g))
+
+
+def winnow_mins(hashes: Column | str, w: int = 4) -> Column:
+    """Window minima over a k-gram hash array: min of every ``w``-run,
+    distinct + sorted. ``w``-slice ``zip_with``/``least`` fold — constant
+    array scans per row, no explode."""
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
+    m = F.greatest(F.size(h) - F.lit(w - 1), F.lit(0))
+    acc = F.slice(h, 1, m)
+    for j in range(2, w + 1):
+        acc = F.zip_with(acc, F.slice(h, j, m), lambda a, b: F.least(a, b))
+    return F.array_sort(F.array_distinct(acc))
+
+
 def winnowing_fingerprints(c: Column | str, k: int = 5, w: int = 4) -> Column:
     """Winnowing fingerprint set (MOSS-style rolling-hash selection).
 
-    Hash every character k-gram, then keep the minimum of each window of
-    ``w`` consecutive k-gram hashes — the classic guarantee: any shared
-    substring of length ≥ k+w-1 yields at least one shared fingerprint,
-    making the selected set a position-robust dedup/similarity signature.
-
-    Pure expressions: the window minima are a ``w``-slice ``zip_with`` fold
-    with ``least`` (same CSE-safe shape as :func:`word_ngrams`). Returns a
-    sorted distinct array<long>.
+    Hash every character k-gram, keep the minimum of each window of ``w``
+    consecutive hashes — the classic guarantee: any shared substring of
+    length ≥ k+w-1 yields at least one shared fingerprint. Convenience
+    single-expression form; for large corpora project
+    :func:`kgram_hashes` first and fold :func:`winnow_mins` over the
+    column (see docstrings for the CSE reason).
     """
-    from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
-
-    grams = char_ngrams(c, k)
-    hashes = F.transform(grams, lambda g: hash60(g))
-    m = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(0))
-    acc = F.slice(hashes, 1, m)
-    for j in range(2, w + 1):
-        acc = F.zip_with(acc, F.slice(hashes, j, m), lambda a, b: F.least(a, b))
-    return F.array_sort(F.array_distinct(acc))
+    return winnow_mins(kgram_hashes(c, k), w)
 
 
 def fingerprint(c: Column | str) -> Column:

@@ -718,11 +718,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints, exploded to (doc_id, fp) rows."""
+    """Rolling-hash winnowing fingerprints, exploded to (doc_id, fp) rows.
+
+    Hashes are projected as their own column before the window fold so the
+    fold's w slices reference a bound attribute (hashed once per gram).
+    """
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", F.explode(TX.winnowing_fingerprints(F.col("text"), k=5, w=4)).alias("fp")
-    )
+    hashed = docs.select("doc_id", TX.kgram_hashes(F.col("text"), 5).alias("h"))
+    return hashed.select("doc_id", F.explode(TX.winnow_mins("h", 4)).alias("fp"))
 
 
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

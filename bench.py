@@ -27,7 +27,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "j1_broadcast_enrich",
+    "j_asof_last_order",
+    "j_range_events_in_window",
     "w1_latest_per_key",
+    "w_running_analytics",
     "a5_set_rollup",
     "a1_exact_dedup",
     "k2_medallion_snapshot",
@@ -41,6 +44,7 @@ HEADLINE = [
     "mm_image_features",
     "text_lang_id",
     "text_quality",
+    "text_winnowing",
 ]
 
 
