@@ -724,7 +724,10 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold's w slices reference a bound attribute (hashed once per gram).
     """
     docs = _docs(spark, sf_dir)
-    hashed = docs.select("doc_id", TX.kgram_hashes(F.col("text"), 5).alias("h"))
+    normd = docs.select("doc_id", TX.normalize_text("text").alias("t"))
+    hashed = normd.select(
+        "doc_id", TX.kgram_hashes(F.col("t"), 5, normalized=True).alias("h")
+    )
     return hashed.select("doc_id", F.explode(TX.winnow_mins("h", 4)).alias("fp"))
 
 
