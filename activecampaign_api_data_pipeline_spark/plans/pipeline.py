@@ -58,6 +58,13 @@ CHILD_SPECS: dict[str, dict] = {
     "bounceLogs": {"fields": ["id", "tstamp", "reason"], "ts": "tstamp"},
 }
 
+#: Two-level deals bundle (reference S5, :793-861): deals are fetched per
+#: contact, then notes/tasks per deal — two chained fan-outs, no nested loop.
+DEAL_CHILD_SPECS: dict[str, dict] = {
+    "dealNotes": {"fields": ["id", "cdate", "note"], "ts": "cdate"},
+    "dealTasks": {"fields": ["id", "udate", "title", "duedate"], "ts": "udate"},
+}
+
 #: Dim snapshot endpoints (reference S6, :387-403).
 DIM_ENDPOINTS: dict[str, list[str]] = {
     "campaigns": ["id", "name", "message_id", "seriesid", "links"],
@@ -79,6 +86,7 @@ class PipelineConfig:
     max_events_per_contact: int = 500
     fetch_partitions: int = 4
     children: list[str] = field(default_factory=lambda: list(CHILD_SPECS))
+    deal_children: list[str] = field(default_factory=lambda: list(DEAL_CHILD_SPECS))
     dims: list[str] = field(default_factory=lambda: list(DIM_ENDPOINTS))
 
 
@@ -210,6 +218,42 @@ def run_pipeline(
         res = store.persist(df, child, ["id", "contact_id"], run_id=run_id, updated_col=spec["ts"])
         counts[child] = res.n_delta
 
+    # --- two-level deals bundle (S5, :793-861): contacts → deals, then the
+    # fetched deal ids drive a SECOND fan-out; contact_id rides along via a
+    # broadcast join back to the deals table
+    if cfg.deal_children:
+        deals = fetch_children(
+            universe,
+            base_url=cfg.base_url,
+            endpoint_template="api/3/contacts/{id}/deals",
+            collection="deals",
+            fields=["id", "title", "stage", "mdate"],
+            rate=cfg.rate,
+            page_limit=cfg.page_limit,
+            n_partitions=cfg.fetch_partitions,
+        )
+        res = store.persist(deals, "deals", ["id", "contact_id"], run_id=run_id, updated_col="mdate")
+        counts["deals"] = res.n_delta
+        deal_ids = store.read_best("deals").select(
+            F.col("id").alias("deal_id"), "contact_id"
+        ).dropDuplicates(["deal_id"])
+        for dchild in cfg.deal_children:
+            spec = DEAL_CHILD_SPECS[dchild]
+            df = fetch_children(
+                deal_ids,
+                base_url=cfg.base_url,
+                endpoint_template=f"api/3/deals/{{id}}/{dchild}",
+                collection=dchild,
+                fields=spec["fields"],
+                id_col="deal_id",
+                parent_col="deal_id",
+                rate=cfg.rate,
+                page_limit=cfg.page_limit,
+                n_partitions=cfg.fetch_partitions,
+            ).join(F.broadcast(deal_ids), "deal_id")
+            res = store.persist(df, dchild, ["id", "deal_id"], run_id=run_id, updated_col=spec["ts"])
+            counts[dchild] = res.n_delta
+
     # --- mart (§3.3)
     chatter, digest = build_ac_chatter(store, dims, cfg.max_events_per_contact)
     chatter.write.mode("overwrite").parquet(f"{cfg.lake_root}/mart/chatter_master")
@@ -235,6 +279,7 @@ AC_EVENT_SCHEMA: list[tuple[str, str]] = [
     ("detail", "string"),
     ("campaign_id", "string"),
     ("message_id", "string"),
+    ("deal_id", "string"),
 ]
 
 
@@ -311,6 +356,20 @@ def build_ac_chatter(
         "title": F.lit("Lista"),
         "detail": F.col("list"),
     })
+    add("dealNotes", best("dealNotes"), {
+        "event_ts": F.col("cdate"),
+        "event_type": F.lit("deal_note"),
+        "title": F.lit("Nota de deal"),
+        "detail": F.col("note"),
+        "deal_id": F.col("deal_id"),
+    })
+    add("dealTasks", best("dealTasks"), {
+        "event_ts": F.col("udate"),
+        "event_type": F.lit("deal_task"),
+        "title": F.lit("Tarea de deal"),
+        "detail": F.col("title"),
+        "deal_id": F.col("deal_id"),
+    })
     if not branches:
         raise FileNotFoundError("no child tables persisted yet")
 
@@ -363,6 +422,20 @@ def build_ac_chatter(
                 F.coalesce("message_subject", "campaign_name", "detail"),
             ).otherwise(F.col("detail")),
         )
+
+    # deal title/stage from the deals FACT table (reference :1154-1162 —
+    # the one enrichment whose lookup side is a fact, not a dim catalog)
+    deals_tbl = best("deals")
+    if deals_tbl is not None:
+        dl = deals_tbl.select(
+            F.col("id").alias("deal_id"),
+            F.col("title").alias("deal_title"),
+            F.col("stage").alias("deal_stage"),
+        ).dropDuplicates(["deal_id"])
+        capped = capped.join(F.broadcast(dl), "deal_id", "left")
+    for c in ("deal_title", "deal_stage"):
+        if c not in capped.columns:
+            capped = capped.withColumn(c, F.lit(None).cast("string"))
 
     # tag/list id→name enrichment via broadcast dims (J1)
     tags = dims.get("tags")

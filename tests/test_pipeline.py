@@ -72,6 +72,18 @@ def _seed_mock(m: MockAC) -> None:
     }
     m.children["contactLogs"] = {}
     m.children["bounceLogs"] = {}
+    # two-level deals bundle: deals per contact, notes/tasks per deal
+    m.children["deals"] = {
+        "1": [{"id": "d1", "title": "Big Deal", "stage": "open", "mdate": "2020-02-10 00:00:00"}],
+        "3": [{"id": "d2", "title": "Small Deal", "stage": "won", "mdate": "2020-02-11 00:00:00"}],
+    }
+    m.children["dealNotes"] = {
+        "d1": [{"id": "dn1", "cdate": "2020-02-12 09:00:00", "note": "negotiating price"}],
+    }
+    m.children["dealTasks"] = {
+        "d2": [{"id": "dt1", "udate": "2020-02-13 10:00:00", "title": "send contract",
+                "duedate": "2020-02-20"}],
+    }
 
 
 @pytest.fixture()
@@ -120,6 +132,7 @@ def test_pipeline_end_to_end_golden(spark, mock, cfg):
         "2020-02-07 10:00:00 — email_open — Email: open: Hi there",
         "2020-02-08 10:00:00 — email_click — Email: click: Deal inside",
         "2020-02-09 10:00:00 — email_open — Email: open: Odd",
+        "2020-02-12 09:00:00 — deal_note — Nota de deal: negotiating price",
     ]
 
     # campaign -> message -> automation chains (J1/J5/F6)
@@ -140,6 +153,17 @@ def test_pipeline_end_to_end_golden(spark, mock, cfg):
     # gold layer: one row per (id, contact_id) key
     acts = store.read("gold", "activities")
     assert acts.count() == 3
+
+    # two-level deals bundle (S5): deal children reached via fetched deal
+    # ids, contact attribution and deal-title enrichment intact
+    assert res["children"]["deals"] == 2
+    assert res["children"]["dealNotes"] == 1 and res["children"]["dealTasks"] == 1
+    dn = chatter.filter("event_type = 'deal_note'").collect()
+    assert len(dn) == 1 and dn[0]["contact_id"] == "1"
+    assert dn[0]["deal_title"] == "Big Deal" and dn[0]["detail"] == "negotiating price"
+    dt = chatter.filter("event_type = 'deal_task'").collect()
+    assert dt[0]["contact_id"] == "3" and dt[0]["deal_title"] == "Small Deal"
+    assert "negotiating price" in d["1"]["digest"]
 
 
 def test_pipeline_idempotent_and_incremental(spark, mock, cfg):
@@ -167,7 +191,7 @@ def test_pipeline_idempotent_and_incremental(spark, mock, cfg):
     chatter = spark.read.parquet(f"{cfg.lake_root}/mart/chatter_master")
     assert chatter.filter("contact_id = '4'").count() == 1
     # old contacts' history still present in the rebuilt mart
-    assert chatter.filter("contact_id = '1'").count() == 8
+    assert chatter.filter("contact_id = '1'").count() == 9
 
 
 def test_dim_ttl_cache_not_refetched(spark, mock, cfg):
