@@ -114,6 +114,30 @@ def image_features(decoded: DataFrame, bins: int = 16) -> DataFrame:
     return decoded.mapInPandas(_feat, "media_id long, features array<double>")
 
 
+def image_feature_pipeline(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Fused decode → histogram in ONE Arrow pass.
+
+    The composable form (:func:`decode_images` → :func:`image_features`)
+    ships the full pixel matrix back through Arrow between stages; when
+    only features are needed, fusing the two kernels halves the Python
+    round-trips — the mapInPandas equivalent of operator fusion.
+    """
+
+    def _decode_feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                w, h = int(r.meta["width"]), int(r.meta["height"])
+                px = decode_image(bytes(r.content), w, h)
+                hist, _ = np.histogram(px, bins=bins, range=(0, 256))
+                out.append((r.media_id, (hist / max(px.size, 1)).astype("float64")))
+            yield pd.DataFrame(out, columns=["media_id", "features"])
+
+    return media.filter("kind = 'image'").mapInPandas(
+        _decode_feat, "media_id long, features array<double>"
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled timestamp.
 

@@ -681,12 +681,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode (stub) → 16-bin intensity histogram, exploded per bin."""
     from activecampaign_api_data_pipeline_spark.operators.multimodal import (
-        decode_images,
-        image_features,
+        image_feature_pipeline,
     )
 
     media = _media_from_docs(spark, sf_dir, "image").filter("meta.height >= 1")
-    feats = image_features(decode_images(media), bins=16)
+    feats = image_feature_pipeline(media, bins=16)
     return (
         feats.select("media_id", F.posexplode("features").alias("bin", "frac"))
         .filter(F.col("frac") > 0)

@@ -102,3 +102,13 @@ def test_features_feed_similarity(spark, media):
     )
     out = cosine_topk(feats, k=1, max_query_id=2)
     assert {r["query_id"] for r in out.collect()} == {1}
+
+
+def test_fused_pipeline_matches_composed(spark, media):
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import image_feature_pipeline
+
+    composed = {r["media_id"]: list(r["features"])
+                for r in image_features(decode_images(media)).collect()}
+    fused = {r["media_id"]: list(r["features"])
+             for r in image_feature_pipeline(media).collect()}
+    assert fused == composed
