@@ -5,7 +5,9 @@ and the JSON state checkpoint (:70-80, :1557-1559, :1696-1700) WITHOUT the
 reference's read-modify-rewrite of the whole master on every run (the
 scalability cliff called out in SURVEY.md §3.2):
 
-- **delta**  ``runs/<run_id>/<table>/``  — immutable per-run drop (K1/K2).
+- **delta**  = ``bronze/<table>/run_id=<id>`` — the reference's immutable
+  per-run drop (K1/K2) is exactly bronze's run partition; ``read_delta``
+  reads it partition-pruned instead of writing a duplicate directory.
 - **bronze** ``bronze/<table>/run_id=…`` — append-only history, partitioned
   by run, never rewritten (reference "raw" before dedup).
 - **silver** ``silver/<table>/_kb=…``    — content-hash-deduped history
@@ -121,22 +123,21 @@ class TableStore:
         staged = staged.dropDuplicates([HASH_COL])
         staged.persist()
         try:
-            n_delta = staged.count()
+            # one job yields the batch size AND its buckets
+            per_bucket = staged.groupBy(BUCKET_COL).count().collect()
+            n_delta = sum(r["count"] for r in per_bucket)
+            buckets = [r[BUCKET_COL] for r in per_bucket]
 
-            # 1. delta: immutable per-run drop
-            staged.drop(BUCKET_COL).write.mode("errorifexists").parquet(
-                f"{self.root}/runs/{run_id}/{table}"
-            )
-            # 2. bronze: append-only, partitioned by run (never read-modify)
+            # 1. bronze: append-only, partitioned by run (never read-modify).
+            #    The per-run "delta" drop of the reference (:156-157) IS the
+            #    bronze run_id partition — same rows, one write, partition-
+            #    pruned via read_delta() instead of a duplicate directory.
             staged.drop(BUCKET_COL).withColumn("run_id", F.lit(run_id)).write.mode(
                 "append"
             ).partitionBy("run_id").parquet(self._path("bronze", table))
 
-            # 3. silver: anti-join on (_kb, _row_hash) — bucket-pruned probe
+            # 2. silver: anti-join on (_kb, _row_hash) — bucket-pruned probe
             silver_path = self._path("silver", table)
-            buckets = [
-                r[0] for r in staged.select(BUCKET_COL).distinct().collect()
-            ]
             if self._exists(silver_path):
                 old = (
                     self.read("silver", table)
@@ -147,15 +148,16 @@ class TableStore:
             else:
                 fresh = staged
             fresh.persist()
-            n_new = fresh.count()
             # collect BEFORE the append: writing to silver_path invalidates
             # any cached plan that reads it (fresh's anti-join does), and a
             # recompute after the append would anti-join away its own rows.
-            touched = [r[0] for r in fresh.select(BUCKET_COL).distinct().collect()]
+            fresh_per_bucket = fresh.groupBy(BUCKET_COL).count().collect()
+            n_new = sum(r["count"] for r in fresh_per_bucket)
+            touched = [r[BUCKET_COL] for r in fresh_per_bucket]
             if n_new:
                 fresh.write.mode("append").partitionBy(BUCKET_COL).parquet(silver_path)
 
-                # 4. gold: recompute ONLY touched buckets from silver,
+                # 3. gold: recompute ONLY touched buckets from silver,
                 #    dynamic partition overwrite leaves the rest untouched
                 silver = self.read("silver", table).filter(
                     F.col(BUCKET_COL).isin(touched)
@@ -179,8 +181,6 @@ class TableStore:
                 latest.write.mode("overwrite").option(
                     "partitionOverwriteMode", "dynamic"
                 ).partitionBy(BUCKET_COL).parquet(self._path("gold", table))
-            else:
-                touched = []
             fresh.unpersist()
         finally:
             staged.unpersist()
@@ -195,6 +195,10 @@ class TableStore:
         return self.spark.read.option("mergeSchema", "true").parquet(
             self._path(layer, table)
         )
+
+    def read_delta(self, table: str, run_id: str) -> DataFrame:
+        """One run's delta = the bronze run partition (partition-pruned)."""
+        return self.read("bronze", table).filter(F.col("run_id") == run_id)
 
     def read_best(self, table: str) -> DataFrame:
         """Gold if present else silver (reference ``_read_best_table`` :1000-1008)."""

@@ -43,6 +43,9 @@ def test_persist_layers_and_lineage(spark, store):
     assert row["run_id"] == "r1" and row["extracted_at"] == "2020-06-01 00:00:00"
     assert row["_row_hash"]
     assert store.read_best("contacts").count() == 1
+    # delta == the bronze run partition
+    assert store.read_delta("contacts", "r1").count() == 1
+    assert store.read_delta("contacts", "nope").count() == 0
 
 
 def test_idempotent_rerun(spark, store):
