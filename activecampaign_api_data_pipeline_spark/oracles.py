@@ -277,6 +277,15 @@ SELECT event_type,
 FROM e GROUP BY event_type
 """
 
+    o["a_percentiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
     o["a_rollup_revenue"] = """
 SELECT coalesce(l_returnflag, '<all>') AS returnflag,
        coalesce(l_linestatus, '<all>') AS linestatus,

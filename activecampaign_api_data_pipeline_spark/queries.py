@@ -154,6 +154,22 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (§2.4 extension).
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition; rounding absorbs last-ulp arithmetic drift.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = lambda q: F.round(F.percentile(F.col("l_extendedprice"), F.lit(q)), 2)  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        p(0.5).alias("median_price"),
+        p(0.9).alias("p90_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
 def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate (capability absent from the reference, free in Spark)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -749,6 +765,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_set_rollup": a5_set_rollup,
     "a6_contact_digest": a6_contact_digest,
     "a_count_distinct": a_count_distinct,
+    "a_percentiles": a_percentiles,
     "a_rollup_revenue": a_rollup_revenue,
     "w_running_analytics": w_running_analytics,
     "j1_broadcast_enrich": j1_broadcast_enrich,

@@ -100,3 +100,14 @@ def test_union_by_name_missing_columns(spark):
     out = union_by_name([a, b])
     assert set(out.columns) == {"id", "a", "b"}
     assert out.count() == 2
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """HLL sketch (the 100 TB path for distincts) stays within its rsd."""
+    df = spark.range(0, 20000).select((F.col("id") % 7919).alias("v"))
+    row = df.agg(
+        F.approx_count_distinct("v", rsd=0.02).alias("approx"),
+        F.countDistinct("v").alias("exact"),
+    ).collect()[0]
+    assert row["exact"] == 7919
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
