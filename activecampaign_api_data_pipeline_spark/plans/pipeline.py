@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from activecampaign_api_data_pipeline_spark.functions.scalars import (
+    code_map,
     full_name,
     id_from_url,
     nullify_sentinels,
@@ -56,7 +57,17 @@ CHILD_SPECS: dict[str, dict] = {
     "contactLists": {"fields": ["id", "udate", "list"], "ts": "udate"},
     "contactLogs": {"fields": ["id", "tstamp", "action", "message"], "ts": "tstamp"},
     "bounceLogs": {"fields": ["id", "tstamp", "reason"], "ts": "tstamp"},
+    "trackingLogs": {"fields": ["id", "tstamp", "url"], "ts": "tstamp"},
+    "geoIps": {"fields": ["id", "tstamp", "ip", "country"], "ts": "tstamp"},
+    "contactGoals": {"fields": ["id", "cdate", "name"], "ts": "cdate"},
+    "scoreValues": {"fields": ["id", "tstamp", "score"], "ts": "tstamp"},
+    "accountContacts": {"fields": ["id", "cdate", "account"], "ts": "cdate"},
+    "contactTasks": {"fields": ["id", "udate", "title", "note", "duedate"], "ts": "udate"},
+    "contactAutomations": {"fields": ["id", "lastdate", "automation", "seriesid", "status"], "ts": "lastdate"},
 }
+
+#: Code→label maps (reference P5, :409-410): applied to contactAutomations.
+AUTOMATION_STATUS_LABELS = {"1": "Active", "0": "Inactive", "2": "Completed"}
 
 #: Two-level deals bundle (reference S5, :793-861): deals are fetched per
 #: contact, then notes/tasks per deal — two chained fan-outs, no nested loop.
@@ -355,6 +366,49 @@ def build_ac_chatter(
         "event_type": F.lit("list_membership"),
         "title": F.lit("Lista"),
         "detail": F.col("list"),
+    })
+    add("trackingLogs", best("trackingLogs"), {
+        "event_ts": F.col("tstamp"),
+        "event_type": F.lit("page_visit"),
+        "title": F.lit("Visita"),
+        "detail": F.col("url"),
+    })
+    add("geoIps", best("geoIps"), {
+        "event_ts": F.col("tstamp"),
+        "event_type": F.lit("geo_ip"),
+        "title": F.lit("Geo"),
+        "detail": F.concat_ws(" ", F.col("ip"), F.col("country")),
+    })
+    add("contactGoals", best("contactGoals"), {
+        "event_ts": F.col("cdate"),
+        "event_type": F.lit("goal"),
+        "title": F.lit("Meta"),
+        "detail": F.col("name"),
+    })
+    add("scoreValues", best("scoreValues"), {
+        "event_ts": F.col("tstamp"),
+        "event_type": F.lit("score_change"),
+        "title": F.lit("Score"),
+        "detail": F.col("score"),
+    })
+    add("accountContacts", best("accountContacts"), {
+        "event_ts": F.col("cdate"),
+        "event_type": F.lit("account_link"),
+        "title": F.lit("Cuenta"),
+        "detail": F.col("account"),
+    })
+    add("contactTasks", best("contactTasks"), {
+        "event_ts": F.col("udate"),
+        "event_type": F.lit("task"),
+        "title": F.concat_ws(" ", F.lit("Tarea:"), F.col("title")),
+        "detail": F.col("note"),
+    })
+    add("contactAutomations", best("contactAutomations"), {
+        "event_ts": F.col("lastdate"),
+        "event_type": F.lit("automation_run"),
+        "title": F.lit("Automatización"),
+        # P5 code→label with pass-through on unknown codes (:409-410,781-782)
+        "detail": code_map(F.col("status"), AUTOMATION_STATUS_LABELS),
     })
     add("dealNotes", best("dealNotes"), {
         "event_ts": F.col("cdate"),

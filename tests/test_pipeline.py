@@ -72,6 +72,16 @@ def _seed_mock(m: MockAC) -> None:
     }
     m.children["contactLogs"] = {}
     m.children["bounceLogs"] = {}
+    # P5 code-map branch: known status -> label, unknown passes through
+    m.children["contactAutomations"] = {
+        "3": [
+            {"id": "ca1", "lastdate": "2020-02-14 08:00:00", "automation": "5",
+             "seriesid": "5", "status": "1"},
+            {"id": "ca2", "lastdate": "2020-02-15 08:00:00", "automation": "9",
+             "seriesid": "9", "status": "9"},
+        ],
+    }
+    # remaining child endpoints are absent -> 404-tolerant empty tables
     # two-level deals bundle: deals per contact, notes/tasks per deal
     m.children["deals"] = {
         "1": [{"id": "d1", "title": "Big Deal", "stage": "open", "mdate": "2020-02-10 00:00:00"}],
@@ -164,6 +174,11 @@ def test_pipeline_end_to_end_golden(spark, mock, cfg):
     dt = chatter.filter("event_type = 'deal_task'").collect()
     assert dt[0]["contact_id"] == "3" and dt[0]["deal_title"] == "Small Deal"
     assert "negotiating price" in d["1"]["digest"]
+
+    # P5 code→label with pass-through (contactAutomations status)
+    ca = {r["source_row_id"]: r["detail"]
+          for r in chatter.filter("event_type = 'automation_run'").collect()}
+    assert ca == {"ca1": "Active", "ca2": "9"}
 
 
 def test_pipeline_idempotent_and_incremental(spark, mock, cfg):
