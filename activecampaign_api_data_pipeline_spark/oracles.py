@@ -374,7 +374,8 @@ SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
+SELECT user_id FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
 """
 
     o["p2_rowhash"] = f"""
@@ -516,7 +517,10 @@ SELECT user_id, event_id, event_type, ts_str FROM r WHERE rn = 1
 
     o["q_anti_join"] = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """
 
     o["q_semi_join"] = """

@@ -331,9 +331,13 @@ def u2_conform_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def u3_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(click ∩ purchase) \\ early-error users — non-empty at every SF."""
     ev = _t(spark, sf_dir, "events")
     users = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
-    out = users("click").intersect(users("purchase")).subtract(users("error"))
+    early_err = ev.filter(
+        (F.col("event_type") == "error") & (F.col("ts") < F.lit("2024-01-03 00:00:00"))
+    ).select("user_id")
+    out = users("click").intersect(users("purchase")).subtract(early_err)
     return out.select(F.col("user_id").alias("user_id"))
 
 
@@ -491,8 +495,9 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order (non-empty at every SF)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )
