@@ -1,0 +1,55 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale (pushdown, pruning, broadcast, rank-limit, no accidental Python)
+asserted against the executed plans at sf0.001."""
+
+import pytest
+
+from activecampaign_api_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = REGISTRY[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    p = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruning: the scan must NOT read join keys the query ignores
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_j1_broadcasts_both_dims(spark):
+    p = _plan(spark, "j1_broadcast_enrich")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_w2_rank_pushdown_window_group_limit(spark):
+    p = _plan(spark, "w2_top3_per_user")
+    # row_number <= N optimizes to a per-partition top-N, not a full sort+filter
+    assert "WindowGroupLimit" in p
+
+
+def test_expression_only_queries_stay_jvm_side(spark):
+    for name in ("a1_exact_dedup", "text_quality", "dedup_minhash_lsh", "q5_revenue_by_nation"):
+        p = _plan(spark, name)
+        assert "EvalPython" not in p, f"{name} fell off the JVM path"
+
+
+def test_pandas_paths_are_arrow_batched(spark):
+    # the intentional Python operators run as Arrow-batched plans, never
+    # row-at-a-time BatchEvalPython
+    for name in ("sim_embedding_neardup", "mm_image_features"):
+        p = _plan(spark, name)
+        assert ("MapInPandas" in p) or ("FlatMapGroupsInPandas" in p), name
+        assert "BatchEvalPython" not in p
+
+
+def test_semi_anti_joins_planned_as_such(spark):
+    assert "LeftSemi" in _plan(spark, "q_semi_join")
+    assert "LeftAnti" in _plan(spark, "q_anti_join")
