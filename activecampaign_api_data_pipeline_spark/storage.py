@@ -119,8 +119,13 @@ class TableStore:
             .withColumn(HASH_COL, row_hash(df, content_cols))
             .withColumn(BUCKET_COL, _key_bucket(key_cols, self.n_buckets))
         )
-        # batch-internal exact dedup first (A1 within the run)
-        staged = staged.dropDuplicates([HASH_COL])
+        # batch-internal exact dedup first (A1 within the run), then cluster
+        # by bucket so every partitioned write below emits one file per
+        # touched bucket instead of (tasks × buckets) small files. At 100 TB
+        # this shuffle-before-dynamic-partition-insert is the standard
+        # pattern (or AQE rebalance) — without it a 1000-task stage writing
+        # 4096 buckets would create millions of files.
+        staged = staged.dropDuplicates([HASH_COL]).repartition(F.col(BUCKET_COL))
         staged.persist()
         try:
             # one job yields the batch size AND its buckets
@@ -144,7 +149,9 @@ class TableStore:
                     .filter(F.col(BUCKET_COL).isin(buckets))
                     .select(BUCKET_COL, HASH_COL)
                 )
-                fresh = staged.join(old, [BUCKET_COL, HASH_COL], "left_anti")
+                fresh = staged.join(old, [BUCKET_COL, HASH_COL], "left_anti").repartition(
+                    F.col(BUCKET_COL)
+                )
             else:
                 fresh = staged
             fresh.persist()
@@ -177,6 +184,7 @@ class TableStore:
                     silver.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
                     .drop("_rn")
+                    .repartition(F.col(BUCKET_COL))
                 )
                 latest.write.mode("overwrite").option(
                     "partitionOverwriteMode", "dynamic"
