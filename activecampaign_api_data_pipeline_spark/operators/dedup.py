@@ -191,16 +191,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = 1000,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similar pairs (ground truth for the sketches).
+    """n-gram Jaccard similar pairs over the ``df ≤ max_df`` shingle
+    universe (ground truth for the sketches).
 
-    Explode distinct shingles → self-join on shingle (the shuffle is on the
-    shingle key — at 100 TB, cap postings per shingle or pre-filter stop
-    shingles to bound the join) → intersection counts → Jaccard filter.
+    Explode distinct shingles → self-join on shingle → intersection
+    counts → Jaccard filter. The self-join emits O(df²) rows per
+    shingle, so a stop-shingle shared by k documents would explode the
+    shuffle; ``max_df`` anti-joins those hot shingles out FIRST, bounding
+    the join at O(max_df²) rows per shingle. Both the intersection AND
+    the per-doc set sizes use the filtered universe, so the Jaccard
+    algebra stays consistent (and a doc whose shingles are all hot drops
+    out entirely). Stop-shingles carry no discriminative signal — this is
+    the standard df-cut, not an approximation knob; set ``max_df=None``
+    only on corpora known to have no hot shingles.
     """
     sh = _shingle_sets(docs, id_col, text_col, ngram).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

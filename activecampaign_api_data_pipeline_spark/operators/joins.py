@@ -40,20 +40,29 @@ def asof_join(
     upstream (deterministically) or the carried row is undefined.
     Returns all left columns plus ``<right_col><suffix>`` columns
     (NULL when no right row precedes the left row).
+
+    The right columns travel as ONE struct carried by a single
+    ``last(ignorenulls=True)``, so the match is all-or-nothing: a right
+    row that legitimately holds NULL in one of ``right_cols`` keeps that
+    NULL instead of having the column backfilled from an older right row
+    (which would mix values from two different right rows).
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    match_t = StructType([StructField(c, right.schema[c].dataType) for c in right_cols])
     tagged_r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_match"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
     )
     tagged_l = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(match_t).alias("_match"),
         *[F.col(c) for c in lcols if c != on],
     )
     # right rows sort before left rows at equal ts → the match is inclusive
@@ -63,14 +72,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_r.unionByName(tagged_l).select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_match", ignorenulls=True).over(w).alias("_m")
     )
     out_cols = [F.col(on)] + [F.col(c) for c in lcols if c != on]
-    out_cols += [F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in right_cols]
+    out_cols += [F.col("_m").getField(c).alias(f"{c}{suffix}") for c in right_cols]
     return carried.filter(F.col("_side") == 1).select(*out_cols)
 
 

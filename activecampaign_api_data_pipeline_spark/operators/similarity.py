@@ -76,21 +76,14 @@ def cosine_topk(
     )
 
 
-def assign_cells(
+def _assign(
     emb: DataFrame,
-    n_centroids: int = 8,
+    cents: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantization: cell = argmax cosine over the centroid set.
-
-    Centroids are the first ``n_centroids`` vectors by id — deterministic
-    (a real deployment would k-means them; the assignment plan is
-    identical). Ties break to the lower centroid id.
-    """
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
-    )
+    """Nearest-centroid assignment: cell = argmax cosine over ``cents``
+    (columns ``cent_id``, ``cv``). Ties break to the lower centroid id."""
     from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
 
     scored = (
@@ -107,6 +100,60 @@ def assign_cells(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations as DataFrame aggregates.
+
+    Init = the first ``n_centroids`` vectors by id (fixed, reproducible);
+    each iteration assigns every vector to its nearest centroid by cosine
+    (ties → lower centroid id) and recomputes each centroid as the
+    element-wise mean of its members, ROUNDED to 6 decimals so the result
+    is bit-reproducible across engines and partitionings (FP summation
+    order is not; the mean is stable far below 1e-6). A cell that loses
+    all members simply drops out. ``n_iters=0`` returns the raw seeds.
+
+    Everything is expression work: assignment is a broadcast join +
+    window argmax, the mean is posexplode → avg → array re-assembly —
+    one shuffle per iteration, no Python UDFs, scales with the data.
+    """
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    for _ in range(n_iters):
+        assigned = _assign(emb, cents, id_col, vec_col)
+        px = assigned.select(F.col("cell"), F.posexplode(F.col(vec_col)))
+        cm = px.groupBy("cell", "pos").agg(
+            F.round(F.avg(F.col("col").cast("double")), 6).alias("m")
+        )
+        cents = (
+            cm.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cent_id"), "cv")
+        )
+    return cents
+
+
+def assign_cells(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF coarse quantization over k-means centroids (:func:`kmeans_centroids`)."""
+    return _assign(emb, kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col), id_col, vec_col)
+
+
 def ivf_topk(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -115,26 +162,29 @@ def ivf_topk(
     vec_col: str = "embedding",
     max_query_id: int | None = 10,
     nprobe: int = 1,
+    n_iters: int = 2,
 ) -> DataFrame:
     """ANN top-k searching the query's ``nprobe`` nearest IVF cells.
 
+    Cells come from :func:`kmeans_centroids` (``n_iters`` Lloyd rounds).
     The pairwise work drops from O(Q·N) to O(Q·nprobe·N/C); the join is
     co-partitioned on ``cell``. ``nprobe`` is the standard recall/cost
     knob — each collection vector lives in exactly one cell, so probing
     more cells never duplicates a (query, neighbor) pair. Recall < 1 by
     design — the exact counterpart is :func:`cosine_topk`.
     """
-    cells = assign_cells(emb, n_centroids, id_col, vec_col)
+    cents = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
+    cells = _assign(emb, cents, id_col, vec_col)
+    # max_query_id=None means "all vectors are queries" (mirrors cosine_topk;
+    # a raw `col < None` would silently filter everything to empty)
+    qfilter = F.lit(True) if max_query_id is None else F.col(id_col) < max_query_id
     if nprobe <= 1:
-        q = cells.filter(F.col(id_col) < max_query_id).select(
+        q = cells.filter(qfilter).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
         )
     else:
-        cents = emb.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
-        )
         qs = (
-            emb.filter(F.col(id_col) < max_query_id)
+            emb.filter(qfilter)
             .join(F.broadcast(cents))
             .withColumn("cc", cosine(F.col(vec_col), F.col("cv")))
         )

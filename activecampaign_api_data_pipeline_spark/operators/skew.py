@@ -23,6 +23,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: join types for which salting preserves ``big.join(small, on, how)``
+#: exactly: every big row appears in exactly one (key, salt) bucket, so
+#: inner/left joins and semi/anti probes are unaffected by the small side's
+#: replication. 'right'/'full' are NOT equivalent — the replicated small
+#: side would emit one spurious null-padded copy per non-matching salt.
+SALTABLE_JOINS = frozenset({"inner", "left", "left_outer", "leftouter", "left_semi",
+                            "leftsemi", "semi", "left_anti", "leftanti", "anti"})
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -32,12 +41,25 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side scattered over ``n_salts`` sub-keys.
 
-    Result is row-identical to ``big.join(small, on, how)``; only the
-    shuffle layout changes. ``small`` is replicated ``n_salts``× — keep it
-    the dimension side (broadcast would be better still when it fits; salt
-    when it does not and a key is hot).
+    Result is row-identical to ``big.join(small, on, how)`` for the
+    ``SALTABLE_JOINS`` types (raises on 'right'/'full' — see note above);
+    only the shuffle layout changes. ``small`` is replicated ``n_salts``×
+    — keep it the dimension side (broadcast would be better still when it
+    fits; salt when it does not and a key is hot).
+
+    The salt is derived deterministically from the big row's content
+    (``xxhash64`` over all columns), so task retries after an upstream
+    shuffle re-salt every row identically — ``monotonically_increasing_id``
+    would not survive a retry.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt")
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in SALTABLE_JOINS}:
+        raise ValueError(
+            f"salted_join supports {sorted(SALTABLE_JOINS)}; got {how!r} "
+            "(right/full would emit spurious null-padded rows per salt)"
+        )
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in big.columns]), F.lit(n_salts)
+    ).alias("_salt")
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(
         "_salt",

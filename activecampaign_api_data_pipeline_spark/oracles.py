@@ -75,6 +75,65 @@ def _cos(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+def _ivf_sql(
+    n_centroids: int = 8,
+    k: int = 3,
+    max_query_id: int = 10,
+    nprobe: int = 1,
+    n_iters: int = 2,
+) -> str:
+    """IVF top-k twin of operators.similarity.ivf_topk, sharing the
+    deterministic k-means centroid computation: seeds = first N by id,
+    then ``n_iters`` Lloyd rounds (cosine argmax assignment, element-wise
+    mean ROUNDED to 6 decimals — the rounding is what makes the centroids
+    bit-identical across engines despite FP summation order)."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids})",
+    ]
+    cur = "c0"
+    for it in range(1, n_iters + 1):
+        parts += [
+            f"s{it} AS (SELECT e.vec_id, e.v, cent_id, {_cos('v', 'cv')} AS cc FROM e CROSS JOIN {cur})",
+            f"""a{it} AS (SELECT vec_id, v, cent_id AS cell FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM s{it}
+) WHERE rn = 1)""",
+            # element-wise mean: zip position/value unnests, avg per (cell, i)
+            f"px{it} AS (SELECT cell, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM a{it})",
+            f"cm{it} AS (SELECT cell, i, round(avg(x), 6) AS m FROM px{it} GROUP BY cell, i)",
+            f"c{it} AS (SELECT cell AS cent_id, list(m ORDER BY i) AS cv FROM cm{it} GROUP BY cell)",
+        ]
+        cur = f"c{it}"
+    parts += [
+        f"sf AS (SELECT e.vec_id, e.v, cent_id, {_cos('v', 'cv')} AS cc FROM e CROSS JOIN {cur})",
+        "rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM sf)",
+        "af AS (SELECT vec_id, v, cent_id AS cell FROM rf WHERE rn = 1)",
+    ]
+    if nprobe <= 1:
+        parts.append(
+            f"q AS (SELECT vec_id AS query_id, v AS qv, cell FROM af WHERE vec_id < {max_query_id})"
+        )
+    else:
+        parts.append(
+            f"q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM rf "
+            f"WHERE vec_id < {max_query_id} AND rn <= {nprobe})"
+        )
+    parts += [
+        "c AS (SELECT vec_id AS neighbor_id, v AS nv, cell FROM af)",
+        f"""p AS (
+  SELECT query_id, neighbor_id, {_cos('qv', 'nv')} AS cos
+  FROM q JOIN c USING (cell) WHERE neighbor_id <> query_id
+)""",
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM p)",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
+FROM r WHERE rk <= {k}
+"""
+
+
 def _minhash_sql(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
     rows = num_perm // bands
     params = minhash_perm_params(num_perm)
@@ -542,6 +601,14 @@ FROM events GROUP BY 1, 2
     # the streaming run must land on the identical result as the batch twin
     o["t_stream_window_hourly"] = o["t_window_hourly"]
 
+    # two-run watermarked replay must equal ONE full pass (T1/T2)
+    o["t_incremental_replay"] = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderstatus
+"""
+
     o["dedup_exact_fingerprint"] = r"""
 SELECT doc_id,
        md5(regexp_replace(regexp_replace(lower(trim(text)), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
@@ -550,8 +617,13 @@ FROM documents
 
     o["dedup_minhash_lsh"] = _minhash_sql(num_perm=32, bands=8, threshold=0.5)
 
+    # mirrors ngram_jaccard_pairs(max_df=1000): hot shingles (df > 1000)
+    # are cut BEFORE the pairwise join, from intersections AND set sizes
     o["dedup_ngram_jaccard"] = f"""
-WITH {SHINGLES}
+WITH {SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM ex GROUP BY shingle) WHERE c <= 1000),
+kept AS (SELECT doc_id, list(shingle) AS shingles FROM ex JOIN dfc USING (shingle) GROUP BY doc_id)
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          round(
@@ -559,7 +631,7 @@ SELECT doc_a, doc_b, jaccard FROM (
            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
            6
          ) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.doc_id < b.doc_id
 ) WHERE jaccard >= 0.1
 """
 
@@ -579,45 +651,8 @@ SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
 FROM r WHERE rk <= 5
 """
 
-    o["sim_ivf_topk"] = f"""
-{emb},
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
-scored AS (SELECT e.vec_id, e.v, cent_id, {_cos('v', 'cv')} AS cc FROM e CROSS JOIN cents),
-assign AS (
-  SELECT vec_id, v, cent_id AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM scored
-  ) WHERE rn = 1
-),
-q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, v AS nv, cell FROM assign),
-p AS (
-  SELECT query_id, neighbor_id, {_cos('qv', 'nv')} AS cos
-  FROM q JOIN c USING (cell) WHERE neighbor_id <> query_id
-),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM p)
-SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
-FROM r WHERE rk <= 3
-"""
-
-    o["sim_ivf_nprobe2"] = f"""
-{emb},
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
-scored AS (SELECT e.vec_id, e.v, cent_id, {_cos('v', 'cv')} AS cc FROM e CROSS JOIN cents),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM scored
-),
-assign AS (SELECT vec_id, v, cent_id AS cell FROM ranked WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM ranked
-      WHERE vec_id < 10 AND rn <= 2),
-c AS (SELECT vec_id AS neighbor_id, v AS nv, cell FROM assign),
-p AS (
-  SELECT query_id, neighbor_id, {_cos('qv', 'nv')} AS cos
-  FROM q JOIN c USING (cell) WHERE neighbor_id <> query_id
-),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM p)
-SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
-FROM r WHERE rk <= 3
-"""
+    o["sim_ivf_topk"] = _ivf_sql(n_centroids=8, k=3, max_query_id=10, nprobe=1, n_iters=2)
+    o["sim_ivf_nprobe2"] = _ivf_sql(n_centroids=8, k=3, max_query_id=10, nprobe=2, n_iters=2)
 
     o["sim_embedding_neardup"] = f"""
 {emb},

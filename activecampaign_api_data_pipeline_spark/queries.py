@@ -619,6 +619,37 @@ def t_stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def t_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 as an oracle-checked query: two watermarked incremental runs
+    over a split-and-replayed source land on the SAME final state as one
+    full pass (reference keyset cursor :249-270 + advance-on-success
+    :1696-1700).
+
+    Run 1 sees the first half of orders (by key); run 2 REPLAYS THE WHOLE
+    TABLE — the watermark from run 1 must exclude every already-processed
+    id, so the union of the two deltas holds each order exactly once.
+    The oracle is a single-pass aggregate over orders: any duplicate or
+    dropped row breaks the count/sum hashes.
+    """
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import incremental_batch
+
+    orders = _t(spark, sf_dir, "orders")
+    mid = orders.agg((F.max("o_orderkey") / 2).cast("long")).collect()[0][0]
+    deltas: list[DataFrame] = []
+    state: dict = {}
+    # run 1: the world as of "mid"; run 2: a full replay including run 1's rows
+    for batch in (orders.filter(F.col("o_orderkey") <= mid), orders):
+        state = incremental_batch(batch, "o_orderkey", state, deltas.append)
+    final = deltas[0].unionByName(deltas[1])
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
 # ----------------------------------------------------------- dedup (LLM ops)
 
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,7 +664,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, ngram=3, threshold=0.1)
+    return DD.ngram_jaccard_pairs(docs, ngram=3, threshold=0.1, max_df=1000)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,6 +825,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semi_join": q_semi_join,
     "t_window_hourly": t_window_hourly,
     "t_stream_window_hourly": t_stream_window_hourly,
+    "t_incremental_replay": t_incremental_replay,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

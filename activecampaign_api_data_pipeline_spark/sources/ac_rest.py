@@ -55,10 +55,10 @@ from activecampaign_api_data_pipeline_spark.sources.rest_client import RestClien
 DEFAULT_FIELDS = "id,email,first_name,last_name,udate"
 
 
-def _client(options) -> RestClient:
+def _client(options, rate_override: float | None = None) -> RestClient:
     return RestClient(
         base_url=options["base_url"],
-        rate=float(options.get("rate", "4.0")),
+        rate=rate_override if rate_override is not None else float(options.get("rate", "4.0")),
         retries=int(options.get("retries", "6")),
         backoff=float(options.get("backoff", "0.5")),
         timeout=float(options.get("timeout", "60")),
@@ -73,6 +73,9 @@ def _fields(options) -> list[str]:
 class OffsetRange(InputPartition):
     start: int
     stop: int  # exclusive
+    #: per-partition share of a global rate budget; None → the per-client
+    #: ``rate`` option applies unchanged
+    rate: float | None = None
 
 
 class ACRestReader(DataSourceReader):
@@ -117,14 +120,27 @@ class ACRestReader(DataSourceReader):
         if total is None or total == 0:
             return [OffsetRange(0, 0)]
         step = self.page_limit * self.pages_per_partition
-        return [OffsetRange(s, min(s + step, total)) for s in range(0, total, step)]
+        parts = [OffsetRange(s, min(s + step, total)) for s in range(0, total, step)]
+        # global rate budget (T4): split across partitions so the aggregate
+        # stays under the cap even if every partition runs concurrently.
+        # "concurrency" may cap the divisor when the caller KNOWS the
+        # cluster runs at most that many of these tasks at once.
+        g = self.options.get("global_rate")
+        if g is not None:
+            k = len(parts)
+            conc = self.options.get("concurrency")
+            if conc is not None:
+                k = min(k, int(conc))
+            share = float(g) / max(1, k)
+            parts = [OffsetRange(p.start, p.stop, share) for p in parts]
+        return parts
 
     # ---------------------------------------------------------------- read
 
     def read(self, partition: OffsetRange):
         if partition.stop <= partition.start:
             return
-        client = _client(self.options)
+        client = _client(self.options, rate_override=partition.rate)
         rows = client.paged(
             f"api/3/{self.endpoint}",
             collection=self.endpoint,

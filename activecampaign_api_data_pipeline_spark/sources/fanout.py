@@ -32,9 +32,14 @@ def fetch_children(
     parent_col: str = "contact_id",
     rate: float = 4.0,
     page_limit: int = 100,
-    n_partitions: int | None = None,
+    n_partitions: int = 4,
 ) -> DataFrame:
     """Fetch ``endpoint_template.format(id=...)`` for every parent id.
+
+    ``rate`` is the GLOBAL request budget in req/s (the reference stays
+    under the API's 5 req/s cap with ~4 req/s TOTAL, :42); each of the
+    ``n_partitions`` concurrent partition clients gets ``rate /
+    n_partitions`` so the aggregate rate respects the budget.
 
     Returns a DataFrame with ``fields`` (all strings) plus ``parent_col``.
     404s yield no rows (the reference's tolerance for missing child
@@ -47,11 +52,12 @@ def fetch_children(
         + [StructField(parent_col, StringType())]
     )
     out_fields = fields  # closure-captured
+    per_partition_rate = rate / max(1, n_partitions)
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from activecampaign_api_data_pipeline_spark.sources.rest_client import RestClient
 
-        client = RestClient(base_url, rate=rate)
+        client = RestClient(base_url, rate=per_partition_rate)
         for pdf in batches:
             rows_out: list[dict] = []
             for pid in pdf[id_col].astype(str):
@@ -69,7 +75,5 @@ def fetch_children(
                     rows_out.append(rec)
             yield pd.DataFrame(rows_out, columns=out_fields + [parent_col])
 
-    src = ids.select(id_col).distinct()
-    if n_partitions:
-        src = src.repartition(n_partitions)
+    src = ids.select(id_col).distinct().repartition(n_partitions)
     return src.mapInPandas(_fetch, out_schema)

@@ -45,6 +45,10 @@ HEADLINE = [
     "text_lang_id",
     "text_quality",
     "text_winnowing",
+    # added round 2 (join-plan regression sentinels); the r1 prefix above
+    # is FROZEN so per-query trends stay apples-to-apples across rounds
+    "q_semi_join",
+    "q_anti_join",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -22,6 +23,7 @@ class MockAC:
         self.children: dict[str, dict[str, list[dict]]] = {}  # child -> parent_id -> rows
         self.fail_first: dict[str, list[int]] = {}  # path -> stack of status codes
         self.request_log: list[str] = []
+        self.request_times: list[float] = []  # monotonic stamp per request
         self._server: ThreadingHTTPServer | None = None
 
     # ----------------------------------------------------------- lifecycle
@@ -35,6 +37,7 @@ class MockAC:
 
             def do_GET(self):
                 mock.request_log.append(self.path)
+                mock.request_times.append(time.monotonic())
                 parsed = urllib.parse.urlparse(self.path)
                 params = {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
                 parts = [p for p in parsed.path.split("/") if p]

@@ -51,12 +51,20 @@ def _seed_mock(m: MockAC) -> None:
     m.collections["tags"] = [{"id": 21, "tag": "vip"}, {"id": 22, "tag": "beta"}]
     m.collections["lists"] = [{"id": 31, "name": "Newsletter"}]
     m.collections["users"] = [{"id": 41, "firstName": "Ops", "lastName": "Bot", "email": "ops@x.com"}]
+    # the 5 CRM-extra dims (reference :387-403)
+    m.collections["fields"] = [{"id": 61, "title": "Phone", "type": "text"}]
+    m.collections["dealGroups"] = [{"id": "g1", "title": "Sales"}]
+    m.collections["dealStages"] = [{"id": "s1", "title": "Negotiation"}]
+    m.collections["accounts"] = [{"id": 91, "name": "Acme Corp"}]
+    m.collections["scores"] = [{"id": 81, "name": "Engagement"}]
     m.children["activities"] = {
         "1": [
             {"id": "a1", "tstamp": "2020-02-01 10:00:00", "reference_type": "open", "description": "opened welcome"},
             {"id": "a2", "tstamp": "2020-02-02 11:00:00", "reference_type": "click", "description": "clicked link"},
         ],
-        "3": [{"id": "a3", "tstamp": "2020-02-03 09:00:00", "reference_type": "open", "description": "opened digest"}],
+        # a3 carries the acting user -> "(Ops Bot)" suffix in its line
+        "3": [{"id": "a3", "tstamp": "2020-02-03 09:00:00", "reference_type": "open",
+               "description": "opened digest", "user": "41"}],
     }
     m.children["contactNotes"] = {
         "1": [{"id": "n1", "cdate": "2020-02-05 08:00:00", "note": "called back"}],
@@ -81,11 +89,28 @@ def _seed_mock(m: MockAC) -> None:
              "seriesid": "9", "status": "9"},
         ],
     }
+    # single-page contactData blob (reference :653-666)
+    m.children["contactData"] = {
+        "1": [{"id": "cd1", "created_timestamp": "2020-01-01 00:00:00",
+               "updated_timestamp": "2020-02-01 00:00:00", "geoCountry2": "AR",
+               "geoCity": "Buenos Aires", "geoIp4": "1.2.3.4"}],
+    }
+    # automationEntryCounts with BOTH label maps (reference :768-787)
+    m.children["automationEntryCounts"] = {
+        "3": [{"id": "5", "name": "Onboarding", "entered": "2", "status": "1", "hidden": "0"}],
+    }
+    # account link + score value -> name-enriched via accounts/scores dims
+    m.children["accountContacts"] = {
+        "1": [{"id": "ac1", "cdate": "2020-02-16 09:00:00", "account": "91"}],
+    }
+    m.children["scoreValues"] = {
+        "1": [{"id": "sv1", "tstamp": "2020-02-17 09:00:00", "score": "81", "scoreValue": "42"}],
+    }
     # remaining child endpoints are absent -> 404-tolerant empty tables
-    # two-level deals bundle: deals per contact, notes/tasks per deal
+    # two-level deals bundle: deals per contact, notes/tasks/activities per deal
     m.children["deals"] = {
-        "1": [{"id": "d1", "title": "Big Deal", "stage": "open", "mdate": "2020-02-10 00:00:00"}],
-        "3": [{"id": "d2", "title": "Small Deal", "stage": "won", "mdate": "2020-02-11 00:00:00"}],
+        "1": [{"id": "d1", "title": "Big Deal", "stage": "open", "group": "g1", "mdate": "2020-02-10 00:00:00"}],
+        "3": [{"id": "d2", "title": "Small Deal", "stage": "won", "group": "", "mdate": "2020-02-11 00:00:00"}],
     }
     m.children["dealNotes"] = {
         "d1": [{"id": "dn1", "cdate": "2020-02-12 09:00:00", "note": "negotiating price"}],
@@ -93,6 +118,10 @@ def _seed_mock(m: MockAC) -> None:
     m.children["dealTasks"] = {
         "d2": [{"id": "dt1", "udate": "2020-02-13 10:00:00", "title": "send contract",
                 "duedate": "2020-02-20"}],
+    }
+    m.children["dealActivities"] = {
+        "d1": [{"id": "da1", "cdate": "2020-02-14 09:00:00", "d_stageid": "s1",
+                "d_groupid": "g1", "dataAction": "moved", "userid": "41"}],
     }
 
 
@@ -143,6 +172,12 @@ def test_pipeline_end_to_end_golden(spark, mock, cfg):
         "2020-02-08 10:00:00 — email_click — Email: click: Deal inside",
         "2020-02-09 10:00:00 — email_open — Email: open: Odd",
         "2020-02-12 09:00:00 — deal_note — Nota de deal: negotiating price",
+        # dealActivities: deal title + stage NAME (dealStages dim) + user
+        "2020-02-14 09:00:00 — deal_activity — Deal: Big Deal: stage=Negotiation action=moved (Ops Bot)",
+        # accountContacts: account id 91 rendered as its NAME (accounts dim)
+        "2020-02-16 09:00:00 — account_link — Cuenta: Acme Corp",
+        # scoreValues: score NAME prefix (scores dim) + value
+        "2020-02-17 09:00:00 — score_change — Score: Engagement: 42",
     ]
 
     # campaign -> message -> automation chains (J1/J5/F6)
@@ -159,26 +194,60 @@ def test_pipeline_end_to_end_golden(spark, mock, cfg):
     assert d["2"]["contact_name"] is None or d["2"]["contact_name"] == ""  # no name, no email
     assert d["3"]["lists"] == "Newsletter"
     assert "opened digest" in d["3"]["digest"]
+    # user name rendered on the acting user's activity (user_name_map)
+    assert "opened digest (Ops Bot)" in d["3"]["digest"]
+    # automations rollup: dim-resolved names, sorted distinct
+    assert d["3"]["automations"] == "Onboarding, Winback"
 
     # gold layer: one row per (id, contact_id) key
     acts = store.read("gold", "activities")
     assert acts.count() == 3
 
+    # contactData persisted (single-page child, reference :653-666)
+    assert res["children"]["contactData"] == 1
+    cd = store.read_best("contactData").collect()
+    assert len(cd) == 1 and cd[0]["contact_id"] == "1" and cd[0]["geoCountry2"] == "AR"
+
+    # automationEntryCounts: BOTH label maps + dim name (reference :768-787)
+    assert res["children"]["automationEntryCounts"] == 1
+    aec = store.read_best("automationEntryCounts").collect()
+    assert len(aec) == 1 and aec[0]["contact_id"] == "3"
+    assert aec[0]["status_label"] == "Active" and aec[0]["hidden_label"] == "No"
+    assert aec[0]["automation_name_dim"] == "Onboarding"
+
     # two-level deals bundle (S5): deal children reached via fetched deal
     # ids, contact attribution and deal-title enrichment intact
     assert res["children"]["deals"] == 2
     assert res["children"]["dealNotes"] == 1 and res["children"]["dealTasks"] == 1
+    assert res["children"]["dealActivities"] == 1
     dn = chatter.filter("event_type = 'deal_note'").collect()
     assert len(dn) == 1 and dn[0]["contact_id"] == "1"
     assert dn[0]["deal_title"] == "Big Deal" and dn[0]["detail"] == "negotiating price"
     dt = chatter.filter("event_type = 'deal_task'").collect()
     assert dt[0]["contact_id"] == "3" and dt[0]["deal_title"] == "Small Deal"
+    da = chatter.filter("event_type = 'deal_activity'").collect()
+    assert len(da) == 1 and da[0]["contact_id"] == "1"
+    assert da[0]["deal_stage_name"] == "Negotiation"  # stage id -> NAME
+    assert da[0]["pipeline_name"] == "Sales"  # dealGroups id -> NAME
+    assert da[0]["user_name"] == "Ops Bot"
     assert "negotiating price" in d["1"]["digest"]
 
-    # P5 code→label with pass-through (contactAutomations status)
+    # P5 code→label with pass-through (contactAutomations status); the
+    # automation NAME renders in the title (aut_name_map)
     ca = {r["source_row_id"]: r["detail"]
           for r in chatter.filter("event_type = 'automation_run'").collect()}
     assert ca == {"ca1": "Active", "ca2": "9"}
+    ca_titles = {r["source_row_id"]: r["title"]
+                 for r in chatter.filter("event_type = 'automation_run'").collect()}
+    assert ca_titles == {"ca1": "Automatización: Onboarding", "ca2": "Automatización: Winback"}
+
+    # K4: one txt partition per contact with a non-empty digest
+    import os
+    txt_dirs = sorted(
+        p for p in os.listdir(f"{cfg.lake_root}/mart/contact_digest_txt")
+        if p.startswith("contact_id=")
+    )
+    assert txt_dirs == ["contact_id=1", "contact_id=3"]
 
 
 def test_pipeline_idempotent_and_incremental(spark, mock, cfg):
@@ -206,7 +275,7 @@ def test_pipeline_idempotent_and_incremental(spark, mock, cfg):
     chatter = spark.read.parquet(f"{cfg.lake_root}/mart/chatter_master")
     assert chatter.filter("contact_id = '4'").count() == 1
     # old contacts' history still present in the rebuilt mart
-    assert chatter.filter("contact_id = '1'").count() == 9
+    assert chatter.filter("contact_id = '1'").count() == 12
 
 
 def test_dim_ttl_cache_not_refetched(spark, mock, cfg):

@@ -205,6 +205,60 @@ def test_fetch_children_fanout(registered, mock):
     assert by_parent["1000"] == "1"  # contact 1's single activity (j=0)
 
 
+def test_fetch_children_respects_global_rate_budget(registered):
+    """T4: ``rate`` is the GLOBAL budget — the per-partition clients each get
+    rate/n_partitions, so the aggregate request rate stays under the cap
+    (reference stays under AC's 5 req/s with 4 req/s TOTAL, :42)."""
+    m = MockAC()
+    n = 32
+    m.children["activities"] = {
+        str(i): [{"id": f"x{i}", "tstamp": "2020-01-01", "reference_type": "note"}]
+        for i in range(1, n + 1)
+    }
+    url = m.start()
+    try:
+        ids = registered.createDataFrame(
+            [(str(i),) for i in range(1, n + 1)], "contact_id string"
+        )
+        out = fetch_children(
+            ids,
+            base_url=url,
+            endpoint_template="api/3/contacts/{id}/activities",
+            collection="activities",
+            fields=["id", "tstamp", "reference_type"],
+            rate=40.0,  # global budget; 4 partitions -> 10 req/s each
+            n_partitions=4,
+        )
+        assert out.count() == n
+        assert len(m.request_times) == n  # one page per contact
+        elapsed = max(m.request_times) - min(m.request_times)
+        # each partition: 8 requests at 10 req/s with burst 4 -> >=0.4 s of
+        # throttled tail; undivided clients (40 req/s each) would finish the
+        # tail in ~0.1 s. 0.3 s threshold proves the division happened.
+        assert elapsed >= 0.3, f"aggregate rate exceeded budget: {n} reqs in {elapsed:.2f}s"
+    finally:
+        m.stop()
+
+
+def test_ac_rest_global_rate_split_across_partitions(registered, mock):
+    """The batch reader's global_rate option divides the budget across the
+    offset-range partitions it plans."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from activecampaign_api_data_pipeline_spark.sources.ac_rest import ACRestReader
+
+    _, url = mock
+    schema = StructType([StructField("id", StringType())])
+    reader = ACRestReader(
+        schema,
+        {"base_url": url, "endpoint": "contacts", "page_limit": "20",
+         "pages_per_partition": "2", "rate": "10000", "global_rate": "8"},
+    )
+    parts = reader.partitions()
+    assert len(parts) == 4  # ceil(137 / 40)
+    assert all(p.rate == 2.0 for p in parts)  # 8 req/s budget / 4 partitions
+
+
 def test_fetch_children_404_tolerant(registered, mock):
     _, url = mock
     ids = registered.createDataFrame([("1",), ("2",)], "contact_id string")

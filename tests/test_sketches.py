@@ -39,6 +39,24 @@ def test_ngram_jaccard_pairs(docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_ngram_jaccard_max_df_cuts_hot_shingles(spark):
+    """A stop-shingle shared by k docs would emit k² join rows; max_df
+    anti-joins it out first, bounding the posting-list self-join. Docs that
+    only overlap on hot shingles must produce no pair."""
+    n = 30
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps word{i} extra{i} more{i} tail{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    # without the cap: all C(30,2) pairs share the 3 hot prefix shingles
+    uncapped = DD.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, max_df=None)
+    assert uncapped.count() == n * (n - 1) // 2
+    # cap at df<=10: the prefix shingles (df=30) are cut from intersections
+    # AND set sizes -> the only-hot-overlap pairs disappear entirely
+    capped = DD.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, max_df=10)
+    assert capped.count() == 0
+
+
 def test_simhash_exact_dup_distance_zero(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in DD.simhash_pairs(docs).collect()}
     assert pairs.get((1, 4)) == 0
@@ -121,3 +139,44 @@ def test_ivf_topk_subset_of_exact(spark):
     # recall<=1 by design, but queries must all be answered
     assert {r["query_id"] for r in approx_rows} == set(range(5))
     assert len(exact_pairs) == 25
+
+
+def test_ivf_kmeans_recall_not_worse_than_seeds(spark):
+    """k-means centroids (2 Lloyd rounds) must not lose recall-vs-brute
+    against the raw first-N seeds (n_iters=0, the round-1 scheme).
+    Measured on the real embeddings table with 50 queries — small query
+    sets are too noisy to compare quantizers (measured at sf0.01:
+    seeds 55/150, k-means 62/150 at nprobe=1)."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        _pytest.skip("driver testdata not present")
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb, k=3, max_query_id=50).collect()}
+    kmeans = {(r["query_id"], r["neighbor_id"])
+              for r in SIM.ivf_topk(emb, n_centroids=8, k=3, max_query_id=50, n_iters=2).collect()}
+    seeds = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.ivf_topk(emb, n_centroids=8, k=3, max_query_id=50, n_iters=0).collect()}
+    assert len(kmeans & exact) >= len(seeds & exact)
+
+
+def test_ivf_topk_none_means_all_queries(spark):
+    """max_query_id=None mirrors cosine_topk's 'all queries' instead of a
+    silent-empty `col < NULL` filter."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # nprobe=1: vector 2 sits alone in its cell -> legitimately no
+    # neighbors; the other three must all be answered (not silently empty)
+    out = SIM.ivf_topk(emb, n_centroids=2, k=2, max_query_id=None, n_iters=1).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 3}
+    # nprobe=2 probes the second cell too -> every vector is a query
+    out2 = SIM.ivf_topk(emb, n_centroids=2, k=2, max_query_id=None, nprobe=2, n_iters=1).collect()
+    assert {r["query_id"] for r in out2} == {0, 1, 2, 3}
