@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from activecampaign_api_data_pipeline_spark.functions.text import LANG_MARKERS, STOPWORDS_EN
 from activecampaign_api_data_pipeline_spark.operators.dedup import MINHASH_P, minhash_perm_params
+from activecampaign_api_data_pipeline_spark.operators.similarity import srp_planes
 
 TS = "strftime(ts, '%Y-%m-%d %H:%M:%S')"
 DEC = "CAST({c} AS DECIMAL(18,2))"
@@ -131,6 +132,60 @@ def _ivf_sql(
 WITH {ctes}
 SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
 FROM r WHERE rk <= {k}
+"""
+
+
+def _srp_sql(
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    n_bands: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    plant_below: int | None = 50,
+) -> str:
+    """SRP-LSH near-dup twin of operators.similarity.srp_neardup_pairs,
+    gating on the IDENTICAL ±1 hyperplanes (srp_planes is shared). Dot
+    products use the same sequential list fold as _cos, so the sign bits
+    — and therefore the candidate set — match Spark bit-for-bit.
+    ``plant_below``: mirror queries.sim_srp_neardup's planted near-dups
+    (id+100000, every other component × 1.001)."""
+    planes = srp_planes(n_bits * n_bands, dim, seed)
+    plane_rows = ", ".join(
+        f"({p}, {j + 1}, {planes[p][j]})" for p in range(len(planes)) for j in range(dim)
+    )
+    if plant_below is not None:
+        e_cte = f"""base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(generate_series(1, len(v)), i -> v[i] * (1.0 + 0.001 * ((i - 1) % 2))) AS v
+  FROM base WHERE vec_id < {plant_below}
+)"""
+    else:
+        e_cte = "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+    # planes as a relation + vectorized join/group-sum (per-row inline list
+    # dots are ~10 s in DuckDB at sf0.01; this form is sub-second)
+    return f"""
+WITH {e_cte},
+planes(p, j, w) AS (VALUES {plane_rows}),
+px AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS j, unnest(v) AS x FROM e),
+dots AS (SELECT vec_id, p, sum(x * w) AS d FROM px JOIN planes USING (j) GROUP BY vec_id, p),
+banded AS (
+  SELECT vec_id, p // {n_bits} AS band,
+         CAST(sum(CASE WHEN d >= 0 THEN (1 << (p % {n_bits})) ELSE 0 END) AS INTEGER) AS code
+  FROM dots GROUP BY vec_id, p // {n_bits}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.code = r.code AND l.vec_id < r.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b, {_cos('a.v', 'b.v')} AS cos
+  FROM cand JOIN e a ON cand.id_a = a.vec_id JOIN e b ON cand.id_b = b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
 """
 
 
@@ -653,6 +708,10 @@ FROM r WHERE rk <= 5
 
     o["sim_ivf_topk"] = _ivf_sql(n_centroids=8, k=3, max_query_id=10, nprobe=1, n_iters=2)
     o["sim_ivf_nprobe2"] = _ivf_sql(n_centroids=8, k=3, max_query_id=10, nprobe=2, n_iters=2)
+
+    o["sim_srp_neardup"] = _srp_sql(
+        threshold=0.9, n_bits=8, n_bands=8, dim=64, seed=7, plant_below=50
+    )
 
     o["sim_embedding_neardup"] = f"""
 {emb},

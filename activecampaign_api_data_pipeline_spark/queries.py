@@ -695,6 +695,33 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
 
 
+def sim_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH-gated near-dup pairs — the 100 TB path: candidates only from
+    shared (band, sign-code) buckets, exact cosine verify confined to them.
+
+    The corpus's natural pairs top out below cos 0.7, so true near-dups
+    (cos ≥ 0.9, the dedup regime where SRP gates ~250×: ~0.4 % random-pair
+    noise at 8 bits × 8 bands) are PLANTED deterministically: each vector
+    with id < 50 gets a copy at id+100000 with every other component
+    scaled by 1.001 (cos ≈ 1). Both engines build the identical union, so
+    the gate + verify match bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.001) * (i % 2).cast("double")),
+        ).alias("embedding"),
+    )
+    return SIM.srp_neardup_pairs(
+        base.unionByName(pert), threshold=0.9, n_bits=8, n_bands=8, dim=64, seed=7
+    )
+
+
 # ------------------------------------------------------- multimodal (LLM ops)
 
 def _media_from_docs(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
@@ -834,6 +861,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_nprobe2": sim_ivf_nprobe2,
     "sim_embedding_neardup": sim_embedding_neardup,
+    "sim_srp_neardup": sim_srp_neardup,
     "mm_frame_sample": mm_frame_sample,
     "mm_image_features": mm_image_features,
     "text_quality": text_quality,

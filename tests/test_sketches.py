@@ -113,6 +113,29 @@ def test_embedding_neardup_matches_bruteforce(spark):
         assert abs(got[k] - v) < 1e-5
 
 
+def test_srp_neardup_gates_and_finds_planted_pairs(spark):
+    """SRP-LSH gating: planted near-dups (cos≈1) survive the 8×8 gate and
+    verify with the exact cosine; unrelated random vectors do not pair."""
+    import random
+
+    rng = random.Random(11)
+    dim = 32
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    # plant 10 near-dups: tiny relative perturbation of vectors 0..9
+    for i in range(10):
+        rows.append((100 + i, [x * (1.0 + 0.001 * (j % 2)) for j, x in enumerate(rows[i][1])]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in SIM.srp_neardup_pairs(emb, threshold=0.9, n_bits=8, n_bands=8, dim=dim).collect()}
+    planted = {(i, 100 + i) for i in range(10)}
+    found = planted & set(got)
+    assert len(found) >= 8  # gate recall at cos≈1 is ~1; allow rare flips
+    assert all(got[p] > 0.999 for p in found)
+    # no spurious pairs among the 60 random vectors (cos ≥ 0.9 would be
+    # astronomically unlikely at dim 32)
+    assert all(a in range(10) and b == a + 100 for a, b in got)
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
