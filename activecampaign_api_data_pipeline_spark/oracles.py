@@ -282,6 +282,48 @@ SELECT doc_id, lang, cand AS lang_pred FROM (
 """
 
 
+def _corpus_prep_sql() -> str:
+    """Composed twin of queries.llm_corpus_prep: lang-id gate + token-count
+    gate + fingerprint dedup (keep lowest doc_id), sharing the lang-id
+    branch generation and the fingerprint normalization with their
+    standalone oracles."""
+    branches = []
+    for i, lg in enumerate(sorted(LANG_MARKERS)):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        branches.append(
+            f"SELECT doc_id, '{lg}' AS cand, {i} AS ord, "
+            f"len(list_filter(toks, x -> x IN ({markers}))) AS score FROM t"
+        )
+    scores = "\n  UNION ALL ".join(branches)
+    fp = r"md5(regexp_replace(regexp_replace(lower(trim(text)), '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+  FROM documents
+),
+s AS (
+  {scores}
+),
+pred AS (
+  SELECT doc_id, cand AS lang_pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord ASC) AS rn FROM s
+  ) WHERE rn = 1
+),
+g AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS INTEGER) AS n_tokens,
+         {fp} AS fp
+  FROM documents d JOIN pred p USING (doc_id)
+  WHERE p.lang_pred = 'en'
+    AND len(regexp_split_to_array(trim(d.text), '\\s+')) >= 5
+)
+SELECT doc_id, n_tokens, fp FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM g
+) WHERE rn = 1
+"""
+
+
 def build_oracles() -> dict[str, str]:
     dec_ep = DEC.format(c="l_extendedprice")
     dec_di = DEC.format(c="l_discount")
@@ -750,6 +792,21 @@ SELECT media_id, CAST(bin AS INTEGER) AS bin,
 FROM v GROUP BY media_id, bin, np
 """
 
+    # mirrors audio_window_energy(window_ms=25): 200-sample windows of
+    # unsigned-8-bit PCM, rms = sqrt(mean(((byte-128)/128)^2)); ord() ==
+    # byte value on the pure-ASCII corpus
+    o["mm_audio_energy"] = """
+WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+w AS (SELECT media_id, text, n // 200 AS n_win FROM m WHERE n // 200 >= 1),
+i AS (SELECT media_id, text, unnest(generate_series(0, n_win - 1)) AS widx FROM w),
+s AS (SELECT media_id, widx, text, unnest(generate_series(1, 200)) AS k FROM i),
+v AS (SELECT media_id, widx,
+             (ord(substr(text, CAST(widx * 200 + k AS INTEGER), 1)) - 128.0) / 128.0 AS x
+      FROM s)
+SELECT media_id, CAST(widx AS INTEGER) AS window_idx, round(sqrt(avg(x * x)), 6) AS rms
+FROM v GROUP BY media_id, widx
+"""
+
     o["text_quality"] = f"""
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
@@ -772,6 +829,8 @@ FROM t
 """
 
     o["text_lang_id"] = _lang_id_sql()
+
+    o["llm_corpus_prep"] = _corpus_prep_sql()
 
     o["text_winnowing"] = f"""
 WITH n AS (

@@ -772,6 +772,19 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window RMS energy over (stub-)PCM audio — one row per 25 ms
+    window at meta.sample_rate 8000 (200 samples); decode stubbed as
+    unsigned-8-bit PCM of the payload bytes, windowing/energy real."""
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+
+    media = _media_from_docs(spark, sf_dir, "audio")
+    en = audio_window_energy(media, window_ms=25)
+    return en.select("media_id", "window_idx", F.round("rms", 6).alias("rms"))
+
+
 # --------------------------------------------------------- text (LLM ops)
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,6 +828,31 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.token_count(F.col("text")).alias("ws_tokens"),
         TX.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM preprocessing chain COMPOSED end-to-end: language
+    gate (n-gram lang-id == 'en') → quality gate (token count ≥ 5) →
+    exact-dup removal (content fingerprint, keep the lowest doc_id as the
+    canonical copy). One expression pipeline + one window shuffle on the
+    fingerprint — the 100 TB shape of a corpus-prep job.
+    """
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    gated = scored.filter((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 5))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", "fp")
     )
 
 
@@ -864,8 +902,10 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_srp_neardup": sim_srp_neardup,
     "mm_frame_sample": mm_frame_sample,
     "mm_image_features": mm_image_features,
+    "mm_audio_energy": mm_audio_energy,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
+    "llm_corpus_prep": llm_corpus_prep,
     "text_winnowing": text_winnowing,
 }
