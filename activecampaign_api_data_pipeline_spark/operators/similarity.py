@@ -174,7 +174,11 @@ def ivf_topk(
     design — the exact counterpart is :func:`cosine_topk`.
     """
     cents = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
-    cells = _assign(emb, cents, id_col, vec_col)
+    # materialize the assignment ONCE: it feeds both the query side and the
+    # collection side of the cell join, and Spark does not reuse exchanges
+    # across their differing projections — without the persist the whole
+    # k-means lineage (2 Lloyd passes over the data) executes twice.
+    cells = _assign(emb, cents, id_col, vec_col).persist()
     # max_query_id=None means "all vectors are queries" (mirrors cosine_topk;
     # a raw `col < None` would silently filter everything to empty)
     qfilter = F.lit(True) if max_query_id is None else F.col(id_col) < max_query_id

@@ -628,7 +628,10 @@ def build_ac_chatter(
             F.col("stage").alias("deal_stage"),
             *([F.col("group").alias("_deal_group")] if "group" in deals_tbl.columns else []),
         ).dropDuplicates(["deal_id"])
-        capped = capped.join(F.broadcast(dl), "deal_id", "left")
+        # no broadcast hint: deals is a FACT table (unbounded at scale);
+        # Catalyst auto-broadcasts under the threshold, AQE picks a
+        # shuffle join above it
+        capped = capped.join(dl, "deal_id", "left")
     for c in ("deal_title", "deal_stage", "_deal_group"):
         if c not in capped.columns:
             capped = capped.withColumn(c, F.lit(None).cast("string"))
@@ -728,7 +731,10 @@ def build_ac_chatter(
         "contact_id", "email",
         full_name(F.col("first_name"), F.col("last_name"), F.col("email")).alias("contact_name"),
     )
-    enriched = capped.join(F.broadcast(contacts), "contact_id", "left")
+    # contacts is fact-sized (every contact ever seen) — no broadcast hint;
+    # the events side is already capped per contact, so the shuffle join is
+    # bounded and AQE/auto-broadcast handles the small case
+    enriched = capped.join(contacts, "contact_id", "left")
 
     # chatter line with the acting user appended, reference ``who_txt``
     # (:1415-1417): "<title>[: <detail>] (<user>)"

@@ -45,10 +45,12 @@ HEADLINE = [
     "text_lang_id",
     "text_quality",
     "text_winnowing",
-    # added round 2 (join-plan regression sentinels); the r1 prefix above
-    # is FROZEN so per-query trends stay apples-to-apples across rounds
+    # added round 2 (join-plan regression sentinels + new LLM ops); the r1
+    # prefix above is FROZEN so per-query trends stay apples-to-apples
     "q_semi_join",
     "q_anti_join",
+    "mm_audio_energy",
+    "llm_corpus_prep",
 ]
 
 

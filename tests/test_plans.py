@@ -53,3 +53,28 @@ def test_pandas_paths_are_arrow_batched(spark):
 def test_semi_anti_joins_planned_as_such(spark):
     assert "LeftSemi" in _plan(spark, "q_semi_join")
     assert "LeftAnti" in _plan(spark, "q_anti_join")
+
+
+def test_srp_neardup_stays_jvm_side(spark):
+    # sign-bit signatures are expression work against a broadcast planes
+    # dim; the gate is a bucket equi-join — no Python anywhere
+    p = _plan(spark, "sim_srp_neardup")
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # planes dim
+
+
+def test_corpus_prep_single_shuffle_no_joins(spark):
+    # lang gate + quality gate + fingerprint dedup compose into pure
+    # expressions plus ONE window (rank=1 -> WindowGroupLimit pushdown)
+    p = _plan(spark, "llm_corpus_prep")
+    assert "EvalPython" not in p
+    assert "WindowGroupLimit" in p
+    assert "Join" not in p
+
+
+def test_ivf_assignment_materialized_once(spark):
+    # the cell assignment feeds both sides of the search join; the persist
+    # makes the second consumer an InMemoryTableScan instead of re-running
+    # the whole k-means lineage
+    p = _plan(spark, "sim_ivf_topk")
+    assert "InMemoryTableScan" in p
