@@ -322,3 +322,88 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def neardup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters and elect one canonical doc each.
+
+    The missing last step of every dedup pipeline: pair detectors (MinHash,
+    SimHash, embedding gates) emit edges; the corpus needs connected
+    components over those edges, then keep exactly one doc (min id) per
+    component. The reference has no dedup at all; this is the
+    train-data-pipeline extension (SURVEY §2 north-star).
+
+    Distributed algorithm: iterative min-label propagation —
+    ``label(x) <- min(label(x), min over neighbors(label))`` — which
+    converges in graph-DIAMETER rounds. Near-dup components are dense and
+    shallow (a burst of copies of one source doc), so the diameter is
+    almost always <= 3; ``max_iters`` is a safety bound. Each round is one
+    shuffle of the (node, label) frame — tiny relative to the corpus, since
+    only docs that appear in a pair participate. Convergence is detected
+    with a single scalar count per round (bounded driver traffic). For
+    adversarially long chain graphs, swap the loop body for two-phase
+    large-star/small-star contraction (O(log n) rounds, same join/agg
+    primitives); the output contract is identical.
+
+    Returns ``(doc_id, canonical_id, is_kept)`` over ALL docs: docs in no
+    pair are their own canonical (kept); within a component only the min
+    id has ``is_kept = 1``.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # each round's labels frame is checkpointed to TRUNCATE LINEAGE: labels
+    # feeds two branches per round, so without truncation the logical plan
+    # doubles every iteration (2^k nodes — the driver, not the executors,
+    # dies first). localCheckpoint here; a reliable checkpoint dir on a real
+    # cluster (survives executor loss).
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr, F.col("l.node") == nbr["src"], "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(F.col("l.label"), F.coalesce("nbr_label", F.col("l.label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        improved = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if improved == 0:
+            break
+    canon = labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
+    return (
+        docs.select(id_col)
+        .join(canon, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_kept", (F.col(id_col) == F.col("canonical_id")).cast("int"))
+    )

@@ -706,6 +706,40 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+    # session_window batch twin: gaps-and-islands. A new session starts when
+    # the gap to the previous event is >= 30 min (Spark merges event windows
+    # [ts, ts+gap) on OVERLAP, so an exact-gap successor does NOT merge);
+    # session end = last event + gap. Tie order within equal ts is
+    # irrelevant: a 0 gap never opens an island.
+    o["t_sessionize"] = """
+WITH l AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+    o["a_cube_events"] = """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(d, '<all>') AS d,
+       CAST(GROUPING(event_type, d) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, value FROM events)
+GROUP BY CUBE (event_type, d)
+"""
+
     o["dedup_exact_fingerprint"] = r"""
 SELECT doc_id,
        md5(regexp_replace(regexp_replace(lower(trim(text)), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
@@ -713,6 +747,27 @@ FROM documents
 """
 
     o["dedup_minhash_lsh"] = _minhash_sql(num_perm=32, bands=8, threshold=0.5)
+
+    # pairs -> exact transitive closure (recursive CTE) -> min-id canonical;
+    # the Spark side reaches the same fixpoint by min-label propagation
+    o["dedup_cluster_canonical"] = f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(num_perm=32, bands=8, threshold=0.5)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+),
+canon AS (SELECT u AS doc_id, min(v) AS canonical_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+       CAST(coalesce(c.canonical_id, d.doc_id) = d.doc_id AS INTEGER) AS is_kept
+FROM documents d LEFT JOIN canon c USING (doc_id)
+"""
 
     # mirrors ngram_jaccard_pairs(max_df=1000): hot shingles (df > 1000)
     # are cut BEFORE the pairwise join, from intersections AND set sizes

@@ -190,6 +190,29 @@ def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over (event_type, day) — all four grouping sets in
+    one pass (partial-agg friendly; no reference counterpart, free in
+    Spark/ANSI SQL)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("d", F.date_format("ts", DATE_FMT))
+        .cube("event_type", "d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("d", F.lit("<all>")).alias("d"),
+            "gid",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def w_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum / lag / lead / rank per user over event time (§2.5 extension)."""
     from pyspark.sql import Window
@@ -650,6 +673,20 @@ def t_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, batch twin: the SAME ``session_rollup`` operator
+    used on streams (``streaming/incremental.py``) run over the static
+    events table — ``withWatermark`` is a no-op in batch, so this
+    oracle-checks the session-merge semantics (events within a 30-min gap
+    fuse; window end = last event + gap) that the streaming path relies
+    on. Oracle = gaps-and-islands SQL (lag >= gap starts a new island).
+    """
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import session_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return session_rollup(ev, ts_col="ts", gap="30 minutes", key_col="user_id")
+
+
 # ----------------------------------------------------------- dedup (LLM ops)
 
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,6 +707,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs, max_hamming=3)
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> connected components -> one canonical doc per cluster.
+
+    Composes the MinHash+LSH detector with iterative min-label
+    propagation; the oracle recomputes the same pairs in SQL and closes
+    them with a recursive CTE (exact transitive closure), so any
+    mis-merged or unmerged component breaks the hash.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, num_perm=32, bands=8, ngram=3, jaccard_threshold=0.5)
+    return DD.neardup_canonical(docs, pairs)
 
 
 # ------------------------------------------------------ similarity (LLM ops)
@@ -891,10 +941,13 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_window_hourly": t_window_hourly,
     "t_stream_window_hourly": t_stream_window_hourly,
     "t_incremental_replay": t_incremental_replay,
+    "t_sessionize": t_sessionize,
+    "a_cube_events": a_cube_events,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_nprobe2": sim_ivf_nprobe2,

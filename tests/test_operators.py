@@ -111,3 +111,33 @@ def test_approx_count_distinct_accuracy(spark):
     ).collect()[0]
     assert row["exact"] == 7919
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_neardup_canonical_chain_and_isolated(spark):
+    from activecampaign_api_data_pipeline_spark.operators.dedup import neardup_canonical
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 5-6, 7 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["is_kept"]) for r in
+           neardup_canonical(docs, pairs).collect()}
+    assert out == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 0),
+        5: (5, 1), 6: (5, 0),
+        7: (7, 1),
+    }
+
+
+def test_neardup_canonical_converges_under_iter_cap(spark):
+    from activecampaign_api_data_pipeline_spark.operators.dedup import neardup_canonical
+
+    # long chain exercises the convergence loop's early-exit correctness:
+    # with max_iters generous, the far end still collapses to min id
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    out = neardup_canonical(docs, pairs)
+    assert out.filter(F.col("canonical_id") == 0).count() == n
+    assert out.filter(F.col("is_kept") == 1).count() == 1
