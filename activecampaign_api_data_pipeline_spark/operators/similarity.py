@@ -378,3 +378,208 @@ def embedding_neardup_pairs(
         _block_pairs, "id_a long, id_b long, cos double"
     )
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Sequential double-precision squared-L2 distance of two arrays."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: per-subspace k-means, trained on all
+    ``m`` subspaces AT ONCE by carrying ``sub`` as a grouping column
+    (one shuffle per Lloyd round total, not per subspace).
+
+    Same determinism contract as :func:`kmeans_centroids`: seeds = the
+    first ``ksub`` vectors by id, L2 argmin assignment (ties -> lower
+    centroid id), element-wise means rounded to 6 decimals. Returns
+    ``(sub, cent_id, cv)`` with ``cv`` a ``dim/m``-length double array.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
+
+    dim = len(emb.select(vec_col).first()[0])
+    dsub = dim // m
+    sv = ensure_min_parallelism(emb).select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+    cents = sv.filter(F.col(id_col) < ksub).select(
+        "sub", F.col(id_col).alias("cent_id"), F.col("sv").alias("cv")
+    )
+    for _ in range(n_iters):
+        scored = sv.join(F.broadcast(cents), "sub").withColumn(
+            "d", _l2(F.col("sv"), F.col("cv"))
+        )
+        w = Window.partitionBy(id_col, "sub").orderBy(F.col("d").asc(), F.col("cent_id").asc())
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select(id_col, "sub", "sv", F.col("cent_id").alias("cell"))
+        )
+        px = assigned.select("sub", "cell", F.posexplode("sv"))
+        cm = px.groupBy("sub", "cell", "pos").agg(
+            F.round(F.avg("col"), 6).alias("mval")
+        )
+        cents = (
+            cm.groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s.getField("mval"),
+                ).alias("cv")
+            )
+            .select("sub", F.col("cell").alias("cent_id"), "cv")
+        )
+    return cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    cents: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook ids: ``(vec_id, sub, code)``.
+
+    This is the 100 TB artifact: ``m`` small ints per vector (~32x
+    smaller than the raw array), and the ONLY thing the search has to
+    scan. The raw embedding column never appears in the search plan.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
+
+    dim = len(emb.select(vec_col).first()[0])
+    dsub = dim // m
+    sv = ensure_min_parallelism(emb).select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+    scored = sv.join(F.broadcast(cents), "sub").withColumn("d", _l2(F.col("sv"), F.col("cv")))
+    w = Window.partitionBy(id_col, "sub").orderBy(F.col("d").asc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(id_col, "sub", F.col("cent_id").alias("code"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 10,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC).
+
+    The classic Jegou/Douze/Schmid scheme re-expressed as DataFrame ops:
+
+    1. train per-subspace codebooks (:func:`pq_codebooks`),
+    2. encode the collection (:func:`pq_encode`) — m ints per vector,
+    3. per (query, sub) compute the distance TABLE to all ksub centroids
+       (Q*m*ksub rows — broadcast-sized for any realistic Q),
+    4. approximate distance = sum over sub of table[code] — an equi-join
+       of the code rows against the broadcast table plus one grouped sum;
+       the raw vectors are never touched after encoding.
+
+    The per-pair sum folds the m per-subspace terms IN SUB ORDER
+    (sorted-struct fold, not a grouped SUM) so the double-precision total
+    is bit-reproducible across engines and partitionings. Ranks tie-break
+    on neighbor id. Returns (query_id, neighbor_id, rank, adist).
+
+    At 100 TB: codebooks are a few KB (broadcast); codes are ~3% of the
+    corpus bytes; the only shuffle is the (query_id, neighbor_id) group —
+    over code rows, not vectors. nprobe-style gating composes by
+    intersecting with :func:`assign_cells` cells before the grouped sum.
+    """
+    cents = pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col)
+    # codebooks + codes feed the search twice conceptually (table build and
+    # code join); materialize codes once — they are the compressed corpus
+    codes = pq_encode(emb, cents, m, id_col, vec_col).persist()
+
+    dim = len(emb.select(vec_col).first()[0])
+    dsub = dim // m
+    q = emb
+    if max_query_id is not None:
+        q = q.filter(F.col(id_col) < max_query_id)
+    qsv = q.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                            lambda x: x.cast("double"),
+                        ).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.sub").alias("sub"), F.col("s.qv").alias("qv"))
+    dtab = qsv.join(F.broadcast(cents), "sub").select(
+        "query_id", "sub", F.col("cent_id").alias("code"), _l2(F.col("qv"), F.col("cv")).alias("d")
+    )
+    terms = codes.join(F.broadcast(dtab), ["sub", "code"]).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    summed = (
+        terms.groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "d"))),
+                    lambda s: s.getField("d"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist"))
+    )

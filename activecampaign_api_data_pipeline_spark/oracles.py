@@ -135,6 +135,67 @@ FROM r WHERE rk <= {k}
 """
 
 
+def _l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_sql(
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 3,
+    max_query_id: int = 10,
+    n_iters: int = 2,
+) -> str:
+    """PQ/ADC top-k twin of operators.similarity.pq_topk, sharing the
+    deterministic per-subspace k-means (seeds = first ksub by id, L2
+    argmin, 6-dp-rounded means) and summing the m ADC terms in sub order
+    (list ordered by sub -> list_sum) so totals are bit-identical."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "dimt AS (SELECT len(v) AS dim FROM e LIMIT 1)",
+        f"""sv AS (
+  SELECT vec_id, s.sub, v[s.sub * (dim // {m}) + 1 : (s.sub + 1) * (dim // {m})] AS sv
+  FROM e CROSS JOIN dimt CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+)""",
+        f"c0 AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM sv WHERE vec_id < {ksub})",
+    ]
+    cur = "c0"
+    for it in range(1, n_iters + 1):
+        parts += [
+            f"s{it} AS (SELECT sv.vec_id, sv.sub, sv.sv, cent_id, {_l2_sql('sv.sv', 'cv')} AS d FROM sv JOIN {cur} USING (sub))",
+            f"""a{it} AS (SELECT vec_id, sub, sv, cent_id AS cell FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cent_id ASC) AS rn FROM s{it}
+) WHERE rn = 1)""",
+            f"px{it} AS (SELECT sub, cell, unnest(generate_series(1, len(sv))) AS i, unnest(sv) AS x FROM a{it})",
+            f"cm{it} AS (SELECT sub, cell, i, round(avg(x), 6) AS mv FROM px{it} GROUP BY sub, cell, i)",
+            f"c{it} AS (SELECT sub, cell AS cent_id, list(mv ORDER BY i) AS cv FROM cm{it} GROUP BY sub, cell)",
+        ]
+        cur = f"c{it}"
+    parts += [
+        f"sf AS (SELECT sv.vec_id, sv.sub, sv.sv, cent_id, {_l2_sql('sv.sv', 'cv')} AS d FROM sv JOIN {cur} USING (sub))",
+        """codes AS (SELECT vec_id, sub, cent_id AS code FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cent_id ASC) AS rn FROM sf
+) WHERE rn = 1)""",
+        f"qsv AS (SELECT vec_id AS query_id, sub, sv AS qv FROM sv WHERE vec_id < {max_query_id})",
+        f"dtab AS (SELECT query_id, sub, cent_id AS code, {_l2_sql('qv', 'cv')} AS d FROM qsv JOIN {cur} USING (sub))",
+        """terms AS (
+  SELECT query_id, codes.vec_id AS neighbor_id, codes.sub, d
+  FROM codes JOIN dtab USING (sub, code) WHERE codes.vec_id <> query_id
+)""",
+        "summed AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY sub)) AS adist FROM terms GROUP BY query_id, neighbor_id)",
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rk FROM summed)",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(adist, 6) AS adist
+FROM r WHERE rk <= {k}
+"""
+
+
 def _srp_sql(
     threshold: float = 0.9,
     n_bits: int = 8,
@@ -805,6 +866,7 @@ FROM r WHERE rk <= 5
 
     o["sim_ivf_topk"] = _ivf_sql(n_centroids=8, k=3, max_query_id=10, nprobe=1, n_iters=2)
     o["sim_ivf_nprobe2"] = _ivf_sql(n_centroids=8, k=3, max_query_id=10, nprobe=2, n_iters=2)
+    o["sim_pq_topk"] = _pq_sql(m=4, ksub=8, k=3, max_query_id=10, n_iters=2)
 
     o["sim_srp_neardup"] = _srp_sql(
         threshold=0.9, n_bits=8, n_bands=8, dim=64, seed=7, plant_below=50

@@ -740,6 +740,14 @@ def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, n_centroids=8, k=3, max_query_id=10, nprobe=2)
 
 
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: per-subspace codebooks compress each
+    vector to m ints; search scans codes + a broadcast distance table
+    only (the 100 TB memory-compression path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(emb, m=4, ksub=8, k=3, max_query_id=10)
+
+
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
@@ -951,6 +959,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_nprobe2": sim_ivf_nprobe2,
+    "sim_pq_topk": sim_pq_topk,
     "sim_embedding_neardup": sim_embedding_neardup,
     "sim_srp_neardup": sim_srp_neardup,
     "mm_frame_sample": mm_frame_sample,

@@ -51,6 +51,9 @@ HEADLINE = [
     "q_anti_join",
     "mm_audio_energy",
     "llm_corpus_prep",
+    "t_sessionize",
+    "sim_pq_topk",
+    "dedup_cluster_canonical",
 ]
 
 

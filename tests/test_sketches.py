@@ -203,3 +203,58 @@ def test_ivf_topk_none_means_all_queries(spark):
     # nprobe=2 probes the second cell too -> every vector is a query
     out2 = SIM.ivf_topk(emb, n_centroids=2, k=2, max_query_id=None, nprobe=2, n_iters=1).collect()
     assert {r["query_id"] for r in out2} == {0, 1, 2, 3}
+
+
+def test_pq_topk_recall_beats_random(spark):
+    """PQ/ADC with m=4, ksub=8 on the real embeddings: recall@3 vs exact
+    L2 measured deterministic at 7/30 (random baseline ~0.2/30). Floor at
+    5 to allow param-insensitive drift without letting the op degrade to
+    noise."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        _pytest.skip("driver testdata not present")
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")).filter(
+        "query_id < 10"
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "d", SIM._l2(F.col("qv"), F.col("nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    exact = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter("r<=3")
+        .select("query_id", "neighbor_id")
+    )
+    got = SIM.pq_topk(emb, m=4, ksub=8, k=3, max_query_id=10).select("query_id", "neighbor_id")
+    assert got.count() == 30  # every query answered with a full top-3
+    assert got.intersect(exact).count() >= 5
+
+
+def test_pq_encode_is_m_codes_per_vector(spark):
+    """The compressed corpus is exactly m rows (one small int each) per
+    vector — the artifact the 100 TB search scans instead of raw arrays."""
+    import random
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    from pyspark.sql import functions as F
+
+    cents = SIM.pq_codebooks(emb, m=2, ksub=4, n_iters=1)
+    codes = SIM.pq_encode(emb, cents, m=2)
+    assert codes.count() == 80
+    assert codes.groupBy("vec_id").count().filter("count != 2").count() == 0
+    mx = codes.agg(F.max("code")).collect()[0][0]
+    assert mx < 4
