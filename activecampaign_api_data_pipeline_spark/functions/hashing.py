@@ -62,3 +62,33 @@ def hash60(c: Column | str) -> Column:
     """
     c = F.col(c) if isinstance(c, str) else c
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def split_assign(
+    key: Column | str,
+    weights: dict[str, float] | None = None,
+    buckets: int = 10000,
+    salt: str = "split",
+) -> Column:
+    """Deterministic train/val/test assignment from a stable key hash.
+
+    The training-pipeline split primitive: ``bucket = hash60(salt||key) %
+    buckets``, then cumulative weight ranges. Properties that matter at
+    100 TB: stateless (no shuffle, no sampling RNG — pure expression over
+    the key), stable across runs/partitionings/engines (md5-based
+    :func:`hash60` is oracle-reproducible), and append-safe (new rows
+    land in splits without reshuffling old ones). ``salt`` decorrelates
+    independent splits over the same keys.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    key = F.col(key) if isinstance(key, str) else key
+    b = F.pmod(hash60(F.concat_ws("||", F.lit(salt), key.cast("string"))), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, wgt in items[:-1]:
+        acc += wgt
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return (F.lit(last) if expr is None else expr.otherwise(F.lit(last))).alias("split")

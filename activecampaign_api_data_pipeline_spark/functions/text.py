@@ -176,3 +176,32 @@ def fingerprint(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     norm = F.regexp_replace(F.regexp_replace(F.lower(F.trim(c)), r"[^\w\s]", ""), r"\s+", " ")
     return F.md5(norm)
+
+
+def token_chunks(c: Column | str, size: int = 64, overlap: int = 8) -> Column:
+    """Fixed-size token windows with overlap — context-packing chunker.
+
+    Splits a document into chunks of ``size`` whitespace tokens advancing
+    by ``size - overlap`` (so consecutive chunks share ``overlap`` tokens),
+    as an array of structs ``(chunk_id, start, n_tokens, chunk_text)``.
+    Pure expressions (sequence + slice + array_join): runs in codegen,
+    per-row work is O(tokens), no shuffle — explode downstream to get one
+    row per chunk. Documents shorter than ``size`` yield one chunk; empty
+    documents yield none.
+    """
+    step = size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than size")
+    t = tokens(c)
+    starts = F.when(F.size(t) == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - overlap, F.lit(1)), F.lit(step))
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            s.alias("start"),
+            F.size(F.slice(t, s, size)).alias("n_tokens"),
+            F.array_join(F.slice(t, s, size), " ").alias("chunk_text"),
+        ),
+    )

@@ -407,3 +407,57 @@ def neardup_canonical(
         )
         .withColumn("is_kept", (F.col(id_col) == F.col("canonical_id")).cast("int"))
     )
+
+
+def cross_split_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Train/test contamination: train docs that contain a benchmark doc.
+
+    The decontamination primitive of a training-data pipeline: for every
+    (train, test) doc pair sharing word-``ngram`` shingles, compute the
+    CONTAINMENT of the test doc — ``|A ∩ B| / |B|`` with B the test doc's
+    shingle set (containment, not Jaccard: a benchmark item pasted into a
+    much larger train doc must still score ~1). Pairs at or above
+    ``threshold`` are flagged; drop the train side upstream.
+
+    Scale shape mirrors :func:`ngram_jaccard_pairs`: the join is on the
+    shingle postings with hot shingles (df > ``max_df`` across BOTH
+    splits) cut first — bounding the cross join at O(df_train × df_test)
+    per surviving shingle — and only test-side set sizes are needed.
+    Returns ``(train_id, test_id, n_common, containment)``.
+    """
+    tr = _shingle_sets(train, id_col, text_col, ngram).select(
+        F.col("doc_id").alias("train_id"), F.explode("shingles").alias("shingle")
+    )
+    te = _shingle_sets(test, id_col, text_col, ngram).select(
+        F.col("doc_id").alias("test_id"), F.explode("shingles").alias("shingle")
+    )
+    if max_df is not None:
+        both = tr.select("shingle").unionAll(te.select("shingle"))
+        hot = (
+            both.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        tr = tr.join(F.broadcast(hot), "shingle", "left_anti")
+        te = te.join(F.broadcast(hot), "shingle", "left_anti")
+    te_sizes = te.groupBy("test_id").agg(F.count("*").alias("n_test"))
+    common = (
+        tr.join(te, "shingle")
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(te_sizes, "test_id")
+        .withColumn("containment", F.round(F.col("n_common") / F.col("n_test").cast("double"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("train_id", "test_id", "n_common", "containment")
+    )

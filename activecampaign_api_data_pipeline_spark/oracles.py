@@ -972,6 +972,65 @@ wmin AS (
 SELECT doc_id, unnest(fps) AS fp FROM wmin WHERE len(fps) > 0
 """
 
+    # hash60('split||<id>') % 10000 -> cumulative weight ranges (.9/.05/.05)
+    o["llm_split_assign"] = """
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat_ws('||', 'split', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS b
+  FROM documents
+)
+"""
+
+    # 64-token windows advancing by 56 (8-token overlap); last start is the
+    # largest s <= len - overlap so a chunk always adds new tokens
+    o["llm_token_chunks"] = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+st AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, CAST(greatest(len(t) - 8, 1) AS INTEGER), 56)) AS start
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST((start - 1) // 56 AS INTEGER) AS chunk_id,
+       CAST(start AS INTEGER) AS start,
+       CAST(len(t[start : start + 63]) AS INTEGER) AS n_tokens,
+       array_to_string(t[start : start + 63], ' ') AS chunk_text
+FROM st
+"""
+
+    # hash-split the corpus, df-cap shingles across BOTH splits, then flag
+    # (train, test) pairs by containment |A∩B| / |B| of the held-out doc
+    o["llm_decontaminate"] = r"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(concat('0x', substr(md5(concat_ws('||', 'split', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 9000
+              THEN 'train' ELSE 'other' END AS grp
+  FROM documents
+),
+toks AS (SELECT doc_id, grp, regexp_split_to_array(trim(text), '\s+') AS t FROM sp),
+sh AS (
+  SELECT doc_id, grp,
+         list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' '))
+         ) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, grp, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM ex GROUP BY shingle) WHERE c > 1000),
+exk AS (SELECT ex.* FROM ex ANTI JOIN hot USING (shingle)),
+tr AS (SELECT doc_id AS train_id, shingle FROM exk WHERE grp = 'train'),
+te AS (SELECT doc_id AS test_id, shingle FROM exk WHERE grp <> 'train'),
+tsz AS (SELECT test_id, count(*) AS n_test FROM te GROUP BY test_id),
+cm AS (SELECT train_id, test_id, count(*) AS n_common FROM tr JOIN te USING (shingle) GROUP BY train_id, test_id)
+SELECT train_id, test_id, n_common,
+       round(n_common / CAST(n_test AS DOUBLE), 6) AS containment
+FROM cm JOIN tsz USING (test_id)
+WHERE round(n_common / CAST(n_test AS DOUBLE), 6) >= 0.5
+"""
+
     o["text_token_counts"] = r"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS ws_tokens,

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from activecampaign_api_data_pipeline_spark.functions.hashing import with_row_hash
+from activecampaign_api_data_pipeline_spark.functions.hashing import split_assign, with_row_hash
 from activecampaign_api_data_pipeline_spark.functions.scalars import (
     code_map,
     full_name,
@@ -866,6 +866,40 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split assignment
+    (stateless, append-safe, engine-reproducible)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", split_assign("doc_id"))
+
+
+def llm_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-packing chunker: 64-token windows, 8-token overlap, one
+    row per chunk (pure codegen expressions, no shuffle)."""
+    docs = _docs(spark, sf_dir)
+    ch = docs.select(
+        "doc_id", F.explode(TX.token_chunks(F.col("text"), size=64, overlap=8)).alias("c")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start").alias("start"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: hash-split the corpus, then flag train
+    docs whose shingle CONTAINMENT of a held-out doc >= 0.5 (composes
+    split_assign with the df-capped cross-split posting join)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", "text", split_assign("doc_id"))
+    train = s.filter(F.col("split") == "train")
+    test = s.filter(F.col("split") != "train")
+    return DD.cross_split_contamination(train, test, ngram=3, threshold=0.5, max_df=1000)
+
+
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints, exploded to (doc_id, fp) rows.
 
@@ -969,5 +1003,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
     "llm_corpus_prep": llm_corpus_prep,
+    "llm_split_assign": llm_split_assign,
+    "llm_token_chunks": llm_token_chunks,
+    "llm_decontaminate": llm_decontaminate,
     "text_winnowing": text_winnowing,
 }

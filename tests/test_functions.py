@@ -147,3 +147,43 @@ def test_winnowing_shared_substring_guarantee(spark):
     ).collect()}
     assert out[1] & out[2], "docs sharing a long substring must share a fingerprint"
     assert not (out[1] & out[2] & out[3]) or len(out[1] & out[3]) < len(out[1] & out[2])
+
+
+def test_token_chunks_boundaries(spark):
+    from activecampaign_api_data_pipeline_spark.functions.text import token_chunks
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # 2 chunks: 64 + tail 44
+        (2, " ".join(f"t{i}" for i in range(64))),   # exactly size -> ONE chunk
+        (3, " ".join(f"t{i}" for i in range(65))),   # one new token -> 2nd chunk
+        (4, "one two"),                               # shorter than size -> 1 chunk
+        (5, ""),                                      # empty -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id", F.explode(token_chunks(F.col("text"), size=64, overlap=8)).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.start", "c.n_tokens")
+    got = {(r["doc_id"], r["chunk_id"]): (r["start"], r["n_tokens"]) for r in out.collect()}
+    assert got == {
+        (1, 0): (1, 64), (1, 1): (57, 44),
+        (2, 0): (1, 64),
+        (3, 0): (1, 64), (3, 1): (57, 9),  # 8 overlap + 1 new
+        (4, 0): (1, 2),
+    }
+
+
+def test_split_assign_deterministic_and_weighted(spark):
+    from activecampaign_api_data_pipeline_spark.functions.hashing import split_assign
+
+    ids = spark.range(0, 20000).select(F.col("id").alias("k"))
+    a = ids.select("k", split_assign("k"))
+    b = ids.select("k", split_assign("k"))
+    # identical across evaluations (stateless, no RNG)
+    assert a.exceptAll(b).count() == 0
+    frac = {r["split"]: r["n"] / 20000 for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+    # a different salt decorrelates: some keys change split
+    c = ids.select("k", split_assign("k", salt="other"))
+    assert a.join(c, "k").filter(a["split"] != c["split"]).count() > 0

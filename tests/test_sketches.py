@@ -258,3 +258,24 @@ def test_pq_encode_is_m_codes_per_vector(spark):
     assert codes.groupBy("vec_id").count().filter("count != 2").count() == 0
     mx = codes.agg(F.max("code")).collect()[0][0]
     assert mx < 4
+
+
+def test_cross_split_contamination_containment(spark):
+    from activecampaign_api_data_pipeline_spark.operators.dedup import cross_split_contamination
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (1, f"PRE {base} POST padding words here to make it longer"),  # contains test doc 10
+            (2, "completely different content with no shared trigrams at all"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, base), (11, "another held out benchmark document entirely")],
+        "doc_id long, text string",
+    )
+    out = {(r["train_id"], r["test_id"]): r["containment"]
+           for r in cross_split_contamination(train, test, threshold=0.5).collect()}
+    # doc 10's 6 trigrams all appear inside doc 1 -> containment 1.0
+    assert out == {(1, 10): 1.0}
