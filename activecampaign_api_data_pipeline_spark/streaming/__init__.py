@@ -3,6 +3,7 @@ from activecampaign_api_data_pipeline_spark.streaming.incremental import (
     windowed_counts,
     session_rollup,
     stream_dedup,
+    stream_interval_join,
     stream_into_store,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "windowed_counts",
     "session_rollup",
     "stream_dedup",
+    "stream_interval_join",
     "stream_into_store",
 ]

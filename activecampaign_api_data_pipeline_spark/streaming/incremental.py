@@ -119,6 +119,43 @@ def session_rollup(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded to an event-time interval:
+    right rows with ``right_ts`` in ``[left_ts - lookback, left_ts]``.
+
+    The §2.8 capability the reference cannot express (it joins only full
+    static frames): e.g. attribute each purchase to the clicks that
+    preceded it within the lookback. The interval condition PLUS
+    watermarks on both sides is what makes buffered join state
+    expirable — without the time bound a stream-stream join must retain
+    every row forever. Right columns that collide with left ones are
+    emitted with an ``r_`` prefix. Works identically on batch frames
+    (watermarks are no-ops there), which is how the test pins
+    stream == batch.
+    """
+    overlaps = [c for c in right.columns if c in left.columns and c != key]
+    r = right
+    for c in overlaps:
+        r = r.withColumnRenamed(c, f"r_{c}")
+    rts = f"r_{right_ts}" if right_ts in overlaps else right_ts
+    l = left.withWatermark(left_ts, watermark)
+    r = r.withWatermark(rts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(rts) <= F.col(left_ts))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def stream_dedup(
     stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -78,3 +78,31 @@ def test_ivf_assignment_materialized_once(spark):
     # the whole k-means lineage
     p = _plan(spark, "sim_ivf_topk")
     assert "InMemoryTableScan" in p
+
+
+def test_token_chunks_no_shuffle_no_python(spark):
+    # chunking is per-row expression work: the only Exchange allowed is the
+    # round-robin scan widening (single-file table), never a hash shuffle
+    p = _plan(spark, "llm_token_chunks")
+    assert "EvalPython" not in p
+    assert "hashpartitioning" not in p
+
+
+def test_split_assign_no_shuffle_no_python(spark):
+    p = _plan(spark, "llm_split_assign")
+    assert "EvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_decontaminate_stays_jvm_side(spark):
+    p = _plan(spark, "llm_decontaminate")
+    assert "EvalPython" not in p
+
+
+def test_pq_search_scans_codes_not_vectors(spark):
+    # ADC terms join codes against a BROADCAST distance table; the persist
+    # on codes shows up as the cached compressed corpus
+    p = _plan(spark, "sim_pq_topk")
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "InMemoryTableScan" in p

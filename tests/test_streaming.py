@@ -237,3 +237,46 @@ def test_applyinpandaswithstate_running_stats(spark, stream_dir, tmp_path):
     # user 7 emitted twice (once per batch it appeared in), state accumulating
     user7 = [(n, t) for (_b, u, n, t, _ts) in emitted if u == 7]
     assert user7 == [(2, 4.0), (3, 8.0)]
+
+
+def test_stream_interval_join_matches_batch(spark, stream_dir, tmp_path):
+    """Purchases joined to the clicks that preceded them within 1h —
+    streamed result must equal the same operator run on batch frames."""
+    from activecampaign_api_data_pipeline_spark.streaming import stream_interval_join
+
+    clicks = [
+        (1, "2020-01-01 00:10:00", 1, "click", 0.0),
+        (2, "2020-01-01 00:50:00", 1, "click", 0.0),
+        (3, "2020-01-01 02:00:00", 1, "click", 0.0),  # too old for the buy
+        (4, "2020-01-01 00:40:00", 2, "click", 0.0),
+    ]
+    buys = [
+        (10, "2020-01-01 01:00:00", 1, "buy", 9.0),   # catches clicks 1, 2
+        (11, "2020-01-01 04:00:00", 2, "buy", 5.0),   # catches nothing (4 too old)
+    ]
+    rdir = tmp_path / "right"
+    rdir.mkdir()
+    _write_batch(_rows(spark, *buys), stream_dir, 0)
+    # advance both watermarks far enough to emit all joined rows
+    _write_batch(_rows(spark, (99, "2020-01-01 23:00:00", 9, "buy", 0.0)), stream_dir, 1)
+    _write_batch(_rows(spark, *clicks), rdir, 0)
+    _write_batch(_rows(spark, (98, "2020-01-01 23:00:00", 9, "click", 0.0)), rdir, 1)
+
+    lstream = _start_stream(spark, stream_dir).filter("kind = 'buy'")
+    rstream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(rdir))
+        .filter("kind = 'click'")
+    )
+    joined = stream_interval_join(lstream, rstream, key="user_id", lookback="1 hour")
+    _run_available(joined.writeStream.option("checkpointLocation", str(tmp_path / "ck")), "ssj_out")
+    got = {(r["id"], r["r_id"]) for r in spark.sql("select * from ssj_out").collect()}
+
+    lb = _rows(spark, *buys, (99, "2020-01-01 23:00:00", 9, "buy", 0.0)).filter("kind='buy'")
+    rb = _rows(spark, *clicks, (98, "2020-01-01 23:00:00", 9, "click", 0.0)).filter("kind='click'")
+    want = {(r["id"], r["r_id"])
+            for r in stream_interval_join(lb, rb, key="user_id", lookback="1 hour").collect()}
+    assert got == want
+    # the 23:00 advancer rows (user 9, equal ts) legitimately join too
+    assert got == {(10, 1), (10, 2), (99, 98)}
