@@ -395,6 +395,7 @@ def pq_codebooks(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks: per-subspace k-means, trained on all
     ``m`` subspaces AT ONCE by carrying ``sub`` as a grouping column
@@ -407,7 +408,7 @@ def pq_codebooks(
     """
     from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
 
-    dim = len(emb.select(vec_col).first()[0])
+    dim = dim or len(emb.select(vec_col).first()[0])
     dsub = dim // m
     sv = ensure_min_parallelism(emb).select(
         F.col(id_col),
@@ -462,6 +463,7 @@ def pq_encode(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` codebook ids: ``(vec_id, sub, code)``.
 
@@ -471,7 +473,7 @@ def pq_encode(
     """
     from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
 
-    dim = len(emb.select(vec_col).first()[0])
+    dim = dim or len(emb.select(vec_col).first()[0])
     dsub = dim // m
     sv = ensure_min_parallelism(emb).select(
         F.col(id_col),
@@ -531,12 +533,15 @@ def pq_topk(
     over code rows, not vectors. nprobe-style gating composes by
     intersecting with :func:`assign_cells` cells before the grouped sum.
     """
-    cents = pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col)
+    # the dim probe is ONE driver scalar, shared by every stage below
+    dim = len(emb.select(vec_col).first()[0])
+    # codebooks feed BOTH the encode branch and the distance-table branch;
+    # without the persist the whole Lloyd lineage executes twice
+    cents = pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim).persist()
     # codebooks + codes feed the search twice conceptually (table build and
     # code join); materialize codes once — they are the compressed corpus
-    codes = pq_encode(emb, cents, m, id_col, vec_col).persist()
+    codes = pq_encode(emb, cents, m, id_col, vec_col, dim=dim).persist()
 
-    dim = len(emb.select(vec_col).first()[0])
     dsub = dim // m
     q = emb
     if max_query_id is not None:
