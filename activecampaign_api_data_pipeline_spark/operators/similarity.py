@@ -542,6 +542,21 @@ def pq_topk(
     # code join); materialize codes once — they are the compressed corpus
     codes = pq_encode(emb, cents, m, id_col, vec_col, dim=dim).persist()
 
+    dtab = _adc_distance_table(emb, cents, m, dim, id_col, vec_col, max_query_id)
+    return _adc_topk(codes, dtab, id_col, k)
+
+
+def _adc_distance_table(
+    emb: DataFrame,
+    cents: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    max_query_id: int | None,
+) -> DataFrame:
+    """Per-(query, sub) L2 distances to every codebook centroid —
+    Q*m*ksub rows, broadcast-sized for any realistic query set."""
     dsub = dim // m
     q = emb
     if max_query_id is not None:
@@ -563,12 +578,28 @@ def pq_topk(
             )
         ).alias("s"),
     ).select("query_id", F.col("s.sub").alias("sub"), F.col("s.qv").alias("qv"))
-    dtab = qsv.join(F.broadcast(cents), "sub").select(
+    return qsv.join(F.broadcast(cents), "sub").select(
         "query_id", "sub", F.col("cent_id").alias("code"), _l2(F.col("qv"), F.col("cv")).alias("d")
     )
+
+
+def _adc_topk(
+    codes: DataFrame,
+    dtab: DataFrame,
+    id_col: str,
+    k: int,
+    cand: DataFrame | None = None,
+) -> DataFrame:
+    """ADC scoring: join code rows to the broadcast distance table, fold the
+    m per-subspace terms IN SUB ORDER (bit-reproducible), rank per query.
+    ``cand`` (query_id, id_col) restricts scoring to gated candidates —
+    the IVF-PQ path — applied BEFORE the grouped sum so non-candidates
+    never enter the shuffle."""
     terms = codes.join(F.broadcast(dtab), ["sub", "code"]).filter(
         F.col(id_col) != F.col("query_id")
     )
+    if cand is not None:
+        terms = terms.join(cand, ["query_id", id_col], "left_semi")
     summed = (
         terms.groupBy("query_id", F.col(id_col).alias("neighbor_id"))
         .agg(
@@ -588,3 +619,60 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist"))
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 10,
+    nprobe: int = 1,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF-gated PQ search — the FAISS IVF-PQ composition (non-residual
+    variant; residual encoding is the documented refinement).
+
+    Coarse quantizer (:func:`kmeans_centroids` + cosine argmax) prunes the
+    candidate set to the query's ``nprobe`` cells; PQ/ADC scores ONLY the
+    survivors. At 100 TB this is the full scale recipe: the corpus is
+    stored as (cell, m codes) — a few bytes per vector — and a query
+    touches nprobe/n_cells of it, via a broadcast distance table.
+    Candidate gating happens before the ADC shuffle (left-semi on the
+    cell join output), so pruned vectors never enter it.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    coarse = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
+    from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
+
+    scored = (
+        ensure_min_parallelism(emb)
+        .select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(coarse))
+        .withColumn("cc", cosine(F.col(vec_col), F.col("cv")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+    # one ranked assignment serves data cells (rn=1) AND query probes
+    # (rn<=nprobe); persisted so the k-means lineage runs once
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .select(id_col, F.col("cent_id").alias("cell"), "rn")
+        .persist()
+    )
+    cells = ranked.filter(F.col("rn") == 1).select(id_col, "cell")
+    qcells = ranked.filter(F.col("rn") <= nprobe).select(
+        F.col(id_col).alias("query_id"), "cell"
+    )
+    if max_query_id is not None:
+        qcells = qcells.filter(F.col("query_id") < max_query_id)
+    cand = qcells.join(cells, "cell").filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id", id_col
+    )
+
+    cents = pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim).persist()
+    codes = pq_encode(emb, cents, m, id_col, vec_col, dim=dim).persist()
+    dtab = _adc_distance_table(emb, cents, m, dim, id_col, vec_col, max_query_id)
+    return _adc_topk(codes, dtab, id_col, k, cand=cand)

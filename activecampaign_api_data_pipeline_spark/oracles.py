@@ -142,19 +142,11 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
-def _pq_sql(
-    m: int = 4,
-    ksub: int = 8,
-    k: int = 3,
-    max_query_id: int = 10,
-    n_iters: int = 2,
-) -> str:
-    """PQ/ADC top-k twin of operators.similarity.pq_topk, sharing the
-    deterministic per-subspace k-means (seeds = first ksub by id, L2
-    argmin, 6-dp-rounded means) and summing the m ADC terms in sub order
-    (list ordered by sub -> list_sum) so totals are bit-identical."""
+def _pq_parts(m: int, ksub: int, max_query_id: int, n_iters: int) -> list[str]:
+    """CTE list for the PQ stages (subvector split, per-subspace k-means,
+    codes, query distance table) — shared by _pq_sql and _ivfpq_sql.
+    Assumes a prior CTE ``e(vec_id, v)``."""
     parts = [
-        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         "dimt AS (SELECT len(v) AS dim FROM e LIMIT 1)",
         f"""sv AS (
   SELECT vec_id, s.sub, v[s.sub * (dim // {m}) + 1 : (s.sub + 1) * (dim // {m})] AS sv
@@ -181,12 +173,86 @@ def _pq_sql(
 ) WHERE rn = 1)""",
         f"qsv AS (SELECT vec_id AS query_id, sub, sv AS qv FROM sv WHERE vec_id < {max_query_id})",
         f"dtab AS (SELECT query_id, sub, cent_id AS code, {_l2_sql('qv', 'cv')} AS d FROM qsv JOIN {cur} USING (sub))",
+    ]
+    return parts
+
+
+_ADC_TAIL = """summed AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY sub)) AS adist FROM terms GROUP BY query_id, neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rk FROM summed)"""
+
+
+def _pq_sql(
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 3,
+    max_query_id: int = 10,
+    n_iters: int = 2,
+) -> str:
+    """PQ/ADC top-k twin of operators.similarity.pq_topk, sharing the
+    deterministic per-subspace k-means (seeds = first ksub by id, L2
+    argmin, 6-dp-rounded means) and summing the m ADC terms in sub order
+    (list ordered by sub -> list_sum) so totals are bit-identical."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        *_pq_parts(m, ksub, max_query_id, n_iters),
         """terms AS (
   SELECT query_id, codes.vec_id AS neighbor_id, codes.sub, d
   FROM codes JOIN dtab USING (sub, code) WHERE codes.vec_id <> query_id
 )""",
-        "summed AS (SELECT query_id, neighbor_id, list_sum(list(d ORDER BY sub)) AS adist FROM terms GROUP BY query_id, neighbor_id)",
-        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rk FROM summed)",
+        _ADC_TAIL,
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(adist, 6) AS adist
+FROM r WHERE rk <= {k}
+"""
+
+
+def _ivfpq_sql(
+    n_centroids: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 3,
+    max_query_id: int = 10,
+    nprobe: int = 1,
+    n_iters: int = 2,
+) -> str:
+    """IVF-PQ twin of operators.similarity.ivfpq_topk: the coarse k-means
+    cell pyramid (cosine argmax, prefix g*) gates candidates; the shared
+    PQ stages score only gated (query, neighbor) pairs."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"gc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids})",
+    ]
+    cur = "gc0"
+    for it in range(1, n_iters + 1):
+        parts += [
+            f"gs{it} AS (SELECT e.vec_id, e.v, cent_id, {_cos('v', 'cv')} AS cc FROM e CROSS JOIN {cur})",
+            f"""ga{it} AS (SELECT vec_id, v, cent_id AS cell FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM gs{it}
+) WHERE rn = 1)""",
+            f"gpx{it} AS (SELECT cell, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM ga{it})",
+            f"gcm{it} AS (SELECT cell, i, round(avg(x), 6) AS mv FROM gpx{it} GROUP BY cell, i)",
+            f"gc{it} AS (SELECT cell AS cent_id, list(mv ORDER BY i) AS cv FROM gcm{it} GROUP BY cell)",
+        ]
+        cur = f"gc{it}"
+    parts += [
+        f"gsf AS (SELECT e.vec_id, e.v, cent_id, {_cos('v', 'cv')} AS cc FROM e CROSS JOIN {cur})",
+        "grf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM gsf)",
+        "gcells AS (SELECT vec_id, cent_id AS cell FROM grf WHERE rn = 1)",
+        f"gqc AS (SELECT vec_id AS query_id, cent_id AS cell FROM grf WHERE vec_id < {max_query_id} AND rn <= {nprobe})",
+        """cand AS (
+  SELECT query_id, gcells.vec_id AS cvid
+  FROM gqc JOIN gcells USING (cell) WHERE gcells.vec_id <> query_id
+)""",
+        *_pq_parts(m, ksub, max_query_id, n_iters),
+        """terms AS (
+  SELECT dtab.query_id AS query_id, codes.vec_id AS neighbor_id, codes.sub, d
+  FROM codes JOIN dtab USING (sub, code)
+  JOIN cand ON cand.query_id = dtab.query_id AND cand.cvid = codes.vec_id
+)""",
+        _ADC_TAIL,
     ]
     ctes = ",\n".join(parts)
     return f"""
@@ -867,6 +933,9 @@ FROM r WHERE rk <= 5
     o["sim_ivf_topk"] = _ivf_sql(n_centroids=8, k=3, max_query_id=10, nprobe=1, n_iters=2)
     o["sim_ivf_nprobe2"] = _ivf_sql(n_centroids=8, k=3, max_query_id=10, nprobe=2, n_iters=2)
     o["sim_pq_topk"] = _pq_sql(m=4, ksub=8, k=3, max_query_id=10, n_iters=2)
+    o["sim_ivfpq_topk"] = _ivfpq_sql(
+        n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2, n_iters=2
+    )
 
     o["sim_srp_neardup"] = _srp_sql(
         threshold=0.9, n_bits=8, n_bands=8, dim=64, seed=7, plant_below=50

@@ -748,6 +748,14 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(emb, m=4, ksub=8, k=3, max_query_id=10)
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-gated PQ/ADC search (FAISS IVF-PQ composition): coarse cells
+    prune candidates, compressed codes + broadcast distance tables score
+    only the survivors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(emb, n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2)
+
+
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
@@ -994,6 +1002,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_nprobe2": sim_ivf_nprobe2,
     "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_embedding_neardup": sim_embedding_neardup,
     "sim_srp_neardup": sim_srp_neardup,
     "mm_frame_sample": mm_frame_sample,

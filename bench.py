@@ -54,6 +54,8 @@ HEADLINE = [
     "t_sessionize",
     "sim_pq_topk",
     "dedup_cluster_canonical",
+    "sim_ivfpq_topk",
+    "llm_decontaminate",
 ]
 
 

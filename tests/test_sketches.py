@@ -279,3 +279,38 @@ def test_cross_split_contamination_containment(spark):
            for r in cross_split_contamination(train, test, threshold=0.5).collect()}
     # doc 10's 6 trigrams all appear inside doc 1 -> containment 1.0
     assert out == {(1, 10): 1.0}
+
+
+def test_ivfpq_with_all_cells_probed_equals_pq(spark):
+    """Probing every coarse cell makes the IVF gate vacuous: IVF-PQ must
+    reduce EXACTLY to plain PQ (same codebooks, same ADC scores)."""
+    import random
+
+    rng = random.Random(13)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    pq = {(r["query_id"], r["neighbor_id"], r["rank"], r["adist"])
+          for r in SIM.pq_topk(emb, m=2, ksub=4, k=3, max_query_id=5).collect()}
+    ivfpq = {(r["query_id"], r["neighbor_id"], r["rank"], r["adist"])
+             for r in SIM.ivfpq_topk(emb, n_centroids=4, m=2, ksub=4, k=3,
+                                     max_query_id=5, nprobe=4).collect()}
+    assert ivfpq == pq
+
+
+def test_ivfpq_gating_prunes_candidates(spark):
+    """nprobe=1 searches only the query's own cell: every hit must share
+    the query's coarse cell assignment."""
+    import random
+
+    rng = random.Random(17)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cells = {r["vec_id"]: r["cell"] for r in SIM.assign_cells(emb, n_centroids=4).collect()}
+    hits = SIM.ivfpq_topk(emb, n_centroids=4, m=2, ksub=4, k=3, max_query_id=5, nprobe=1).collect()
+    assert len(hits) > 0
+    for r in hits:
+        assert cells[r["query_id"]] == cells[r["neighbor_id"]]
