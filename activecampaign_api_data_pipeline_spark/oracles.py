@@ -409,11 +409,10 @@ SELECT doc_id, lang, cand AS lang_pred FROM (
 """
 
 
-def _corpus_prep_sql() -> str:
-    """Composed twin of queries.llm_corpus_prep: lang-id gate + token-count
-    gate + fingerprint dedup (keep lowest doc_id), sharing the lang-id
-    branch generation and the fingerprint normalization with their
-    standalone oracles."""
+def _corpus_prep_ctes() -> str:
+    """WITH-body (t, s, pred, g) for the corpus-prep chain: lang-id gate +
+    token-count gate + fingerprint column — shared by _corpus_prep_sql and
+    _corpus_pipeline_sql."""
     branches = []
     for i, lg in enumerate(sorted(LANG_MARKERS)):
         markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
@@ -444,10 +443,50 @@ g AS (
   FROM documents d JOIN pred p USING (doc_id)
   WHERE p.lang_pred = 'en'
     AND len(regexp_split_to_array(trim(d.text), '\\s+')) >= 5
-)
+)"""
+
+
+def _corpus_prep_sql() -> str:
+    """Composed twin of queries.llm_corpus_prep: lang-id gate + token-count
+    gate + fingerprint dedup (keep lowest doc_id)."""
+    return f"""
+{_corpus_prep_ctes()}
 SELECT doc_id, n_tokens, fp FROM (
   SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM g
 ) WHERE rn = 1
+"""
+
+
+def _corpus_pipeline_sql() -> str:
+    """Twin of queries.llm_corpus_pipeline: the prep chain's survivors ->
+    hash split assignment -> overlapping token chunks, one statement."""
+    split_case = (
+        "CASE WHEN CAST(concat('0x', substr(md5(concat_ws('||', 'split', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'train' "
+        "WHEN CAST(concat('0x', substr(md5(concat_ws('||', 'split', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 9500 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+{_corpus_prep_ctes()},
+kept AS (
+  SELECT doc_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM g
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT d.doc_id, d.text, {split_case} AS split
+  FROM documents d JOIN kept USING (doc_id)
+),
+btoks AS (SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS bt FROM base),
+bst AS (
+  SELECT doc_id, split, bt,
+         unnest(generate_series(1, CAST(greatest(len(bt) - 8, 1) AS INTEGER), 56)) AS start
+  FROM btoks WHERE len(bt) > 0
+)
+SELECT doc_id, split,
+       CAST((start - 1) // 56 AS INTEGER) AS chunk_id,
+       CAST(len(bt[start : start + 63]) AS INTEGER) AS n_tokens,
+       array_to_string(bt[start : start + 63], ' ') AS chunk_text
+FROM bst
 """
 
 
@@ -1017,6 +1056,7 @@ FROM t
     o["text_lang_id"] = _lang_id_sql()
 
     o["llm_corpus_prep"] = _corpus_prep_sql()
+    o["llm_corpus_pipeline"] = _corpus_pipeline_sql()
 
     o["text_winnowing"] = f"""
 WITH n AS (

@@ -956,6 +956,40 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline in one plan: language gate →
+    quality gate → exact-dup removal → train/val/test hash split →
+    overlapping token chunks. One scan, one window shuffle (the
+    fingerprint dedup) — everything else is codegen expression work, so
+    the 100 TB cost is the dedup shuffle plus a linear pass.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "text",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    gated = scored.filter((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 5))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    kept = gated.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    out = kept.select(
+        "doc_id",
+        split_assign("doc_id"),
+        F.explode(TX.token_chunks(F.col("text"), size=64, overlap=8)).alias("c"),
+    )
+    return out.select(
+        "doc_id",
+        "split",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_chatter": flagship_chatter,
     "w1_latest_per_key": w1_latest_per_key,
@@ -1013,6 +1047,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": text_token_counts,
     "llm_corpus_prep": llm_corpus_prep,
     "llm_split_assign": llm_split_assign,
+    "llm_corpus_pipeline": llm_corpus_pipeline,
     "llm_token_chunks": llm_token_chunks,
     "llm_decontaminate": llm_decontaminate,
     "text_winnowing": text_winnowing,

@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "sim_ivfpq_topk",
     "llm_decontaminate",
+    "llm_corpus_pipeline",
 ]
 
 

@@ -106,3 +106,12 @@ def test_pq_search_scans_codes_not_vectors(spark):
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" in p
     assert "InMemoryTableScan" in p
+
+
+def test_corpus_pipeline_one_shuffle_no_joins(spark):
+    # prep -> split -> chunks composes into expressions + the ONE
+    # fingerprint-dedup window; no joins, no Python anywhere
+    p = _plan(spark, "llm_corpus_pipeline")
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert "WindowGroupLimit" in p
