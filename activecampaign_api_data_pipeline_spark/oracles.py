@@ -896,6 +896,39 @@ SELECT user_id,
 FROM s GROUP BY user_id, sid
 """
 
+    o["w_rank_family"] = f"""
+SELECT user_id, event_id, {TS} AS ts_str,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+    # pinned-type pivot == conditional aggregation (null when a user has no
+    # rows of that type, matching Spark's pivot-sum)
+    pivot_cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS {t}"
+        for t in ("click", "error", "purchase", "signup", "view")
+    )
+    o["a_pivot_events"] = f"""
+SELECT user_id,
+       {pivot_cols}
+FROM events GROUP BY user_id
+"""
+
+    o["q_correlated_decorrelation"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) = (
+    SELECT max(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+    FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
     o["a_cube_events"] = """
 SELECT coalesce(event_type, '<all>') AS event_type,
        coalesce(d, '<all>') AS d,

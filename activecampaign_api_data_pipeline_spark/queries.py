@@ -190,6 +190,61 @@ def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one deterministic window
+    (unique tiebreaker): rank, dense_rank, percent_rank, cume_dist,
+    ntile — W-family breadth the reference's pandas sorts cannot express."""
+    from pyspark.sql import Window
+
+    ev = _events_std(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_str",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def a_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user value totals with one column per event type.
+    The value list is pinned (EVENT_TYPES) so the output schema is static —
+    the only scalable form (a discovery pivot needs a driver-side distinct
+    first)."""
+    ev = _events_std(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum("value_dec").cast("double"))
+    )
+
+
+def q_correlated_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's max order price),
+    expressed AS SQL so Catalyst's de-correlation rewrites it into an
+    aggregate + join — no per-row subquery execution (plan-asserted).
+    Exact decimal max, so cross-engine reproducible."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders_v o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) = (
+            SELECT max(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+            FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 def a_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregate over (event_type, day) — all four grouping sets in
     one pass (partial-agg friendly; no reference counterpart, free in
@@ -1027,6 +1082,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_incremental_replay": t_incremental_replay,
     "t_sessionize": t_sessionize,
     "a_cube_events": a_cube_events,
+    "w_rank_family": w_rank_family,
+    "a_pivot_events": a_pivot_events,
+    "q_correlated_decorrelation": q_correlated_decorrelation,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

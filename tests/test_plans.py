@@ -115,3 +115,11 @@ def test_corpus_pipeline_one_shuffle_no_joins(spark):
     assert "EvalPython" not in p
     assert "Join" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_correlated_subquery_decorrelates(spark):
+    # Catalyst rewrites the per-row scalar subquery into an aggregate
+    # joined back on the correlation key — no iterative subquery node
+    p = _plan(spark, "q_correlated_decorrelation")
+    assert "Subquery" not in p  # fully decorrelated at the physical level
+    assert "HashAggregate" in p and "Join" in p
