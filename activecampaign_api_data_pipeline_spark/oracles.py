@@ -919,6 +919,16 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+    o["u_unpivot_events"] = f"""
+WITH wide AS (
+SELECT user_id,
+       {pivot_cols}
+FROM events GROUP BY user_id
+)
+SELECT user_id, event_type, total
+FROM (UNPIVOT wide ON click, error, purchase, signup, view INTO NAME event_type VALUE total)
+"""
+
     o["q_correlated_decorrelation"] = """
 SELECT o_custkey, o_orderkey,
        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price

@@ -226,6 +226,16 @@ def a_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-type totals back to long form.
+    Spark's unpivot keeps null cells as rows while SQL UNPIVOT excludes
+    them — the not-null filter aligns the two (and is the useful form)."""
+    wide = a_pivot_events(spark, sf_dir)
+    return wide.unpivot("user_id", EVENT_TYPES, "event_type", "total").filter(
+        F.col("total").isNotNull()
+    )
+
+
 def q_correlated_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (each customer's max order price),
     expressed AS SQL so Catalyst's de-correlation rewrites it into an
@@ -1084,6 +1094,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_cube_events": a_cube_events,
     "w_rank_family": w_rank_family,
     "a_pivot_events": a_pivot_events,
+    "u_unpivot_events": u_unpivot_events,
     "q_correlated_decorrelation": q_correlated_decorrelation,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
