@@ -1055,47 +1055,39 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registry ORDER is part of the driver contract: the correctness gate checks
+# the FIRST 50 entries only.  Policy: queries that have never (or least
+# recently) had a driver correctness row lead, followed by anything modified
+# this round, then the rest; the tail holds queries that went oracle-green in
+# BOTH prior driver rounds and are untouched this round.  Rotate per round so
+# every query keeps a recent hard correctness signal.
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-checked before round 3 --
+    "llm_corpus_prep": llm_corpus_prep,
+    "llm_split_assign": llm_split_assign,
+    "llm_corpus_pipeline": llm_corpus_pipeline,
+    "llm_token_chunks": llm_token_chunks,
+    "llm_decontaminate": llm_decontaminate,
+    "sim_srp_neardup": sim_srp_neardup,
+    "mm_audio_energy": mm_audio_energy,
+    # -- green in round 1 only (fell past the window in round 2) --
+    "sim_embedding_neardup": sim_embedding_neardup,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_image_features": mm_image_features,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_token_counts": text_token_counts,
+    "text_winnowing": text_winnowing,
+    # -- touched in round 3 (residual IVF-PQ shares PQ stages) --
+    "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
+    # -- round-2 green, kept inside the window --
     "flagship_chatter": flagship_chatter,
-    "w1_latest_per_key": w1_latest_per_key,
-    "w2_top3_per_user": w2_top3_per_user,
-    "w3_earliest3_per_user": w3_earliest3_per_user,
-    "a1_exact_dedup": a1_exact_dedup,
-    "a4_watermark_max_id": a4_watermark_max_id,
-    "a5_set_rollup": a5_set_rollup,
-    "a6_contact_digest": a6_contact_digest,
-    "a_count_distinct": a_count_distinct,
-    "a_percentiles": a_percentiles,
-    "a_rollup_revenue": a_rollup_revenue,
-    "w_running_analytics": w_running_analytics,
-    "j1_broadcast_enrich": j1_broadcast_enrich,
-    "j3_left_join_coalesce": j3_left_join_coalesce,
-    "j5_chained_lookup": j5_chained_lookup,
-    "j_asof_last_order": j_asof_last_order,
-    "j_range_events_in_window": j_range_events_in_window,
-    "u2_conform_union": u2_conform_union,
-    "u3_set_ops_users": u3_set_ops_users,
-    "p2_rowhash": p2_rowhash,
-    "p3_id_from_url": p3_id_from_url,
-    "p8_sentinel_cleanup": p8_sentinel_cleanup,
-    "p_scalar_derivations": p_scalar_derivations,
-    "f6_json_extraction": f6_json_extraction,
-    "p9_event_id_synth": p9_event_id_synth,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_revenue_by_nation": q5_revenue_by_nation,
     "k2_medallion_snapshot": k2_medallion_snapshot,
-    "q_anti_join": q_anti_join,
-    "q_semi_join": q_semi_join,
-    "t_window_hourly": t_window_hourly,
     "t_stream_window_hourly": t_stream_window_hourly,
     "t_incremental_replay": t_incremental_replay,
     "t_sessionize": t_sessionize,
-    "a_cube_events": a_cube_events,
-    "w_rank_family": w_rank_family,
-    "a_pivot_events": a_pivot_events,
-    "u_unpivot_events": u_unpivot_events,
-    "q_correlated_decorrelation": q_correlated_decorrelation,
+    "t_window_hourly": t_window_hourly,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1104,20 +1096,39 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_nprobe2": sim_ivf_nprobe2,
-    "sim_pq_topk": sim_pq_topk,
-    "sim_ivfpq_topk": sim_ivfpq_topk,
-    "sim_embedding_neardup": sim_embedding_neardup,
-    "sim_srp_neardup": sim_srp_neardup,
-    "mm_frame_sample": mm_frame_sample,
-    "mm_image_features": mm_image_features,
-    "mm_audio_energy": mm_audio_energy,
-    "text_quality": text_quality,
-    "text_lang_id": text_lang_id,
-    "text_token_counts": text_token_counts,
-    "llm_corpus_prep": llm_corpus_prep,
-    "llm_split_assign": llm_split_assign,
-    "llm_corpus_pipeline": llm_corpus_pipeline,
-    "llm_token_chunks": llm_token_chunks,
-    "llm_decontaminate": llm_decontaminate,
-    "text_winnowing": text_winnowing,
+    "j_asof_last_order": j_asof_last_order,
+    "j_range_events_in_window": j_range_events_in_window,
+    "j1_broadcast_enrich": j1_broadcast_enrich,
+    "u2_conform_union": u2_conform_union,
+    "a1_exact_dedup": a1_exact_dedup,
+    "a4_watermark_max_id": a4_watermark_max_id,
+    "a5_set_rollup": a5_set_rollup,
+    "a6_contact_digest": a6_contact_digest,
+    "w1_latest_per_key": w1_latest_per_key,
+    "p2_rowhash": p2_rowhash,
+    "p_scalar_derivations": p_scalar_derivations,
+    "q_anti_join": q_anti_join,
+    "q_semi_join": q_semi_join,
+    "a_cube_events": a_cube_events,
+    "w_rank_family": w_rank_family,
+    "a_pivot_events": a_pivot_events,
+    "u_unpivot_events": u_unpivot_events,
+    "q_correlated_decorrelation": q_correlated_decorrelation,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    # ---- past the 50-entry window: green in BOTH r1 and r2, untouched ----
+    "q1_pricing_summary": q1_pricing_summary,
+    "w2_top3_per_user": w2_top3_per_user,
+    "w3_earliest3_per_user": w3_earliest3_per_user,
+    "a_count_distinct": a_count_distinct,
+    "a_percentiles": a_percentiles,
+    "a_rollup_revenue": a_rollup_revenue,
+    "w_running_analytics": w_running_analytics,
+    "j3_left_join_coalesce": j3_left_join_coalesce,
+    "j5_chained_lookup": j5_chained_lookup,
+    "u3_set_ops_users": u3_set_ops_users,
+    "p3_id_from_url": p3_id_from_url,
+    "p8_sentinel_cleanup": p8_sentinel_cleanup,
+    "f6_json_extraction": f6_json_extraction,
+    "p9_event_id_synth": p9_event_id_synth,
 }
