@@ -23,6 +23,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+# Frames persisted by ANN plan builds (ivf/pq/ivfpq). A persist()'d plan
+# stays pinned in executor storage for the life of the session (the cache
+# manager holds it by logical plan — driver GC never frees it), so a bench
+# loop that re-invokes these operators would accumulate dead cache entries
+# until LRU pressure. Each build therefore releases the PREVIOUS build's
+# frames on entry (callers materialize one returned plan before building
+# the next — the driver/bench/correctness-gate pattern), and
+# :func:`release_cached` is the explicit cleanup handle for everyone else.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every frame cached by prior ANN plan builds."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product of two array<float> columns."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -173,12 +196,13 @@ def ivf_topk(
     more cells never duplicates a (query, neighbor) pair. Recall < 1 by
     design — the exact counterpart is :func:`cosine_topk`.
     """
+    release_cached()
     cents = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
     # materialize the assignment ONCE: it feeds both the query side and the
     # collection side of the cell join, and Spark does not reuse exchanges
     # across their differing projections — without the persist the whole
     # k-means lineage (2 Lloyd passes over the data) executes twice.
-    cells = _assign(emb, cents, id_col, vec_col).persist()
+    cells = _persist(_assign(emb, cents, id_col, vec_col))
     # max_query_id=None means "all vectors are queries" (mirrors cosine_topk;
     # a raw `col < None` would silently filter everything to empty)
     qfilter = F.lit(True) if max_query_id is None else F.col(id_col) < max_query_id
@@ -533,14 +557,15 @@ def pq_topk(
     over code rows, not vectors. nprobe-style gating composes by
     intersecting with :func:`assign_cells` cells before the grouped sum.
     """
+    release_cached()
     # the dim probe is ONE driver scalar, shared by every stage below
     dim = len(emb.select(vec_col).first()[0])
     # codebooks feed BOTH the encode branch and the distance-table branch;
     # without the persist the whole Lloyd lineage executes twice
-    cents = pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim).persist()
+    cents = _persist(pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim))
     # codebooks + codes feed the search twice conceptually (table build and
     # code join); materialize codes once — they are the compressed corpus
-    codes = pq_encode(emb, cents, m, id_col, vec_col, dim=dim).persist()
+    codes = _persist(pq_encode(emb, cents, m, id_col, vec_col, dim=dim))
 
     dtab = _adc_distance_table(emb, cents, m, dim, id_col, vec_col, max_query_id)
     return _adc_topk(codes, dtab, id_col, k)
@@ -644,6 +669,7 @@ def ivfpq_topk(
     Candidate gating happens before the ADC shuffle (left-semi on the
     cell join output), so pruned vectors never enter it.
     """
+    release_cached()
     dim = len(emb.select(vec_col).first()[0])
     coarse = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
     from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
@@ -657,10 +683,9 @@ def ivfpq_topk(
     w = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
     # one ranked assignment serves data cells (rn=1) AND query probes
     # (rn<=nprobe); persisted so the k-means lineage runs once
-    ranked = (
+    ranked = _persist(
         scored.withColumn("rn", F.row_number().over(w))
         .select(id_col, F.col("cent_id").alias("cell"), "rn")
-        .persist()
     )
     cells = ranked.filter(F.col("rn") == 1).select(id_col, "cell")
     qcells = ranked.filter(F.col("rn") <= nprobe).select(
@@ -672,7 +697,7 @@ def ivfpq_topk(
         "query_id", id_col
     )
 
-    cents = pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim).persist()
-    codes = pq_encode(emb, cents, m, id_col, vec_col, dim=dim).persist()
+    cents = _persist(pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim))
+    codes = _persist(pq_encode(emb, cents, m, id_col, vec_col, dim=dim))
     dtab = _adc_distance_table(emb, cents, m, dim, id_col, vec_col, max_query_id)
     return _adc_topk(codes, dtab, id_col, k, cand=cand)

@@ -271,21 +271,27 @@ def _srp_sql(
     plant_below: int | None = 50,
 ) -> str:
     """SRP-LSH near-dup twin of operators.similarity.srp_neardup_pairs,
-    gating on the IDENTICAL ±1 hyperplanes (srp_planes is shared). Dot
-    products use the same sequential list fold as _cos, so the sign bits
-    — and therefore the candidate set — match Spark bit-for-bit.
-    ``plant_below``: mirror queries.sim_srp_neardup's planted near-dups
-    (id+100000, every other component × 1.001)."""
+    gating on the IDENTICAL ±1 hyperplanes (srp_planes is shared). Plane
+    dot products fold the per-component terms IN COMPONENT ORDER
+    (``list_sum(list(x*w ORDER BY j))`` — the same sequential fold as
+    Spark's ``F.aggregate`` over ``zip_with``), so a sign bit whose true
+    dot is ~0 cannot flip between engines and the candidate set matches
+    bit-for-bit. ``plant_below``: mirror queries.sim_srp_neardup's
+    planted near-dups (id + max(vec_id)+1, every other component
+    × 1.001)."""
     planes = srp_planes(n_bits * n_bands, dim, seed)
     plane_rows = ", ".join(
         f"({p}, {j + 1}, {planes[p][j]})" for p in range(len(planes)) for j in range(dim)
     )
     if plant_below is not None:
+        # planted copies live at id + max(id)+1 — data-derived so a corpus
+        # of ANY size keeps planted ids disjoint from real ids (a fixed
+        # literal offset would silently collide on both engines at once)
         e_cte = f"""base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 e AS (
   SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id,
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id,
          list_transform(generate_series(1, len(v)), i -> v[i] * (1.0 + 0.001 * ((i - 1) % 2))) AS v
   FROM base WHERE vec_id < {plant_below}
 )"""
@@ -298,7 +304,7 @@ e AS (
 WITH {e_cte},
 planes(p, j, w) AS (VALUES {plane_rows}),
 px AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS j, unnest(v) AS x FROM e),
-dots AS (SELECT vec_id, p, sum(x * w) AS d FROM px JOIN planes USING (j) GROUP BY vec_id, p),
+dots AS (SELECT vec_id, p, list_sum(list(x * w ORDER BY j)) AS d FROM px JOIN planes USING (j) GROUP BY vec_id, p),
 banded AS (
   SELECT vec_id, p // {n_bits} AS band,
          CAST(sum(CASE WHEN d >= 0 THEN (1 << (p % {n_bits})) ELSE 0 END) AS INTEGER) AS code
@@ -476,11 +482,17 @@ base AS (
   SELECT d.doc_id, d.text, {split_case} AS split
   FROM documents d JOIN kept USING (doc_id)
 ),
-btoks AS (SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS bt FROM base),
+btoks AS (
+  -- guard on trim(text) <> '', NOT len(bt) > 0: DuckDB splits '' to ['']
+  -- (len 1) while Spark's tokens() maps empty text to an empty array —
+  -- len(bt) > 0 would emit a phantom 1-token empty chunk Spark never does
+  SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS bt
+  FROM base WHERE trim(text) <> ''
+),
 bst AS (
   SELECT doc_id, split, bt,
          unnest(generate_series(1, CAST(greatest(len(bt) - 8, 1) AS INTEGER), 56)) AS start
-  FROM btoks WHERE len(bt) > 0
+  FROM btoks
 )
 SELECT doc_id, split,
        CAST((start - 1) // 56 AS INTEGER) AS chunk_id,
@@ -1137,12 +1149,18 @@ FROM (
 
     # 64-token windows advancing by 56 (8-token overlap); last start is the
     # largest s <= len - overlap so a chunk always adds new tokens
+    # guard on trim(text) <> '', NOT len(t) > 0: DuckDB splits '' to ['']
+    # (len 1, so the length guard passes) while Spark's tokens() maps empty
+    # text to an empty array and emits no chunk at all
     o["llm_token_chunks"] = r"""
-WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
 st AS (
   SELECT doc_id, t,
          unnest(generate_series(1, CAST(greatest(len(t) - 8, 1) AS INTEGER), 56)) AS start
-  FROM toks WHERE len(t) > 0
+  FROM toks
 )
 SELECT doc_id,
        CAST((start - 1) // 56 AS INTEGER) AS chunk_id,

@@ -833,7 +833,8 @@ def sim_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus's natural pairs top out below cos 0.7, so true near-dups
     (cos ≥ 0.9, the dedup regime where SRP gates ~250×: ~0.4 % random-pair
     noise at 8 bits × 8 bands) are PLANTED deterministically: each vector
-    with id < 50 gets a copy at id+100000 with every other component
+    with id < 50 gets a copy at id + max(vec_id)+1 (data-derived offset —
+    disjoint from real ids at ANY corpus size) with every other component
     scaled by 1.001 (cos ≈ 1). Both engines build the identical union, so
     the gate + verify match bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -841,8 +842,10 @@ def sim_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
+    # one driver scalar; the oracle derives the identical offset in SQL
+    offset = base.agg(F.max("vec_id")).first()[0] + 1
     pert = base.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: x * (F.lit(1.0) + F.lit(0.001) * (i % 2).cast("double")),
