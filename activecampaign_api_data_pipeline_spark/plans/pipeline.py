@@ -48,6 +48,7 @@ from activecampaign_api_data_pipeline_spark.storage import TableStore, write_dig
 #: id-column candidates probed case-insensitively on the seed
 #: (reference :280-301).
 SEED_ID_CANDIDATES = ("id", "contact_id", "contactid")
+SEED_EMAIL_CANDIDATES = ("email",)  # reference :281 (case folded by _seed_col)
 
 #: Code→label maps (reference P5, STATUS_MAP_AUT/HIDDEN_MAP :409-410).
 #: "2": "Completed" is a documented superset of the reference's map.
@@ -178,19 +179,51 @@ def _seed_col(seed: DataFrame, candidates: tuple[str, ...]) -> str | None:
     return None
 
 
-def resolve_seed_ids(seed: DataFrame) -> DataFrame:
-    """Case-insensitive id-column candidate pick + key dedup (S8/A3).
+def resolve_seed_ids(seed: DataFrame, cfg: "PipelineConfig | None" = None) -> DataFrame:
+    """Case-insensitive id-column candidate pick + key dedup (S8/A3), with
+    the reference's email→id API fallback (:306-327).
 
-    Returns a one-column ``contact_id`` string DataFrame; raises if no
-    candidate column exists (the reference aborts the same way, :302-305).
+    Returns ``(contact_id, email_seed)``: with an id column, ids come from
+    the seed directly (``email_seed`` from its email column if present,
+    else null); with ONLY an email column and a ``cfg``, each email is
+    resolved via ``filters[email]`` + ``limit 1`` probes through the
+    rate-budgeted client (:func:`..sources.fanout.resolve_ids_by_email`).
+    Raises when neither path applies (the reference returns an empty frame
+    for no-email seeds, :329, but an abort surfaces misconfigured seeds).
     """
-    col = _seed_col(seed, SEED_ID_CANDIDATES)
-    if col is None:
-        raise ValueError(f"seed has no id column among {SEED_ID_CANDIDATES}: {seed.columns}")
-    return (
-        seed.select(nullify_sentinels(F.col(col)).alias("contact_id"))
-        .filter(F.col("contact_id").isNotNull())
-        .dropDuplicates(["contact_id"])
+    id_col = _seed_col(seed, SEED_ID_CANDIDATES)
+    email_col = _seed_col(seed, SEED_EMAIL_CANDIDATES)
+    if id_col is not None:
+        email_expr = (
+            F.nullif(F.trim(F.col(email_col)), F.lit(""))
+            if email_col is not None
+            else F.lit(None).cast("string")
+        )
+        return (
+            seed.select(
+                nullify_sentinels(F.col(id_col)).alias("contact_id"),
+                email_expr.alias("email_seed"),
+            )
+            .filter(F.col("contact_id").isNotNull())
+            .dropDuplicates(["contact_id"])
+        )
+    if email_col is not None and cfg is not None:
+        from activecampaign_api_data_pipeline_spark.sources.fanout import resolve_ids_by_email
+
+        return (
+            resolve_ids_by_email(
+                seed.select(F.col(email_col).alias("email")),
+                base_url=cfg.base_url,
+                rate=cfg.rate,
+                n_partitions=cfg.fetch_partitions,
+            )
+            .filter(nullify_sentinels(F.col("contact_id")).isNotNull())
+            .dropDuplicates(["contact_id"])
+        )
+    raise ValueError(
+        f"seed has no id column among {SEED_ID_CANDIDATES}"
+        + ("" if cfg is not None else " (and no cfg for the email fallback)")
+        + f": {seed.columns}"
     )
 
 
@@ -265,31 +298,36 @@ def run_pipeline(
     scan.write.mode("overwrite").parquet(fetch_path)
     new_contacts = spark.read.parquet(fetch_path)
     ids_new = new_contacts.select(F.col("id").alias("contact_id"))
-    if incremental_only or seed is None:
+    seed_map = None
+    if seed is not None:
+        # id+email map, possibly via API probes (S8 email fallback). When
+        # the fallback fired this lineage contains live fetches, so it is
+        # materialized to a run-scoped parquet exactly like the contact
+        # scan: downstream consumers (universe, backfill) must not re-probe
+        # the API, and the rate budget is spent once.
+        seed_map = resolve_seed_ids(seed, cfg)
+        seed_path = f"{cfg.lake_root}/runs/{run_id}/seed_map"
+        seed_map.write.mode("overwrite").parquet(seed_path)
+        seed_map = spark.read.parquet(seed_path)
+    if incremental_only or seed_map is None:
         universe = ids_new
     else:
-        universe = resolve_seed_ids(seed).unionByName(ids_new).dropDuplicates(["contact_id"])
+        universe = (
+            seed_map.select("contact_id").unionByName(ids_new).dropDuplicates(["contact_id"])
+        )
 
     # --- contacts table, seed-email backfill (J3, :1593-1595). Seed id and
     # email columns are resolved by the same case-insensitive probe as
-    # resolve_seed_ids (a seed with ``ID``/``Email`` headers works).
+    # resolve_seed_ids (a seed with ``ID``/``Email`` headers works); an
+    # emails-only seed backfills from the API-resolved (id, email) map.
     contacts = new_contacts.select(
         F.col("id").alias("contact_id"), "email", "first_name", "last_name", "udate"
     )
-    seed_email_col = _seed_col(seed, ("email",)) if seed is not None else None
-    if seed is not None and seed_email_col is not None:
-        seed_id_col = _seed_col(seed, SEED_ID_CANDIDATES)
-        if seed_id_col is None:
-            raise ValueError(
-                f"seed has no id column among {SEED_ID_CANDIDATES}: {seed.columns}"
-            )
-        seed_emails = seed.select(
-            nullify_sentinels(F.col(seed_id_col)).alias("contact_id"),
-            F.col(seed_email_col).alias("email_seed"),
-        ).dropDuplicates(["contact_id"])
+    seed_email_col = _seed_col(seed, SEED_EMAIL_CANDIDATES) if seed is not None else None
+    if seed_map is not None and seed_email_col is not None:
         contacts = (
             universe.join(contacts, "contact_id", "left")
-            .join(F.broadcast(seed_emails), "contact_id", "left")
+            .join(F.broadcast(seed_map), "contact_id", "left")
             .select(
                 "contact_id",
                 F.coalesce(F.nullif(F.trim("email"), F.lit("")), F.col("email_seed")).alias("email"),

@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fetch_children(
@@ -77,3 +78,55 @@ def fetch_children(
 
     src = ids.select(id_col).distinct().repartition(n_partitions)
     return src.mapInPandas(_fetch, out_schema)
+
+
+def resolve_ids_by_email(
+    emails: DataFrame,
+    base_url: str,
+    email_col: str = "email",
+    rate: float = 4.0,
+    n_partitions: int = 4,
+) -> DataFrame:
+    """Email → contact-id probes (reference :315-327), distributed.
+
+    The reference resolves an emails-only seed CSV with one driver-side
+    ``/contacts?filters[email]=E&limit=1`` probe per row plus a rate
+    sleep. Same API traffic here, but the emails are a DataFrame and the
+    probes run as ``mapInPandas`` over email partitions — each partition's
+    client gets ``rate / n_partitions`` so the aggregate respects the
+    global budget (T4), exactly like :func:`fetch_children`.
+
+    Unresolvable emails (no contact) yield no row, matching the
+    reference's silent skip. Returns ``(contact_id, email_seed)``.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("contact_id", StringType()), StructField("email_seed", StringType())]
+    )
+    per_partition_rate = rate / max(1, n_partitions)
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from activecampaign_api_data_pipeline_spark.sources.rest_client import RestClient
+
+        client = RestClient(base_url, rate=per_partition_rate)
+        for pdf in batches:
+            rows_out: list[dict] = []
+            for email in pdf[email_col].astype(str):
+                email = email.strip()
+                if not email:
+                    continue
+                data = client.get_json(
+                    "api/3/contacts", params={"filters[email]": email, "limit": "1"}
+                )
+                contacts = (data or {}).get("contacts", [])
+                if isinstance(contacts, dict):  # reference :321-322
+                    contacts = [contacts]
+                if contacts:
+                    cid = str(contacts[0].get("id", "")).strip()
+                    if cid:
+                        rows_out.append({"contact_id": cid, "email_seed": email})
+            yield pd.DataFrame(rows_out, columns=["contact_id", "email_seed"])
+
+    src = emails.select(email_col).where(F.col(email_col).isNotNull()).distinct()
+    return src.repartition(n_partitions).mapInPandas(_probe, out_schema)

@@ -298,3 +298,33 @@ def test_seed_union_and_email_backfill(spark, mock, cfg):
     # contact 2 had a blank email in the API -> backfilled from the seed (J3)
     assert contacts["2"]["email"] == "seeded@x.com"
     assert contacts["1"]["email"] == "ada@x.com"
+
+
+def test_seed_email_only_fallback_resolves_ids(spark, mock, cfg):
+    """S8 email→id fallback (reference :315-327): a seed with ONLY an email
+    column resolves ids via filters[email] + limit 1 probes and yields the
+    same universe as an id seed of those contacts."""
+    m, _ = mock
+    # watermark already at the max id: the keyset scan returns nothing and
+    # the universe comes ENTIRELY from the resolved seed
+    store = TableStore(spark, cfg.lake_root)
+    store.save_state({"max_contact_id": 3})
+    seed = spark.createDataFrame(
+        [("ada@x.com",), ("g@x.com",), ("nobody@x.com",)], "Email string"
+    )
+    run_pipeline(spark, cfg, seed=seed, run_id="r1")
+    contacts = {r["contact_id"]: r for r in store.read_best("contacts").collect()}
+    # ada@x.com -> 1, g@x.com -> 3; nobody@x.com resolves to no contact
+    assert sorted(contacts) == ["1", "3"]
+    # emails backfilled from the probe map (the scan fetched no rows)
+    assert contacts["1"]["email"] == "ada@x.com"
+    assert contacts["3"]["email"] == "g@x.com"
+    # the probes really were filters[email] + limit 1 (reference :320)
+    probes = [p for p in m.request_log if "filters%5Bemail%5D" in p]
+    assert len(probes) == 3 and all("limit=1" in p for p in probes)
+
+
+def test_seed_email_only_without_cfg_raises(spark):
+    emails = spark.createDataFrame([("a@x",)], "email string")
+    with pytest.raises(ValueError, match="no id column"):
+        resolve_seed_ids(emails)
