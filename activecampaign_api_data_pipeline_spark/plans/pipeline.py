@@ -163,6 +163,9 @@ class PipelineConfig:
     refresh_days: float = 7.0
     max_events_per_contact: int = 500
     fetch_partitions: int = 4
+    #: IANA zone for the chatter mart's human-readable local time column
+    #: (reference :1403 "LOCAL_TZ"); None = UTC-only output shape.
+    local_tz: str | None = None
     children: list[str] = field(default_factory=lambda: list(CHILD_SPECS))
     deal_children: list[str] = field(default_factory=lambda: list(DEAL_CHILD_SPECS))
     dims: list[str] = field(default_factory=lambda: list(DIM_ENDPOINTS))
@@ -400,7 +403,9 @@ def run_pipeline(
             counts[dchild] = res.n_delta
 
     # --- mart (§3.3) + per-contact txt digests (K4, :1684-1692)
-    chatter, digest = build_ac_chatter(store, dims, cfg.max_events_per_contact)
+    chatter, digest = build_ac_chatter(
+        store, dims, cfg.max_events_per_contact, local_tz=cfg.local_tz
+    )
     chatter.write.mode("overwrite").parquet(f"{cfg.lake_root}/mart/chatter_master")
     digest.write.mode("overwrite").parquet(f"{cfg.lake_root}/mart/contact_digest")
     write_digests(
@@ -446,6 +451,7 @@ def build_ac_chatter(
     store: TableStore,
     dims: dict[str, DataFrame],
     max_events_per_contact: int = 500,
+    local_tz: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Chatter mart + digest from stored gold tables (reference :1016-1507).
 
@@ -788,7 +794,39 @@ def build_ac_chatter(
             F.concat_ws(": ", F.col("title"), F.nullif(F.col("detail"), F.lit(""))), who
         ),
     )
-    chatter = enriched.withColumn("chatter_line", line).orderBy(
+    chatter = enriched.withColumn("chatter_line", line)
+
+    # local-timezone rendering (reference :1399-1404): alongside the UTC
+    # string the reference emits a human-readable local wall time with the
+    # zone offset (strftime "%Y-%m-%d %H:%M:%S %z"). The script ships a
+    # placeholder "LOCAL_TZ" literal (the notebook pins "UTC"), so here it
+    # is an explicit parameter; None (default) keeps the UTC-only shape.
+    # The offset is computed per ROW from the instant shift — date_format's
+    # zone patterns render the SESSION zone (pinned UTC), which would print
+    # +0000 for every row.
+    if local_tz is not None:
+        utc_ts = F.to_timestamp("event_ts")
+        local_ts = F.from_utc_timestamp(utc_ts, local_tz)
+        off = local_ts.cast("long") - utc_ts.cast("long")  # seconds, DST-aware
+        off_str = F.format_string(
+            "%s%02d%02d",
+            F.when(off < 0, F.lit("-")).otherwise(F.lit("+")),
+            F.floor(F.abs(off) / 3600).cast("int"),
+            F.floor((F.abs(off) % 3600) / 60).cast("int"),
+        )
+        chatter = chatter.withColumn(
+            "event_time_utc", F.date_format(utc_ts, "yyyy-MM-dd HH:mm:ss")
+        ).withColumn(
+            "event_time_local",
+            F.when(
+                utc_ts.isNotNull(),
+                F.concat_ws(
+                    " ", F.date_format(local_ts, "yyyy-MM-dd HH:mm:ss"), off_str
+                ),
+            ).otherwise(F.lit("")),  # reference: unparseable ts -> "" (:1407-1409)
+        )
+
+    chatter = chatter.orderBy(
         F.col("contact_id").asc(),
         F.col("event_ts").asc_nulls_last(),
         F.col("event_id").asc(),

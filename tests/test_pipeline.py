@@ -328,3 +328,15 @@ def test_seed_email_only_without_cfg_raises(spark):
     emails = spark.createDataFrame([("a@x",)], "email string")
     with pytest.raises(ValueError, match="no id column"):
         resolve_seed_ids(emails)
+
+
+def test_chatter_local_tz_rendering(spark, mock, cfg):
+    """Local-tz mart parameter (reference :1399-1404): event_time_utc plus
+    a human-readable local wall time with the zone offset. Asia/Kolkata
+    exercises a positive non-whole-hour offset (+0530)."""
+    cfg.local_tz = "Asia/Kolkata"
+    run_pipeline(spark, cfg, run_id="r1")
+    chatter = spark.read.parquet(f"{cfg.lake_root}/mart/chatter_master")
+    r = chatter.filter("event_id = 'activities:a1'").collect()[0]
+    assert r["event_time_utc"] == "2020-02-01 10:00:00"
+    assert r["event_time_local"] == "2020-02-01 15:30:00 +0530"
