@@ -873,8 +873,11 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
-    # the streaming run must land on the identical result as the batch twin
+    # the streaming runs must land on the identical result as the batch twin
+    # (complete-mode memory harness AND the production-shaped append/
+    # foreachBatch/parquet path — sentinel-flushed, so nothing stays open)
     o["t_stream_window_hourly"] = o["t_window_hourly"]
+    o["t_stream_append"] = o["t_window_hourly"]
 
     # two-run watermarked replay must equal ONE full pass (T1/T2)
     o["t_incremental_replay"] = """

@@ -707,6 +707,85 @@ def t_stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def t_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-shaped streaming path, oracle-checked: withWatermark
+    + APPEND output through foreachBatch into a parquet sink.
+
+    Unlike t_stream_window_hourly (complete mode, memory sink — bounded
+    driver accumulation, fine as a harness), this is the deployment shape:
+    each micro-batch appends only watermark-FINALIZED windows to the lake,
+    so sink size is O(closed windows) and state is evicted as the
+    watermark passes — the T1/T3 semantics the reference approximates with
+    its keyset cursor (:249-270), continuously.
+
+    Determinism: append emission depends on watermark progression across
+    batches, so the stream is staged as maxFilesPerTrigger=1 files with
+    strictly increasing mtimes — the real corpus, then two far-future
+    sentinel rows. The watermark delay exceeds the corpus's full time span
+    (no real row can ever be late regardless of arrival order), sentinel 1
+    pushes the watermark past every real window, and sentinel 2's batch
+    emits them (emission uses the PREVIOUS batch's committed watermark).
+    The sentinels' own windows never finalize and are filtered by type.
+    """
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import windowed_counts
+
+    pin_confs(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("double").alias("value")
+    )
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    span_h = int((b["hi"] - b["lo"]).total_seconds() // 3600) + 2
+    root = tempfile.mkdtemp(prefix="acdp_append_")
+    stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    # file-stream source orders batches by mtime; same-second writes tie
+    # arbitrarily, so stamp each file with a strictly increasing time in
+    # WRITE order as it appears (part-file names do not sort in write order)
+    stamped: set[str] = set()
+    next_stamp = [1_600_000_000]
+
+    def _stamp_new() -> None:
+        for f in sorted(os.listdir(stream_dir)):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(os.path.join(stream_dir, f), (next_stamp[0],) * 2)
+                stamped.add(f)
+                next_stamp[0] += 100
+
+    ev.coalesce(1).write.parquet(stream_dir)
+    _stamp_new()
+    for hours in (span_h + 3, span_h + 4):
+        spark.createDataFrame(
+            [(b["hi"] + timedelta(hours=hours), "__sentinel__", 0.0)],
+            "ts timestamp, event_type string, value double",
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+        _stamp_new()
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    agg = windowed_counts(stream, watermark=f"{span_h} hours").withColumnRenamed(
+        "window_start", "hour_start"
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .queryName(f"stream_append_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).filter(F.col("event_type") != "__sentinel__")
+
+
 def t_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T2 as an oracle-checked query: two watermarked incremental runs
     over a split-and-replayed source land on the SAME final state as one
@@ -1073,6 +1152,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_decontaminate": llm_decontaminate,
     "sim_srp_neardup": sim_srp_neardup,
     "mm_audio_energy": mm_audio_energy,
+    "t_stream_append": t_stream_append,
     # -- green in round 1 only (fell past the window in round 2) --
     "sim_embedding_neardup": sim_embedding_neardup,
     "mm_frame_sample": mm_frame_sample,
