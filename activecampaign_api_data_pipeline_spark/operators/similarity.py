@@ -614,13 +614,16 @@ def _adc_topk(
     id_col: str,
     k: int,
     cand: DataFrame | None = None,
+    join_keys: list[str] | None = None,
 ) -> DataFrame:
     """ADC scoring: join code rows to the broadcast distance table, fold the
     m per-subspace terms IN SUB ORDER (bit-reproducible), rank per query.
     ``cand`` (query_id, id_col) restricts scoring to gated candidates —
     the IVF-PQ path — applied BEFORE the grouped sum so non-candidates
-    never enter the shuffle."""
-    terms = codes.join(F.broadcast(dtab), ["sub", "code"]).filter(
+    never enter the shuffle. ``join_keys`` defaults to (sub, code); the
+    residual path adds ``cell`` so each candidate is scored against the
+    query's distance table FOR THAT CANDIDATE'S cell."""
+    terms = codes.join(F.broadcast(dtab), join_keys or ["sub", "code"]).filter(
         F.col(id_col) != F.col("query_id")
     )
     if cand is not None:
@@ -657,9 +660,9 @@ def ivfpq_topk(
     max_query_id: int | None = 10,
     nprobe: int = 1,
     n_iters: int = 2,
+    residual: bool = False,
 ) -> DataFrame:
-    """IVF-gated PQ search — the FAISS IVF-PQ composition (non-residual
-    variant; residual encoding is the documented refinement).
+    """IVF-gated PQ search — the FAISS IVF-PQ composition.
 
     Coarse quantizer (:func:`kmeans_centroids` + cosine argmax) prunes the
     candidate set to the query's ``nprobe`` cells; PQ/ADC scores ONLY the
@@ -668,6 +671,16 @@ def ivfpq_topk(
     touches nprobe/n_cells of it, via a broadcast distance table.
     Candidate gating happens before the ADC shuffle (left-semi on the
     cell join output), so pruned vectors never enter it.
+
+    ``residual=True`` is the actual FAISS IVFPQ quality step: codebooks
+    are trained on, and codes encode, the residual ``v − c(cell(v))``
+    instead of the raw vector. Residuals cluster around the origin with
+    far less spread than raw vectors, so the same (m, ksub) budget buys
+    finer quantization. Query side, the distance table is built per
+    (query, probed cell) from ``q − c(cell)`` — still Q·nprobe·m·ksub
+    rows, broadcast-sized — and ADC joins pick the table matching each
+    candidate's own cell. Note the nprobe=all ≡ plain-PQ identity holds
+    only for ``residual=False`` (residual codebooks differ by design).
     """
     release_cached()
     dim = len(emb.select(vec_col).first()[0])
@@ -697,7 +710,67 @@ def ivfpq_topk(
         "query_id", id_col
     )
 
-    cents = _persist(pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim))
-    codes = _persist(pq_encode(emb, cents, m, id_col, vec_col, dim=dim))
-    dtab = _adc_distance_table(emb, cents, m, dim, id_col, vec_col, max_query_id)
-    return _adc_topk(codes, dtab, id_col, k, cand=cand)
+    if not residual:
+        cents = _persist(pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim))
+        codes = _persist(pq_encode(emb, cents, m, id_col, vec_col, dim=dim))
+        dtab = _adc_distance_table(emb, cents, m, dim, id_col, vec_col, max_query_id)
+        return _adc_topk(codes, dtab, id_col, k, cand=cand)
+
+    # --- residual encoding: subtract each vector's own coarse centroid
+    # (rounded means -> the subtraction is elementwise and deterministic,
+    # reproducible bit-for-bit in the SQL oracle)
+    ccv = F.broadcast(coarse.select(F.col("cent_id").alias("cell"), "cv"))
+    rbase = (
+        ensure_min_parallelism(emb)
+        .select(id_col, vec_col)
+        .join(cells, id_col)
+        .join(ccv, "cell")
+        .select(
+            id_col,
+            F.zip_with(
+                F.col(vec_col), F.col("cv"), lambda x, y: x.cast("double") - y
+            ).alias("rvec"),
+        )
+    )
+    cents = _persist(pq_codebooks(rbase, m, ksub, n_iters, id_col, "rvec", dim=dim))
+    # codes carry the vector's cell: ADC must score a candidate against the
+    # query's distance table for THAT cell
+    codes = _persist(
+        pq_encode(rbase, cents, m, id_col, "rvec", dim=dim).join(cells, id_col)
+    )
+    # per-(query, probed cell) residual -> distance table rows gain `cell`
+    dsub = dim // m
+    qres = (
+        qcells.join(emb.select(F.col(id_col).alias("query_id"), vec_col), "query_id")
+        .join(ccv, "cell")
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col(vec_col), F.col("cv"), lambda x, y: x.cast("double") - y
+            ).alias("rvec"),
+        )
+    )
+    qsv = qres.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(F.col("rvec"), j * dsub + 1, dsub).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "cell", F.col("s.sub").alias("sub"), F.col("s.qv").alias("qv"))
+    dtab = qsv.join(F.broadcast(cents), "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        F.col("cent_id").alias("code"),
+        _l2(F.col("qv"), F.col("cv")).alias("d"),
+    )
+    return _adc_topk(codes, dtab, id_col, k, cand=cand, join_keys=["cell", "sub", "code"])

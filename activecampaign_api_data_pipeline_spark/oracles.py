@@ -142,15 +142,21 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
-def _pq_parts(m: int, ksub: int, max_query_id: int, n_iters: int) -> list[str]:
+def _pq_parts(
+    m: int, ksub: int, max_query_id: int, n_iters: int, src: str = "e", residual: bool = False
+) -> list[str]:
     """CTE list for the PQ stages (subvector split, per-subspace k-means,
     codes, query distance table) — shared by _pq_sql and _ivfpq_sql.
-    Assumes a prior CTE ``e(vec_id, v)``."""
+    Assumes a prior CTE ``e(vec_id, v)``; with ``src`` the training/encode
+    vectors come from that CTE instead (residual mode trains on
+    ``resid(vec_id, v)``). ``residual=True`` additionally expects
+    ``qresid(query_id, cell, v)`` — per-(query, probed-cell) residuals —
+    and emits a CELL-aware distance table."""
     parts = [
         "dimt AS (SELECT len(v) AS dim FROM e LIMIT 1)",
         f"""sv AS (
   SELECT vec_id, s.sub, v[s.sub * (dim // {m}) + 1 : (s.sub + 1) * (dim // {m})] AS sv
-  FROM e CROSS JOIN dimt CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+  FROM {src} CROSS JOIN dimt CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
 )""",
         f"c0 AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM sv WHERE vec_id < {ksub})",
     ]
@@ -171,9 +177,20 @@ def _pq_parts(m: int, ksub: int, max_query_id: int, n_iters: int) -> list[str]:
         """codes AS (SELECT vec_id, sub, cent_id AS code FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cent_id ASC) AS rn FROM sf
 ) WHERE rn = 1)""",
-        f"qsv AS (SELECT vec_id AS query_id, sub, sv AS qv FROM sv WHERE vec_id < {max_query_id})",
-        f"dtab AS (SELECT query_id, sub, cent_id AS code, {_l2_sql('qv', 'cv')} AS d FROM qsv JOIN {cur} USING (sub))",
     ]
+    if residual:
+        parts += [
+            f"""qsv AS (
+  SELECT query_id, cell, s.sub, v[s.sub * (dim // {m}) + 1 : (s.sub + 1) * (dim // {m})] AS qv
+  FROM qresid CROSS JOIN dimt CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+)""",
+            f"dtab AS (SELECT query_id, cell, sub, cent_id AS code, {_l2_sql('qv', 'cv')} AS d FROM qsv JOIN {cur} USING (sub))",
+        ]
+    else:
+        parts += [
+            f"qsv AS (SELECT vec_id AS query_id, sub, sv AS qv FROM sv WHERE vec_id < {max_query_id})",
+            f"dtab AS (SELECT query_id, sub, cent_id AS code, {_l2_sql('qv', 'cv')} AS d FROM qsv JOIN {cur} USING (sub))",
+        ]
     return parts
 
 
@@ -217,10 +234,14 @@ def _ivfpq_sql(
     max_query_id: int = 10,
     nprobe: int = 1,
     n_iters: int = 2,
+    residual: bool = False,
 ) -> str:
     """IVF-PQ twin of operators.similarity.ivfpq_topk: the coarse k-means
     cell pyramid (cosine argmax, prefix g*) gates candidates; the shared
-    PQ stages score only gated (query, neighbor) pairs."""
+    PQ stages score only gated (query, neighbor) pairs. ``residual=True``
+    mirrors the FAISS residual refinement — PQ trains on/encodes
+    ``v − c(cell(v))`` and the distance table is per (query, probed
+    cell), joined on the candidate's own cell."""
     parts = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         f"gc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids})",
@@ -246,14 +267,38 @@ def _ivfpq_sql(
   SELECT query_id, gcells.vec_id AS cvid
   FROM gqc JOIN gcells USING (cell) WHERE gcells.vec_id <> query_id
 )""",
-        *_pq_parts(m, ksub, max_query_id, n_iters),
-        """terms AS (
+    ]
+    if residual:
+        parts += [
+            f"""resid AS (
+  SELECT grf.vec_id, list_transform(generate_series(1, len(grf.v)), i -> grf.v[i] - fc.cv[i]) AS v
+  FROM grf JOIN {cur} fc ON grf.cent_id = fc.cent_id WHERE grf.rn = 1
+)""",
+            f"""qresid AS (
+  SELECT grf.vec_id AS query_id, grf.cent_id AS cell,
+         list_transform(generate_series(1, len(grf.v)), i -> grf.v[i] - fc.cv[i]) AS v
+  FROM grf JOIN {cur} fc ON grf.cent_id = fc.cent_id
+  WHERE grf.vec_id < {max_query_id} AND grf.rn <= {nprobe}
+)""",
+            *_pq_parts(m, ksub, max_query_id, n_iters, src="resid", residual=True),
+            "codesc AS (SELECT codes.vec_id, gcells.cell, sub, code FROM codes JOIN gcells USING (vec_id))",
+            """terms AS (
+  SELECT dtab.query_id AS query_id, codesc.vec_id AS neighbor_id, codesc.sub, d
+  FROM codesc JOIN dtab USING (cell, sub, code)
+  JOIN cand ON cand.query_id = dtab.query_id AND cand.cvid = codesc.vec_id
+)""",
+            _ADC_TAIL,
+        ]
+    else:
+        parts += [
+            *_pq_parts(m, ksub, max_query_id, n_iters),
+            """terms AS (
   SELECT dtab.query_id AS query_id, codes.vec_id AS neighbor_id, codes.sub, d
   FROM codes JOIN dtab USING (sub, code)
   JOIN cand ON cand.query_id = dtab.query_id AND cand.cvid = codes.vec_id
 )""",
-        _ADC_TAIL,
-    ]
+            _ADC_TAIL,
+        ]
     ctes = ",\n".join(parts)
     return f"""
 WITH {ctes}
@@ -1032,6 +1077,10 @@ FROM r WHERE rk <= 5
     o["sim_pq_topk"] = _pq_sql(m=4, ksub=8, k=3, max_query_id=10, n_iters=2)
     o["sim_ivfpq_topk"] = _ivfpq_sql(
         n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2, n_iters=2
+    )
+    o["sim_ivfpq_residual"] = _ivfpq_sql(
+        n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2, n_iters=2,
+        residual=True,
     )
 
     o["sim_srp_neardup"] = _srp_sql(

@@ -900,6 +900,16 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(emb, n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2)
 
 
+def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style RESIDUAL IVF-PQ: codebooks train on v − c(cell(v)) and
+    the ADC table is per (query, probed cell) — the quality refinement
+    over sim_ivfpq_topk at the identical storage/probe budget."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        emb, n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2, residual=True
+    )
+
+
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
@@ -1162,6 +1172,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": text_token_counts,
     "text_winnowing": text_winnowing,
     # -- touched in round 3 (residual IVF-PQ shares PQ stages) --
+    "sim_ivfpq_residual": sim_ivfpq_residual,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
     # -- round-2 green, kept inside the window --

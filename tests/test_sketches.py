@@ -314,3 +314,101 @@ def test_ivfpq_gating_prunes_candidates(spark):
     assert len(hits) > 0
     for r in hits:
         assert cells[r["query_id"]] == cells[r["neighbor_id"]]
+
+
+def test_ivfpq_residual_recall_and_reconstruction(spark):
+    """FAISS residual refinement: at the SAME (m, ksub, nprobe) budget,
+    residual IVF-PQ must (a) not lose recall-vs-exact against the
+    non-residual variant (both measured deterministic at 7/30 on the real
+    sf0.001 embeddings) and (b) strictly reduce PQ reconstruction error —
+    residuals cluster tighter than raw vectors, so the codebooks spend
+    their bits on finer structure (measured 0.774 vs 0.825 total sq err)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        _pytest.skip("driver testdata not present")
+    from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism, load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, ksub, nc, dim = 4, 8, 8, len(emb.select("embedding").first()[0])
+
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")).filter(
+        "query_id < 10"
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "d", SIM._l2(F.col("qv"), F.col("nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    exact = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter("r<=3")
+        .select("query_id", "neighbor_id")
+    )
+    kw = dict(n_centroids=nc, m=m, ksub=ksub, k=3, max_query_id=10, nprobe=2)
+    plain = SIM.ivfpq_topk(emb, **kw).select("query_id", "neighbor_id")
+    plain_recall = plain.intersect(exact).count()
+    res = SIM.ivfpq_topk(emb, residual=True, **kw).select("query_id", "neighbor_id")
+    res_recall = res.intersect(exact).count()
+    assert res.count() == 30  # every query fully answered
+    assert res_recall >= plain_recall >= 5
+
+    # (b) total squared reconstruction error of the PQ decode, raw vs residual
+    def recon(base, vec_col):
+        cents = SIM.pq_codebooks(base, m, ksub, 2, "vec_id", vec_col, dim=dim)
+        codes = SIM.pq_encode(base, cents, m, "vec_id", vec_col, dim=dim)
+        dec = codes.join(cents.withColumnRenamed("cent_id", "code"), ["sub", "code"]).select(
+            "vec_id", "sub", "cv"
+        )
+        sv = base.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("sub"),
+                            F.transform(
+                                F.slice(F.col(vec_col), j * (dim // m) + 1, dim // m),
+                                lambda x: x.cast("double"),
+                            ).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s"),
+        ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+        err = sv.join(dec, ["vec_id", "sub"]).withColumn("e", SIM._l2(F.col("sv"), F.col("cv")))
+        return err.groupBy().agg(F.avg("e")).first()[0] * m
+
+    raw_err = recon(emb.select("vec_id", "embedding"), "embedding")
+    coarse = SIM.kmeans_centroids(emb, nc, 2)
+    sc = (
+        ensure_min_parallelism(emb)
+        .select("vec_id", "embedding")
+        .join(F.broadcast(coarse))
+        .withColumn("cc", SIM.cosine(F.col("embedding"), F.col("cv")))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+    cells = (
+        sc.withColumn("rn", F.row_number().over(wc))
+        .filter("rn=1")
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    rbase = (
+        emb.select("vec_id", "embedding")
+        .join(cells, "vec_id")
+        .join(F.broadcast(coarse.select(F.col("cent_id").alias("cell"), "cv")), "cell")
+        .select(
+            "vec_id",
+            F.zip_with(F.col("embedding"), F.col("cv"), lambda x, y: x.cast("double") - y).alias(
+                "rvec"
+            ),
+        )
+    )
+    res_err = recon(rbase, "rvec")
+    assert res_err < raw_err
