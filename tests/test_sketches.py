@@ -412,3 +412,58 @@ def test_ivfpq_residual_recall_and_reconstruction(spark):
     )
     res_err = recon(rbase, "rvec")
     assert res_err < raw_err
+
+
+def test_cross_split_contamination_df_cap_bounds_join(spark):
+    """Scale proof for decontamination (mirror of the ngram_jaccard df-cap
+    fix): a boilerplate sentence shared by EVERY doc on both splits would
+    make the posting join quadratic; max_df must anti-join those hot
+    shingles first, collapsing the join to the genuinely-shared tail, while
+    the true planted contamination is still flagged at containment 1.0."""
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        _shingle_sets,
+        cross_split_contamination,
+    )
+    from pyspark.sql import functions as F
+
+    boiler = "this document is provided under the standard evaluation license terms"
+    bench = "unique benchmark question about prime factorization of large integers"
+    train_rows = [(i, f"{boiler} train filler number {i} content") for i in range(300)]
+    train_rows.append((999, f"{boiler} PRE {bench} POST extra padding words"))
+    test_rows = [(1000 + i, f"{boiler} held out item {i} body") for i in range(40)]
+    test_rows.append((2000, bench))
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    test = spark.createDataFrame(test_rows, "doc_id long, text string")
+
+    def posting_join_rows(max_df):
+        tr = _shingle_sets(train, "doc_id", "text", 3).select(
+            F.col("doc_id").alias("train_id"), F.explode("shingles").alias("shingle")
+        )
+        te = _shingle_sets(test, "doc_id", "text", 3).select(
+            F.col("doc_id").alias("test_id"), F.explode("shingles").alias("shingle")
+        )
+        if max_df is not None:
+            both = tr.select("shingle").unionAll(te.select("shingle"))
+            hot = (
+                both.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") > max_df)
+                .select("shingle")
+            )
+            tr = tr.join(F.broadcast(hot), "shingle", "left_anti")
+            te = te.join(F.broadcast(hot), "shingle", "left_anti")
+        return tr.join(te, "shingle").count()
+
+    uncapped = posting_join_rows(None)
+    capped = posting_join_rows(100)
+    # every boilerplate shingle joins 301 x 41 uncapped; the cap removes
+    # them all, leaving only genuinely discriminative co-occurrences
+    assert uncapped > 50_000
+    assert capped < uncapped / 50
+    out = {
+        (r["train_id"], r["test_id"]): r["containment"]
+        for r in cross_split_contamination(
+            train, test, threshold=0.5, max_df=100
+        ).collect()
+    }
+    assert out == {(999, 2000): 1.0}
