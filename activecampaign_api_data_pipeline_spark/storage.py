@@ -31,6 +31,15 @@ So per run, work is O(new batch + touched buckets), not O(master) as in the
 reference. At 100 TB raise ``n_buckets`` so a bucket ≪ executor memory; a
 run touching k buckets rewrites k/n_buckets of gold, nothing else.
 
+Exactly-once under restart: every write is either per-run-partition
+idempotent (bronze: dynamic overwrite of ``run_id=<id>``), duplicate-proof
+(silver: anti-join on ``(_kb, _row_hash)`` — replayed rows vanish), or a
+pure recomputation from silver (gold: dynamic overwrite of the batch's
+buckets, executed even when the replay contributes zero new silver rows).
+Re-running ``persist`` with the same ``run_id``/``extracted_at`` after a
+crash at ANY point therefore converges the store to the committed state —
+see ``tests/test_storage.py::test_exactly_once_restart``.
+
 Determinism: gold ordering is an explicit total order
 (updated_col DESC, extracted_at DESC, run_id DESC, _row_hash DESC) — the
 reference leans on pandas' stable mergesort file order (:186), which has no
@@ -133,13 +142,20 @@ class TableStore:
             n_delta = sum(r["count"] for r in per_bucket)
             buckets = [r[BUCKET_COL] for r in per_bucket]
 
-            # 1. bronze: append-only, partitioned by run (never read-modify).
+            # 1. bronze: per-run partition (never read-modify other runs).
             #    The per-run "delta" drop of the reference (:156-157) IS the
             #    bronze run_id partition — same rows, one write, partition-
             #    pruned via read_delta() instead of a duplicate directory.
+            #    Dynamic partition OVERWRITE (not append) makes a replayed
+            #    run_id land on its own partition idempotently: a run killed
+            #    anywhere after this write can be re-run with the same run_id
+            #    without doubling its bronze rows. Other runs' partitions are
+            #    untouched.
             staged.drop(BUCKET_COL).withColumn("run_id", F.lit(run_id)).write.mode(
-                "append"
-            ).partitionBy("run_id").parquet(self._path("bronze", table))
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy("run_id").parquet(
+                self._path("bronze", table)
+            )
 
             # 2. silver: anti-join on (_kb, _row_hash) — bucket-pruned probe
             silver_path = self._path("silver", table)
@@ -164,10 +180,19 @@ class TableStore:
             if n_new:
                 fresh.write.mode("append").partitionBy(BUCKET_COL).parquet(silver_path)
 
-                # 3. gold: recompute ONLY touched buckets from silver,
-                #    dynamic partition overwrite leaves the rest untouched
+            if n_delta:
+                # 3. gold: recompute ONLY the batch's buckets from silver,
+                #    dynamic partition overwrite leaves the rest untouched.
+                #    Refresh is keyed on the STAGED buckets, not just the
+                #    fresh ones, and runs even when n_new == 0: a run killed
+                #    between the silver append and this refresh replays with
+                #    every row anti-joined away (n_new == 0), and gold must
+                #    still be repaired from silver. The refresh is a pure
+                #    function of silver, so re-running it is idempotent; the
+                #    cost stays O(batch buckets) either way (duplicates hash
+                #    to the same buckets as their originals).
                 silver = self.read("silver", table).filter(
-                    F.col(BUCKET_COL).isin(touched)
+                    F.col(BUCKET_COL).isin(buckets)
                 )
                 order = []
                 if updated_col is not None:

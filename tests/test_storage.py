@@ -161,6 +161,57 @@ def test_schema_drift_gold_rebuild_mixed_files(spark, tmp_path):
     assert gold == {"1": None, "2": "x1"}
 
 
+@pytest.mark.parametrize("crash_after", ["bronze", "silver"])
+def test_exactly_once_restart(spark, store, tmp_path, crash_after):
+    """T2 under FAILURE, not just replay: kill the run between layer writes,
+    re-run it with the same run_id/batch, and the store must converge to the
+    state a non-crashing run would have produced.
+
+    The crash is simulated at the filesystem level: run 2 executes fully,
+    then the layers it would NOT yet have written at the crash point are
+    restored from a pre-run snapshot. ``crash_after='bronze'`` = died before
+    the silver append; ``crash_after='silver'`` = died before the gold
+    refresh (the case a naive n_new-gated refresh never repairs).
+    """
+    import shutil
+
+    df1 = spark.createDataFrame(
+        _rows(("1", "old@x", "2020-01-01"), ("2", "b@x", "2020-01-02")), SCHEMA
+    )
+    store.persist(df1, "c", ["cid"], run_id="r1", updated_col="udate",
+                  extracted_at="2020-06-01 00:00:00")
+
+    lake = store.root
+    snap = str(tmp_path / "snap")
+    for layer in ("silver", "gold"):
+        shutil.copytree(f"{lake}/{layer}/c", f"{snap}/{layer}")
+
+    df2 = spark.createDataFrame(_rows(("1", "new@x", "2020-03-01")), SCHEMA)
+    store.persist(df2, "c", ["cid"], run_id="r2", updated_col="udate",
+                  extracted_at="2020-06-02 00:00:00")
+    expected_silver, expected_gold = _silver_set(store, "c"), _gold_map(store, "c")
+    assert expected_gold["1"] == ("new@x", "2020-03-01")
+
+    # roll back the layers the crashed run never reached
+    rollback = {"bronze": ("silver", "gold"), "silver": ("gold",)}[crash_after]
+    for layer in rollback:
+        shutil.rmtree(f"{lake}/{layer}/c")
+        shutil.copytree(f"{snap}/{layer}", f"{lake}/{layer}/c")
+    assert _gold_map(store, "c")["1"] == ("old@x", "2020-01-01")  # stale, pre-crash
+
+    # replay the SAME run — identical batch, run_id, extracted_at
+    res = store.persist(df2, "c", ["cid"], run_id="r2", updated_col="udate",
+                        extracted_at="2020-06-02 00:00:00")
+
+    assert _silver_set(store, "c") == expected_silver  # no duplicate history
+    assert _gold_map(store, "c") == expected_gold      # gold repaired
+    if crash_after == "silver":
+        assert res.n_new_silver == 0  # every row anti-joined away, yet gold healed
+    # bronze replay overwrote its own partition, not appended to it
+    assert store.read_delta("c", "r2").count() == 1
+    assert store.read_delta("c", "r1").count() == 2
+
+
 def test_state_checkpoint_roundtrip(store, spark):
     assert store.load_state() == {}
     store.save_state({"max_contact_id": 41, "last_run_utc": "2020-06-01T00:00:00Z"})
