@@ -23,27 +23,86 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
-# Frames persisted by ANN plan builds (ivf/pq/ivfpq). A persist()'d plan
-# stays pinned in executor storage for the life of the session (the cache
-# manager holds it by logical plan — driver GC never frees it), so a bench
-# loop that re-invokes these operators would accumulate dead cache entries
-# until LRU pressure. Each build therefore releases the PREVIOUS build's
-# frames on entry (callers materialize one returned plan before building
-# the next — the driver/bench/correctness-gate pattern), and
-# :func:`release_cached` is the explicit cleanup handle for everyone else.
-_CACHED: list[DataFrame] = []
+# Parameter-keyed cache for frames persisted by ANN plan builds (ivf/pq/
+# ivfpq). Codebooks, codes and cell assignments are INDEX ARTIFACTS — they
+# depend only on (input plan, build parameters), not on the query — so two
+# searches with the same parameters (e.g. pq_topk then ivfpq_topk at the
+# same m/ksub) must reuse one build instead of retraining k-means. A
+# persist()'d plan stays pinned in executor storage for the life of the
+# session (the cache manager holds it by logical plan — driver GC never
+# frees it), so entries are bounded by an LRU: reuse moves a key to the
+# back, insertion past the cap unpersists the oldest. Keys carry the
+# CANONICALIZED analyzed-plan string of the input (expression-id-free, so
+# two independent reads of the same parquet path hit the same entry) plus
+# the session identity (a new session never sees a dead frame) plus every
+# build parameter. :func:`release_cached` stays the explicit cleanup handle.
+from collections import OrderedDict
+
+_BUILD_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_BUILD_CACHE_MAX = 8
+# dim probes are one driver scalar per (plan, column) — cache them too so a
+# repeated search does not pay a first() job just to re-learn the width
+_DIM_CACHE: dict[tuple, int] = {}
 
 
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _CACHED.append(df)
+import itertools
+
+_IDENT_COUNTER = itertools.count()
+
+
+def _plan_key(df: DataFrame) -> tuple:
+    """Session-scoped, expression-id-free identity of a DataFrame's plan.
+
+    RDD-backed plans (``createDataFrame`` -> LocalRelation/LogicalRDD)
+    canonicalize WITHOUT their data — two different in-memory frames with
+    the same schema alias to one string — so those fall back to object
+    identity via a never-reused token pinned on the Python wrapper (plain
+    ``id()`` could be recycled after GC). File scans, the real path, get
+    plan-stable keys that survive re-reading the same table.
+    """
+    s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    if "LogicalRDD" in s or "LocalRelation" in s:
+        tok = getattr(df, "_ann_ident", None)
+        if tok is None:
+            tok = next(_IDENT_COUNTER)
+            df._ann_ident = tok
+        s = f"{s}#obj{tok}"
+    return (id(df.sparkSession), s)
+
+
+def _cached_build(key: tuple, build) -> DataFrame:
+    """Return the persisted frame for ``key``, building it on first use."""
+    df = _BUILD_CACHE.get(key)
+    if df is not None:
+        _BUILD_CACHE.move_to_end(key)
+        return df
+    df = build().persist()
+    _BUILD_CACHE[key] = df
+    while len(_BUILD_CACHE) > _BUILD_CACHE_MAX:
+        _, old = _BUILD_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # owning session already stopped
     return df
+
+
+def _probe_dim(emb: DataFrame, vec_col: str) -> int:
+    key = _plan_key(emb) + (vec_col,)
+    if key not in _DIM_CACHE:
+        _DIM_CACHE[key] = len(emb.select(vec_col).first()[0])
+    return _DIM_CACHE[key]
 
 
 def release_cached() -> None:
     """Unpersist every frame cached by prior ANN plan builds."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
+    while _BUILD_CACHE:
+        _, df = _BUILD_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _DIM_CACHE.clear()
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -196,13 +255,17 @@ def ivf_topk(
     more cells never duplicates a (query, neighbor) pair. Recall < 1 by
     design — the exact counterpart is :func:`cosine_topk`.
     """
-    release_cached()
     cents = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
     # materialize the assignment ONCE: it feeds both the query side and the
     # collection side of the cell join, and Spark does not reuse exchanges
     # across their differing projections — without the persist the whole
-    # k-means lineage (2 Lloyd passes over the data) executes twice.
-    cells = _persist(_assign(emb, cents, id_col, vec_col))
+    # k-means lineage (2 Lloyd passes over the data) executes twice. The
+    # parameter-keyed cache also shares it across queries (e.g. nprobe=1
+    # and nprobe=2 searches over the same table reuse one assignment).
+    cells = _cached_build(
+        _plan_key(emb) + ("ivf_assign", n_centroids, n_iters, id_col, vec_col),
+        lambda: _assign(emb, cents, id_col, vec_col),
+    )
     # max_query_id=None means "all vectors are queries" (mirrors cosine_topk;
     # a raw `col < None` would silently filter everything to empty)
     qfilter = F.lit(True) if max_query_id is None else F.col(id_col) < max_query_id
@@ -557,15 +620,23 @@ def pq_topk(
     over code rows, not vectors. nprobe-style gating composes by
     intersecting with :func:`assign_cells` cells before the grouped sum.
     """
-    release_cached()
     # the dim probe is ONE driver scalar, shared by every stage below
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _probe_dim(emb, vec_col)
     # codebooks feed BOTH the encode branch and the distance-table branch;
-    # without the persist the whole Lloyd lineage executes twice
-    cents = _persist(pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim))
+    # without the persist the whole Lloyd lineage executes twice. Keyed on
+    # build parameters, so ivfpq_topk (non-residual) with the same (m, ksub,
+    # n_iters) reuses these exact frames instead of retraining.
+    pq_key = _plan_key(emb) + (m, ksub, n_iters, id_col, vec_col, dim)
+    cents = _cached_build(
+        pq_key + ("pq_cents",),
+        lambda: pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim),
+    )
     # codebooks + codes feed the search twice conceptually (table build and
     # code join); materialize codes once — they are the compressed corpus
-    codes = _persist(pq_encode(emb, cents, m, id_col, vec_col, dim=dim))
+    codes = _cached_build(
+        pq_key + ("pq_codes",),
+        lambda: pq_encode(emb, cents, m, id_col, vec_col, dim=dim),
+    )
 
     dtab = _adc_distance_table(emb, cents, m, dim, id_col, vec_col, max_query_id)
     return _adc_topk(codes, dtab, id_col, k)
@@ -682,23 +753,28 @@ def ivfpq_topk(
     candidate's own cell. Note the nprobe=all ≡ plain-PQ identity holds
     only for ``residual=False`` (residual codebooks differ by design).
     """
-    release_cached()
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _probe_dim(emb, vec_col)
     coarse = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
     from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
 
-    scored = (
-        ensure_min_parallelism(emb)
-        .select(F.col(id_col), F.col(vec_col))
-        .join(F.broadcast(coarse))
-        .withColumn("cc", cosine(F.col(vec_col), F.col("cv")))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+    def _build_ranked() -> DataFrame:
+        scored = (
+            ensure_min_parallelism(emb)
+            .select(F.col(id_col), F.col(vec_col))
+            .join(F.broadcast(coarse))
+            .withColumn("cc", cosine(F.col(vec_col), F.col("cv")))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+        return scored.withColumn("rn", F.row_number().over(w)).select(
+            id_col, F.col("cent_id").alias("cell"), "rn"
+        )
+
     # one ranked assignment serves data cells (rn=1) AND query probes
-    # (rn<=nprobe); persisted so the k-means lineage runs once
-    ranked = _persist(
-        scored.withColumn("rn", F.row_number().over(w))
-        .select(id_col, F.col("cent_id").alias("cell"), "rn")
+    # (rn<=nprobe); persisted so the k-means lineage runs once, and keyed so
+    # repeated searches (any nprobe, residual or not) reuse the assignment
+    ranked = _cached_build(
+        _plan_key(emb) + ("ivf_ranked", n_centroids, n_iters, id_col, vec_col),
+        _build_ranked,
     )
     cells = ranked.filter(F.col("rn") == 1).select(id_col, "cell")
     qcells = ranked.filter(F.col("rn") <= nprobe).select(
@@ -711,8 +787,17 @@ def ivfpq_topk(
     )
 
     if not residual:
-        cents = _persist(pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim))
-        codes = _persist(pq_encode(emb, cents, m, id_col, vec_col, dim=dim))
+        # identical keys to pq_topk: an ivfpq search after a plain-PQ search
+        # (or vice versa) at the same (m, ksub, n_iters) retrains nothing
+        pq_key = _plan_key(emb) + (m, ksub, n_iters, id_col, vec_col, dim)
+        cents = _cached_build(
+            pq_key + ("pq_cents",),
+            lambda: pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim),
+        )
+        codes = _cached_build(
+            pq_key + ("pq_codes",),
+            lambda: pq_encode(emb, cents, m, id_col, vec_col, dim=dim),
+        )
         dtab = _adc_distance_table(emb, cents, m, dim, id_col, vec_col, max_query_id)
         return _adc_topk(codes, dtab, id_col, k, cand=cand)
 
@@ -732,11 +817,18 @@ def ivfpq_topk(
             ).alias("rvec"),
         )
     )
-    cents = _persist(pq_codebooks(rbase, m, ksub, n_iters, id_col, "rvec", dim=dim))
+    # residual artifacts depend on the coarse quantizer too -> key includes
+    # n_centroids and the residual marker (they can never alias plain-PQ)
+    res_key = _plan_key(emb) + (n_centroids, m, ksub, n_iters, id_col, vec_col, dim, "residual")
+    cents = _cached_build(
+        res_key + ("pq_cents",),
+        lambda: pq_codebooks(rbase, m, ksub, n_iters, id_col, "rvec", dim=dim),
+    )
     # codes carry the vector's cell: ADC must score a candidate against the
     # query's distance table for THAT cell
-    codes = _persist(
-        pq_encode(rbase, cents, m, id_col, "rvec", dim=dim).join(cells, id_col)
+    codes = _cached_build(
+        res_key + ("pq_codes",),
+        lambda: pq_encode(rbase, cents, m, id_col, "rvec", dim=dim).join(cells, id_col),
     )
     # per-(query, probed cell) residual -> distance table rows gain `cell`
     dsub = dim // m

@@ -8,8 +8,11 @@ scalability cliff called out in SURVEY.md §3.2):
 - **delta**  = ``bronze/<table>/run_id=<id>`` — the reference's immutable
   per-run drop (K1/K2) is exactly bronze's run partition; ``read_delta``
   reads it partition-pruned instead of writing a duplicate directory.
-- **bronze** ``bronze/<table>/run_id=…`` — append-only history, partitioned
-  by run, never rewritten (reference "raw" before dedup).
+- **bronze** ``bronze/<table>/run_id=…`` — per-run partition, idempotently
+  OVERWRITTEN on replay of the same ``run_id`` (reference "raw" before
+  dedup). run_ids must therefore be unique per logical run: replaying a
+  run_id with a *different* batch replaces that run's earlier bronze drop
+  (an append would have preserved it) — the orchestrator owns uniqueness.
 - **silver** ``silver/<table>/_kb=…``    — content-hash-deduped history
   (reference "raw" after A1 dedup), partitioned by a key-hash bucket.
 - **gold**   ``gold/<table>/_kb=…``      — last-per-key snapshot (reference
@@ -31,14 +34,21 @@ So per run, work is O(new batch + touched buckets), not O(master) as in the
 reference. At 100 TB raise ``n_buckets`` so a bucket ≪ executor memory; a
 run touching k buckets rewrites k/n_buckets of gold, nothing else.
 
-Exactly-once under restart: every write is either per-run-partition
-idempotent (bronze: dynamic overwrite of ``run_id=<id>``), duplicate-proof
-(silver: anti-join on ``(_kb, _row_hash)`` — replayed rows vanish), or a
-pure recomputation from silver (gold: dynamic overwrite of the batch's
-buckets, executed even when the replay contributes zero new silver rows).
-Re-running ``persist`` with the same ``run_id``/``extracted_at`` after a
-crash at ANY point therefore converges the store to the committed state —
-see ``tests/test_storage.py::test_exactly_once_restart``.
+Exactly-once under SAME-BATCH restart: every write is either per-run-
+partition idempotent (bronze: dynamic overwrite of ``run_id=<id>``),
+duplicate-proof (silver: anti-join on ``(_kb, _row_hash)`` — replayed rows
+vanish), or a pure recomputation from silver (gold: dynamic overwrite of
+the batch's buckets, executed even when the replay contributes zero new
+silver rows). Re-running ``persist`` with the same ``run_id``/
+``extracted_at`` AND the same (or bucket-covering) batch after a crash at
+ANY point therefore converges the store to the committed state — see
+``tests/test_storage.py::test_exactly_once_restart``. The claim is scoped
+to same-batch replay because dynamic partition overwrite is not atomic: a
+crash mid-gold-commit can leave some bucket partitions deleted, and a
+retry whose re-extract no longer hashes to those buckets (source data
+changed between attempts) will not repair them. :meth:`TableStore.
+rebuild_gold` is the recovery path — it recomputes gold from silver for
+arbitrary buckets (default: all).
 
 Determinism: gold ordering is an explicit total order
 (updated_col DESC, extracted_at DESC, run_id DESC, _row_hash DESC) — the
@@ -68,7 +78,13 @@ class PersistResult:
     run_id: str
     n_delta: int
     n_new_silver: int
+    # every bucket the batch staged = every gold partition rewritten this
+    # run (gold refresh is keyed on the staged buckets, not just the ones
+    # that gained silver rows — a replay with n_new_silver == 0 still
+    # rewrites them). Downstream cache invalidation must key on THIS.
     touched_buckets: list[int]
+    # the narrower set: buckets that actually gained new silver rows
+    new_silver_buckets: list[int]
 
 
 def _key_bucket(key_cols: list[str], n_buckets: int) -> Column:
@@ -191,33 +207,53 @@ class TableStore:
                 #    function of silver, so re-running it is idempotent; the
                 #    cost stays O(batch buckets) either way (duplicates hash
                 #    to the same buckets as their originals).
-                silver = self.read("silver", table).filter(
-                    F.col(BUCKET_COL).isin(buckets)
-                )
-                order = []
-                if updated_col is not None:
-                    order.append(F.col(updated_col).desc_nulls_last())
-                order += [
-                    F.col("extracted_at").desc_nulls_last(),
-                    F.col("run_id").desc_nulls_last(),
-                    F.col(HASH_COL).desc(),
-                ]
-                from pyspark.sql import Window
-
-                w = Window.partitionBy(*key_cols).orderBy(*order)
-                latest = (
-                    silver.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn")
-                    .repartition(F.col(BUCKET_COL))
-                )
-                latest.write.mode("overwrite").option(
-                    "partitionOverwriteMode", "dynamic"
-                ).partitionBy(BUCKET_COL).parquet(self._path("gold", table))
+                self.rebuild_gold(table, key_cols, updated_col, buckets=buckets)
             fresh.unpersist()
         finally:
             staged.unpersist()
-        return PersistResult(table, run_id, n_delta, n_new, sorted(touched))
+        return PersistResult(table, run_id, n_delta, n_new, sorted(buckets), sorted(touched))
+
+    def rebuild_gold(
+        self,
+        table: str,
+        key_cols: list[str],
+        updated_col: str | None = None,
+        buckets: list[int] | None = None,
+    ) -> None:
+        """Recompute gold from silver for ``buckets`` (default: ALL).
+
+        Gold is a pure function of silver (latest-per-key under the total
+        order below), so this is safe to run at any time — it is both the
+        incremental refresh used by :meth:`persist` and the repair path for
+        the non-atomic dynamic-overwrite window documented in the module
+        docstring (a crash mid-gold-commit followed by a changed re-extract
+        can orphan bucket partitions; rebuild with ``buckets=None`` to
+        restore the invariant). Cost is O(selected buckets), never
+        O(store).
+        """
+        silver = self.read("silver", table)
+        if buckets is not None:
+            silver = silver.filter(F.col(BUCKET_COL).isin(buckets))
+        order = []
+        if updated_col is not None:
+            order.append(F.col(updated_col).desc_nulls_last())
+        order += [
+            F.col("extracted_at").desc_nulls_last(),
+            F.col("run_id").desc_nulls_last(),
+            F.col(HASH_COL).desc(),
+        ]
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        latest = (
+            silver.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .repartition(F.col(BUCKET_COL))
+        )
+        latest.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(BUCKET_COL).parquet(self._path("gold", table))
 
     # --------------------------------------------------------------- reads
 

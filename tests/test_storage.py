@@ -56,6 +56,10 @@ def test_idempotent_rerun(spark, store):
     s1, g1 = _silver_set(store, "contacts"), _gold_map(store, "contacts")
     res2 = store.persist(df, "contacts", ["cid"], run_id="r2", extracted_at="2020-06-02 00:00:00")
     assert res2.n_new_silver == 0
+    # ADVICE r3: even with zero new silver rows the replay REWRITES the
+    # staged buckets' gold partitions — touched_buckets must report them
+    # (cache-invalidation contract), new_silver_buckets the narrower truth
+    assert res2.touched_buckets and res2.new_silver_buckets == []
     assert _silver_set(store, "contacts") == s1
     assert _gold_map(store, "contacts") == g1
 
@@ -122,9 +126,32 @@ def test_untouched_buckets_not_rewritten(spark, store):
     r2 = store.persist(df2, "c", ["cid"], run_id="r2", updated_col="udate",
                        extracted_at="2020-06-02 00:00:00")
     assert len(r2.touched_buckets) == 1  # only key "0"'s bucket recomputed
+    assert r2.new_silver_buckets == r2.touched_buckets
     g = _gold_map(store, "c")
     assert g["0"] == ("updated@x", "2020-02-01")
     assert len(g) == 12  # other buckets' gold rows intact
+
+
+def test_rebuild_gold_repairs_orphaned_partition(spark, store, tmp_path):
+    """The repair path for the non-atomic overwrite window: delete a gold
+    bucket partition out from under the store (simulating a crash mid-
+    gold-commit whose retry never re-touched that bucket), then
+    rebuild_gold(buckets=None) restores it from silver."""
+    import shutil
+
+    df = spark.createDataFrame(
+        [(str(i), f"u{i}@x", "2020-01-01") for i in range(12)], SCHEMA
+    )
+    store.persist(df, "c", ["cid"], run_id="r1", updated_col="udate",
+                  extracted_at="2020-06-01 00:00:00")
+    before = _gold_map(store, "c")
+    gold_root = f"{store.root}/gold/c"
+    victim = next(p for p in __import__("os").listdir(gold_root) if p.startswith("_kb="))
+    shutil.rmtree(f"{gold_root}/{victim}")
+    assert len(_gold_map(store, "c")) < 12  # damage is visible
+
+    store.rebuild_gold("c", ["cid"], updated_col="udate")
+    assert _gold_map(store, "c") == before
 
 
 def test_schema_drift_new_column_survives(spark, store):
