@@ -1,0 +1,268 @@
+"""Persisted ANN index — separate the build (rare, heavy) from search
+(frequent, light).
+
+:func:`similarity.ivfpq_topk` trains the coarse quantizer and PQ codebooks
+inside every search query; the session-level build cache amortizes that
+within one process, but the real 100 TB shape is an INDEX TABLE: train and
+encode once, write the artifacts as parquet, and let every later search —
+any process, any session — scan codes plus broadcast-sized codebooks. This
+mirrors ``storage.save_bucketed``'s role for joins: a one-time physical
+layout investment that every subsequent query exploits.
+
+Artifacts under ``<path>/``:
+
+- ``coarse``    — IVF coarse centroids ``(cent_id, cv double[])``; a few
+  KB, broadcast at search time.
+- ``cells``     — corpus cell assignment ``(vec_id, cell)``; two ints per
+  vector, the semi-join gate's build side.
+- ``codebooks`` — PQ per-subspace centroids ``(sub, cent_id, cv)``; KBs.
+- ``codes``     — the compressed corpus ``(vec_id, sub, code[, cell])``;
+  m small ints per vector (~3 % of raw bytes) — the ONLY per-vector data
+  a search scans. Residual indexes carry ``cell`` so ADC joins pick the
+  query's distance table for the candidate's own cell.
+- ``params.json`` — build parameters; search refuses a mismatched read.
+
+Every artifact is written, then READ BACK for downstream build stages —
+the parquet round-trip (exact for doubles/ints) is the materialization
+barrier, so the Lloyd lineage runs once without any persist bookkeeping,
+and what search reads is bit-identical to what the build used. Search
+results therefore match :func:`similarity.ivfpq_topk` at the same
+parameters exactly (same seeds, same tie-breaks, same sub-ordered ADC
+fold), which is how the driver oracle checks this module.
+
+Reference parity note: the reference pipeline (run_ac_extraction.py) has
+no ANN at all — this is part of the LLM-pipeline extension family
+(SURVEY.md north-star ops), composed FAISS-style (Jegou et al., IVFADC).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from activecampaign_api_data_pipeline_spark.operators.similarity import (
+    _adc_topk,
+    _l2,
+    cosine,
+    kmeans_centroids,
+    pq_codebooks,
+    pq_encode,
+)
+
+
+@dataclass(frozen=True)
+class AnnIndexParams:
+    n_centroids: int = 8
+    m: int = 4
+    ksub: int = 8
+    n_iters: int = 2
+    dim: int = 0  # filled by build
+    residual: bool = False
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+def _write(df: DataFrame, path: str) -> DataFrame:
+    """Write an artifact and read it back — the round-trip IS the
+    materialization barrier between build stages."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def build_ann_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> AnnIndexParams:
+    """Train + encode an IVF-PQ index over ``emb`` and persist it at
+    ``path``. Deterministic (same contracts as the in-session operators:
+    first-k seeds, 6-dp-rounded means, lower-id tie-breaks)."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+
+    # 1. coarse quantizer (cosine k-means)
+    coarse = _write(
+        kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col),
+        f"{path}/coarse",
+    )
+
+    # 2. corpus cell assignment from the WRITTEN centroids
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(coarse))
+        .withColumn("cc", cosine(F.col(vec_col), F.col("cv")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+    cells = _write(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("cent_id").alias("cell")),
+        f"{path}/cells",
+    )
+
+    # 3. PQ codebooks (+ 4. codes) — on raw vectors, or residuals v − c(cell)
+    if residual:
+        ccv = F.broadcast(coarse.select(F.col("cent_id").alias("cell"), "cv"))
+        rbase = (
+            emb.select(id_col, vec_col)
+            .join(cells, id_col)
+            .join(ccv, "cell")
+            .select(
+                id_col,
+                F.zip_with(
+                    F.col(vec_col), F.col("cv"), lambda x, y: x.cast("double") - y
+                ).alias("rvec"),
+            )
+        )
+        cents = _write(
+            pq_codebooks(rbase, m, ksub, n_iters, id_col, "rvec", dim=dim),
+            f"{path}/codebooks",
+        )
+        _write(
+            pq_encode(rbase, cents, m, id_col, "rvec", dim=dim).join(cells, id_col),
+            f"{path}/codes",
+        )
+    else:
+        cents = _write(
+            pq_codebooks(emb, m, ksub, n_iters, id_col, vec_col, dim=dim),
+            f"{path}/codebooks",
+        )
+        _write(
+            pq_encode(emb, cents, m, id_col, vec_col, dim=dim),
+            f"{path}/codes",
+        )
+
+    params = AnnIndexParams(n_centroids, m, ksub, n_iters, dim, residual, id_col, vec_col)
+    # params sidecar: one-row JSON via Spark so the index works on any DFS
+    spark.createDataFrame([(json.dumps(params.to_dict()),)], "p string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/params.json")
+    return params
+
+
+def load_ann_params(spark: SparkSession, path: str) -> AnnIndexParams:
+    raw = spark.read.text(f"{path}/params.json").collect()[0][0]
+    return AnnIndexParams(**json.loads(raw))
+
+
+def ivfpq_search_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k over a persisted index — the light, frequent half.
+
+    ``queries`` is ``(query_id, qv)`` with ``qv`` an array (any numeric
+    element type; cast to double internally). The search never touches a
+    raw corpus vector: probes come from the broadcast ``coarse`` table,
+    gating from the two-int ``cells`` table, scoring from ``codes`` plus a
+    broadcast per-query distance table. Semantics (and bit-level results)
+    match :func:`similarity.ivfpq_topk` at the index's parameters — a
+    corpus member used as a query excludes itself, ranks tie-break on
+    neighbor id.
+    """
+    p = load_ann_params(spark, path)
+    coarse = spark.read.parquet(f"{path}/coarse")
+    cells = spark.read.parquet(f"{path}/cells")
+    codes = spark.read.parquet(f"{path}/codes")
+    cents = spark.read.parquet(f"{path}/codebooks")
+    dsub = p.dim // p.m
+
+    q = queries.select(
+        F.col("query_id"),
+        F.transform(F.col("qv"), lambda x: x.cast("double")).alias("qv"),
+    )
+    # probe assignment: same cosine argmax + tie-break as the build side
+    qscored = q.join(F.broadcast(coarse)).withColumn("cc", cosine(F.col("qv"), F.col("cv")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+    qcells = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"), "qv")
+    )
+    # candidate gate BEFORE the ADC shuffle: only vectors in probed cells
+    cand = (
+        qcells.select("query_id", "cell")
+        .join(cells, "cell")
+        .filter(F.col(p.id_col) != F.col("query_id"))
+        .select("query_id", p.id_col)
+    )
+
+    def _subvecs(df: DataFrame, vec: str, extra: list[str]) -> DataFrame:
+        return df.select(
+            *extra,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("sub"),
+                            F.slice(F.col(vec), j * dsub + 1, dsub).alias("qv"),
+                        )
+                        for j in range(p.m)
+                    ]
+                )
+            ).alias("s"),
+        ).select(*extra, F.col("s.sub").alias("sub"), F.col("s.qv").alias("qv"))
+
+    if p.residual:
+        # per-(query, probed cell) residual -> cell-aware distance table
+        ccv = F.broadcast(coarse.select(F.col("cent_id").alias("cell"), "cv"))
+        qres = qcells.join(ccv, "cell").select(
+            "query_id",
+            "cell",
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x - y).alias("rv"),
+        )
+        qsv = _subvecs(qres.withColumnRenamed("rv", "qvec"), "qvec", ["query_id", "cell"])
+        dtab = qsv.join(F.broadcast(cents), "sub").select(
+            "query_id", "cell", "sub",
+            F.col("cent_id").alias("code"),
+            _l2(F.col("qv"), F.col("cv")).alias("d"),
+        )
+        return _adc_topk(codes, dtab, p.id_col, k, cand=cand, join_keys=["cell", "sub", "code"])
+
+    qsv = _subvecs(q.withColumnRenamed("qv", "qvec"), "qvec", ["query_id"])
+    dtab = qsv.join(F.broadcast(cents), "sub").select(
+        "query_id", "sub", F.col("cent_id").alias("code"), _l2(F.col("qv"), F.col("cv")).alias("d")
+    )
+    return _adc_topk(codes, dtab, p.id_col, k, cand=cand)
+
+
+def ensure_ann_index(
+    emb: DataFrame,
+    path: str,
+    **params,
+) -> str:
+    """Build the index at ``path`` unless a complete one already exists.
+
+    Completeness = the params sidecar exists and matches the requested
+    parameters (dim is learned by the build, so it is excluded from the
+    request comparison). The test/bench harness keys ``path`` on source
+    fingerprint + params, so a stale index is a new path, not a wrong hit.
+    """
+    spark = emb.sparkSession
+    try:
+        existing = load_ann_params(spark, path)
+        req = {k: v for k, v in params.items()}
+        cur = existing.to_dict()
+        if all(cur.get(k) == v for k, v in req.items()):
+            return path
+    except Exception:
+        pass  # absent or unreadable -> build
+    build_ann_index(emb, path, **params)
+    return path

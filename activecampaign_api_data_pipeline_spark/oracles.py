@@ -1082,6 +1082,15 @@ FROM r WHERE rk <= 5
         n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2, n_iters=2,
         residual=True,
     )
+    # the persisted-index searches are bit-identical to the in-session
+    # operator at the same parameters (parquet round-trips of doubles/ints
+    # are exact), so they share the _ivfpq_sql twin — only nprobe differs
+    o["sim_ivfpq_from_index"] = _ivfpq_sql(
+        n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2, n_iters=2
+    )
+    o["sim_ann_index_nprobe1"] = _ivfpq_sql(
+        n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=1, n_iters=2
+    )
 
     o["sim_srp_neardup"] = _srp_sql(
         threshold=0.9, n_bits=8, n_bands=8, dim=64, seed=7, plant_below=50

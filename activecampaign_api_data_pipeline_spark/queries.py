@@ -910,6 +910,55 @@ def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_path(sf_dir: str, **params) -> str:
+    """Index location keyed on source fingerprint + build params: a changed
+    source or parameter set is a NEW path, never a stale hit."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mt = int(os.path.getmtime(src))
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{mt}|{sorted(params.items())}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"acdp_ann_index_{key}")
+
+
+_ANN_INDEX_PARAMS = dict(n_centroids=8, m=4, ksub=8, n_iters=2)
+
+
+def _ann_index_queries(emb: DataFrame, max_query_id: int = 10) -> DataFrame:
+    return emb.filter(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+def sim_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search over a PERSISTED index (operators/ann_index.py): build
+    once as parquet artifacts (coarse centroids, cells, codebooks, codes),
+    search many times reading only codes + broadcast tables. Bit-identical
+    to sim_ivfpq_topk at the same parameters — the oracle is shared."""
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ann_index_path(sf_dir, **_ANN_INDEX_PARAMS)
+    AIX.ensure_ann_index(emb, path, **_ANN_INDEX_PARAMS)
+    return AIX.ivfpq_search_index(spark, path, _ann_index_queries(emb), k=3, nprobe=2)
+
+
+def sim_ann_index_nprobe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second search over the SAME persisted index (different probe
+    budget) — proves the build/search split: the heavy train+encode is
+    reused, only the light search runs."""
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ann_index_path(sf_dir, **_ANN_INDEX_PARAMS)
+    AIX.ensure_ann_index(emb, path, **_ANN_INDEX_PARAMS)
+    return AIX.ivfpq_search_index(spark, path, _ann_index_queries(emb), k=3, nprobe=1)
+
+
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
@@ -1175,6 +1224,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_residual": sim_ivfpq_residual,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
+    # -- new in round 4: persisted ANN index (build/search split) --
+    "sim_ivfpq_from_index": sim_ivfpq_from_index,
+    "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
     # -- round-2 green, kept inside the window --
     "flagship_chatter": flagship_chatter,
     "k2_medallion_snapshot": k2_medallion_snapshot,

@@ -467,3 +467,70 @@ def test_cross_split_contamination_df_cap_bounds_join(spark):
         ).collect()
     }
     assert out == {(999, 2000): 1.0}
+
+
+def _rand_vecs(n, dim, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    return [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+
+
+def test_ann_index_matches_in_session_ivfpq(spark, tmp_path):
+    """Persisted-index search == in-session ivfpq_topk bit-for-bit at the
+    same parameters (the round-trip through parquet is exact), for both
+    the raw and the residual encodings."""
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = spark.createDataFrame(
+        _rand_vecs(80, 8), "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    for residual in (False, True):
+        path = str(tmp_path / f"idx_res{residual}")
+        AIX.build_ann_index(
+            emb, path, n_centroids=4, m=2, ksub=4, n_iters=2, residual=residual
+        )
+        got = {
+            tuple(r)
+            for r in AIX.ivfpq_search_index(spark, path, queries, k=3, nprobe=2).collect()
+        }
+        want = {
+            tuple(r)
+            for r in SIM.ivfpq_topk(
+                emb, n_centroids=4, m=2, ksub=4, k=3, max_query_id=5,
+                nprobe=2, n_iters=2, residual=residual,
+            ).collect()
+        }
+        assert got == want, f"residual={residual}"
+
+
+def test_ensure_ann_index_reuses_existing_build(spark, tmp_path):
+    """ensure_ann_index is the build/search split: a second call with the
+    same params must NOT rewrite the artifacts (search-only cost)."""
+    import os
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = spark.createDataFrame(
+        _rand_vecs(40, 8), "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "idx")
+    AIX.ensure_ann_index(emb, path, n_centroids=4, m=2, ksub=4, n_iters=1)
+    stamp = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(path) for f in fs
+    )
+    AIX.ensure_ann_index(emb, path, n_centroids=4, m=2, ksub=4, n_iters=1)
+    stamp2 = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(path) for f in fs
+    )
+    assert stamp2 == stamp  # untouched
+    # changed params -> rebuild happens (different codebook count)
+    AIX.ensure_ann_index(emb, path, n_centroids=4, m=2, ksub=3, n_iters=1)
+    assert AIX.load_ann_params(spark, path).ksub == 3
