@@ -41,26 +41,46 @@ from collections import OrderedDict
 _BUILD_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _BUILD_CACHE_MAX = 8
 # dim probes are one driver scalar per (plan, column) — cache them too so a
-# repeated search does not pay a first() job just to re-learn the width
-_DIM_CACHE: dict[tuple, int] = {}
+# repeated search does not pay a first() job just to re-learn the width.
+# Same LRU discipline as _BUILD_CACHE: in-memory frames mint a fresh #obj
+# token per object, so an unbounded dict would grow for the session's life.
+_DIM_CACHE: "OrderedDict[tuple, int]" = OrderedDict()
+_DIM_CACHE_MAX = 64
 
 
+import hashlib
 import itertools
 
 _IDENT_COUNTER = itertools.count()
 
 
 def _plan_key(df: DataFrame) -> tuple:
-    """Session-scoped, expression-id-free identity of a DataFrame's plan.
+    """Session-scoped identity of a DataFrame's plan AND its data.
 
-    RDD-backed plans (``createDataFrame`` -> LocalRelation/LogicalRDD)
-    canonicalize WITHOUT their data — two different in-memory frames with
-    the same schema alias to one string — so those fall back to object
-    identity via a never-reused token pinned on the Python wrapper (plain
-    ``id()`` could be recycled after GC). File scans, the real path, get
-    plan-stable keys that survive re-reading the same table.
+    The canonicalized analyzed-plan string is expression-id-free but for
+    file sources it also omits the file path — ``sf0.001/embeddings`` and
+    ``sf0.01/embeddings`` canonicalize identically (round-4 verdict:
+    confirmed cross-dataset cache collision, silently wrong neighbors).
+    So the key mixes in the DATA identity:
+
+    - file-backed plans: an md5 over ``sorted(df.inputFiles())`` — stable
+      across re-reads of the same table, distinct across tables, and it
+      also changes when the underlying files change (new snapshot);
+    - RDD-backed plans (``createDataFrame`` -> LocalRelation/LogicalRDD),
+      whose data never appears in any plan string: a never-reused token
+      pinned on the Python wrapper (plain ``id()`` could be recycled
+      after GC).
+
+    Both tags can apply (e.g. a file scan joined with a local relation).
     """
     s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        h = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+        s = f"{s}#files{h}"
     if "LogicalRDD" in s or "LocalRelation" in s:
         tok = getattr(df, "_ann_ident", None)
         if tok is None:
@@ -89,9 +109,14 @@ def _cached_build(key: tuple, build) -> DataFrame:
 
 def _probe_dim(emb: DataFrame, vec_col: str) -> int:
     key = _plan_key(emb) + (vec_col,)
-    if key not in _DIM_CACHE:
-        _DIM_CACHE[key] = len(emb.select(vec_col).first()[0])
-    return _DIM_CACHE[key]
+    if key in _DIM_CACHE:
+        _DIM_CACHE.move_to_end(key)
+        return _DIM_CACHE[key]
+    dim = len(emb.select(vec_col).first()[0])
+    _DIM_CACHE[key] = dim
+    while len(_DIM_CACHE) > _DIM_CACHE_MAX:
+        _DIM_CACHE.popitem(last=False)
+    return dim
 
 
 def release_cached() -> None:

@@ -657,12 +657,31 @@ FROM e GROUP BY event_type
 """
 
     o["a_percentiles"] = """
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag, cents,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM p)
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-       round(min(l_extendedprice), 2) AS min_price,
-       round(max(l_extendedprice), 2) AS max_price
-FROM lineitem GROUP BY l_returnflag
+       CAST(min(CASE WHEN rn = ((n-1)*5) // 10 + 1 THEN cents END)
+              * (10 - min(((n-1)*5) % 10))
+          + coalesce(min(CASE WHEN rn = ((n-1)*5) // 10 + 2 THEN cents END),
+                     min(CASE WHEN rn = ((n-1)*5) // 10 + 1 THEN cents END))
+              * min(((n-1)*5) % 10) AS DOUBLE)
+         / CAST(1000 AS DOUBLE) AS median_price,
+       CAST(min(CASE WHEN rn = ((n-1)*9) // 10 + 1 THEN cents END)
+              * (10 - min(((n-1)*9) % 10))
+          + coalesce(min(CASE WHEN rn = ((n-1)*9) // 10 + 2 THEN cents END),
+                     min(CASE WHEN rn = ((n-1)*9) // 10 + 1 THEN cents END))
+              * min(((n-1)*9) % 10) AS DOUBLE)
+         / CAST(1000 AS DOUBLE) AS p90_price,
+       CAST(min(cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS min_price,
+       CAST(max(cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS max_price
+FROM r GROUP BY l_returnflag
 """
 
     o["a_rollup_revenue"] = """

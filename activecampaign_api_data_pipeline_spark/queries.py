@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from activecampaign_api_data_pipeline_spark.functions.hashing import split_assign, with_row_hash
@@ -158,15 +158,40 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (§2.4 extension).
 
     Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear-
-    interpolation definition; rounding absorbs last-ulp arithmetic drift.
+    interpolation DEFINITION but interpolate in floating point, and a
+    last-ulp difference at a half-cent boundary flips ``round(_, 2)``
+    differently per engine (observed at sf0.001). So the interpolation is
+    done in INTEGER CENTS: for quantile k/10 over n rows the target index
+    is (n-1)*k/10, the bracket ranks and the tenth-fraction come from
+    integer div/mod, and lo*(10-rem)+hi*rem is an exact integer in
+    cent-tenths. The only FP op is one final divide of exact integers —
+    bit-identical in any IEEE engine.
     """
-    li = _t(spark, sf_dir, "lineitem")
-    p = lambda q: F.round(F.percentile(F.col("l_extendedprice"), F.lit(q)), 2)  # noqa: E731
-    return li.groupBy("l_returnflag").agg(
-        p(0.5).alias("median_price"),
-        p(0.9).alias("p90_price"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    r = li.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("l_returnflag").orderBy("cents"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy("l_returnflag")))
+
+    def q10(k: int, name: str):
+        lo_rn = F.expr(f"((n - 1) * {k}) DIV 10 + 1")
+        rem = F.min(F.expr(f"((n - 1) * {k}) % 10"))
+        lov = F.min(F.when(F.col("rn") == lo_rn, F.col("cents")))
+        hiv = F.coalesce(
+            F.min(F.when(F.col("rn") == lo_rn + 1, F.col("cents"))), lov
+        )
+        milli = lov * (F.lit(10) - rem) + hiv * rem
+        return (milli / F.lit(1000.0)).alias(name)
+
+    return r.groupBy("l_returnflag").agg(
+        q10(5, "median_price"),
+        q10(9, "p90_price"),
+        (F.min("cents") / F.lit(100.0)).alias("min_price"),
+        (F.max("cents") / F.lit(100.0)).alias("max_price"),
     )
 
 

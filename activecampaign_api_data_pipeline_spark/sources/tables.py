@@ -29,8 +29,19 @@ def pin_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # TIMESTAMP(NANOS) read as epoch-ns int64 under nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # timestamp[us] with isAdjustedToUTC=false infers NTZ; normalize
+            # to TIMESTAMP (LTZ) under the pinned UTC session tz so every
+            # downstream consumer — including withWatermark, which REJECTS
+            # NTZ event time — sees one type. Same instants, same formatted
+            # strings; avoids mixed NTZ/LTZ parquet files in streaming
+            # harnesses whose schema inference picks a random footer.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,9 +1,13 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the FINAL stdout line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: median sec, ...}, "sf": <sf>,
-   "reps": N, "spread": {name: {"min": s, "max": s, "runs": [...]}}}
+   "queries": {name: median sec, ...}, "sf": <sf>, "reps": N}
+
+Per-run spread (min/max/raw runs per query) goes to BENCH_spread.json
+beside this script, NOT stdout: round 4's embedded spread payload pushed
+the stdout line past the driver's tail-capture window, leaving the
+official BENCH artifact truncated mid-JSON ("parsed": null).
 
 Each query is evaluated end-to-end into the noop sink (full compute, no
 result materialization on the driver, no Catalyst pruning of unobserved
@@ -104,6 +108,12 @@ def main() -> None:
         spread[name] = {"min": min(runs), "max": max(runs), "runs": runs}
 
     total = round(sum(timings.values()), 3)
+    spread_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_spread.json"
+    )
+    with open(spread_path, "w") as fh:
+        json.dump({"sf": sf, "reps": reps, "spread": spread}, fh, indent=1)
+    # compact headline object LAST on stdout — the driver tail-parses this
     print(
         json.dumps(
             {
@@ -113,7 +123,6 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": reps,
-                "spread": spread,
             }
         )
     )

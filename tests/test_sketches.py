@@ -534,3 +534,46 @@ def test_ensure_ann_index_reuses_existing_build(spark, tmp_path):
     # changed params -> rebuild happens (different codebook count)
     AIX.ensure_ann_index(emb, path, n_centroids=4, m=2, ksub=3, n_iters=1)
     assert AIX.load_ann_params(spark, path).ksub == 3
+
+
+def test_plan_key_distinguishes_same_schema_tables(spark):
+    """Round-4 regression: the canonicalized analyzed-plan string omits the
+    parquet path, so sf0.001 and sf0.01 embeddings keyed identically and the
+    ANN build cache silently served artifacts built from the wrong table.
+    The key must now carry the data identity (inputFiles hash)."""
+    import os
+
+    if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    a = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assert SIM._plan_key(a) != SIM._plan_key(b)
+    # re-reading the SAME table still hits one key — cache reuse preserved
+    a2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert SIM._plan_key(a) == SIM._plan_key(a2)
+
+
+def test_ann_cache_no_cross_table_reuse(spark):
+    """Search sf0.001, then the SAME params on sf0.01, in one session: the
+    sf0.01 result must equal a cold (cache-cleared) build — i.e. the warm
+    path must not inherit sf0.001's cells/centroids."""
+    import os
+
+    if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    SIM.release_cached()
+    small = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    big = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    SIM.ivf_topk(small, n_centroids=8, k=3, max_query_id=20, n_iters=2).collect()
+    warm = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(big, n_centroids=8, k=3, max_query_id=20, n_iters=2).collect()
+    )
+    SIM.release_cached()
+    cold = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(big, n_centroids=8, k=3, max_query_id=20, n_iters=2).collect()
+    )
+    assert warm == cold
