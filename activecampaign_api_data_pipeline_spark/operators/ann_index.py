@@ -94,6 +94,16 @@ def build_ann_index(
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
 
+    # Invalidate any existing sidecar FIRST: the sidecar is the completeness
+    # marker (written last), so a crash mid-rebuild must not leave an old
+    # params.json beside partially rewritten artifacts — ensure_ann_index
+    # would accept that mix as a complete index.
+    # ``_building_`` is not an AnnIndexParams field, so load_ann_params
+    # raises on it and ensure_ann_index treats the index as incomplete.
+    spark.createDataFrame(
+        [(json.dumps({"_building_": True}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+
     # 1. coarse quantizer (cosine k-means)
     coarse = _write(
         kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col),
@@ -250,19 +260,23 @@ def ensure_ann_index(
 ) -> str:
     """Build the index at ``path`` unless a complete one already exists.
 
-    Completeness = the params sidecar exists and matches the requested
-    parameters (dim is learned by the build, so it is excluded from the
-    request comparison). The test/bench harness keys ``path`` on source
-    fingerprint + params, so a stale index is a new path, not a wrong hit.
+    Completeness = the params sidecar exists and matches the FULL requested
+    parameter set with defaults filled in (round-4 advice: a subset request
+    must not match a differently-built index — ``residual=False`` rejects a
+    ``residual=True`` index even though the caller never said ``residual``).
+    ``dim`` is learned by the build, so it is excluded from the comparison.
+    A crashed rebuild cannot false-match: :func:`build_ann_index` rewrites
+    the sidecar with an unparsable marker before touching any artifact.
     """
     spark = emb.sparkSession
+    requested = AnnIndexParams(**params).to_dict()
+    requested.pop("dim")
     try:
-        existing = load_ann_params(spark, path)
-        req = {k: v for k, v in params.items()}
-        cur = existing.to_dict()
-        if all(cur.get(k) == v for k, v in req.items()):
+        existing = load_ann_params(spark, path).to_dict()
+        existing.pop("dim")
+        if existing == requested:
             return path
     except Exception:
-        pass  # absent or unreadable -> build
+        pass  # absent, unreadable, or mid-rebuild marker -> build
     build_ann_index(emb, path, **params)
     return path

@@ -943,6 +943,31 @@ FROM events GROUP BY 1, 2
     o["t_stream_window_hourly"] = o["t_window_hourly"]
     o["t_stream_append"] = o["t_window_hourly"]
 
+    # stream-stream interval join: every (purchase, click) pair for the
+    # same user with the click inside the preceding hour — the emitted set
+    # of an inner stream-stream join is batch-boundary-independent
+    o["t_stream_interval_join"] = """
+SELECT l.user_id,
+       l.event_id AS purchase_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       r.event_id AS click_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'click'
+ AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+"""
+
+    # streaming dedup: planted full-row duplicate copies must all be
+    # swallowed, every original row kept once -> the distinct corpus
+    # (event_id is unique in the source, so this IS one-row-per-event)
+    o["t_stream_dedup"] = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       CAST(value AS DOUBLE) AS value
+FROM events
+"""
+
     # two-run watermarked replay must equal ONE full pass (T1/T2)
     o["t_incremental_replay"] = """
 SELECT o_orderstatus,

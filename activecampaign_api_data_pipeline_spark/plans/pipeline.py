@@ -163,6 +163,12 @@ class PipelineConfig:
     refresh_days: float = 7.0
     max_events_per_contact: int = 500
     fetch_partitions: int = 4
+    #: hard cap on rows a DIM fetch may materialize on the driver. Dims are
+    #: small by contract (the TTL cache holds them driver-side, S6); a
+    #: fact-sized endpoint routed through the dim path would otherwise OOM
+    #: the driver silently. Exceeding the cap raises, steering callers to
+    #: the distributed ``ac_rest`` source.
+    max_dim_rows: int = 100_000
     #: IANA zone for the chatter mart's human-readable local time column
     #: (reference :1403 "LOCAL_TZ"); None = UTC-only output shape.
     local_tz: str | None = None
@@ -251,7 +257,16 @@ def load_dim_cached(
     if not fresh:
         client = RestClient(cfg.base_url, rate=cfg.rate)
         rows = client.paged(f"api/3/{name}", collection=name, page_limit=cfg.page_limit)
-        data = [tuple(None if r.get(f) is None else str(r.get(f)) for f in fields) for r in rows]
+        data = []
+        for r in rows:
+            if len(data) >= cfg.max_dim_rows:
+                raise ValueError(
+                    f"dim '{name}' exceeded max_dim_rows={cfg.max_dim_rows}; "
+                    "dims are materialized driver-side for the TTL cache — "
+                    "read fact-sized endpoints through the distributed "
+                    "'ac_rest' DataSource instead"
+                )
+            data.append(tuple(None if r.get(f) is None else str(r.get(f)) for f in fields))
         schema = ", ".join(f"{f} string" for f in fields)
         df = spark.createDataFrame(data, schema)
         df.coalesce(1).write.mode("overwrite").parquet(cache_dir)

@@ -811,6 +811,147 @@ def t_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).filter(F.col("event_type") != "__sentinel__")
 
 
+def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (A1, continuous), oracle-checked.
+
+    The corpus is staged as file micro-batches with planted FULL-ROW
+    duplicate copies arriving in later batches (every event_id % 5 == 0 row
+    is re-sent twice); ``stream_dedup`` (dropDuplicatesWithinWatermark on
+    event_id) must emit every original row exactly once and swallow every
+    planted copy. Copies are byte-identical rows, so whichever occurrence
+    survives, the output is value-identical — the oracle is simply the
+    distinct corpus (event_id is unique in the source, verified across all
+    SFs). The watermark delay exceeds the corpus's full time span, so no
+    real row can be dropped as late regardless of arrival order; at a real
+    deployment's scale the delay is the dedup horizon and state stays
+    bounded by eviction — the semantics tests/test_streaming.py pins.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import stream_dedup
+
+    pin_confs(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    span_h = int((b["hi"] - b["lo"]).total_seconds() // 3600) + 2
+    root = tempfile.mkdtemp(prefix="acdp_sdedup_")
+    stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    stamped: set[str] = set()
+    next_stamp = [1_600_000_000]
+
+    def _stamp_new() -> None:
+        for f in sorted(os.listdir(stream_dir)):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(os.path.join(stream_dir, f), (next_stamp[0],) * 2)
+                stamped.add(f)
+                next_stamp[0] += 100
+
+    ev.coalesce(1).write.parquet(stream_dir)
+    _stamp_new()
+    dupes = ev.filter(F.col("event_id") % 5 == 0)
+    for _ in range(2):  # two duplicate waves -> two later micro-batches
+        dupes.coalesce(1).write.mode("append").parquet(stream_dir)
+        _stamp_new()
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    deduped = stream_dedup(
+        stream, keys=["event_id"], ts_col="ts", watermark=f"{span_h} hours"
+    )
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .queryName(f"stream_dedup_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", TS_FMT).alias("ts_str"), "value",
+    )
+
+
+def t_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, oracle-checked (the §2.8 capability the
+    reference cannot express — it joins only full static frames).
+
+    Each purchase is attributed to the clicks by the same user within the
+    preceding hour. Both sides are real readStreams over the staged corpus;
+    the time-bound plus both watermarks is what makes join state expirable
+    at scale (without it a stream-stream join retains every row forever).
+    Determinism: an INNER stream-stream join emits a pair as soon as both
+    rows have arrived — no watermark-finalization gate — so with the whole
+    corpus staged the emitted set IS the full join regardless of
+    micro-batch boundaries; the watermark delay exceeds the corpus span so
+    state eviction can never drop a row first.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    pin_confs(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    span_h = int((b["hi"] - b["lo"]).total_seconds() // 3600) + 2
+    root = tempfile.mkdtemp(prefix="acdp_sij_")
+    stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    ev.coalesce(1).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+
+    def _side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir)
+            .filter(F.col("event_type") == event_type)
+            .drop("event_type")
+        )
+
+    joined = stream_interval_join(
+        _side("purchase"),
+        _side("click"),
+        key="user_id",
+        lookback="1 hour",
+        watermark=f"{span_h} hours",
+    )
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .queryName(f"stream_ij_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        F.col("r_event_id").alias("click_id"),
+        F.date_format("r_ts", TS_FMT).alias("click_ts"),
+    )
+
+
 def t_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T2 as an oracle-checked query: two watermarked incremental runs
     over a split-and-replayed source land on the SAME final state as one
@@ -1228,66 +1369,8 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BOTH prior driver rounds and are untouched this round.  Rotate per round so
 # every query keeps a recent hard correctness signal.
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-checked before round 3 --
-    "llm_corpus_prep": llm_corpus_prep,
-    "llm_split_assign": llm_split_assign,
-    "llm_corpus_pipeline": llm_corpus_pipeline,
-    "llm_token_chunks": llm_token_chunks,
-    "llm_decontaminate": llm_decontaminate,
-    "sim_srp_neardup": sim_srp_neardup,
-    "mm_audio_energy": mm_audio_energy,
-    "t_stream_append": t_stream_append,
-    # -- green in round 1 only (fell past the window in round 2) --
-    "sim_embedding_neardup": sim_embedding_neardup,
-    "mm_frame_sample": mm_frame_sample,
-    "mm_image_features": mm_image_features,
-    "text_quality": text_quality,
-    "text_lang_id": text_lang_id,
-    "text_token_counts": text_token_counts,
-    "text_winnowing": text_winnowing,
-    # -- touched in round 3 (residual IVF-PQ shares PQ stages) --
-    "sim_ivfpq_residual": sim_ivfpq_residual,
-    "sim_pq_topk": sim_pq_topk,
-    "sim_ivfpq_topk": sim_ivfpq_topk,
-    # -- new in round 4: persisted ANN index (build/search split) --
-    "sim_ivfpq_from_index": sim_ivfpq_from_index,
-    "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
-    # -- round-2 green, kept inside the window --
-    "flagship_chatter": flagship_chatter,
-    "k2_medallion_snapshot": k2_medallion_snapshot,
-    "t_stream_window_hourly": t_stream_window_hourly,
-    "t_incremental_replay": t_incremental_replay,
-    "t_sessionize": t_sessionize,
-    "t_window_hourly": t_window_hourly,
-    "dedup_exact_fingerprint": dedup_exact_fingerprint,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash": dedup_simhash,
-    "dedup_cluster_canonical": dedup_cluster_canonical,
-    "sim_cosine_topk": sim_cosine_topk,
-    "sim_ivf_topk": sim_ivf_topk,
-    "sim_ivf_nprobe2": sim_ivf_nprobe2,
-    "j_asof_last_order": j_asof_last_order,
-    "j_range_events_in_window": j_range_events_in_window,
-    "j1_broadcast_enrich": j1_broadcast_enrich,
-    "u2_conform_union": u2_conform_union,
-    "a1_exact_dedup": a1_exact_dedup,
-    "a4_watermark_max_id": a4_watermark_max_id,
-    "a5_set_rollup": a5_set_rollup,
-    "a6_contact_digest": a6_contact_digest,
-    "w1_latest_per_key": w1_latest_per_key,
-    "p2_rowhash": p2_rowhash,
-    "p_scalar_derivations": p_scalar_derivations,
-    "q_anti_join": q_anti_join,
-    "q_semi_join": q_semi_join,
-    "a_cube_events": a_cube_events,
-    "w_rank_family": w_rank_family,
-    "a_pivot_events": a_pivot_events,
-    "u_unpivot_events": u_unpivot_events,
-    "q_correlated_decorrelation": q_correlated_decorrelation,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_revenue_by_nation": q5_revenue_by_nation,
-    # ---- past the 50-entry window: green in BOTH r1 and r2, untouched ----
+    # -- r5 rotation: green in r1+r2 but past the window in BOTH r3 and r4
+    #    (two rounds without a hard driver signal) --
     "q1_pricing_summary": q1_pricing_summary,
     "w2_top3_per_user": w2_top3_per_user,
     "w3_earliest3_per_user": w3_earliest3_per_user,
@@ -1302,4 +1385,66 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p8_sentinel_cleanup": p8_sentinel_cleanup,
     "f6_json_extraction": f6_json_extraction,
     "p9_event_id_synth": p9_event_id_synth,
+    "u_unpivot_events": u_unpivot_events,
+    "q_correlated_decorrelation": q_correlated_decorrelation,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    # -- new in round 5: streaming dedup + stream-stream interval join,
+    #    both oracle-checked --
+    "t_stream_dedup": t_stream_dedup,
+    "t_stream_interval_join": t_stream_interval_join,
+    # -- behavior touched since the r4 correctness run (events ts NTZ->LTZ
+    #    normalization; ANN cache-key data-identity fix) --
+    "t_stream_append": t_stream_append,
+    "t_stream_window_hourly": t_stream_window_hourly,
+    "t_window_hourly": t_window_hourly,
+    "t_incremental_replay": t_incremental_replay,
+    "t_sessionize": t_sessionize,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_nprobe2": sim_ivf_nprobe2,
+    "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_ivfpq_residual": sim_ivfpq_residual,
+    "sim_ivfpq_from_index": sim_ivfpq_from_index,
+    "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
+    "sim_srp_neardup": sim_srp_neardup,
+    "sim_embedding_neardup": sim_embedding_neardup,
+    "a_cube_events": a_cube_events,
+    "a_pivot_events": a_pivot_events,
+    "w_rank_family": w_rank_family,
+    "flagship_chatter": flagship_chatter,
+    "k2_medallion_snapshot": k2_medallion_snapshot,
+    "j_range_events_in_window": j_range_events_in_window,
+    "a5_set_rollup": a5_set_rollup,
+    "a4_watermark_max_id": a4_watermark_max_id,
+    "a6_contact_digest": a6_contact_digest,
+    "w1_latest_per_key": w1_latest_per_key,
+    # -- r4-green fill to the 50-entry window edge --
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
+    "j_asof_last_order": j_asof_last_order,
+    "j1_broadcast_enrich": j1_broadcast_enrich,
+    # ---- past the 50-entry window: green in r4, untouched this round ----
+    "u2_conform_union": u2_conform_union,
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "a1_exact_dedup": a1_exact_dedup,
+    "p2_rowhash": p2_rowhash,
+    "p_scalar_derivations": p_scalar_derivations,
+    "q_anti_join": q_anti_join,
+    "q_semi_join": q_semi_join,
+    "llm_corpus_prep": llm_corpus_prep,
+    "llm_split_assign": llm_split_assign,
+    "llm_corpus_pipeline": llm_corpus_pipeline,
+    "llm_token_chunks": llm_token_chunks,
+    "llm_decontaminate": llm_decontaminate,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_image_features": mm_image_features,
+    "mm_audio_energy": mm_audio_energy,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_token_counts": text_token_counts,
+    "text_winnowing": text_winnowing,
 }

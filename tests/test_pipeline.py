@@ -340,3 +340,20 @@ def test_chatter_local_tz_rendering(spark, mock, cfg):
     r = chatter.filter("event_id = 'activities:a1'").collect()[0]
     assert r["event_time_utc"] == "2020-02-01 10:00:00"
     assert r["event_time_local"] == "2020-02-01 15:30:00 +0530"
+
+
+def test_dim_row_cap_guards_driver_memory(spark, mock, tmp_path):
+    """Dims materialize on the driver for the TTL cache; a fact-sized
+    endpoint routed through the dim path must raise (steering to the
+    distributed ac_rest source) instead of silently OOMing the driver."""
+    from activecampaign_api_data_pipeline_spark.plans.pipeline import load_dim_cached
+
+    _, url = mock
+    small = PipelineConfig(base_url=url, lake_root=str(tmp_path / "lake_cap"),
+                           rate=10000, max_dim_rows=1)
+    with pytest.raises(ValueError, match="max_dim_rows"):
+        load_dim_cached(spark, small, "tags", ["id", "tag"])
+    # a cap-sized-or-smaller dim loads normally
+    ok = PipelineConfig(base_url=url, lake_root=str(tmp_path / "lake_ok"),
+                       rate=10000, max_dim_rows=2)
+    assert load_dim_cached(spark, ok, "tags", ["id", "tag"]).count() == 2

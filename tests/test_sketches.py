@@ -577,3 +577,54 @@ def test_ann_cache_no_cross_table_reuse(spark):
         for r in SIM.ivf_topk(big, n_centroids=8, k=3, max_query_id=20, n_iters=2).collect()
     )
     assert warm == cold
+
+def test_ensure_ann_index_rejects_subset_param_match(spark, tmp_path):
+    """Round-4 advice: ensure_ann_index must compare the FULL parameter set
+    with defaults filled — a residual=True index is rejected by a request
+    that never says ``residual`` (default False), instead of false-matching
+    on the subset the caller happened to spell out."""
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = spark.createDataFrame(
+        _rand_vecs(40, 8), "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "idx")
+    AIX.build_ann_index(emb, path, n_centroids=4, m=2, ksub=4, n_iters=1, residual=True)
+    assert AIX.load_ann_params(spark, path).residual is True
+    # same explicit params, residual left to its default -> must rebuild
+    AIX.ensure_ann_index(emb, path, n_centroids=4, m=2, ksub=4, n_iters=1)
+    assert AIX.load_ann_params(spark, path).residual is False
+
+
+def test_ensure_ann_index_detects_crashed_rebuild(spark, tmp_path):
+    """A rebuild rewrites the params sidecar with an unparsable marker
+    BEFORE touching artifacts, so a crash mid-rebuild leaves an index that
+    ensure_ann_index treats as incomplete (and rebuilds) instead of
+    accepting stale params beside partially rewritten artifacts."""
+    import json as _json
+    import os
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = spark.createDataFrame(
+        _rand_vecs(40, 8), "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "idx")
+    AIX.ensure_ann_index(emb, path, n_centroids=4, m=2, ksub=4, n_iters=1)
+    # simulate the crash: the marker is on disk, artifacts half-written
+    spark.createDataFrame(
+        [(_json.dumps({"_building_": True}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    with pytest.raises(Exception):
+        AIX.load_ann_params(spark, path)
+    stamp = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(path, "codes")) for f in fs
+    )
+    AIX.ensure_ann_index(emb, path, n_centroids=4, m=2, ksub=4, n_iters=1)
+    stamp2 = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(path, "codes")) for f in fs
+    )
+    assert stamp2 > stamp  # artifacts rebuilt
+    assert AIX.load_ann_params(spark, path).ksub == 4
