@@ -169,6 +169,65 @@ def load_ann_params(spark: SparkSession, path: str) -> AnnIndexParams:
     return AnnIndexParams(**json.loads(raw))
 
 
+def append_ann_index(new_emb: DataFrame, path: str) -> None:
+    """Encode NEW vectors into an existing index with FROZEN artifacts —
+    the incremental-ingest shape (FAISS ``add`` after ``train``): coarse
+    centroids and PQ codebooks are immutable; only ``cells`` and ``codes``
+    grow, as appended parquet files.
+
+    At 100 TB this is what makes the index operable: daily ingest costs
+    O(new rows) — one broadcast-join assignment plus one broadcast-join
+    encode, no shuffle of the existing corpus, no retraining — and every
+    reader sees the union because search scans the artifact directories.
+    Quality degrades only as the data distribution drifts from the trained
+    codebooks (the standard IVF-PQ trade-off); retraining is a rebuild at
+    a new path.
+    """
+    spark = new_emb.sparkSession
+    p = load_ann_params(spark, path)
+    coarse = spark.read.parquet(f"{path}/coarse")
+    cents = spark.read.parquet(f"{path}/codebooks")
+
+    scored = (
+        new_emb.select(F.col(p.id_col), F.col(p.vec_col))
+        .join(F.broadcast(coarse))
+        .withColumn("cc", cosine(F.col(p.vec_col), F.col("cv")))
+    )
+    w = Window.partitionBy(p.id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+    cells_new = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(p.id_col, F.col("cent_id").alias("cell"))
+    )
+    # materialize BEFORE appending (the write below reads this frame; the
+    # round-trip keeps the build/append barrier discipline of _write)
+    cells_new.write.mode("append").parquet(f"{path}/cells")
+    cells_new = spark.read.parquet(f"{path}/cells").join(
+        new_emb.select(p.id_col), p.id_col, "leftsemi"
+    )
+
+    if p.residual:
+        ccv = F.broadcast(coarse.select(F.col("cent_id").alias("cell"), "cv"))
+        rbase = (
+            new_emb.select(p.id_col, p.vec_col)
+            .join(cells_new, p.id_col)
+            .join(ccv, "cell")
+            .select(
+                p.id_col,
+                F.col("cell"),
+                F.zip_with(
+                    F.col(p.vec_col), F.col("cv"), lambda x, y: x.cast("double") - y
+                ).alias("rvec"),
+            )
+        )
+        codes_new = pq_encode(rbase, cents, p.m, p.id_col, "rvec", dim=p.dim).join(
+            rbase.select(p.id_col, "cell"), p.id_col
+        )
+    else:
+        codes_new = pq_encode(new_emb, cents, p.m, p.id_col, p.vec_col, dim=p.dim)
+    codes_new.write.mode("append").parquet(f"{path}/codes")
+
+
 def ivfpq_search_index(
     spark: SparkSession,
     path: str,

@@ -143,7 +143,13 @@ def _l2_sql(a: str, b: str) -> str:
 
 
 def _pq_parts(
-    m: int, ksub: int, max_query_id: int, n_iters: int, src: str = "e", residual: bool = False
+    m: int,
+    ksub: int,
+    max_query_id: int,
+    n_iters: int,
+    src: str = "e",
+    residual: bool = False,
+    train_where: str | None = None,
 ) -> list[str]:
     """CTE list for the PQ stages (subvector split, per-subspace k-means,
     codes, query distance table) — shared by _pq_sql and _ivfpq_sql.
@@ -151,19 +157,28 @@ def _pq_parts(
     vectors come from that CTE instead (residual mode trains on
     ``resid(vec_id, v)``). ``residual=True`` additionally expects
     ``qresid(query_id, cell, v)`` — per-(query, probed-cell) residuals —
-    and emits a CELL-aware distance table."""
+    and emits a CELL-aware distance table. ``train_where`` restricts the
+    k-means TRAINING rows (seeds + Lloyd rounds) while codes still encode
+    every vector — the incremental-index twin (frozen codebooks, appended
+    codes)."""
     parts = [
         "dimt AS (SELECT len(v) AS dim FROM e LIMIT 1)",
         f"""sv AS (
   SELECT vec_id, s.sub, v[s.sub * (dim // {m}) + 1 : (s.sub + 1) * (dim // {m})] AS sv
   FROM {src} CROSS JOIN dimt CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
 )""",
-        f"c0 AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM sv WHERE vec_id < {ksub})",
     ]
+    svt = "sv"
+    if train_where:
+        parts.append(f"svtr AS (SELECT * FROM sv WHERE {train_where})")
+        svt = "svtr"
+    parts.append(
+        f"c0 AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM {svt} WHERE vec_id < {ksub})"
+    )
     cur = "c0"
     for it in range(1, n_iters + 1):
         parts += [
-            f"s{it} AS (SELECT sv.vec_id, sv.sub, sv.sv, cent_id, {_l2_sql('sv.sv', 'cv')} AS d FROM sv JOIN {cur} USING (sub))",
+            f"s{it} AS (SELECT {svt}.vec_id, {svt}.sub, {svt}.sv, cent_id, {_l2_sql(f'{svt}.sv', 'cv')} AS d FROM {svt} JOIN {cur} USING (sub))",
             f"""a{it} AS (SELECT vec_id, sub, sv, cent_id AS cell FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cent_id ASC) AS rn FROM s{it}
 ) WHERE rn = 1)""",
@@ -235,21 +250,31 @@ def _ivfpq_sql(
     nprobe: int = 1,
     n_iters: int = 2,
     residual: bool = False,
+    train_where: str | None = None,
 ) -> str:
     """IVF-PQ twin of operators.similarity.ivfpq_topk: the coarse k-means
     cell pyramid (cosine argmax, prefix g*) gates candidates; the shared
     PQ stages score only gated (query, neighbor) pairs. ``residual=True``
     mirrors the FAISS residual refinement — PQ trains on/encodes
     ``v − c(cell(v))`` and the distance table is per (query, probed
-    cell), joined on the candidate's own cell."""
+    cell), joined on the candidate's own cell. ``train_where`` restricts
+    TRAINING (coarse + PQ seeds and Lloyd rounds) to a subset while final
+    cell assignment and codes cover every vector — the twin of
+    build-on-base + append_ann_index-on-the-rest."""
     parts = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-        f"gc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids})",
     ]
+    tsrc = "e"
+    if train_where:
+        parts.append(f"etr AS (SELECT * FROM e WHERE {train_where})")
+        tsrc = "etr"
+    parts.append(
+        f"gc0 AS (SELECT vec_id AS cent_id, v AS cv FROM {tsrc} WHERE vec_id < {n_centroids})"
+    )
     cur = "gc0"
     for it in range(1, n_iters + 1):
         parts += [
-            f"gs{it} AS (SELECT e.vec_id, e.v, cent_id, {_cos('v', 'cv')} AS cc FROM e CROSS JOIN {cur})",
+            f"gs{it} AS (SELECT {tsrc}.vec_id, {tsrc}.v, cent_id, {_cos('v', 'cv')} AS cc FROM {tsrc} CROSS JOIN {cur})",
             f"""ga{it} AS (SELECT vec_id, v, cent_id AS cell FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM gs{it}
 ) WHERE rn = 1)""",
@@ -291,7 +316,7 @@ def _ivfpq_sql(
         ]
     else:
         parts += [
-            *_pq_parts(m, ksub, max_query_id, n_iters),
+            *_pq_parts(m, ksub, max_query_id, n_iters, train_where=train_where),
             """terms AS (
   SELECT dtab.query_id AS query_id, codes.vec_id AS neighbor_id, codes.sub, d
   FROM codes JOIN dtab USING (sub, code)
@@ -1134,6 +1159,13 @@ FROM r WHERE rk <= 5
     )
     o["sim_ann_index_nprobe1"] = _ivfpq_sql(
         n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=1, n_iters=2
+    )
+    # incremental index: TRAIN on the first 80 % of ids only, append-encode
+    # the rest with frozen artifacts — the twin restricts the Lloyd rounds
+    # to the training subset while assignment/codes cover every vector
+    o["sim_ann_index_append"] = _ivfpq_sql(
+        n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2, n_iters=2,
+        train_where="vec_id < (SELECT (max(vec_id) * 4) // 5 FROM embeddings)",
     )
 
     o["sim_srp_neardup"] = _srp_sql(

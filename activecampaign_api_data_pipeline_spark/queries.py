@@ -1125,6 +1125,39 @@ def sim_ann_index_nprobe1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AIX.ivfpq_search_index(spark, path, _ann_index_queries(emb), k=3, nprobe=1)
 
 
+def sim_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index ingest: build on the first 80 % of ids, then
+    append-encode the remaining 20 % with FROZEN coarse centroids and
+    codebooks (operators/ann_index.py append_ann_index — the FAISS
+    train-then-add shape), and search the combined index.
+
+    The 100 TB point: daily ingest costs O(new rows) — broadcast-join
+    assignment + broadcast-join encode, no retraining, no shuffle of the
+    existing corpus. The oracle twin trains its k-means on the same 80 %
+    subset and encodes everything, so any drift between the append path
+    and the build path breaks the hash. The append is probed for
+    idempotency on BOTH grown artifacts (cells, codes) so re-invocations
+    in one session do not double-encode."""
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = _t(spark, sf_dir, "embeddings")
+    split = int(emb.agg(F.floor(F.max("vec_id") * 4 / 5).cast("long")).first()[0])
+    params = dict(_ANN_INDEX_PARAMS)
+    path = _ann_index_path(sf_dir, split=split, variant="append", **params)
+    AIX.ensure_ann_index(emb.filter(F.col("vec_id") < split), path, **params)
+    appended = all(
+        spark.read.parquet(f"{path}/{sub}")
+        .filter(F.col("vec_id") >= split)
+        .limit(1)
+        .count()
+        > 0
+        for sub in ("cells", "codes")
+    )
+    if not appended:
+        AIX.append_ann_index(emb.filter(F.col("vec_id") >= split), path)
+    return AIX.ivfpq_search_index(spark, path, _ann_index_queries(emb), k=3, nprobe=2)
+
+
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
@@ -1408,6 +1441,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_residual": sim_ivfpq_residual,
     "sim_ivfpq_from_index": sim_ivfpq_from_index,
     "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
+    "sim_ann_index_append": sim_ann_index_append,
     "sim_srp_neardup": sim_srp_neardup,
     "sim_embedding_neardup": sim_embedding_neardup,
     "a_cube_events": a_cube_events,
@@ -1425,8 +1459,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "j_asof_last_order": j_asof_last_order,
-    "j1_broadcast_enrich": j1_broadcast_enrich,
     # ---- past the 50-entry window: green in r4, untouched this round ----
+    "j1_broadcast_enrich": j1_broadcast_enrich,
     "u2_conform_union": u2_conform_union,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -628,3 +628,52 @@ def test_ensure_ann_index_detects_crashed_rebuild(spark, tmp_path):
     )
     assert stamp2 > stamp  # artifacts rebuilt
     assert AIX.load_ann_params(spark, path).ksub == 4
+
+def test_append_ann_index_frozen_artifacts_and_planted_copy(spark, tmp_path):
+    """append_ann_index (FAISS train-then-add): appending new vectors must
+    (a) leave coarse centroids and codebooks byte-untouched (frozen),
+    (b) encode the new rows so search sees them — a planted exact copy of
+    each query vector lands at ADC distance 0 and is returned among the
+    top-k — for BOTH raw and residual encodings."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    vecs = _rand_vecs(60, 8)
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    copies = spark.createDataFrame(
+        [(100 + i, vecs[i][1]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    for residual in (False, True):
+        path = str(tmp_path / f"idx_app_res{residual}")
+        AIX.build_ann_index(
+            emb, path, n_centroids=4, m=4, ksub=8, n_iters=2, residual=residual
+        )
+        frozen = sorted(
+            (os.path.join(r, f), os.path.getmtime(os.path.join(r, f)))
+            for sub in ("coarse", "codebooks")
+            for r, _, fs in os.walk(os.path.join(path, sub))
+            for f in fs
+        )
+        AIX.append_ann_index(copies, path)
+        frozen2 = sorted(
+            (os.path.join(r, f), os.path.getmtime(os.path.join(r, f)))
+            for sub in ("coarse", "codebooks")
+            for r, _, fs in os.walk(os.path.join(path, sub))
+            for f in fs
+        )
+        assert frozen2 == frozen, f"residual={residual}: artifacts not frozen"
+        got = AIX.ivfpq_search_index(spark, path, queries, k=3, nprobe=1).collect()
+        top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+        for qid in range(5):
+            # the appended exact copy shares the cell and the codes, so its
+            # ADC distance equals the query's own quantization error — the
+            # minimum any candidate can reach -> rank 1 (this seed has no
+            # same-code collision with a lower id)
+            assert top1[qid] == qid + 100, f"residual={residual} q={qid}: {top1}"
