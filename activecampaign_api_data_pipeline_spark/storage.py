@@ -255,6 +255,74 @@ class TableStore:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(BUCKET_COL).parquet(self._path("gold", table))
 
+    # -------------------------------------------------------- maintenance
+
+    def compact_silver(self, table: str, buckets: list[int] | None = None) -> None:
+        """Small-file maintenance: every :meth:`persist` (and every
+        streaming micro-batch through ``stream_into_store``) APPENDS one
+        file per touched bucket to silver, so after N runs a bucket holds
+        up to N files and scan cost is dominated by file opens, not bytes.
+        Rewrites the selected bucket partitions as one file each; contents
+        are byte-for-byte the same rows (pure rewrite, no dedup, no
+        reorder semantics — silver's row set is already hash-unique).
+
+        ``localCheckpoint`` materializes the rows BEFORE the overwrite —
+        Spark refuses to overwrite a path its plan still reads, and the
+        checkpoint also removes the re-read-during-delete race. At 100 TB
+        compact in bucket slices (``buckets=[...]``) so one slice fits the
+        cluster's storage memory; like the gold refresh, the dynamic
+        partition overwrite is not atomic, and a crash mid-commit is
+        repaired by :meth:`rebuild_silver` from immutable bronze.
+
+        Single-writer assumption: do not compact concurrently with a
+        ``persist`` to the same table.
+        """
+        silver = self.read("silver", table)
+        if buckets is not None:
+            silver = silver.filter(F.col(BUCKET_COL).isin(buckets))
+        snap = silver.repartition(F.col(BUCKET_COL)).localCheckpoint(eager=True)
+        snap.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(BUCKET_COL).parquet(self._path("silver", table))
+
+    def rebuild_silver(
+        self, table: str, buckets: list[int] | None = None, key_cols: list[str] | None = None
+    ) -> None:
+        """Recovery path: recompute silver for ``buckets`` (default ALL)
+        from immutable bronze — the union of every run's drop, deduped to
+        the EARLIEST occurrence of each content hash (matching the persist
+        path, whose anti-join keeps the first run's copy and drops later
+        replays). Closes the durability story: bronze is the append-only
+        source of truth; silver and gold are both pure recomputations
+        (this method, then :meth:`rebuild_gold`), so the non-atomic
+        dynamic-overwrite windows anywhere above bronze are always
+        repairable. Cost is O(bronze history of the selected buckets).
+
+        ``key_cols`` must match the values used by :meth:`persist` so the
+        recomputed ``_kb`` agrees with the existing layout.
+        """
+        if key_cols is None:
+            raise ValueError("rebuild_silver needs the table's key_cols")
+        bronze = self.read("bronze", table)
+        staged = bronze.withColumn(BUCKET_COL, _key_bucket(key_cols, self.n_buckets))
+        if buckets is not None:
+            staged = staged.filter(F.col(BUCKET_COL).isin(buckets))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(BUCKET_COL, HASH_COL).orderBy(
+            F.col("extracted_at").asc_nulls_last(), F.col("run_id").asc_nulls_last()
+        )
+        first = (
+            staged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .repartition(F.col(BUCKET_COL))
+            .localCheckpoint(eager=True)
+        )
+        first.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(BUCKET_COL).parquet(self._path("silver", table))
+
     # --------------------------------------------------------------- reads
 
     def read(self, layer: str, table: str) -> DataFrame:

@@ -254,3 +254,78 @@ def test_read_best_falls_back_to_silver(spark, store, tmp_path):
     assert store.read_best("t2").count() == 1
     with pytest.raises(FileNotFoundError):
         store.read_best("nope")
+
+
+def _silver_files(store, table):
+    import os
+
+    out = {}
+    root = f"{store.root}/silver/{table}"
+    for d in os.listdir(root):
+        if d.startswith("_kb="):
+            out[d] = sorted(
+                f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def _silver_full(store, table):
+    return {
+        (r["cid"], r["email"], r["udate"], r["run_id"], r["extracted_at"], r["_row_hash"])
+        for r in store.read("silver", table).collect()
+    }
+
+
+def test_compact_silver_merges_files_keeps_rows(spark, store):
+    """Each persist appends one file per touched bucket; compaction must
+    collapse them to one file per bucket with the row set (incl. lineage)
+    unchanged, and leave gold untouched."""
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(str(k), f"v{i}@{k}", f"2020-01-0{i + 1}") for k in range(1, 7)],
+            SCHEMA,
+        )
+        store.persist(df, "contacts", ["cid"], run_id=f"r{i}",
+                      extracted_at=f"2020-06-0{i + 1} 00:00:00")
+    before_rows = _silver_full(store, "contacts")
+    before_gold = _gold_map(store, "contacts")
+    files = _silver_files(store, "contacts")
+    assert any(len(fs) > 1 for fs in files.values())  # fragmentation happened
+    store.compact_silver("contacts")
+    files2 = _silver_files(store, "contacts")
+    assert all(len(fs) == 1 for fs in files2.values()), files2
+    assert set(files2) == set(files)  # same bucket partitions
+    assert _silver_full(store, "contacts") == before_rows
+    assert _gold_map(store, "contacts") == before_gold
+
+
+def test_rebuild_silver_recovers_from_bronze(spark, store):
+    """Silver is a pure recomputation of immutable bronze: wipe a bucket
+    partition (simulating a crash mid-dynamic-overwrite) and rebuild —
+    the recovered silver must equal the pre-crash state, including which
+    run's lineage each surviving duplicate carries (earliest wins, like
+    the persist anti-join)."""
+    import shutil
+
+    df1 = spark.createDataFrame(
+        [(str(k), f"a@{k}", "2020-01-01") for k in range(1, 9)], SCHEMA
+    )
+    store.persist(df1, "contacts", ["cid"], run_id="r1", extracted_at="2020-06-01 00:00:00")
+    # r2 replays half of r1's rows (duplicates -> dropped) + new rows
+    df2 = spark.createDataFrame(
+        [(str(k), f"a@{k}", "2020-01-01") for k in range(1, 5)]
+        + [(str(k), f"b@{k}", "2020-02-01") for k in range(1, 9)],
+        SCHEMA,
+    )
+    store.persist(df2, "contacts", ["cid"], run_id="r2", extracted_at="2020-06-02 00:00:00")
+    want = _silver_full(store, "contacts")
+    # crash simulation: one bucket partition vanishes
+    victim = sorted(_silver_files(store, "contacts"))[0]
+    shutil.rmtree(f"{store.root}/silver/contacts/{victim}")
+    assert _silver_full(store, "contacts") != want
+    store.rebuild_silver("contacts", key_cols=["cid"])
+    assert _silver_full(store, "contacts") == want
+    store.rebuild_gold("contacts", ["cid"])
+    assert _gold_map(store, "contacts") == {
+        str(k): (f"b@{k}", "2020-02-01") for k in range(1, 9)
+    }
