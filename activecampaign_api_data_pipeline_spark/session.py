@@ -25,9 +25,17 @@ def get_spark(
 ) -> SparkSession:
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "*"))
     n_shuffle = shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)
+    # local[N] runs N concurrent tasks inside ONE driver JVM, whose heap
+    # defaults to 1g — ~20 MB of execution memory per task at N=32, found
+    # as a heap OOM in the 10x scale smoke (dedup_ngram_jaccard) and as
+    # needless shuffle spill elsewhere. Size the heap like the executor it
+    # is standing in for. Only effective for sessions THIS factory creates
+    # (the external driver owns its own); override via SPARK_GRAFT_DRIVER_MEM.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     return (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
