@@ -206,10 +206,21 @@ def ngram_jaccard_pairs(
     out entirely). Stop-shingles carry no discriminative signal — this is
     the standard df-cut, not an approximation knob; set ``max_df=None``
     only on corpora known to have no hot shingles.
+
+    The postings shuffle carries ``xxhash64`` of each shingle, not the
+    shingle text ("shuffles carry hashes, not text" — the join key is 8
+    bytes instead of a multi-word string; found as the dominant shuffle
+    cost in the 10x scale smoke). xxhash64 rather than :func:`hash60`
+    because this hash is a JOIN IDENTITY, not an oracle-visible value —
+    the sketch ops need md5-reproducibility in SQL, this does not, and
+    xxhash64 is a native single-pass hash with no hex round-trip.
+    Identical to literal-shingle Jaccard unless two distinct shingles of
+    ONE corpus collide in 64 bits (P ≈ n²/2⁶⁵); the oracle stays
+    literal, so the correctness gate re-verifies no-collision every run.
     """
     sh = _shingle_sets(docs, id_col, text_col, ngram).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.xxhash64(F.col("s")).alias("shingle"))
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -430,15 +441,18 @@ def cross_split_contamination(
     Scale shape mirrors :func:`ngram_jaccard_pairs`: the join is on the
     shingle postings with hot shingles (df > ``max_df`` across BOTH
     splits) cut first — bounding the cross join at O(df_train × df_test)
-    per surviving shingle — and only test-side set sizes are needed.
-    Returns ``(train_id, test_id, n_common, containment)``.
+    per surviving shingle — and only test-side set sizes are needed;
+    postings carry ``xxhash64`` of each shingle, not the text (same
+    8-byte-join-key rationale and collision bound as
+    :func:`ngram_jaccard_pairs`). Returns ``(train_id, test_id,
+    n_common, containment)``.
     """
     tr = _shingle_sets(train, id_col, text_col, ngram).select(
-        F.col("doc_id").alias("train_id"), F.explode("shingles").alias("shingle")
-    )
+        F.col("doc_id").alias("train_id"), F.explode("shingles").alias("s")
+    ).select("train_id", F.xxhash64(F.col("s")).alias("shingle"))
     te = _shingle_sets(test, id_col, text_col, ngram).select(
-        F.col("doc_id").alias("test_id"), F.explode("shingles").alias("shingle")
-    )
+        F.col("doc_id").alias("test_id"), F.explode("shingles").alias("s")
+    ).select("test_id", F.xxhash64(F.col("s")).alias("shingle"))
     if max_df is not None:
         both = tr.select("shingle").unionAll(te.select("shingle"))
         hot = (

@@ -31,6 +31,10 @@ Usage: python tools/scale_smoke.py [K] [query ...]
 Writes the dataset to /tmp/acdp_scale_sf<K>/ once (reused if present) and
 prints one JSON line per query: name, rows, seconds at sf0.1, seconds at
 K x, and the cost ratio.
+
+SPARK_GRAFT_SCALE_TABLES=events,orders (env) restricts replication to the
+named tables — the rest are copied at base scale — so a K=100 events-only
+run does not pay for 500 k interleaved documents it will never read.
 """
 
 from __future__ import annotations
@@ -67,11 +71,21 @@ DEFAULT_QUERIES = [
 
 
 def build_dataset(k: int, dst: str) -> None:
+    scale_tables = {
+        t
+        for t in os.environ.get(
+            "SPARK_GRAFT_SCALE_TABLES",
+            "events,customer,orders,lineitem,documents,embeddings",
+        ).split(",")
+        if t
+    }
     con = duckdb.connect()
     os.makedirs(dst, exist_ok=True)
     copies = f"(SELECT unnest(generate_series(0, {k - 1})) AS i) cp"
 
     def copy_to(sql: str, name: str) -> None:
+        if name not in scale_tables and "cp" in sql:
+            sql = f"SELECT * FROM '{SRC}/{name}.parquet'"
         con.execute(f"COPY ({sql}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)")
 
     # dims: unchanged
