@@ -983,6 +983,17 @@ FROM events l JOIN events r
  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
 """
 
+    # stateful streaming top-N: the latest update-mode emission per key
+    # after the stream drains equals the batch rank over all rows
+    o["t_stream_topn"] = """
+SELECT user_id, event_id, CAST(value AS DOUBLE) AS value, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3
+"""
+
     # streaming dedup: planted full-row duplicate copies must all be
     # swallowed, every original row kept once -> the distinct corpus
     # (event_id is unique in the source, so this IS one-row-per-event)

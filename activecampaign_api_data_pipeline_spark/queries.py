@@ -952,6 +952,79 @@ def t_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator, oracle-checked: continuous
+    per-user top-3 events by value via ``applyInPandasWithState``
+    (streaming/incremental.py stream_top_n_per_key) — the ranking no
+    built-in streaming aggregate can express.
+
+    The corpus is staged as three micro-batches so per-key state genuinely
+    merges across batches. Update-mode emission appends one refreshed
+    ranking per (key, batch) to the sink; the LATEST emission per key
+    after the drain equals the batch ``top_n_per_group`` over all rows,
+    independent of batch boundaries — that final extraction is what the
+    oracle checks (rank SQL over the whole table).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_top_n_per_key,
+    )
+
+    pin_confs(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="acdp_stopn_")
+    stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    stamped: set[str] = set()
+    next_stamp = [1_600_000_000]
+
+    def _stamp_new() -> None:
+        for f in sorted(os.listdir(stream_dir)):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(os.path.join(stream_dir, f), (next_stamp[0],) * 2)
+                stamped.add(f)
+                next_stamp[0] += 100
+
+    for j in range(3):
+        ev.filter(F.col("event_id") % 3 == j).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        _stamp_new()
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    ranked = stream_top_n_per_key(
+        stream, key_col="user_id", value_col="value", id_col="event_id", n=3
+    )
+    q = (
+        ranked.writeStream.foreachBatch(
+            lambda bdf, bid: bdf.withColumn("_bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .queryName(f"stream_topn_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("_bid").desc())
+    return (
+        out.withColumn("_maxb", F.max("_bid").over(w))
+        .filter(F.col("_bid") == F.col("_maxb"))
+        .select("user_id", "event_id", "value", "rnk")
+    )
+
+
 def t_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T2 as an oracle-checked query: two watermarked incremental runs
     over a split-and-replayed source land on the SAME final state as one
@@ -1426,6 +1499,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    both oracle-checked --
     "t_stream_dedup": t_stream_dedup,
     "t_stream_interval_join": t_stream_interval_join,
+    "t_stream_topn": t_stream_topn,
     # -- behavior touched since the r4 correctness run (events ts NTZ->LTZ
     #    normalization; ANN cache-key data-identity fix) --
     "t_stream_append": t_stream_append,
@@ -1458,8 +1532,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_cluster_canonical": dedup_cluster_canonical,
-    "j_asof_last_order": j_asof_last_order,
     # ---- past the 50-entry window: green in r4, untouched this round ----
+    "j_asof_last_order": j_asof_last_order,
     "j1_broadcast_enrich": j1_broadcast_enrich,
     "u2_conform_union": u2_conform_union,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,

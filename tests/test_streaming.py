@@ -280,3 +280,61 @@ def test_stream_interval_join_matches_batch(spark, stream_dir, tmp_path):
     assert got == want
     # the 23:00 advancer rows (user 9, equal ts) legitimately join too
     assert got == {(10, 1), (10, 2), (99, 98)}
+
+
+def test_stream_top_n_per_key_state_merges_across_batches(spark, stream_dir, tmp_path):
+    """applyInPandasWithState top-N: per-key state must merge across
+    micro-batches (later batches displace earlier rows), ties break by id
+    ASC, and the latest update-mode emission per key equals the batch
+    top_n_per_group over everything seen."""
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_top_n_per_key,
+    )
+
+    import pyspark.sql.functions as F
+
+    _write_batch(
+        _rows(spark, (1, "2020-01-01 00:00:00", 1, "e", 5.0),
+              (2, "2020-01-01 00:01:00", 1, "e", 3.0),
+              (3, "2020-01-01 00:02:00", 1, "e", 1.0),
+              (4, "2020-01-01 00:03:00", 2, "e", 7.0)),
+        stream_dir, 0,
+    )
+    _write_batch(_rows(spark, (5, "2020-01-01 01:00:00", 1, "e", 4.0)), stream_dir, 1)
+    _write_batch(
+        _rows(spark, (6, "2020-01-01 02:00:00", 1, "e", 10.0),
+              (7, "2020-01-01 02:01:00", 2, "e", 7.0)),
+        stream_dir, 2,
+    )
+    sink = str(tmp_path / "out")
+    q = (
+        stream_top_n_per_key(
+            _start_stream(spark, stream_dir),
+            key_col="user_id", value_col="value", id_col="id", n=3,
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, bid: bdf.withColumn("_bid", F.lit(bid))
+            .write.mode("append").parquet(sink)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    final = (
+        out.withColumn("_maxb", F.max("_bid").over(w))
+        .filter("_bid = _maxb")
+        .select("user_id", "id", "value", "rnk")
+    )
+    got = {(r["user_id"], r["id"], r["value"], r["rnk"]) for r in final.collect()}
+    assert got == {
+        (1, 6, 10.0, 1), (1, 1, 5.0, 2), (1, 5, 4.0, 3),  # 4.0 displaced 3.0, 10.0 entered late
+        (2, 4, 7.0, 1), (2, 7, 7.0, 2),                    # equal values -> id ASC
+    }
+    # a key emits once per batch it appears in: user 1 in all three batches
+    assert out.filter("user_id = 1").select("_bid").distinct().count() == 3
