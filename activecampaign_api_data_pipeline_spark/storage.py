@@ -323,6 +323,35 @@ class TableStore:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(BUCKET_COL).parquet(self._path("silver", table))
 
+    def stats(self, table: str) -> DataFrame:
+        """Operational per-layer summary — rows, files, partitions — the
+        numbers that drive maintenance decisions (files ≫ partitions in
+        silver → :meth:`compact_silver`; bronze partitions = runs kept).
+        One count job per existing layer; no data columns are read beyond
+        the partition key, so at scale this is footer/metadata-bound.
+        """
+        out = []
+        for layer, part_col in (("bronze", "run_id"), ("silver", BUCKET_COL), ("gold", BUCKET_COL)):
+            path = self._path(layer, table)
+            if not self._exists(path):
+                continue
+            row = (
+                self.read(layer, table)
+                # project first: input_file_name() is non-deterministic and
+                # may not appear directly inside an aggregate
+                .select(F.col(part_col), F.input_file_name().alias("_f"))
+                .agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct("_f").alias("f"),
+                    F.countDistinct(F.col(part_col)).alias("p"),
+                )
+                .collect()[0]
+            )
+            out.append((layer, row["n"], row["f"], row["p"]))
+        return self.spark.createDataFrame(
+            out, "layer string, n_rows long, n_files long, n_partitions long"
+        )
+
     # --------------------------------------------------------------- reads
 
     def read(self, layer: str, table: str) -> DataFrame:

@@ -238,6 +238,7 @@ def stream_into_store(
     checkpoint: str,
     updated_col: str | None = None,
     trigger_available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Continuous medallion ingest: each micro-batch persists through the
     store (delta/bronze/silver/gold), giving exactly-once-observable output.
@@ -246,18 +247,26 @@ def stream_into_store(
     micro-batch from the checkpoint; the store's content-hash silver makes
     the replay a no-op and gold is a deterministic function of silver — the
     same idempotency argument as the reference's re-runs, continuously.
+
+    ``compact_every=N`` folds silver small-file maintenance into the
+    ingest loop: after every Nth batch, the buckets THAT BATCH touched are
+    compacted (``TableStore.compact_silver``) — each micro-batch otherwise
+    appends one file per touched bucket forever. Compaction runs inside
+    foreachBatch, so the single-writer assumption holds by construction.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.persist(
+        res = store.persist(
             batch_df,
             table,
             key_cols,
             run_id=f"batch_{batch_id:08d}",
             updated_col=updated_col,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            store.compact_silver(table, buckets=res.touched_buckets)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -329,3 +329,46 @@ def test_rebuild_silver_recovers_from_bronze(spark, store):
     assert _gold_map(store, "contacts") == {
         str(k): (f"b@{k}", "2020-02-01") for k in range(1, 9)
     }
+
+
+def test_stats_and_auto_compact_in_stream(spark, store, tmp_path):
+    """stats() reports per-layer rows/files/partitions; stream_into_store
+    with compact_every folds silver maintenance into the ingest loop."""
+    import os
+
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import stream_into_store
+
+    src = tmp_path / "in"
+    src.mkdir()
+    stamped = [1_600_000_000]
+    for i in range(3):
+        spark.createDataFrame(
+            [(str(k), f"v{i}@{k}", f"2020-01-0{i + 1}") for k in range(1, 7)], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        for f in sorted(os.listdir(src)):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and os.stat(p).st_mtime > 1_700_000_000:
+                os.utime(p, (stamped[0],) * 2)
+                stamped[0] += 60
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = stream_into_store(
+        stream, store, "contacts", ["cid"],
+        checkpoint=str(tmp_path / "ck"), updated_col="udate", compact_every=2,
+    )
+    q.awaitTermination(120)
+    stats = {r["layer"]: r for r in store.stats("contacts").collect()}
+    assert set(stats) == {"bronze", "silver", "gold"}
+    assert stats["bronze"]["n_partitions"] == 3            # one run per batch
+    assert stats["silver"]["n_rows"] == 18                 # 6 rows x 3 distinct batches
+    assert stats["gold"]["n_rows"] == 6                    # latest per key
+    # batch 2 compacted its touched buckets: those hold ONE file despite
+    # having been appended by all three batches
+    files = _silver_files(store, "contacts")
+    assert any(len(fs) == 1 for fs in files.values())
+    assert _gold_map(store, "contacts") == {
+        str(k): (f"v2@{k}", "2020-01-03") for k in range(1, 7)
+    }
