@@ -178,6 +178,41 @@ def fingerprint(c: Column | str) -> Column:
     return F.md5(norm)
 
 
+def dup_ngram_frac(c: Column | str, n: int = 2) -> Column:
+    """Fraction of repeated word n-grams — the Gopher-style repetition
+    signal (public rule family: "duplicate n-gram fraction").
+
+    ``1 - distinct/total`` over word n-grams; 0.0 when the document has
+    fewer than ``n`` tokens. Pure array expressions per row — no explode,
+    no shuffle — so a corpus-wide repetition scan is a single linear pass.
+    """
+    grams = word_ngrams(c, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_frac(c: Column | str) -> Column:
+    """Share of the document taken by its single most frequent token
+    (case-folded) — high values flag boilerplate/spam (Gopher's
+    "top word fraction" rule).
+
+    Per-row array work: count occurrences of each DISTINCT token via a
+    nested filter, take the max. O(distinct × tokens) per row — fine for
+    documents, and embarrassingly parallel (zero shuffle) corpus-wide.
+    """
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    counts = F.transform(
+        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d))
+    )
+    return F.when(
+        F.size(toks) > 0,
+        F.array_max(counts).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
 def token_chunks(c: Column | str, size: int = 64, overlap: int = 8) -> Column:
     """Fixed-size token windows with overlap — context-packing chunker.
 

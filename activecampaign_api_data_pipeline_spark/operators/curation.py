@@ -1,0 +1,225 @@
+"""Corpus-curation operators for the large-scale training-data path:
+sequence packing, mixture resampling, KMV distinct sketching, and
+SemDeDup-style semantic deduplication.
+
+These are the operations a 100 TB pretraining pipeline runs between "raw
+documents" and "token shards". None exist in the reference (a CRM ETL),
+but they are first-class here per the build brief. All are declarative
+DataFrame plans — window functions, broadcast joins, and expression work;
+no Python UDFs — and each has an exact ANSI-SQL oracle twin
+(oracles.py) because every nondeterministic choice (sampling, sharding,
+tie-breaks) is driven by the engine-reproducible md5-based
+:func:`~activecampaign_api_data_pipeline_spark.functions.hashing.hash60`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a token
+    offset range inside fixed-budget training sequences.
+
+    The standard pretraining packing scheme (GPT-style concat-then-chunk,
+    public knowledge): documents are concatenated in a deterministic order
+    and the token stream is cut every ``budget`` tokens. A document's
+    sequence id is ``floor(start_offset / budget)``; documents longer than
+    the remaining room simply span a cut (the trainer masks across the
+    boundary).
+
+    Scale shape: a single global concatenation order would serialize the
+    cumulative sum through one partition. Instead documents are sharded by
+    a stable key hash (``n_shards`` independent streams — at 100 TB, make
+    this thousands), and the running offset is a window cumsum
+    PARTITIONED by shard: Spark computes every shard's packing in
+    parallel after one shuffle on ``shard``. Output sequence ids are
+    globally unique via ``(shard, seq_in_shard)``.
+
+    Deterministic: shard = hash60(salt||id) % n_shards, order within a
+    shard = id — both engine-reproducible, so the oracle twin matches
+    bit-for-bit.
+    """
+    shard = F.pmod(
+        hash60(F.concat_ws("||", F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(token_count_col).cast("long")
+    return (
+        docs.select(F.col(id_col), toks.alias("n_tokens"), shard)
+        .withColumn("end_off", F.sum("n_tokens").over(w))
+        .select(
+            F.col(id_col),
+            "shard",
+            "n_tokens",
+            (F.col("end_off") - F.col("n_tokens")).alias("start_off"),
+        )
+        .select(
+            F.col(id_col),
+            "shard",
+            "n_tokens",
+            F.floor(F.col("start_off") / budget).alias("seq_in_shard"),
+            F.pmod(F.col("start_off"), F.lit(budget)).alias("offset_in_seq"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    buckets: int = 10000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum mixture resampling with up- AND
+    down-sampling — the "data mixture" step of a pretraining pipeline
+    (rates come from a mixture-tuning decision; they are static config).
+
+    A rate of 0.4 keeps a deterministic 40 % of the stratum; a rate of
+    2.5 emits every row twice plus a 50 % tranche a third time
+    (epoch-style upsampling). Copies are materialized with a ``copy_id``
+    so downstream shuffles spread them.
+
+    Implementation: ``n_copies = floor(rate) + (bucket < frac·buckets)``
+    where ``bucket = hash60(salt||id) % buckets`` — pure expression work,
+    stateless and append-safe (a new document's fate never depends on
+    other rows), then one ``explode(sequence(...))`` to emit copies. No
+    shuffle at all: at 100 TB this is a map-only pass. Strata missing
+    from ``rates`` default to rate 1.0 (pass-through).
+    """
+    n_copies = None
+    for stratum, rate in sorted(rates.items()):
+        if rate < 0:
+            raise ValueError(f"negative rate for {stratum!r}")
+        whole = int(rate)
+        frac_th = int(round((rate - whole) * buckets))
+        bucket = F.pmod(
+            hash60(F.concat_ws("||", F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(buckets),
+        )
+        copies = F.lit(whole) + F.when(bucket < frac_th, F.lit(1)).otherwise(F.lit(0))
+        cond = F.col(stratum_col) == stratum
+        n_copies = F.when(cond, copies) if n_copies is None else n_copies.when(cond, copies)
+    n_copies = F.lit(1) if n_copies is None else n_copies.otherwise(F.lit(1))
+    out = docs.withColumn("_n_copies", n_copies).filter(F.col("_n_copies") > 0)
+    return out.select(
+        *[c for c in docs.columns],
+        F.explode(F.sequence(F.lit(1), F.col("_n_copies"))).alias("copy_id"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 32,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    classic mergeable estimator (Bar-Yossef et al., public knowledge):
+    hash every value into [0, 2^60), keep the k smallest DISTINCT hashes,
+    estimate ``|D| ≈ (k-1) · 2^60 / h_(k)``.
+
+    Unlike HLL this is exactly reproducible across engines (md5-based
+    hash60, integer kth-order statistic), so the oracle can verify the
+    estimate bit-for-bit — and unlike exact count-distinct the shuffle
+    carries only (group, hash) pairs and the final state is k longs per
+    group. Groups with ≤ k distinct values report their EXACT count
+    (the sketch degenerates gracefully).
+
+    Plan: project hashes → distinct (map-side partial) → window top-k
+    per group (WindowGroupLimit pushes the k-limit map-side) → one-row
+    aggregate per group. Nothing unbounded crosses the shuffle.
+    """
+    group_cols = group_cols or []
+    h = hash60(F.col(value_col).cast("string")).alias("_h")
+    hashes = df.select(*group_cols, h).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    topk = hashes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    two60 = float(1 << 60)
+    agg = topk.groupBy(*group_cols).agg(
+        F.max("_h").alias("_kth"),
+        F.count("*").cast("int").alias("k_eff"),
+    )
+    exact = F.col("k_eff").cast("long")
+    est = F.round((F.col("k_eff") - 1).cast("double") * two60 / F.col("_kth"), 4)
+    return agg.select(
+        *group_cols,
+        "k_eff",
+        F.when(F.col("k_eff") < k, exact.cast("double")).otherwise(est).alias("distinct_est"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    tau: float = 0.7,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with k-means, then WITHIN each cluster drop every
+    vector that has a higher-similarity-than-``tau`` neighbor with a
+    smaller id (one canonical survivor per semantic near-dup set, modulo
+    cluster boundaries — the paper's accepted approximation).
+
+    Scale shape: the O(N²) pairwise cosine never happens — pairs are
+    confined to clusters (one shuffle on ``cell``, each cluster an
+    independent join partition), exactly the IVF trick reused for dedup
+    instead of search. Reuses the session-cached IVF cell assignment, so
+    a corpus that was ANN-indexed pays nothing extra for the clustering.
+
+    Returns every vector with its cluster and a ``kept`` flag (canonical
+    survivors true) — downstream joins filter the corpus by it.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.similarity import (
+        _cached_build,
+        _plan_key,
+        _assign,
+        cosine,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
+    cells = _cached_build(
+        _plan_key(emb) + ("ivf_assign", n_centroids, n_iters, id_col, vec_col),
+        lambda: _assign(emb, cents, id_col, vec_col),
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -76,15 +76,10 @@ def _cos(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-def _ivf_sql(
-    n_centroids: int = 8,
-    k: int = 3,
-    max_query_id: int = 10,
-    nprobe: int = 1,
-    n_iters: int = 2,
-) -> str:
-    """IVF top-k twin of operators.similarity.ivf_topk, sharing the
-    deterministic k-means centroid computation: seeds = first N by id,
+def _ivf_assign_parts(n_centroids: int, n_iters: int) -> list[str]:
+    """CTE list ending in ``rf`` (per-(vector, centroid) ranking) and
+    ``af`` (final cell assignment) — the deterministic k-means shared by
+    the IVF search twin and the SemDeDup twin: seeds = first N by id,
     then ``n_iters`` Lloyd rounds (cosine argmax assignment, element-wise
     mean ROUNDED to 6 decimals — the rounding is what makes the centroids
     bit-identical across engines despite FP summation order)."""
@@ -110,6 +105,19 @@ def _ivf_sql(
         "rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM sf)",
         "af AS (SELECT vec_id, v, cent_id AS cell FROM rf WHERE rn = 1)",
     ]
+    return parts
+
+
+def _ivf_sql(
+    n_centroids: int = 8,
+    k: int = 3,
+    max_query_id: int = 10,
+    nprobe: int = 1,
+    n_iters: int = 2,
+) -> str:
+    """IVF top-k twin of operators.similarity.ivf_topk (assignment CTEs
+    from :func:`_ivf_assign_parts`)."""
+    parts = _ivf_assign_parts(n_centroids, n_iters)
     if nprobe <= 1:
         parts.append(
             f"q AS (SELECT vec_id AS query_id, v AS qv, cell FROM af WHERE vec_id < {max_query_id})"
@@ -132,6 +140,29 @@ def _ivf_sql(
 WITH {ctes}
 SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, round(cos, 6) AS cos
 FROM r WHERE rk <= {k}
+"""
+
+
+def _semantic_dedup_sql(n_centroids: int, n_iters: int, tau: float) -> str:
+    """SemDeDup twin of operators.curation.semantic_dedup: the shared
+    k-means assignment, then within-cell pairs with cos >= tau drop the
+    higher id; survivors keep ``kept = 1``."""
+    parts = _ivf_assign_parts(n_centroids, n_iters)
+    parts += [
+        "pa AS (SELECT vec_id AS id_a, v AS va, cell FROM af)",
+        "pb AS (SELECT vec_id AS id_b, v AS vb, cell FROM af)",
+        f"""dr AS (
+  SELECT DISTINCT id_b AS vec_id
+  FROM pa JOIN pb USING (cell)
+  WHERE id_a < id_b AND {_cos('va', 'vb')} >= {tau}
+)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT af.vec_id, cell,
+       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM af LEFT JOIN dr ON af.vec_id = dr.vec_id
 """
 
 
@@ -1355,5 +1386,108 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_ish_tokens
 FROM documents
 """
+
+    # Gopher-style repetition: dup-bigram fraction (1 - distinct/total
+    # word 2-grams) + top-token fraction (mode count / tokens, case-folded)
+    o["text_repetition"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> t[i] || ' ' || t[i+1]) AS bigrams,
+         list_transform(t, x -> lower(x)) AS lt
+  FROM toks
+)
+SELECT doc_id,
+       round(CASE WHEN len(bigrams) > 0
+             THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+             ELSE 0.0 END, 6) AS dup_bigram_frac,
+       round(CASE WHEN len(lt) > 0
+             THEN CAST(list_aggregate(list_transform(list_distinct(lt),
+                        d -> len(list_filter(lt, x -> x = d))), 'max') AS DOUBLE) / len(lt)
+             ELSE 0.0 END, 6) AS top_token_frac
+FROM g
+"""
+
+    # concat-and-chunk packing: shard = hash60('pack'||id) % 8, running
+    # token offset per shard, sequence = start // 256
+    o["llm_pack_sequences"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substr(md5(concat_ws('||', 'pack', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_off
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+       start_off // 256 AS seq_in_shard,
+       start_off % 256 AS offset_in_seq
+FROM c
+"""
+
+    # per-language mixture resampling; rate constants mirror
+    # queries.MIXTURE_RATES (en 0.4x down-sample, zh 2.5x epochs, de
+    # 1.25x), bucket = hash60('mix'||id) % 10000
+    o["llm_mixture_sample"] = r"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(concat_ws('||', 'mix', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         CASE lang
+           WHEN 'de' THEN 1 + CASE WHEN bucket < 2500 THEN 1 ELSE 0 END
+           WHEN 'en' THEN 0 + CASE WHEN bucket < 4000 THEN 1 ELSE 0 END
+           WHEN 'zh' THEN 2 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END
+           ELSE 1 END AS n_copies
+  FROM b
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_id
+FROM n WHERE n_copies > 0
+"""
+
+    # KMV distinct sketch per language over whitespace tokens: k=32
+    # smallest distinct hash60 values; estimate (k-1)*2^60/h_k, exact
+    # count when the group has fewer than k distinct hashes
+    o["a_kmv_distinct_tokens"] = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+h AS (
+  SELECT DISTINCT lang,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS _h
+  FROM toks
+),
+r AS (
+  SELECT lang, _h,
+         row_number() OVER (PARTITION BY lang ORDER BY _h ASC) AS rn
+  FROM h
+),
+agg AS (
+  SELECT lang, max(_h) AS kth, CAST(count(*) AS INTEGER) AS k_eff
+  FROM r WHERE rn <= 32 GROUP BY lang
+)
+SELECT lang, k_eff,
+       CASE WHEN k_eff < 32 THEN CAST(k_eff AS DOUBLE)
+            ELSE round(CAST(k_eff - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth AS DOUBLE), 4)
+       END AS distinct_est
+FROM agg
+"""
+
+    o["sim_semantic_dedup"] = _semantic_dedup_sql(n_centroids=8, n_iters=2, tau=0.5)
 
     return o

@@ -1468,6 +1468,67 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate-bigram
+    fraction and top-token fraction. Pure per-row array expressions —
+    zero shuffle; corpus-wide this is one linear codegen pass."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(TX.dup_ngram_frac(F.col("text"), n=2), 6).alias("dup_bigram_frac"),
+        F.round(TX.top_token_frac(F.col("text")), 6).alias("top_token_frac"),
+    )
+
+
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into budget-256 training
+    sequences across 8 hash shards (independent parallel cumsums)."""
+    from activecampaign_api_data_pipeline_spark.operators.curation import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=256, n_shards=8)
+
+
+#: Static mixture config for llm_mixture_sample — per-language sampling
+#: rates (a mixture-tuning decision is config, not data). en is
+#: down-sampled, zh epoch-upsampled 2.5x, de slightly upsampled.
+MIXTURE_RATES: dict[str, float] = {"en": 0.4, "zh": 2.5, "de": 1.25}
+
+
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture resampling (up- and
+    down-sampling with hash-bucket tranches); map-only, no shuffle."""
+    from activecampaign_api_data_pipeline_spark.operators.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(docs, MIXTURE_RATES, stratum_col="lang")
+
+
+def a_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch: estimated distinct token count per language
+    vs the k=32 sketch — mergeable, engine-reproducible (md5 hashes,
+    integer kth order statistic)."""
+    from activecampaign_api_data_pipeline_spark.operators.curation import kmv_distinct
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    return kmv_distinct(toks, "tok", group_cols=["lang"], k=32)
+
+
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cluster embeddings, drop within-cluster
+    semantic near-dups (cos >= 0.5) keeping the lowest id."""
+    from activecampaign_api_data_pipeline_spark.operators.curation import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, n_centroids=8, tau=0.5, n_iters=2)
+    return out.select("vec_id", "cell", F.col("kept").cast("int").alias("kept"))
+
+
 # Registry ORDER is part of the driver contract: the correctness gate checks
 # the FIRST 50 entries only.  Policy: queries that have never (or least
 # recently) had a driver correctness row lead, followed by anything modified
@@ -1525,14 +1586,20 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "j_range_events_in_window": j_range_events_in_window,
     "a5_set_rollup": a5_set_rollup,
+    "w1_latest_per_key": w1_latest_per_key,
+    # -- new in round 5: curation family (packing, mixture, KMV sketch,
+    #    repetition metrics, SemDeDup) --
+    "text_repetition": text_repetition,
+    "llm_pack_sequences": llm_pack_sequences,
+    "llm_mixture_sample": llm_mixture_sample,
+    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
+    "sim_semantic_dedup": sim_semantic_dedup,
+    # ---- past the 50-entry window: green in r4, untouched this round ----
     "a4_watermark_max_id": a4_watermark_max_id,
     "a6_contact_digest": a6_contact_digest,
-    "w1_latest_per_key": w1_latest_per_key,
-    # -- r4-green fill to the 50-entry window edge --
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_cluster_canonical": dedup_cluster_canonical,
-    # ---- past the 50-entry window: green in r4, untouched this round ----
     "j_asof_last_order": j_asof_last_order,
     "j1_broadcast_enrich": j1_broadcast_enrich,
     "u2_conform_union": u2_conform_union,

@@ -1,0 +1,167 @@
+"""Curation operators: sequence packing, mixture resampling, KMV distinct
+sketch, SemDeDup semantic dedup, repetition metrics."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.functions import text as TX
+from activecampaign_api_data_pipeline_spark.operators.curation import (
+    kmv_distinct,
+    mixture_sample,
+    pack_sequences,
+    semantic_dedup,
+)
+
+
+# ---------------------------------------------------------------- packing
+def test_pack_sequences_contiguous_per_shard(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=10 + (i % 7)) for i in range(100)]
+    )
+    out = pack_sequences(docs, budget=64, n_shards=4).collect()
+    assert len(out) == 100
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    total_offsets = {}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            # offsets are the running concatenation: doc i starts where
+            # doc i-1 (same shard) ended
+            assert r.seq_in_shard == cum // 64
+            assert r.offset_in_seq == cum % 64
+            cum += r.n_tokens
+        total_offsets[shard] = cum
+    # every shard non-trivially populated (hash spreading works)
+    assert len(by_shard) == 4
+
+
+def test_pack_sequences_offsets_bounded(spark):
+    docs = spark.createDataFrame([Row(doc_id=i, n_tokens=3) for i in range(50)])
+    out = pack_sequences(docs, budget=16, n_shards=2)
+    bad = out.filter((F.col("offset_in_seq") < 0) | (F.col("offset_in_seq") >= 16))
+    assert bad.count() == 0
+
+
+# ---------------------------------------------------------------- mixture
+def test_mixture_sample_down_and_upsample(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 == 0 else "zh") for i in range(2000)]
+    )
+    out = mixture_sample(docs, {"en": 0.4, "zh": 2.5}, stratum_col="lang")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # en: ~40% of 1000; hash buckets are uniform-ish
+    assert 300 < counts["en"] < 500
+    # zh: every row 2 or 3 times -> between 2000 and 3000, ~2500
+    assert 2200 < counts["zh"] < 2800
+    # deterministic: same plan twice -> identical result
+    again = {r["lang"]: r["n"] for r in mixture_sample(docs, {"en": 0.4, "zh": 2.5}).groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_mixture_sample_passthrough_and_zero(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=["keep", "drop", "other"][i % 3]) for i in range(300)]
+    )
+    out = mixture_sample(docs, {"drop": 0.0, "keep": 1.0})
+    langs = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "drop" not in langs  # rate 0 -> eliminated
+    assert langs["keep"] == 100  # rate 1 -> exact passthrough
+    assert langs["other"] == 100  # unlisted stratum -> passthrough
+    # copy_id is 1 everywhere when nothing upsamples
+    assert out.agg(F.max("copy_id")).first()[0] == 1
+
+
+def test_mixture_sample_rejects_negative_rate(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, lang="en")])
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"en": -0.1})
+
+
+# ---------------------------------------------------------------- KMV
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([Row(g="a", v=str(i % 10)) for i in range(100)])
+    out = kmv_distinct(df, "v", group_cols=["g"], k=32).first()
+    assert out["k_eff"] == 10
+    assert out["distinct_est"] == 10.0  # degenerates to exact
+
+
+def test_kmv_estimate_within_error(spark):
+    rows = [Row(g="big", v=f"tok{i}") for i in range(5000)] + [
+        Row(g="small", v=f"tok{i % 20}") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["g"]: r for r in kmv_distinct(df, "v", group_cols=["g"], k=64).collect()}
+    assert out["small"]["distinct_est"] == 20.0
+    est = out["big"]["distinct_est"]
+    # KMV with k=64: std error ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
+    assert 5000 * 0.6 < est < 5000 * 1.4
+
+
+def test_kmv_merge_invariance(spark):
+    """The sketch must not depend on partitioning (mergeable partials)."""
+    rows = [Row(g="g", v=f"t{i}") for i in range(500)]
+    one = kmv_distinct(spark.createDataFrame(rows).coalesce(1), "v", ["g"], k=16).first()
+    many = kmv_distinct(spark.createDataFrame(rows).repartition(8), "v", ["g"], k=16).first()
+    assert one["distinct_est"] == many["distinct_est"]
+
+
+# ---------------------------------------------------------------- SemDeDup
+def _clustered_embeddings(spark):
+    # two well-separated clusters on axes, with exact duplicates planted
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        jitter = [(1 + 0.001 * (i // 2)) * x for x in base]
+        rows.append(Row(vec_id=i, embedding=jitter))
+    return spark.createDataFrame(rows)
+
+
+def test_semantic_dedup_keeps_lowest_id_per_cluster(spark):
+    emb = _clustered_embeddings(spark)
+    out = semantic_dedup(emb, n_centroids=2, tau=0.99, n_iters=2)
+    kept = sorted(r.vec_id for r in out.filter("kept").collect())
+    # scaled copies of the same direction have cosine exactly 1 -> one
+    # survivor per cluster, the lowest id in each
+    assert kept == [0, 1]
+    assert out.count() == 20  # every vector reported, flagged not dropped
+
+
+def test_semantic_dedup_tau_one_keeps_distinct_directions(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[2.0, 0.0]),  # same direction as 0
+    ]
+    emb = spark.createDataFrame(rows)
+    out = {r.vec_id: r.kept for r in semantic_dedup(emb, n_centroids=1, tau=0.999, n_iters=0).collect()}
+    assert out[0] and out[1] and not out[2]
+
+
+# ---------------------------------------------------------------- repetition
+def test_repetition_metrics_values(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a a a a"),          # bigrams: aa,aa,aa -> dup 2/3
+            Row(doc_id=1, text="w x y z"),          # all distinct
+            Row(doc_id=2, text=""),                 # degenerate
+            Row(doc_id=3, text="spam spam ham"),    # top token 2/3
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TX.dup_ngram_frac(F.col("text"), 2).alias("dup2"),
+            TX.top_token_frac(F.col("text")).alias("top"),
+        ).collect()
+    }
+    assert abs(out[0]["dup2"] - (1 - 1 / 3)) < 1e-9
+    assert out[0]["top"] == 1.0
+    assert out[1]["dup2"] == 0.0
+    assert out[1]["top"] == 0.25
+    assert out[2]["dup2"] == 0.0 and out[2]["top"] == 0.0
+    assert abs(out[3]["top"] - 2 / 3) < 1e-9
