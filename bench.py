@@ -76,6 +76,13 @@ HEADLINE = [
     # build, second proves the search-only cost on the same index
     "sim_ivfpq_from_index",
     "sim_ann_index_nprobe1",
+    # added round 5: curation family (packing, mixture resample, KMV
+    # sketch, repetition metrics, SemDeDup)
+    "llm_pack_sequences",
+    "llm_mixture_sample",
+    "a_kmv_distinct_tokens",
+    "text_repetition",
+    "sim_semantic_dedup",
 ]
 
 
