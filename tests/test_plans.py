@@ -123,3 +123,43 @@ def test_correlated_subquery_decorrelates(spark):
     p = _plan(spark, "q_correlated_decorrelation")
     assert "Subquery" not in p  # fully decorrelated at the physical level
     assert "HashAggregate" in p and "Join" in p
+
+
+def test_pack_sequences_single_shard_shuffle_no_python(spark):
+    # packing = hash shard + windowed cumsum: exactly one hash exchange
+    # (on shard), expression work otherwise
+    p = _plan(spark, "llm_pack_sequences")
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert p.count("hashpartitioning") == 1
+
+
+def test_mixture_sample_map_only(spark):
+    # resampling is stateless per-row expression work + explode: a 100 TB
+    # mixture pass must not shuffle at all
+    p = _plan(spark, "llm_mixture_sample")
+    assert "EvalPython" not in p
+    assert "Exchange" not in p
+    assert "Generate" in p  # the copy explode
+
+
+def test_kmv_window_limit_pushes_map_side(spark):
+    # the k-smallest-per-group filter must plan as WindowGroupLimit so
+    # only ~k hashes per group survive each map task
+    p = _plan(spark, "a_kmv_distinct_tokens")
+    assert "EvalPython" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    # within-cell pairing is a hash join on cell, never a cartesian
+    p = _plan(spark, "sim_semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_repetition_metrics_no_shuffle(spark):
+    # per-row array expressions only; allow the scan-widening round robin
+    p = _plan(spark, "text_repetition")
+    assert "EvalPython" not in p
+    assert "hashpartitioning" not in p
