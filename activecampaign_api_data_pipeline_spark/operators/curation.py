@@ -185,6 +185,10 @@ def semantic_dedup(
     independent join partition), exactly the IVF trick reused for dedup
     instead of search. Reuses the session-cached IVF cell assignment, so
     a corpus that was ANN-indexed pays nothing extra for the clustering.
+    Per-cell pair cost is O((N/C)²·C): grow ``n_centroids`` PROPORTIONALLY
+    to the corpus (constant expected cluster size — the SemDeDup paper
+    uses tens of thousands of clusters at web scale) so the within-cell
+    join stays linear in N; a fixed C at 100× the data is quadratic.
 
     Returns every vector with its cluster and a ``kept`` flag (canonical
     survivors true) — downstream joins filter the corpus by it.
