@@ -166,6 +166,74 @@ def kmv_distinct(
     )
 
 
+def kmv_state(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 32,
+) -> DataFrame:
+    """The KMV sketch STATE per group: the k smallest distinct hash60
+    values as a sorted array — the mergeable artifact
+    (:func:`kmv_merge`); :func:`kmv_estimate` turns state into counts.
+
+    At 100 TB this is the incremental-distinct pattern: persist a few
+    hundred bytes per group, merge each ingest batch in O(batch), never
+    rescan history. The union-then-re-minimize merge is exact: the k
+    smallest of (k smallest of A) ∪ (k smallest of B) equal the k
+    smallest of A ∪ B.
+    """
+    group_cols = group_cols or []
+    h = hash60(F.col(value_col).cast("string")).alias("_h")
+    hashes = df.select(*group_cols, h).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    topk = hashes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return topk.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("_h")).alias("kmv")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 32) -> DataFrame:
+    """Merge two KMV states (full outer on group): distinct union of the
+    hash arrays, keep the k smallest. Associative + commutative, so any
+    batch arrival order yields the same sketch."""
+    merged = (
+        a.withColumnRenamed("kmv", "_ka")
+        .join(b.withColumnRenamed("kmv", "_kb"), group_cols, "full_outer")
+        .select(
+            *group_cols,
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce(F.col("_ka"), F.array().cast("array<long>")),
+                            F.coalesce(F.col("_kb"), F.array().cast("array<long>")),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("kmv"),
+        )
+    )
+    return merged
+
+
+def kmv_estimate(state: DataFrame, k: int = 32) -> DataFrame:
+    """Distinct-count estimate from KMV state: exact when the group holds
+    fewer than k hashes, else ``(k-1)·2^60 / h_(k)``."""
+    two60 = float(1 << 60)
+    k_eff = F.size("kmv").alias("k_eff")
+    kth = F.element_at("kmv", -1)
+    est = F.round((F.size("kmv") - 1).cast("double") * two60 / kth, 4)
+    return state.select(
+        *[c for c in state.columns if c != "kmv"],
+        k_eff,
+        F.when(F.size("kmv") < k, F.size("kmv").cast("double")).otherwise(est).alias(
+            "distinct_est"
+        ),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_centroids: int = 8,

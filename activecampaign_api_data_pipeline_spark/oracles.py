@@ -1490,4 +1490,74 @@ FROM agg
 
     o["sim_semantic_dedup"] = _semantic_dedup_sql(n_centroids=8, n_iters=2, tau=0.5)
 
+    # repetition gate -> mixture resample -> pack copies; pack identity is
+    # the string 'doc_id#copy_id' (bytewise order in both engines)
+    o["llm_curation_pipeline"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> t[i] || ' ' || t[i+1]) AS bigrams,
+         list_transform(t, x -> lower(x)) AS lt
+  FROM toks
+),
+m AS (
+  SELECT doc_id, lang, n_tokens,
+         round(CASE WHEN len(bigrams) > 0
+               THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+               ELSE 0.0 END, 6) AS dup,
+         round(CASE WHEN len(lt) > 0
+               THEN CAST(list_aggregate(list_transform(list_distinct(lt),
+                          d -> len(list_filter(lt, x -> x = d))), 'max') AS DOUBLE) / len(lt)
+               ELSE 0.0 END, 6) AS top
+  FROM g
+),
+gated AS (SELECT doc_id, lang, n_tokens FROM m WHERE dup <= 0.05 AND top <= 0.12),
+b AS (
+  SELECT *,
+         CAST(concat('0x', substr(md5(concat_ws('||', 'mix', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM gated
+),
+n AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE lang
+           WHEN 'de' THEN 1 + CASE WHEN bucket < 2500 THEN 1 ELSE 0 END
+           WHEN 'en' THEN 0 + CASE WHEN bucket < 4000 THEN 1 ELSE 0 END
+           WHEN 'zh' THEN 2 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END
+           ELSE 1 END AS n_copies
+  FROM b
+),
+cp AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_id
+  FROM n WHERE n_copies > 0
+),
+pk AS (
+  SELECT doc_id, copy_id, n_tokens,
+         concat_ws('#', CAST(doc_id AS VARCHAR), CAST(copy_id AS VARCHAR)) AS pack_id
+  FROM cp
+),
+sh AS (
+  SELECT *,
+         CAST(concat('0x', substr(md5(concat_ws('||', 'pack', pack_id)), 1, 15)) AS BIGINT) % 8 AS shard
+  FROM pk
+),
+c AS (
+  SELECT doc_id, copy_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_off
+  FROM sh
+)
+SELECT doc_id, copy_id, shard, n_tokens,
+       start_off // 256 AS seq_in_shard,
+       start_off % 256 AS offset_in_seq
+FROM c
+"""
+
     return o

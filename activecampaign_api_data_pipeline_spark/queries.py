@@ -1529,6 +1529,53 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cell", F.col("kept").cast("int").alias("kept"))
 
 
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain COMPOSED end-to-end in ONE plan: repetition
+    gate (Gopher-style dup-bigram/top-token thresholds) → per-language
+    mixture resampling (copies) → sequence packing of the surviving
+    copies into budget-256 sequences across 8 shards.
+
+    Cost shape: the gate and the resample are pure per-row expression
+    work (zero shuffle); packing adds the single shard shuffle — so the
+    100 TB cost of the whole chain is one exchange plus a linear pass.
+    The pack identity is (doc_id, copy_id) so upsampled copies pack as
+    independent documents.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.curation import (
+        mixture_sample,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir)
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.round(TX.dup_ngram_frac(F.col("text"), n=2), 6).alias("_dup"),
+        F.round(TX.top_token_frac(F.col("text")), 6).alias("_top"),
+    ).filter((F.col("_dup") <= 0.05) & (F.col("_top") <= 0.12))
+    sampled = mixture_sample(
+        gated.select("doc_id", "lang", "n_tokens"), MIXTURE_RATES, stratum_col="lang"
+    )
+    packed = pack_sequences(
+        sampled.withColumn(
+            "pack_id",
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("copy_id").cast("string")),
+        ),
+        budget=256,
+        n_shards=8,
+        id_col="pack_id",
+    )
+    return packed.select(
+        F.split(F.col("pack_id"), "#").getItem(0).cast("bigint").alias("doc_id"),
+        F.split(F.col("pack_id"), "#").getItem(1).cast("int").alias("copy_id"),
+        "shard",
+        "n_tokens",
+        "seq_in_shard",
+        "offset_in_seq",
+    )
+
+
 # Registry ORDER is part of the driver contract: the correctness gate checks
 # the FIRST 50 entries only.  Policy: queries that have never (or least
 # recently) had a driver correctness row lead, followed by anything modified
@@ -1586,7 +1633,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "j_range_events_in_window": j_range_events_in_window,
     "a5_set_rollup": a5_set_rollup,
-    "w1_latest_per_key": w1_latest_per_key,
     # -- new in round 5: curation family (packing, mixture, KMV sketch,
     #    repetition metrics, SemDeDup) --
     "text_repetition": text_repetition,
@@ -1594,7 +1640,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_mixture_sample": llm_mixture_sample,
     "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
     "sim_semantic_dedup": sim_semantic_dedup,
+    "llm_curation_pipeline": llm_curation_pipeline,
     # ---- past the 50-entry window: green in r4, untouched this round ----
+    "w1_latest_per_key": w1_latest_per_key,
     "a4_watermark_max_id": a4_watermark_max_id,
     "a6_contact_digest": a6_contact_digest,
     "dedup_minhash_lsh": dedup_minhash_lsh,

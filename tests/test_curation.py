@@ -165,3 +165,37 @@ def test_repetition_metrics_values(spark):
     assert out[1]["top"] == 0.25
     assert out[2]["dup2"] == 0.0 and out[2]["top"] == 0.0
     assert abs(out[3]["top"] - 2 / 3) < 1e-9
+
+
+# ---------------------------------------------------------------- KMV state
+def test_kmv_state_merge_equals_batch(spark):
+    """Incremental sketch: state(A) ⊕ state(B) == state(A ∪ B) — the
+    merge that lets 100 TB ingest update distinct counts in O(batch)."""
+    from activecampaign_api_data_pipeline_spark.operators.curation import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+
+    a = spark.createDataFrame([Row(g="x", v=f"t{i}") for i in range(300)])
+    b = spark.createDataFrame([Row(g="x", v=f"t{i}") for i in range(150, 450)] + [Row(g="y", v="only")])
+    merged = kmv_merge(kmv_state(a, "v", ["g"], k=16), kmv_state(b, "v", ["g"], k=16), ["g"], k=16)
+    whole = kmv_state(a.union(b), "v", ["g"], k=16)
+    m = {r["g"]: r["kmv"] for r in merged.collect()}
+    w = {r["g"]: r["kmv"] for r in whole.collect()}
+    assert m == w
+    # group seen only in one side survives the full-outer merge
+    assert "y" in m
+    est = {r["g"]: r["distinct_est"] for r in kmv_estimate(merged, k=16).collect()}
+    assert est["y"] == 1.0  # exact below k
+    assert 450 * 0.5 < est["x"] < 450 * 1.6
+
+
+def test_kmv_merge_commutative(spark):
+    from activecampaign_api_data_pipeline_spark.operators.curation import kmv_merge, kmv_state
+
+    a = kmv_state(spark.createDataFrame([Row(g="g", v=f"a{i}") for i in range(100)]), "v", ["g"], k=8)
+    b = kmv_state(spark.createDataFrame([Row(g="g", v=f"b{i}") for i in range(100)]), "v", ["g"], k=8)
+    ab = kmv_merge(a, b, ["g"], k=8).first()["kmv"]
+    ba = kmv_merge(b, a, ["g"], k=8).first()["kmv"]
+    assert ab == ba

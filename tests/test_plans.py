@@ -163,3 +163,12 @@ def test_repetition_metrics_no_shuffle(spark):
     p = _plan(spark, "text_repetition")
     assert "EvalPython" not in p
     assert "hashpartitioning" not in p
+
+
+def test_curation_pipeline_single_shuffle(spark):
+    # gate + resample are expression work; the only hash exchange is the
+    # pack-shard cumsum window
+    p = _plan(spark, "llm_curation_pipeline")
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert p.count("hashpartitioning") == 1
