@@ -352,6 +352,62 @@ class TableStore:
             out, "layer string, n_rows long, n_files long, n_partitions long"
         )
 
+    # ------------------------------------------------- distinct sketches
+
+    def _kmv_path(self, table: str, value_col: str) -> str:
+        return f"{self.root}/stats/{table}_kmv_{value_col}"
+
+    def update_kmv(
+        self,
+        table: str,
+        batch_df: DataFrame,
+        value_col: str,
+        group_cols: list[str],
+        k: int = 32,
+    ) -> None:
+        """Fold a batch into the persisted KMV distinct sketch for
+        ``(table, value_col)`` — continuous distinct-count monitoring
+        without ever rescanning history.
+
+        The state is a few hundred bytes per group (k 8-byte hashes), so
+        each update is O(batch) + a tiny merge; the union-then-re-minimize
+        merge is exact (:func:`operators.curation.kmv_merge`), so the
+        resulting sketch is identical to one built over all batches at
+        once regardless of arrival order. Swap is write-tmp-then-rename —
+        a reader never sees a half-written sketch; single writer is the
+        caller's contract (holds inside foreachBatch by construction).
+        """
+        from activecampaign_api_data_pipeline_spark.operators.curation import (
+            kmv_merge,
+            kmv_state,
+        )
+
+        path = self._kmv_path(table, value_col)
+        new = kmv_state(batch_df, value_col, group_cols, k)
+        if self._exists(path):
+            old = self.spark.read.parquet(path)
+            merged = kmv_merge(old, new, group_cols, k)
+        else:
+            merged = new
+        tmp = path + "__tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        dst = jvm.org.apache.hadoop.fs.Path(path)
+        fs = dst.getFileSystem(hconf)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(src, dst)
+
+    def kmv_stats(self, table: str, value_col: str, k: int = 32) -> DataFrame:
+        """Distinct-count estimates from the persisted sketch."""
+        from activecampaign_api_data_pipeline_spark.operators.curation import kmv_estimate
+
+        return kmv_estimate(
+            self.spark.read.parquet(self._kmv_path(table, value_col)), k
+        )
+
     # --------------------------------------------------------------- reads
 
     def read(self, layer: str, table: str) -> DataFrame:

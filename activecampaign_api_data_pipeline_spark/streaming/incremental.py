@@ -239,6 +239,7 @@ def stream_into_store(
     updated_col: str | None = None,
     trigger_available_now: bool = True,
     compact_every: int | None = None,
+    kmv: tuple[str, list[str]] | None = None,
 ):
     """Continuous medallion ingest: each micro-batch persists through the
     store (delta/bronze/silver/gold), giving exactly-once-observable output.
@@ -253,6 +254,14 @@ def stream_into_store(
     compacted (``TableStore.compact_silver``) — each micro-batch otherwise
     appends one file per touched bucket forever. Compaction runs inside
     foreachBatch, so the single-writer assumption holds by construction.
+
+    ``kmv=(value_col, group_cols)`` additionally folds every batch into
+    the store's persisted KMV distinct sketch
+    (``TableStore.update_kmv``) — continuous per-group distinct-count
+    monitoring at O(batch) per micro-batch, no history rescans. NOTE: the
+    sketch observes RAW batches (bronze semantics); a batch replayed
+    after a crash re-merges the same hashes, which the KMV union absorbs
+    (idempotent by construction).
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -265,6 +274,8 @@ def stream_into_store(
             run_id=f"batch_{batch_id:08d}",
             updated_col=updated_col,
         )
+        if kmv is not None:
+            store.update_kmv(table, batch_df, kmv[0], kmv[1])
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             store.compact_silver(table, buckets=res.touched_buckets)
 

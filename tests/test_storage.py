@@ -372,3 +372,36 @@ def test_stats_and_auto_compact_in_stream(spark, store, tmp_path):
     assert _gold_map(store, "contacts") == {
         str(k): (f"v2@{k}", "2020-01-03") for k in range(1, 7)
     }
+
+
+# ------------------------------------------------- persisted KMV sketch
+
+def test_update_kmv_incremental_equals_whole(spark, tmp_path):
+    from pyspark.sql import Row
+    from activecampaign_api_data_pipeline_spark.operators.curation import kmv_state
+
+    store = TableStore(spark, str(tmp_path / "lake"))
+    b1 = spark.createDataFrame([Row(g="a", v=f"t{i}") for i in range(200)])
+    b2 = spark.createDataFrame(
+        [Row(g="a", v=f"t{i}") for i in range(100, 300)] + [Row(g="b", v="x")]
+    )
+    store.update_kmv("docs", b1, "v", ["g"], k=16)
+    store.update_kmv("docs", b2, "v", ["g"], k=16)
+    got = {r["g"]: r["kmv"] for r in spark.read.parquet(store._kmv_path("docs", "v")).collect()}
+    want = {r["g"]: r["kmv"] for r in kmv_state(b1.union(b2), "v", ["g"], k=16).collect()}
+    assert got == want
+    est = {r["g"]: r["distinct_est"] for r in store.kmv_stats("docs", "v", k=16).collect()}
+    assert est["b"] == 1.0
+    assert 300 * 0.5 < est["a"] < 300 * 1.7
+
+
+def test_update_kmv_replay_idempotent(spark, tmp_path):
+    from pyspark.sql import Row
+
+    store = TableStore(spark, str(tmp_path / "lake"))
+    b = spark.createDataFrame([Row(g="g", v=f"t{i}") for i in range(100)])
+    store.update_kmv("docs", b, "v", ["g"], k=16)
+    once = spark.read.parquet(store._kmv_path("docs", "v")).first()["kmv"]
+    store.update_kmv("docs", b, "v", ["g"], k=16)  # crash-replay of same batch
+    twice = spark.read.parquet(store._kmv_path("docs", "v")).first()["kmv"]
+    assert once == twice

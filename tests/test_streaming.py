@@ -338,3 +338,27 @@ def test_stream_top_n_per_key_state_merges_across_batches(spark, stream_dir, tmp
     }
     # a key emits once per batch it appears in: user 1 in all three batches
     assert out.filter("user_id = 1").select("_bid").distinct().count() == 3
+
+
+def test_stream_into_store_kmv_sidecar(spark, stream_dir, tmp_path):
+    """Streaming ingest folds each micro-batch into the persisted KMV
+    sketch; after the drain the estimate equals a batch-built sketch."""
+    from activecampaign_api_data_pipeline_spark.operators.curation import kmv_state
+    from activecampaign_api_data_pipeline_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "lake"), n_buckets=4)
+    r1 = _rows(spark, (1, "2020-01-01 00:00:00", 1, "a", 1.0),
+                      (2, "2020-01-01 00:01:00", 2, "b", 1.0))
+    r2 = _rows(spark, (3, "2020-01-01 00:02:00", 1, "c", 1.0),
+                      (4, "2020-01-01 00:03:00", 3, "a", 1.0))
+    _write_batch(r1, stream_dir, 0)
+    _write_batch(r2, stream_dir, 1)
+    q = stream_into_store(
+        _start_stream(spark, stream_dir), store, "events", key_cols=["id"],
+        checkpoint=str(tmp_path / "ckpt"), updated_col="ts",
+        kmv=("kind", ["user_id"]),
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["kmv"] for r in spark.read.parquet(store._kmv_path("events", "kind")).collect()}
+    want = {r["user_id"]: r["kmv"] for r in kmv_state(r1.union(r2), "kind", ["user_id"]).collect()}
+    assert got == want
