@@ -1490,6 +1490,19 @@ FROM agg
 
     o["sim_semantic_dedup"] = _semantic_dedup_sql(n_centroids=8, n_iters=2, tau=0.5)
 
+    # SCD2 validity intervals: lead(ts) over the version order; NULL
+    # valid_to marks the current row
+    o["w_scd2_intervals"] = f"""
+SELECT user_id,
+       event_type AS state,
+       {TS} AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+       event_id AS version_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
     # repetition gate -> mixture resample -> pack copies; pack identity is
     # the string 'doc_id#copy_id' (bytewise order in both engines)
     o["llm_curation_pipeline"] = r"""

@@ -1576,6 +1576,25 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals from an event log: each (user, kind)
+    observation becomes a dimension version valid [ts, next-ts); the
+    open-ended current row carries NULL valid_to. One window shuffle on
+    the key — the standard warehouse history build, expressed as
+    lead() over (user_id ORDER BY ts, id).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", TS_FMT).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), TS_FMT).alias("valid_to"),
+        (F.lead("ts").over(w).isNull()).cast("int").alias("is_current"),
+        F.col("event_id").alias("version_id"),
+    )
+
+
 # Registry ORDER is part of the driver contract: the correctness gate checks
 # the FIRST 50 entries only.  Policy: queries that have never (or least
 # recently) had a driver correctness row lead, followed by anything modified
@@ -1632,7 +1651,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_chatter": flagship_chatter,
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "j_range_events_in_window": j_range_events_in_window,
-    "a5_set_rollup": a5_set_rollup,
     # -- new in round 5: curation family (packing, mixture, KMV sketch,
     #    repetition metrics, SemDeDup) --
     "text_repetition": text_repetition,
@@ -1641,7 +1659,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
     "sim_semantic_dedup": sim_semantic_dedup,
     "llm_curation_pipeline": llm_curation_pipeline,
+    "w_scd2_intervals": w_scd2_intervals,
     # ---- past the 50-entry window: green in r4, untouched this round ----
+    "a5_set_rollup": a5_set_rollup,
     "w1_latest_per_key": w1_latest_per_key,
     "a4_watermark_max_id": a4_watermark_max_id,
     "a6_contact_digest": a6_contact_digest,
