@@ -285,6 +285,36 @@ class TableStore:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(BUCKET_COL).parquet(self._path("silver", table))
 
+    def cluster_silver(
+        self, table: str, sort_cols: list[str], buckets: list[int] | None = None
+    ) -> None:
+        """Data-skipping maintenance: rewrite silver buckets SORTED on
+        ``sort_cols`` so parquet row-group min/max statistics become
+        tight, disjoint ranges — a range predicate on the sort key then
+        prunes most row groups at scan time (the poor man's Z-order; for
+        one dominant predicate column a plain sort is optimal).
+
+        Same mechanics and single-writer contract as
+        :meth:`compact_silver` (bucket-sliced dynamic overwrite,
+        localCheckpoint before the rewrite, crash repaired by
+        :meth:`rebuild_silver`), plus ``sortWithinPartitions`` — each
+        bucket stays one file, rows unchanged, order now useful. Run it
+        after compaction cadence on cold buckets; at 100 TB the rewrite
+        is the price of every later scan skipping ~(1 - selectivity) of
+        the bytes.
+        """
+        silver = self.read("silver", table)
+        if buckets is not None:
+            silver = silver.filter(F.col(BUCKET_COL).isin(buckets))
+        snap = (
+            silver.repartition(F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, *sort_cols)
+            .localCheckpoint(eager=True)
+        )
+        snap.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(BUCKET_COL).parquet(self._path("silver", table))
+
     def rebuild_silver(
         self, table: str, buckets: list[int] | None = None, key_cols: list[str] | None = None
     ) -> None:

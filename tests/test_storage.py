@@ -405,3 +405,28 @@ def test_update_kmv_replay_idempotent(spark, tmp_path):
     store.update_kmv("docs", b, "v", ["g"], k=16)  # crash-replay of same batch
     twice = spark.read.parquet(store._kmv_path("docs", "v")).first()["kmv"]
     assert once == twice
+
+
+def test_cluster_silver_sorts_buckets_rows_unchanged(spark, tmp_path):
+    """cluster_silver rewrites each bucket ordered on the sort key (the
+    order parquet page/row-group stats need for range skipping) without
+    changing the row set."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Row
+
+    store = TableStore(spark, str(tmp_path / "lake"), n_buckets=4)
+    rows = [Row(id=i, ts=f"2020-01-{(i % 28) + 1:02d}", v=i * 1.0) for i in range(400)]
+    # interleaved arrival -> every appended file spans the whole ts range
+    df = spark.createDataFrame(rows)
+    store.persist(df, "ev", ["id"], run_id="r1")
+    before = sorted(r["id"] for r in store.read("silver", "ev").collect())
+    store.cluster_silver("ev", sort_cols=["ts"])
+    after_df = store.read("silver", "ev")
+    assert sorted(r["id"] for r in after_df.collect()) == before
+    # every physical file is internally ordered by ts
+    for f in glob.glob(str(tmp_path / "lake/silver/ev/*/part-*.parquet")):
+        ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+        assert ts == sorted(ts)
