@@ -285,3 +285,58 @@ def stream_into_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_ann_index(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    build_params: dict | None = None,
+    id_col: str = "vec_id",
+    trigger_available_now: bool = True,
+):
+    """Continuous embedding ingest into the persisted IVF-PQ index: the
+    first micro-batch TRAINS and builds the index at ``path``; every later
+    batch append-encodes with frozen artifacts
+    (:func:`~...operators.ann_index.append_ann_index` — FAISS
+    train-then-add, run continuously).
+
+    Exactly-once: ``append_ann_index`` appends code files, so a replayed
+    micro-batch (crash between append and checkpoint commit) would
+    double-encode its vectors. Each batch is therefore anti-joined against
+    the ids already in ``codes`` before encoding — replays become no-ops.
+    The id probe scans only the codes artifact (integers, ~3 % of raw
+    bytes), so per-batch cost stays O(batch + codes-scan), with no shuffle
+    of the existing corpus.
+
+    Quality caveat inherited from train-then-add: codebooks reflect the
+    FIRST batch's distribution; retrain by rebuilding at a new path when
+    drift accumulates.
+    """
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            AIX.load_ann_params(spark, path)
+            have_index = True
+        except Exception:
+            have_index = False
+        if not have_index:
+            AIX.build_ann_index(batch_df, path, **(build_params or {}))
+            return
+        seen = spark.read.parquet(f"{path}/codes").select(
+            F.col(id_col)
+        ).distinct()
+        fresh = batch_df.join(seen, id_col, "left_anti")
+        if not fresh.isEmpty():
+            AIX.append_ann_index(fresh, path)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
