@@ -172,3 +172,18 @@ def test_curation_pipeline_single_shuffle(spark):
     assert "EvalPython" not in p
     assert "Join" not in p
     assert p.count("hashpartitioning") == 1
+
+
+def test_scd2_single_window_shuffle(spark):
+    p = _plan(spark, "w_scd2_intervals")
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert p.count("hashpartitioning") == 1  # the lead() window only
+
+
+def test_ann_refine_broadcasts_candidates(spark):
+    # the refine join must broadcast the Q x r candidate list against the
+    # raw-vector scan, never shuffle or cross the corpus
+    p = _plan(spark, "sim_ann_index_refine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
