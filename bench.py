@@ -83,6 +83,9 @@ HEADLINE = [
     "a_kmv_distinct_tokens",
     "text_repetition",
     "sim_semantic_dedup",
+    "llm_curation_pipeline",
+    "w_scd2_intervals",
+    "sim_ann_index_refine",
 ]
 
 
