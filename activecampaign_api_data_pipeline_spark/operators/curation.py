@@ -166,6 +166,32 @@ def kmv_distinct(
     )
 
 
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    split_col: str = "split",
+    shard_col: str = "shard",
+    order_cols: tuple[str, ...] = ("seq_in_shard", "offset_in_seq"),
+) -> None:
+    """Materialize packed sequences as training shards: one directory per
+    (split, shard), rows inside each file in sequence order — the layout
+    a data loader streams sequentially without any sort at read time.
+
+    One shuffle (repartition on the partition keys) + an in-partition
+    sort; each (split, shard) becomes exactly one file so the trainer's
+    shard list is the directory listing. At 100 TB raise ``n_shards``
+    upstream in :func:`pack_sequences` rather than splitting files here —
+    shard identity must stay aligned with the packing's offset stream.
+    """
+    (
+        packed.repartition(F.col(split_col), F.col(shard_col))
+        .sortWithinPartitions(split_col, shard_col, *order_cols)
+        .write.mode("overwrite")
+        .partitionBy(split_col, shard_col)
+        .parquet(path)
+    )
+
+
 def kmv_state(
     df: DataFrame,
     value_col: str,

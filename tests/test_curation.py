@@ -199,3 +199,61 @@ def test_kmv_merge_commutative(spark):
     ab = kmv_merge(a, b, ["g"], k=8).first()["kmv"]
     ba = kmv_merge(b, a, ["g"], k=8).first()["kmv"]
     assert ab == ba
+
+
+# ---------------------------------------------------------------- shards
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """One file per (split, shard) partition dir, rows inside each file in
+    sequence order — the loader streams shards without sorting."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from activecampaign_api_data_pipeline_spark.functions.hashing import split_assign
+    from activecampaign_api_data_pipeline_spark.operators.curation import (
+        pack_sequences,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i, n_tokens=10 + i % 5) for i in range(300)])
+    packed = pack_sequences(docs, budget=64, n_shards=4).withColumn(
+        "split", split_assign("doc_id")
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out)
+    files = glob.glob(out + "/split=*/shard=*/part-*.parquet")
+    assert files
+    # exactly one file per partition directory
+    dirs = {f.rsplit("/", 1)[0] for f in files}
+    assert len(files) == len(dirs)
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["seq_in_shard", "offset_in_seq"])
+        seqs = list(zip(t.column("seq_in_shard").to_pylist(), t.column("offset_in_seq").to_pylist()))
+        assert seqs == sorted(seqs), f"unsorted rows in {f}"
+        total += len(seqs)
+    assert total == 300
+
+
+# ---------------------------------------------------------------- streaming-safe
+def test_mixture_sample_is_streaming_safe(spark, tmp_path):
+    """mixture_sample is stateless per-row expression work, so the SAME
+    operator runs unchanged on a stream; streamed output == batch twin."""
+    batch = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 == 0 else "zh") for i in range(400)]
+    )
+    src = tmp_path / "docs_stream"
+    batch.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, lang string").parquet(str(src))
+    out = mixture_sample(stream, {"en": 0.4, "zh": 2.0})
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mix_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM mix_stream").collect()))
+    want = sorted(map(tuple, mixture_sample(batch, {"en": 0.4, "zh": 2.0}).collect()))
+    assert got == want
