@@ -1546,17 +1546,21 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_sequences,
     )
 
+    from activecampaign_api_data_pipeline_spark.sources.tables import widened_filter
+
     docs = _docs(spark, sf_dir)
-    gated = docs.select(
-        "doc_id",
-        "lang",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        F.round(TX.dup_ngram_frac(F.col("text"), n=2), 6).alias("_dup"),
-        F.round(TX.top_token_frac(F.col("text")), 6).alias("_top"),
-    ).filter((F.col("_dup") <= 0.05) & (F.col("_top") <= 0.12))
-    sampled = mixture_sample(
-        gated.select("doc_id", "lang", "n_tokens"), MIXTURE_RATES, stratum_col="lang"
+    # widened_filter keeps the O(tokens²) gate ABOVE the scan-widening
+    # repartition (a pushed-down predicate would run in the single-task
+    # scan stage: measured 3.0 s single-task vs 0.45 s on 32); it also
+    # avoids select-then-filter, whose predicate substitution evaluates
+    # every metric twice.
+    keep = (F.round(TX.dup_ngram_frac(F.col("text"), n=2), 6) <= 0.05) & (
+        F.round(TX.top_token_frac(F.col("text")), 6) <= 0.12
     )
+    gated = widened_filter(docs, keep).select(
+        "doc_id", "lang", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    sampled = mixture_sample(gated, MIXTURE_RATES, stratum_col="lang")
     packed = pack_sequences(
         sampled.withColumn(
             "pack_id",

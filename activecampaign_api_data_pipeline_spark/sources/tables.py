@@ -56,3 +56,27 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def widened_filter(df: DataFrame, cond) -> DataFrame:
+    """Filter that STAYS ABOVE a widening repartition.
+
+    ``PushDownPredicates`` pushes a deterministic predicate through
+    ``Repartition``, so an expensive filter over a narrow scan (the
+    :func:`ensure_min_parallelism` shape) silently executes in the
+    single-task scan stage — measured 7× on the corpus repetition gate
+    (one task evaluating O(tokens²) metrics vs 32). Anchoring the
+    predicate with an always-true NONDETERMINISTIC conjunct blocks the
+    pushdown (Catalyst must not reorder nondeterministic expressions),
+    pinning evaluation after the exchange. At scale, where scans are
+    already wide and pushdown is desirable, use a plain ``filter``.
+
+    The anchor must be WOVEN into one expression (``when(nondet, cond)``),
+    not AND-ed on: Catalyst splits conjunctions and pushes the
+    deterministic conjunct anyway.
+    """
+    from pyspark.sql import functions as F
+
+    return df.filter(
+        F.when(F.monotonically_increasing_id() >= 0, cond).otherwise(F.lit(False))
+    )
