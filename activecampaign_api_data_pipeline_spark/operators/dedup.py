@@ -84,14 +84,26 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, ngram: int) -> Da
     """(doc_id, shingles array) with empty-shingle docs dropped.
 
     Repartitions narrow scans first: shingling is the CPU-heavy stage and a
-    single-file table would otherwise run it on one core.
+    single-file table would otherwise run it on one core. The empty-doc
+    gate is a CHEAP token-count predicate (a doc shingles to nothing iff
+    it has < ngram tokens), not ``size(shingles) > 0``: filtering on the
+    projected shingle column makes Catalyst substitute the whole shingling
+    expression into the predicate and push it below the widening exchange —
+    the entire n-gram build then runs twice, once in the single-task scan
+    stage (measured ~2× on the LSH family). ``widened_filter`` keeps even
+    the cheap gate in the parallel stage.
     """
-    from activecampaign_api_data_pipeline_spark.sources.tables import ensure_min_parallelism
+    from activecampaign_api_data_pipeline_spark.functions.text import token_count
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        ensure_min_parallelism,
+        widened_filter,
+    )
 
-    return ensure_min_parallelism(docs).select(
+    wide = ensure_min_parallelism(docs)
+    return widened_filter(wide, token_count(F.col(text_col)) >= ngram).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
 
 
 def minhash_signatures(

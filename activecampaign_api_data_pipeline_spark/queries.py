@@ -1416,16 +1416,21 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical copy). One expression pipeline + one window shuffle on the
     fingerprint — the 100 TB shape of a corpus-prep job.
     """
+    from activecampaign_api_data_pipeline_spark.sources.tables import widened_filter
+
     docs = _docs(spark, sf_dir)
-    scored = docs.select(
+    # widened_filter: a plain filter on the projected lang_pred/n_tokens
+    # is substituted + pushed below the scan-widening repartition, running
+    # the lang-id scoring in the single-task scan stage (see
+    # llm_curation_pipeline / sources.tables.widened_filter)
+    keep = (TX.lang_id(F.col("text")) == "en") & (TX.token_count(F.col("text")) >= 5)
+    gated = widened_filter(docs, keep).select(
         "doc_id",
-        TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.token_count(F.col("text")).alias("n_tokens"),
         TX.fingerprint(F.col("text")).alias("fp"),
     )
     from pyspark.sql import Window
 
-    gated = scored.filter((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 5))
     w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
     return (
         gated.withColumn("_rn", F.row_number().over(w))
@@ -1443,15 +1448,17 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from activecampaign_api_data_pipeline_spark.sources.tables import widened_filter
+
     docs = _docs(spark, sf_dir)
-    scored = docs.select(
+    # widened_filter: see llm_corpus_prep — keeps the lang/quality gate in
+    # the parallel stage instead of the single-task scan
+    keep = (TX.lang_id(F.col("text")) == "en") & (TX.token_count(F.col("text")) >= 5)
+    gated = widened_filter(docs, keep).select(
         "doc_id",
         "text",
-        TX.lang_id(F.col("text")).alias("lang_pred"),
-        TX.token_count(F.col("text")).alias("n_tokens"),
         TX.fingerprint(F.col("text")).alias("fp"),
     )
-    gated = scored.filter((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 5))
     w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
     kept = gated.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     out = kept.select(
