@@ -187,3 +187,12 @@ def test_ann_refine_broadcasts_candidates(spark):
     p = _plan(spark, "sim_ann_index_refine")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_heavy_gates_stay_above_widening_exchange(spark):
+    # widened_filter's nondeterministic anchor must survive optimization:
+    # if Catalyst ever learns to push it, the corpus gates fall back into
+    # the single-task scan stage (the round-5 7x regression)
+    for name in ("dedup_minhash_lsh", "llm_corpus_prep", "llm_curation_pipeline"):
+        p = _plan(spark, name)
+        assert "monotonically_increasing_id" in p, name
