@@ -192,3 +192,55 @@ def audio_window_energy(media: DataFrame, window_ms: int = 250) -> DataFrame:
     return media.filter("kind = 'audio'").mapInPandas(
         _energy, "media_id long, window_idx int, rms double"
     )
+
+
+def frame_dedup_pairs(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    frame_col: str = "frame",
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Content-defined media dedup: videos sharing ≥ ``min_shared``
+    identical frames are near-dup candidates, scored by containment
+    ``|A∩B| / min(|A|,|B|)`` over DISTINCT frame hashes.
+
+    The media twin of the shingle-posting text dedup: hash every frame
+    once (md5 of the raw bytes), join postings on the 16-byte hash — the
+    shuffle never carries frame payloads. ``max_df`` drops frames shared
+    by more than that many videos BEFORE the pair join: the "black
+    frame" guard — a blank/intro frame common to thousands of videos
+    would otherwise explode the postings join quadratically (same role
+    as the shingle df-cap, same O(max_df²) bound per frame).
+    """
+    from pyspark.sql import functions as F
+
+    fh = frames.select(
+        F.col(id_col).alias("mid"), F.md5(F.col(frame_col)).alias("fh")
+    ).distinct()
+    sizes = fh.groupBy("mid").agg(F.count("*").alias("n_frames"))
+    hot = fh.groupBy("fh").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
+    cold = fh.join(hot, "fh", "left_anti")
+    a = cold.select(F.col("mid").alias("id_a"), "fh")
+    b = cold.select(F.col("mid").alias("id_b"), "fh")
+    shared = (
+        a.join(b, "fh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("mid").alias("id_a"), F.col("n_frames").alias("na"))
+    sb = sizes.select(F.col("mid").alias("id_b"), F.col("n_frames").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("int").alias("shared"),
+            F.round(
+                F.col("shared").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+    )

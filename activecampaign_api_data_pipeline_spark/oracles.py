@@ -1291,6 +1291,34 @@ SELECT media_id, CAST(widx AS INTEGER) AS window_idx, round(sqrt(avg(x * x)), 6)
 FROM v GROUP BY media_id, widx
 """
 
+    # mirrors sample_frames(every_ms=500) + frame_dedup_pairs(min_shared=2,
+    # max_df=100): n_frames = duration_ms // 500, frame = fixed byte slice,
+    # fh = md5 (ASCII corpus: string md5 == binary md5), distinct per media
+    o["mm_video_neardup"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS len, (n_chars * 10) // 500 AS n_frames
+  FROM documents
+),
+w AS (SELECT media_id, text, len // greatest(n_frames, 1) AS fb, n_frames FROM m WHERE n_frames > 0),
+f AS (
+  SELECT DISTINCT media_id,
+         md5(substr(text, CAST(idx * fb + 1 AS INTEGER), CAST(fb AS INTEGER))) AS fh
+  FROM w CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(n_frames - 1 AS INTEGER))) AS idx) i
+),
+sizes AS (SELECT media_id, count(*) AS nf FROM f GROUP BY media_id),
+hot AS (SELECT fh FROM (SELECT fh, count(*) AS df FROM f GROUP BY fh) WHERE df > 100),
+cold AS (SELECT f.* FROM f ANTI JOIN hot USING (fh)),
+sh AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+  FROM cold a JOIN cold b ON a.fh = b.fh AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared AS INTEGER) AS shared,
+       round(CAST(shared AS DOUBLE) / least(sa.nf, sb.nf), 6) AS containment
+FROM sh JOIN sizes sa ON sa.media_id = id_a JOIN sizes sb ON sb.media_id = id_b
+WHERE shared >= 2
+"""
+
     o["text_quality"] = f"""
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents

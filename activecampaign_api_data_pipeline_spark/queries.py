@@ -1301,6 +1301,21 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined media dedup: videos sharing >= 2 identical sampled
+    frames, scored by distinct-frame containment. The media twin of the
+    shingle-postings text dedup (16-byte hashes in the shuffle, hot-frame
+    df cap against the quadratic 'black frame' blowup)."""
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import (
+        frame_dedup_pairs,
+        sample_frames,
+    )
+
+    media = _media_from_docs(spark, sf_dir, "video")
+    frames = sample_frames(media, every_ms=500)
+    return frame_dedup_pairs(frames, min_shared=2, max_df=100)
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode (stub) → 16-bin intensity histogram, exploded per bin."""
     from activecampaign_api_data_pipeline_spark.operators.multimodal import (
@@ -1670,13 +1685,13 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
     "sim_ann_index_append": sim_ann_index_append,
     "sim_ann_index_refine": sim_ann_index_refine,
+    "mm_video_neardup": mm_video_neardup,
     "sim_srp_neardup": sim_srp_neardup,
     "sim_embedding_neardup": sim_embedding_neardup,
     "a_cube_events": a_cube_events,
     "a_pivot_events": a_pivot_events,
     "flagship_chatter": flagship_chatter,
     "k2_medallion_snapshot": k2_medallion_snapshot,
-    "j_range_events_in_window": j_range_events_in_window,
     # -- new in round 5: curation family (packing, mixture, KMV sketch,
     #    repetition metrics, SemDeDup) --
     "text_repetition": text_repetition,
@@ -1687,6 +1702,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_curation_pipeline": llm_curation_pipeline,
     "w_scd2_intervals": w_scd2_intervals,
     # ---- past the 50-entry window: green in r4, untouched this round ----
+    "j_range_events_in_window": j_range_events_in_window,
     "w_rank_family": w_rank_family,
     "a5_set_rollup": a5_set_rollup,
     "w1_latest_per_key": w1_latest_per_key,

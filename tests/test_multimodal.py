@@ -112,3 +112,32 @@ def test_fused_pipeline_matches_composed(spark, media):
     fused = {r["media_id"]: list(r["features"])
              for r in image_feature_pipeline(media).collect()}
     assert fused == composed
+
+
+def test_frame_dedup_pairs_planted_and_capped(spark):
+    """A planted re-upload shares all frames (containment 1.0); the
+    hot-frame cap drops a frame present in every video before pairing."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import frame_dedup_pairs
+
+    rows = []
+    # 10 distinct videos of 4 unique frames each, plus one common intro
+    # frame shared by all; video 100 is a re-upload of video 0
+    for vid in range(10):
+        rows.append((vid, 0, b"intro-frame"))
+        for i in range(1, 5):
+            rows.append((vid, i, f"v{vid}-frame{i}".encode()))
+    for idx, (vid, i, fb) in enumerate(list(rows)):
+        if vid == 0 and i > 0:
+            rows.append((100, i, fb))
+    rows.append((100, 0, b"intro-frame"))
+    frames = spark.createDataFrame(rows, "media_id long, frame_idx int, frame binary")
+    out = frame_dedup_pairs(frames, min_shared=2, max_df=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # intro frame (df=11 > 5) is capped out: 4 shared of 5 distinct frames
+    assert (r["id_a"], r["id_b"]) == (0, 100)
+    assert r["shared"] == 4
+    assert abs(r["containment"] - 4 / 5) < 1e-9
