@@ -1675,7 +1675,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_window_hourly": t_window_hourly,
     "t_incremental_replay": t_incremental_replay,
     "t_sessionize": t_sessionize,
-    "sim_cosine_topk": sim_cosine_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_nprobe2": sim_ivf_nprobe2,
     "sim_pq_topk": sim_pq_topk,
@@ -1686,12 +1685,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_index_append": sim_ann_index_append,
     "sim_ann_index_refine": sim_ann_index_refine,
     "mm_video_neardup": mm_video_neardup,
-    "sim_srp_neardup": sim_srp_neardup,
-    "sim_embedding_neardup": sim_embedding_neardup,
-    "a_cube_events": a_cube_events,
-    "a_pivot_events": a_pivot_events,
-    "flagship_chatter": flagship_chatter,
-    "k2_medallion_snapshot": k2_medallion_snapshot,
     # -- new in round 5: curation family (packing, mixture, KMV sketch,
     #    repetition metrics, SemDeDup) --
     "text_repetition": text_repetition,
@@ -1701,31 +1694,40 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_semantic_dedup": sim_semantic_dedup,
     "llm_curation_pipeline": llm_curation_pipeline,
     "w_scd2_intervals": w_scd2_intervals,
+    # -- touched this round by the widened-gate fix (_shingle_sets /
+    #    corpus gates): fresh driver check required --
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
+    "llm_decontaminate": llm_decontaminate,
+    "llm_corpus_prep": llm_corpus_prep,
+    "llm_corpus_pipeline": llm_corpus_pipeline,
     # ---- past the 50-entry window: green in r4, untouched this round ----
+    "k2_medallion_snapshot": k2_medallion_snapshot,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_srp_neardup": sim_srp_neardup,
+    "sim_embedding_neardup": sim_embedding_neardup,
+    "a_cube_events": a_cube_events,
+    "a_pivot_events": a_pivot_events,
+    "flagship_chatter": flagship_chatter,
     "j_range_events_in_window": j_range_events_in_window,
     "w_rank_family": w_rank_family,
     "a5_set_rollup": a5_set_rollup,
     "w1_latest_per_key": w1_latest_per_key,
     "a4_watermark_max_id": a4_watermark_max_id,
     "a6_contact_digest": a6_contact_digest,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
-    "dedup_cluster_canonical": dedup_cluster_canonical,
     "j_asof_last_order": j_asof_last_order,
     "j1_broadcast_enrich": j1_broadcast_enrich,
     "u2_conform_union": u2_conform_union,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "a1_exact_dedup": a1_exact_dedup,
     "p2_rowhash": p2_rowhash,
     "p_scalar_derivations": p_scalar_derivations,
     "q_anti_join": q_anti_join,
     "q_semi_join": q_semi_join,
-    "llm_corpus_prep": llm_corpus_prep,
     "llm_split_assign": llm_split_assign,
-    "llm_corpus_pipeline": llm_corpus_pipeline,
     "llm_token_chunks": llm_token_chunks,
-    "llm_decontaminate": llm_decontaminate,
     "mm_frame_sample": mm_frame_sample,
     "mm_image_features": mm_image_features,
     "mm_audio_energy": mm_audio_energy,

@@ -86,6 +86,7 @@ HEADLINE = [
     "llm_curation_pipeline",
     "w_scd2_intervals",
     "sim_ann_index_refine",
+    "mm_video_neardup",
 ]
 
 
