@@ -315,6 +315,54 @@ class TableStore:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(BUCKET_COL).parquet(self._path("silver", table))
 
+    def zorder_silver(
+        self,
+        table: str,
+        zorder_cols: list[str],
+        buckets: list[int] | None = None,
+        bits: int = 16,
+    ) -> None:
+        """Multi-column clustering: rewrite silver buckets ordered along a
+        Z-curve over ``zorder_cols`` (the lakehouse OPTIMIZE ZORDER
+        pattern, public knowledge) so range predicates on ANY of the
+        columns prune row groups/pages — a plain sort optimizes one
+        column's locality at the expense of the others.
+
+        Key construction is pure expression work: each column is mapped to
+        a ``bits``-bit rank bucket via ``percent_rank`` PARTITIONED BY the
+        store bucket (rank-based, so skewed value distributions still
+        spread; per-bucket ranks keep the window parallel — pruning is
+        per-file, so each bucket only needs internally consistent
+        scaling), then the buckets' bits are interleaved
+        (:func:`zorder_key`). Mechanics and single-writer contract as
+        :meth:`cluster_silver`.
+        """
+        from pyspark.sql import Window
+
+        silver = self.read("silver", table)
+        if buckets is not None:
+            silver = silver.filter(F.col(BUCKET_COL).isin(buckets))
+        ranked = []
+        for c in zorder_cols:
+            w = Window.partitionBy(BUCKET_COL).orderBy(F.col(c).asc_nulls_first())
+            pr = F.percent_rank().over(w)
+            ranked.append(
+                F.least(
+                    F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+                )
+            )
+        z = zorder_key(ranked, bits=bits)
+        snap = (
+            silver.withColumn("_z", z)
+            .repartition(F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, "_z")
+            .drop("_z")
+            .localCheckpoint(eager=True)
+        )
+        snap.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(BUCKET_COL).parquet(self._path("silver", table))
+
     def rebuild_silver(
         self, table: str, buckets: list[int] | None = None, key_cols: list[str] | None = None
     ) -> None:
@@ -479,6 +527,27 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump(state, f, indent=2, sort_keys=True)
         os.replace(tmp, self._state_path)
+
+
+def zorder_key(bucketed: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of the given integer bucket
+    columns into one Z-curve value (Morton order, public knowledge) —
+    pure shift/and/or arithmetic, whole-stage-codegen'd.
+
+    Bit b of column i lands at output position ``b * n_cols + i``, so
+    sorting by the result alternates locality between the columns: a
+    range predicate on ANY input column maps to O(few) contiguous runs
+    of the curve instead of a full scan.
+    """
+    n = len(bucketed)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(bucketed):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
 
 
 def max_id_watermark(df: DataFrame, id_col: str) -> int | None:
