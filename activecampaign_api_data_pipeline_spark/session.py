@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # stage progress bars interleave with stdout and have truncated
+        # harness-captured artifacts; logs carry the same information
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 
