@@ -315,6 +315,38 @@ class TableStore:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(BUCKET_COL).parquet(self._path("silver", table))
 
+    def maybe_compact(
+        self, table: str, max_files_per_bucket: int = 4, buckets: list[int] | None = None
+    ) -> bool:
+        """Stats-driven compaction: rewrite silver only when fragmentation
+        crosses the threshold (avg files per touched bucket >
+        ``max_files_per_bucket``). Returns whether a rewrite ran.
+
+        The policy knob a scheduler calls after every ingest: cheap
+        metadata check (one count job over file names) when healthy, the
+        full :meth:`compact_silver` only when the small-file tax is real —
+        so continuous ingest amortizes rewrite cost against actual
+        fragmentation instead of a blind cadence.
+        """
+        path = self._path("silver", table)
+        if not self._exists(path):
+            return False
+        df = self.read("silver", table)
+        if buckets is not None:
+            df = df.filter(F.col(BUCKET_COL).isin(buckets))
+        row = (
+            df.select(F.col(BUCKET_COL), F.input_file_name().alias("_f"))
+            .agg(
+                F.countDistinct("_f").alias("files"),
+                F.countDistinct(F.col(BUCKET_COL)).alias("parts"),
+            )
+            .collect()[0]
+        )
+        if row["parts"] == 0 or row["files"] <= max_files_per_bucket * row["parts"]:
+            return False
+        self.compact_silver(table, buckets=buckets)
+        return True
+
     def zorder_silver(
         self,
         table: str,

@@ -239,6 +239,7 @@ def stream_into_store(
     updated_col: str | None = None,
     trigger_available_now: bool = True,
     compact_every: int | None = None,
+    auto_compact_files: int | None = None,
     kmv: tuple[str, list[str]] | None = None,
 ):
     """Continuous medallion ingest: each micro-batch persists through the
@@ -278,6 +279,13 @@ def stream_into_store(
             store.update_kmv(table, batch_df, kmv[0], kmv[1])
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             store.compact_silver(table, buckets=res.touched_buckets)
+        elif auto_compact_files:
+            # stats-driven alternative to the blind cadence: a cheap
+            # metadata check per batch, rewrite only when the touched
+            # buckets actually fragmented past the threshold
+            store.maybe_compact(
+                table, auto_compact_files, buckets=res.touched_buckets
+            )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -476,3 +476,25 @@ def test_zorder_silver_clusters_both_columns(spark, tmp_path):
     assert sum(spans) / len(spans) < 1800, spans
     # row set unchanged
     assert store.read("silver", "t").count() == 2000
+
+
+def test_maybe_compact_stats_driven(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import Row
+
+    store = TableStore(spark, str(tmp_path / "lake"), n_buckets=2)
+    df = spark.createDataFrame([Row(id=i, v=i) for i in range(40)])
+    store.persist(df, "t", ["id"], run_id="r1")
+    # one run -> 1 file per bucket: healthy, no rewrite
+    assert store.maybe_compact("t", max_files_per_bucket=2) is False
+    for r in range(2, 7):  # five more runs of NEW rows -> 6 files/bucket
+        extra = spark.createDataFrame([Row(id=100 * r + i, v=i) for i in range(10)])
+        store.persist(extra, "t", ["id"], run_id=f"r{r}")
+    assert store.maybe_compact("t", max_files_per_bucket=2) is True
+    files = glob.glob(str(tmp_path / "lake/silver/t/*/part-*.parquet"))
+    dirs = {f.rsplit("/", 1)[0] for f in files}
+    assert len(files) == len(dirs)  # compacted to one file per bucket
+    assert store.read("silver", "t").count() == 90
+    # and immediately healthy again
+    assert store.maybe_compact("t", max_files_per_bucket=2) is False

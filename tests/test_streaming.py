@@ -427,3 +427,30 @@ def test_stream_into_ann_index_builds_then_appends(spark, tmp_path):
     fresh = dup.join(seen, "vec_id", "left_anti")
     assert fresh.isEmpty()
     assert spark.read.parquet(f"{streamed}/codes").count() == n_before
+
+
+def test_stream_into_store_auto_compact(spark, stream_dir, tmp_path):
+    """auto_compact_files: ingest keeps silver below the fragmentation
+    threshold without a blind every-N cadence."""
+    import glob
+
+    from activecampaign_api_data_pipeline_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "lake"), n_buckets=2)
+    for b in range(6):
+        _write_batch(
+            _rows(spark, (100 * b + 1, "2020-01-01 00:00:00", b, "a", 1.0),
+                         (100 * b + 2, "2020-01-01 00:01:00", b + 10, "b", 1.0)),
+            stream_dir, b,
+        )
+    q = stream_into_store(
+        _start_stream(spark, stream_dir), store, "ev", key_cols=["id"],
+        checkpoint=str(tmp_path / "ckpt"), updated_col="ts",
+        auto_compact_files=2,
+    )
+    q.awaitTermination(180)
+    files = glob.glob(str(tmp_path / "lake/silver/ev/*/part-*.parquet"))
+    dirs = {f.rsplit("/", 1)[0] for f in files}
+    # 6 micro-batches appended; auto-compaction kept files/bucket <= ~threshold+1
+    assert len(files) <= 3 * len(dirs), (len(files), len(dirs))
+    assert store.read("silver", "ev").count() == 12
