@@ -315,6 +315,38 @@ class TableStore:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(BUCKET_COL).parquet(self._path("silver", table))
 
+    def vacuum_bronze(self, table: str, keep_runs: int) -> list[str]:
+        """Bronze retention: drop the oldest run partitions beyond the
+        newest ``keep_runs``. Returns the run_ids removed.
+
+        Bronze grows one immutable partition per ingest forever; this is
+        the retention knob. THE TRADE-OFF IS EXPLICIT: bronze is the only
+        non-recomputable layer — vacuumed runs can no longer feed
+        :meth:`rebuild_silver` / :meth:`rebuild_gold`, so the recompute
+        horizon shrinks to the retained window (vacuum only after
+        downstream layers are verified, e.g. post-compaction). run_ids
+        sort lexicographically == chronologically for both producers
+        (``run_YYYYMMDD…`` pipeline ids and zero-padded ``batch_%08d``
+        streaming ids). Deletion is per-partition directory removal —
+        O(removed runs), no data rewrite.
+        """
+        path = self._path("bronze", table)
+        if not self._exists(path):
+            return []
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        runs = sorted(
+            f.getPath().getName().split("=", 1)[1]
+            for f in fs.listStatus(hpath)
+            if f.isDirectory() and f.getPath().getName().startswith("run_id=")
+        )
+        drop = runs[: max(len(runs) - keep_runs, 0)]
+        for rid in drop:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/run_id={rid}"), True)
+        return drop
+
     def maybe_compact(
         self, table: str, max_files_per_bucket: int = 4, buckets: list[int] | None = None
     ) -> bool:

@@ -498,3 +498,23 @@ def test_maybe_compact_stats_driven(spark, tmp_path):
     assert store.read("silver", "t").count() == 90
     # and immediately healthy again
     assert store.maybe_compact("t", max_files_per_bucket=2) is False
+
+
+def test_vacuum_bronze_retention(spark, tmp_path):
+    from pyspark.sql import Row
+
+    store = TableStore(spark, str(tmp_path / "lake"), n_buckets=2)
+    for r in range(1, 6):
+        df = spark.createDataFrame([Row(id=100 * r + i, v=i) for i in range(5)])
+        store.persist(df, "t", ["id"], run_id=f"run_{r:04d}")
+    dropped = store.vacuum_bronze("t", keep_runs=2)
+    assert dropped == ["run_0001", "run_0002", "run_0003"]
+    # silver/gold untouched: full history still served downstream
+    assert store.read("silver", "t").count() == 25
+    remaining = {r["run_id"] for r in store.read("bronze", "t").select("run_id").distinct().collect()}
+    assert remaining == {"run_0004", "run_0005"}
+    # rebuild from the retained window still works (only those runs' rows)
+    store.rebuild_silver("t", key_cols=["id"])
+    assert store.read("silver", "t").count() == 10
+    # idempotent once at target
+    assert store.vacuum_bronze("t", keep_runs=2) == []
