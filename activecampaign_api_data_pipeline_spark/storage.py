@@ -255,6 +255,55 @@ class TableStore:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(BUCKET_COL).parquet(self._path("gold", table))
 
+    def gold_asof(
+        self,
+        table: str,
+        run_id: str,
+        key_cols: list[str],
+        updated_col: str | None = None,
+    ) -> DataFrame:
+        """Time-travel: the gold snapshot AS OF a historical run — the
+        dataset-versioning read a reproducible training job needs ("train
+        on the corpus exactly as it stood after run N").
+
+        Derivation, not storage: bronze partitions ≤ ``run_id`` are
+        replayed through the same dedup (first occurrence of each content
+        hash, matching the persist path) and the same latest-per-key
+        total order as :meth:`rebuild_gold` — so ``gold_asof(latest run)``
+        equals current gold bit-for-bit, and any earlier run yields the
+        state gold had then. Cost is O(bronze history ≤ run); bound it
+        with :meth:`vacuum_bronze`'s retention window (vacuumed runs are
+        no longer reachable as snapshots — the documented trade-off).
+        run_id comparison is lexicographic == chronological for both
+        producers (``run_…`` pipeline ids, zero-padded ``batch_%08d``).
+        """
+        from pyspark.sql import Window
+
+        bronze = self.read("bronze", table).filter(F.col("run_id") <= run_id)
+        staged = bronze.withColumn(BUCKET_COL, _key_bucket(key_cols, self.n_buckets))
+        wf = Window.partitionBy(BUCKET_COL, HASH_COL).orderBy(
+            F.col("extracted_at").asc_nulls_last(), F.col("run_id").asc_nulls_last()
+        )
+        first = (
+            staged.withColumn("_rn", F.row_number().over(wf))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        order = []
+        if updated_col is not None:
+            order.append(F.col(updated_col).desc_nulls_last())
+        order += [
+            F.col("extracted_at").desc_nulls_last(),
+            F.col("run_id").desc_nulls_last(),
+            F.col(HASH_COL).desc(),
+        ]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        return (
+            first.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     # -------------------------------------------------------- maintenance
 
     def compact_silver(self, table: str, buckets: list[int] | None = None) -> None:

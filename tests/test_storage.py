@@ -518,3 +518,30 @@ def test_vacuum_bronze_retention(spark, tmp_path):
     assert store.read("silver", "t").count() == 10
     # idempotent once at target
     assert store.vacuum_bronze("t", keep_runs=2) == []
+
+
+def test_gold_asof_time_travel(spark, tmp_path):
+    """gold_asof(run N) == the gold state right after run N; asof(latest)
+    == current gold bit-for-bit."""
+    from pyspark.sql import Row
+
+    store = TableStore(spark, str(tmp_path / "lake"), n_buckets=2)
+    snapshots = {}
+    for r in range(1, 4):
+        # each run updates key 1 and adds a new key
+        df = spark.createDataFrame(
+            [Row(id=1, v=10 * r, ts=f"2020-01-0{r}"), Row(id=r + 1, v=r, ts=f"2020-01-0{r}")]
+        )
+        store.persist(df, "t", ["id"], run_id=f"run_{r:04d}", updated_col="ts",
+                      extracted_at=f"2020-01-0{r} 00:00:00")
+        snapshots[r] = sorted(
+            (row["id"], row["v"]) for row in store.read("gold", "t").collect()
+        )
+    for r in range(1, 4):
+        got = sorted(
+            (row["id"], row["v"])
+            for row in store.gold_asof("t", f"run_{r:04d}", ["id"], updated_col="ts").collect()
+        )
+        assert got == snapshots[r], (r, got, snapshots[r])
+    # run 2 snapshot specifically: key 1 at v=20, keys 2,3 present, no key 4
+    assert snapshots[2] == [(1, 20), (2, 1), (3, 2)]
