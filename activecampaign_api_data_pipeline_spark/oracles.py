@@ -990,6 +990,19 @@ r AS (
 SELECT user_id, event_id, event_type, ts_str FROM r WHERE rn = 1
 """
 
+    # time-travel twin: gold AS OF run 1 == latest-per-user over run 1's
+    # rows only (event_id % 3 != 1 is the staging filter in the query)
+    o["k_gold_asof"] = f"""
+WITH e AS (SELECT event_id, user_id, event_type, {TS} AS ts_str FROM events
+           WHERE event_id % 3 != 1),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts_str DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id, event_type, ts_str FROM r WHERE rn = 1
+"""
+
     o["q_anti_join"] = """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (

@@ -657,6 +657,33 @@ def k2_medallion_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read("gold", "events").select("user_id", "event_id", "event_type", "ts_str")
 
 
+def k_gold_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot: persist two runs, then read gold AS OF the
+    first — bronze replayed through the persist-path dedup + latest-per-
+    key order (storage.gold_asof). The oracle is the run-1-only snapshot,
+    proving the historical state is reconstructed exactly."""
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.storage import TableStore
+
+    ev = _events_std(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_str",
+        F.concat(F.col("ts_str"), F.lit("|"), F.lpad(F.col("event_id").cast("string"), 12, "0")).alias("_upd"),
+    )
+    run1 = ev.filter(F.col("event_id") % 3 != 1)
+    run2 = ev.filter(F.col("event_id") % 3 != 0)
+    store = TableStore(spark, tempfile.mkdtemp(prefix="acdp_asof_"), n_buckets=8)
+    store.persist(run1, "events", ["user_id"], run_id="r1", updated_col="_upd",
+                  extracted_at="2020-06-01 00:00:00")
+    store.persist(run2, "events", ["user_id"], run_id="r2", updated_col="_upd",
+                  extracted_at="2020-06-02 00:00:00")
+    asof = store.gold_asof("events", "r1", ["user_id"], updated_col="_upd")
+    return asof.select("user_id", "event_id", "event_type", "ts_str")
+
+
 # ----------------------------------------------------- streaming-equivalent
 
 def t_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,7 +1730,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_decontaminate": llm_decontaminate,
     "llm_corpus_prep": llm_corpus_prep,
     "llm_corpus_pipeline": llm_corpus_pipeline,
-    # ---- past the 50-entry window: green in r4, untouched this round ----
+    # ---- past the 50-entry window: green in r4, untouched this round,
+    #      plus k_gold_asof (new at tail -> lead the r6 rotation) ----
+    "k_gold_asof": k_gold_asof,
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_srp_neardup": sim_srp_neardup,
