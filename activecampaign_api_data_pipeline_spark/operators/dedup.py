@@ -155,22 +155,9 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    rows = num_perm // bands
     sh = _shingle_sets(docs, id_col, text_col, ngram)
     sigs = minhash_signatures(sh, num_perm)
-    band_exprs = []
-    for j in range(bands):
-        band_exprs.append(
-            F.struct(
-                F.lit(j).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[F.col("sig")[j * rows + r].cast("string") for r in range(rows)])
-                ).alias("bh"),
-            )
-        )
-    banded = sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    banded = _banded(sigs, num_perm, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -486,4 +473,124 @@ def cross_split_contamination(
         .withColumn("containment", F.round(F.col("n_common") / F.col("n_test").cast("double"), 6))
         .filter(F.col("containment") >= threshold)
         .select("train_id", "test_id", "n_common", "containment")
+    )
+
+
+def _banded(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """Explode a signature frame into (doc_id, band, bh) band-hash rows —
+    shared by the in-session LSH and the persisted signature store."""
+    rows = num_perm // bands
+    band_exprs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col("sig")[j * rows + r].cast("string") for r in range(rows)])
+            ).alias("bh"),
+        )
+        for j in range(bands)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def sig_jaccard_est(a, b, num_perm: int):
+    """Signature-estimated Jaccard: fraction of agreeing minhash
+    components — the standard estimator (E[est] = J), used where the
+    original shingle sets are no longer available (persisted store)."""
+    agree = F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+    return F.round(agree.cast("double") / num_perm, 6)
+
+
+def minhash_store_append(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> None:
+    """Append a batch's MinHash signatures to a persisted store — the
+    growing-corpus half of incremental near-dup.
+
+    Artifacts (parquet, append-only): ``sigs`` (doc_id, sig) for the
+    verification estimate and ``bands`` (doc_id, band, bh) as the join
+    index. A replayed batch is a no-op: ids already in ``sigs`` are
+    anti-joined away before either append, so crash-and-rerun cannot
+    double-index a document (same contract as the ANN code store). At
+    100 TB the store is ~num_perm longs per document — the corpus text
+    never needs to be re-read to dedup future batches against it.
+    """
+    spark = docs.sparkSession
+    sh = _shingle_sets(docs, id_col, text_col, ngram)
+    sigs = minhash_signatures(sh, num_perm)
+    try:
+        seen = spark.read.parquet(f"{path}/sigs").select("doc_id")
+        sigs = sigs.join(seen, "doc_id", "left_anti")
+    except Exception:
+        pass  # first append: no store yet
+    sigs = sigs.localCheckpoint(eager=True)  # two writes, one computation
+    sigs.write.mode("append").parquet(f"{path}/sigs")
+    _banded(sigs, num_perm, bands).write.mode("append").parquet(f"{path}/bands")
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against the persisted signature store
+    (plus within-batch pairs) — incremental corpus dedup: each ingest
+    pays O(batch + collisions), never a rescan of corpus text.
+
+    Candidates come from shared (band, bh) buckets exactly as the batch
+    operator; verification uses the signature-estimated Jaccard
+    (:func:`sig_jaccard_est`) since stored documents exist only as
+    signatures. Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, at
+    least one side from the new batch. Call :func:`minhash_store_append`
+    AFTER to fold the batch in.
+    """
+    spark = new_docs.sparkSession
+    sh = _shingle_sets(new_docs, id_col, text_col, ngram)
+    new_sigs = minhash_signatures(sh, num_perm)
+    new_bands = _banded(new_sigs, num_perm, bands)
+    try:
+        old_sigs = spark.read.parquet(f"{path}/sigs")
+        old_bands = spark.read.parquet(f"{path}/bands")
+        new_ids = new_sigs.select("doc_id")
+        old_sigs = old_sigs.join(new_ids, "doc_id", "left_anti")
+        old_bands = old_bands.join(new_ids, "doc_id", "left_anti")
+        all_sigs = old_sigs.unionByName(new_sigs)
+        all_bands = old_bands.unionByName(new_bands)
+    except Exception:
+        all_sigs, all_bands = new_sigs, new_bands
+    new_flag = new_sigs.select("doc_id").withColumn("_new", F.lit(True))
+    cand = (
+        all_bands.alias("l")
+        .join(all_bands.alias("r"), ["band", "bh"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+        # at least one side new: stored-vs-stored pairs were reported when
+        # THEIR batch arrived — never re-emitted
+        .join(new_flag.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left")
+        .withColumnRenamed("_new", "_na")
+        .join(new_flag.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left")
+        .filter(F.coalesce(F.col("_na"), F.lit(False)) | F.coalesce(F.col("_new"), F.lit(False)))
+        .select("doc_a", "doc_b")
+    )
+    sa = all_sigs.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"})
+    sb = all_sigs.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"})
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", sig_jaccard_est(F.col("sig_a"), F.col("sig_b"), num_perm))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
     )

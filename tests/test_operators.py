@@ -141,3 +141,76 @@ def test_neardup_canonical_converges_under_iter_cap(spark):
     out = neardup_canonical(docs, pairs)
     assert out.filter(F.col("canonical_id") == 0).count() == n
     assert out.filter(F.col("is_kept") == 1).count() == 1
+
+
+def test_incremental_minhash_store(spark, tmp_path):
+    """Incremental near-dup against a persisted signature store: batch B
+    vs stored batch A equals the batch operator on A∪B restricted to
+    pairs touching B (signature-estimate threshold both sides); replayed
+    appends are no-ops."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        _banded,
+        _shingle_sets,
+        incremental_minhash_pairs,
+        minhash_signatures,
+        minhash_store_append,
+        sig_jaccard_est,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    def text(seed, mutate=0):
+        toks = [words[(seed * 7 + i) % len(words)] for i in range(30)]
+        for m in range(mutate):
+            toks[3 * m] = "mut%d" % m
+        return " ".join(toks)
+
+    batch_a = spark.createDataFrame(
+        [Row(doc_id=i, text=text(i)) for i in range(20)]
+    )
+    # batch B: 5 near-dups of A docs (light mutations), 5 fresh, 1 pair of
+    # internal near-dups
+    rows_b = [Row(doc_id=100 + i, text=text(i, mutate=2)) for i in range(5)]
+    rows_b += [Row(doc_id=200 + i, text=text(50 + i)) for i in range(5)]
+    rows_b.append(Row(doc_id=300, text=text(60)))
+    rows_b.append(Row(doc_id=301, text=text(60, mutate=1)))
+    batch_b = spark.createDataFrame(rows_b)
+
+    path = str(tmp_path / "sigstore")
+    minhash_store_append(batch_a, path)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in incremental_minhash_pairs(batch_b, path, threshold=0.3).collect()
+    }
+    # batch twin: signature-estimated pairs over the union, touching B
+    union = batch_a.union(batch_b)
+    sh = _shingle_sets(union, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, 32)
+    banded = _banded(sigs, 32, 8)
+    cand = (
+        banded.alias("l").join(banded.alias("r"), ["band", "bh"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"})
+    sb = sigs.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"})
+    want = {
+        (r["doc_a"], r["doc_b"]): r["est"]
+        for r in cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est", sig_jaccard_est(F.col("sig_a"), F.col("sig_b"), 32))
+        .filter(F.col("est") >= 0.3)
+        .filter((F.col("doc_a") >= 100) | (F.col("doc_b") >= 100))
+        .collect()
+    }
+    assert got == want
+    assert any(a < 100 <= b for a, b in got)  # cross-store pairs found
+    assert (300, 301) in got                  # within-batch pair found
+
+    # fold B in; replay must be a no-op
+    minhash_store_append(batch_b, path)
+    n1 = spark.read.parquet(path + "/sigs").count()
+    minhash_store_append(batch_b, path)
+    assert spark.read.parquet(path + "/sigs").count() == n1 == 32
