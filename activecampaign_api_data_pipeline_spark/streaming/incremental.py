@@ -348,3 +348,45 @@ def stream_into_ann_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_minhash_store(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    pairs_out: str,
+    threshold: float = 0.5,
+    trigger_available_now: bool = True,
+    **minhash_kw,
+):
+    """Continuous corpus dedup: each micro-batch of documents is
+    near-dup-checked against the persisted signature store
+    (:func:`~...operators.dedup.incremental_minhash_pairs` — pairs land
+    as parquet under ``pairs_out``), then folded into the store
+    (:func:`~...operators.dedup.minhash_store_append`, replay-safe by
+    its id anti-join). Per batch: O(batch + band collisions), the corpus
+    text is never rescanned. Completes the persisted-artifact streaming
+    set: medallion store, KMV sketches, ANN index, signature store.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_store_append,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = incremental_minhash_pairs(
+            batch_df, path, threshold=threshold, **minhash_kw
+        )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            pairs_out
+        )
+        minhash_store_append(batch_df, path, **minhash_kw)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

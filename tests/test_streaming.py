@@ -454,3 +454,56 @@ def test_stream_into_store_auto_compact(spark, stream_dir, tmp_path):
     # 6 micro-batches appended; auto-compaction kept files/bucket <= ~threshold+1
     assert len(files) <= 3 * len(dirs), (len(files), len(dirs))
     assert store.read("silver", "ev").count() == 12
+
+
+def test_stream_into_minhash_store(spark, tmp_path):
+    """Streamed corpus dedup: near-dups of earlier batches are reported
+    as later batches arrive; the store grows replay-safely."""
+    import os
+
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_minhash_store,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+    def text(seed, mutate=0):
+        toks = [words[(seed * 7 + i) % len(words)] for i in range(30)]
+        for m in range(mutate):
+            toks[3 * m] = "mut%d" % m
+        return " ".join(toks)
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    batches = [
+        [Row(doc_id=i, text=text(i)) for i in range(10)],
+        [Row(doc_id=100 + i, text=text(i, mutate=2)) for i in range(3)]
+        + [Row(doc_id=200, text=" ".join(f"fresh{i}" for i in range(30)))],
+    ]
+    for bno, rows in enumerate(batches):
+        f = src / f"b{bno}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(f) + "_tmp")
+        os.rename(str(f) + "_tmp", str(f))
+        base = 1_600_000_000 + bno * 60
+        for p in (str(f),) + tuple(os.path.join(str(f), x) for x in os.listdir(str(f))):
+            os.utime(p, (base, base))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = stream_into_minhash_store(
+        stream, str(tmp_path / "sigstore"), checkpoint=str(tmp_path / "ckpt"),
+        pairs_out=str(tmp_path / "pairs"), threshold=0.3,
+    )
+    q.awaitTermination(180)
+    pairs = spark.read.parquet(str(tmp_path / "pairs")).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # batch-2 mutations matched against batch-1 originals
+    assert {(0, 100), (1, 101), (2, 102)} <= found
+    # fresh doc 200 pairs with nothing
+    assert not any(200 in p for p in found)
+    # store holds every streamed doc exactly once
+    assert spark.read.parquet(str(tmp_path / "sigstore/sigs")).count() == 14
