@@ -66,3 +66,41 @@ def test_cosine_expression_matches_python(spark, vec):
     df = spark.createDataFrame([(vec, vec)], "a array<float>, b array<float>")
     got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
     assert math.isclose(got, 1.0, rel_tol=1e-6)  # self-cosine is 1
+
+
+def test_pack_sequences_properties(spark):
+    """Property: for ANY token-count distribution, packing offsets form a
+    contiguous per-shard stream (sum of n_tokens == final end offset),
+    offsets stay inside the budget, and sequence ids are dense-monotone."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.curation import pack_sequences
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+        st.integers(min_value=1, max_value=300),
+    )
+    def prop(counts, budget):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, n_tokens=c) for i, c in enumerate(counts)]
+        )
+        out = pack_sequences(docs, budget=budget, n_shards=3).collect()
+        assert len(out) == len(counts)
+        by_shard = {}
+        for r in out:
+            assert 0 <= r.offset_in_seq < budget
+            by_shard.setdefault(r.shard, []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r.doc_id)
+            cum = 0
+            seqs = []
+            for r in rows:
+                assert r.seq_in_shard * budget + r.offset_in_seq == cum
+                cum += r.n_tokens
+                seqs.append(r.seq_in_shard)
+            assert seqs == sorted(seqs)  # monotone along the stream
+
+    prop()
