@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from activecampaign_api_data_pipeline_spark.functions.hashing import hash60, with_row_hash
 from activecampaign_api_data_pipeline_spark.functions.text import word_ngrams
+from activecampaign_api_data_pipeline_spark.storage import path_exists
 
 #: Mersenne prime modulus for the universal-hash permutations. Small enough
 #: that a*x+b stays inside int64 in BOTH Spark and DuckDB (no int128 needed).
@@ -521,18 +522,24 @@ def minhash_store_append(
     double-index a document (same contract as the ANN code store). At
     100 TB the store is ~num_perm longs per document — the corpus text
     never needs to be re-read to dedup future batches against it.
+
+    Write ORDER is load-bearing: bands first, sigs second, while the
+    replay guard keys on sigs. A crash between the two appends then
+    leaves orphan band rows, and the replayed batch (ids absent from
+    sigs) re-appends them — duplicate band rows, which the candidate
+    join's ``.distinct()`` absorbs. The reverse order would leave docs
+    present in sigs but absent from bands: the replay would skip them
+    and they would silently never generate near-dup candidates again.
     """
     spark = docs.sparkSession
     sh = _shingle_sets(docs, id_col, text_col, ngram)
     sigs = minhash_signatures(sh, num_perm)
-    try:
+    if path_exists(spark, f"{path}/sigs"):
         seen = spark.read.parquet(f"{path}/sigs").select("doc_id")
         sigs = sigs.join(seen, "doc_id", "left_anti")
-    except Exception:
-        pass  # first append: no store yet
     sigs = sigs.localCheckpoint(eager=True)  # two writes, one computation
-    sigs.write.mode("append").parquet(f"{path}/sigs")
     _banded(sigs, num_perm, bands).write.mode("append").parquet(f"{path}/bands")
+    sigs.write.mode("append").parquet(f"{path}/sigs")
 
 
 def incremental_minhash_pairs(
@@ -555,12 +562,19 @@ def incremental_minhash_pairs(
     signatures. Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, at
     least one side from the new batch. Call :func:`minhash_store_append`
     AFTER to fold the batch in.
+
+    The candidate join is ``new_bands ⋈ all_bands`` — new-vs-stored plus
+    new-vs-new, never stored-vs-stored (those pairs were reported when
+    THEIR batch arrived). Cost per ingest is therefore O(batch-side band
+    collisions), flat as the store grows; a store self-join post-filtered
+    to "one side new" would pay O(total store collisions) every batch —
+    quadratic over the store's life.
     """
     spark = new_docs.sparkSession
     sh = _shingle_sets(new_docs, id_col, text_col, ngram)
     new_sigs = minhash_signatures(sh, num_perm)
     new_bands = _banded(new_sigs, num_perm, bands)
-    try:
+    if path_exists(spark, f"{path}/sigs"):
         old_sigs = spark.read.parquet(f"{path}/sigs")
         old_bands = spark.read.parquet(f"{path}/bands")
         new_ids = new_sigs.select("doc_id")
@@ -568,22 +582,19 @@ def incremental_minhash_pairs(
         old_bands = old_bands.join(new_ids, "doc_id", "left_anti")
         all_sigs = old_sigs.unionByName(new_sigs)
         all_bands = old_bands.unionByName(new_bands)
-    except Exception:
+    else:
         all_sigs, all_bands = new_sigs, new_bands
-    new_flag = new_sigs.select("doc_id").withColumn("_new", F.lit(True))
     cand = (
-        all_bands.alias("l")
+        new_bands.alias("l")
         .join(all_bands.alias("r"), ["band", "bh"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .filter(F.col("l.doc_id") != F.col("r.doc_id"))
+        # least/greatest normalises doc_a < doc_b; new-vs-new collisions
+        # arrive twice (both orientations), distinct() absorbs them
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+        )
         .distinct()
-        # at least one side new: stored-vs-stored pairs were reported when
-        # THEIR batch arrived — never re-emitted
-        .join(new_flag.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left")
-        .withColumnRenamed("_new", "_na")
-        .join(new_flag.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left")
-        .filter(F.coalesce(F.col("_na"), F.lit(False)) | F.coalesce(F.col("_new"), F.lit(False)))
-        .select("doc_a", "doc_b")
     )
     sa = all_sigs.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"})
     sb = all_sigs.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"})

@@ -1492,9 +1492,9 @@ WITH toks AS (
 ),
 c AS (
   SELECT doc_id, shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - n_tokens AS start_off
+           - n_tokens AS BIGINT) AS start_off
   FROM toks
 )
 SELECT doc_id, shard, n_tokens,
@@ -1628,9 +1628,9 @@ sh AS (
 ),
 c AS (
   SELECT doc_id, copy_id, shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_id
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - n_tokens AS start_off
+           - n_tokens AS BIGINT) AS start_off
   FROM sh
 )
 SELECT doc_id, copy_id, shard, n_tokens,

@@ -227,8 +227,8 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts_str",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
@@ -317,7 +317,7 @@ def w_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_dec").over(run).cast("double").alias("running_value"),
         F.lag("event_type", 1).over(w).alias("prev_type"),
         F.lead("event_type", 1).over(w).alias("next_type"),
-        F.row_number().over(w).alias("seq"),
+        F.row_number().over(w).cast("long").alias("seq"),
     )
 
 

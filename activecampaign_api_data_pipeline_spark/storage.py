@@ -87,6 +87,88 @@ class PersistResult:
     new_silver_buckets: list[int]
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit Hadoop-FS existence probe.
+
+    The store readers use this instead of ``try: read / except: first
+    batch`` — a bare except treats corruption, permission, or transient
+    IO failures as "no store yet", which silently drops the whole corpus
+    history (dedup) or rebuilds an index over an existing path (ANN).
+    With an explicit probe, only genuine absence takes the first-batch
+    path; real read errors propagate.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def compact_artifact(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 8,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> bool:
+    """Stats-driven compaction for an append-only, unpartitioned parquet
+    artifact directory (signature-store ``sigs``/``bands``, ANN-index
+    ``cells``/``codes``): those sinks append one file set per micro-batch
+    forever, so without maintenance a year of ingest is ~10⁵ tiny files
+    and every candidate join pays the open-file tax. Returns whether a
+    rewrite ran.
+
+    Cheap metadata probe first (one ``listStatus``): rewrite only when the
+    part-file count exceeds ``max_files``. The rewrite coalesces to
+    ``ceil(bytes / target_bytes_per_file)`` files — sized for row-group
+    locality at scale, not a blind ``coalesce(1)``.
+
+    Crash-safe swap (no reader ever sees duplicates): write the compacted
+    copy to ``{path}__compacting``, rename the live dir to ``{path}__old``,
+    rename staging into place, delete ``__old``. Every invocation heals a
+    previous crash first: a dangling staging dir is discarded (its data is
+    still fully present in the live dir), a missing live dir with staging
+    present is the between-renames window (complete the swap), a leftover
+    ``__old`` beside a live dir is post-swap garbage (delete). The only
+    contract is single-writer — the same contract the appending sinks
+    already require.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hconf = jsc.hadoopConfiguration()
+
+    def P(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = P(path).getFileSystem(hconf)
+    staging, old = f"{path}__compacting", f"{path}__old"
+    # ---- heal prior crash ----
+    if not fs.exists(P(path)):
+        if fs.exists(P(staging)):  # crashed between the two renames
+            fs.rename(P(staging), P(path))
+        else:
+            return False  # artifact genuinely absent
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    if fs.exists(P(staging)):
+        fs.delete(P(staging), True)
+    # ---- stats probe ----
+    parts = [
+        f
+        for f in fs.listStatus(P(path))
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    ]
+    if len(parts) <= max_files:
+        return False
+    total_bytes = sum(f.getLen() for f in parts)
+    n_out = max(1, -(-total_bytes // target_bytes_per_file))  # ceil div
+    # ---- rewrite + swap ----
+    spark.read.parquet(path).coalesce(int(n_out)).write.mode("overwrite").parquet(staging)
+    fs.rename(P(path), P(old))
+    fs.rename(P(staging), P(path))
+    fs.delete(P(old), True)
+    return True
+
+
 def _key_bucket(key_cols: list[str], n_buckets: int) -> Column:
     ks = [F.coalesce(F.col(k).cast("string"), F.lit("\x00null")) for k in key_cols]
     return F.pmod(F.xxhash64(*ks), F.lit(n_buckets)).cast("int")
@@ -106,11 +188,7 @@ class TableStore:
         return f"{self.root}/{layer}/{table}"
 
     def _exists(self, path: str) -> bool:
-        jvm = self.spark._jvm
-        jsc = self.spark._jsc
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
+        return path_exists(self.spark, path)
 
     # ------------------------------------------------------------- persist
 

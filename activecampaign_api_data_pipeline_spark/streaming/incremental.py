@@ -30,7 +30,12 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from activecampaign_api_data_pipeline_spark.storage import TableStore, max_id_watermark
+from activecampaign_api_data_pipeline_spark.storage import (
+    TableStore,
+    compact_artifact,
+    max_id_watermark,
+    path_exists,
+)
 
 WATERMARK_KEY = "max_id"
 
@@ -327,12 +332,10 @@ def stream_into_ann_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            AIX.load_ann_params(spark, path)
-            have_index = True
-        except Exception:
-            have_index = False
-        if not have_index:
+        # explicit probe, not try/except: a transient read failure must
+        # not masquerade as "no index" and trigger a rebuild over an
+        # existing path (storage.path_exists rationale)
+        if not path_exists(spark, f"{path}/params.json"):
             AIX.build_ann_index(batch_df, path, **(build_params or {}))
             return
         seen = spark.read.parquet(f"{path}/codes").select(
@@ -341,6 +344,10 @@ def stream_into_ann_index(
         fresh = batch_df.join(seen, id_col, "left_anti")
         if not fresh.isEmpty():
             AIX.append_ann_index(fresh, path)
+        # small-file maintenance: one file set lands per batch forever;
+        # stats-probe is a cheap listStatus when healthy
+        for artifact in ("cells", "codes"):
+            compact_artifact(spark, f"{path}/{artifact}")
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
@@ -379,10 +386,24 @@ def stream_into_minhash_store(
         pairs = incremental_minhash_pairs(
             batch_df, path, threshold=threshold, **minhash_kw
         )
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            pairs_out
+        # exactly-once pairs sink: partition by batch_id and dynamically
+        # overwrite ONLY this batch's partition, so a micro-batch replayed
+        # after a crash (before the checkpoint commit) replaces its own
+        # earlier rows instead of appending duplicates
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_out)
         )
         minhash_store_append(batch_df, path, **minhash_kw)
+        # small-file maintenance (cheap listStatus probe when healthy).
+        # pairs_out is batch_id-partitioned for idempotent replay, so only
+        # the flat store artifacts are compacted here.
+        spark = batch_df.sparkSession
+        for artifact in ("sigs", "bands"):
+            compact_artifact(spark, f"{path}/{artifact}")
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

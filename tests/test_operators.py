@@ -214,3 +214,38 @@ def test_incremental_minhash_store(spark, tmp_path):
     n1 = spark.read.parquet(path + "/sigs").count()
     minhash_store_append(batch_b, path)
     assert spark.read.parquet(path + "/sigs").count() == n1 == 32
+
+
+def test_minhash_store_crash_between_appends_recovers(spark, tmp_path):
+    """Crash-ordering contract: bands are written BEFORE sigs, the replay
+    guard anti-joins on sigs. Simulate a crash after the bands append
+    (bands present, sigs absent): the replayed batch must re-index the
+    docs — duplicate band rows are fine (candidate join distincts them),
+    sigs must stay unique, and every doc must still generate candidates."""
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        _banded,
+        _shingle_sets,
+        incremental_minhash_pairs,
+        minhash_signatures,
+        minhash_store_append,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta") for i in range(3)]
+    )
+    path = str(tmp_path / "store")
+    # simulate the partial write: bands landed, crash before sigs
+    sh = _shingle_sets(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, 32)
+    _banded(sigs, 32, 8).write.mode("append").parquet(f"{path}/bands")
+    # replay the whole batch through the real append
+    minhash_store_append(docs, path)
+    got_sigs = spark.read.parquet(f"{path}/sigs")
+    assert got_sigs.count() == 3  # unique, no double-index
+    assert spark.read.parquet(f"{path}/bands").count() == 2 * 3 * 8  # dup bands tolerated
+    # stored docs still produce candidates for a near-dup ingest
+    batch = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta epsilon zeta")])
+    pairs = incremental_minhash_pairs(batch, path, threshold=0.5)
+    assert {r["doc_b"] for r in pairs.collect()} == {100} and pairs.count() == 3

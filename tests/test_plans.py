@@ -196,3 +196,33 @@ def test_heavy_gates_stay_above_widening_exchange(spark):
     for name in ("dedup_minhash_lsh", "llm_corpus_prep", "llm_curation_pipeline"):
         p = _plan(spark, name)
         assert "monotonically_increasing_id" in p, name
+
+
+def test_incremental_minhash_scans_store_bands_once(spark, tmp_path):
+    # per-ingest cost contract: candidates = new_bands ⋈ all_bands, so the
+    # persisted bands artifact must appear in the plan EXACTLY once — a
+    # store self-join (bands scanned twice) would pay O(store collisions)
+    # per batch, quadratic over the store's life
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_store_append,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"w{i} w{i+1} w{i+2} common words here") for i in range(10)])
+    path = str(tmp_path / "sigstore")
+    minhash_store_append(docs, path)
+    batch = spark.createDataFrame([Row(doc_id=100, text="w1 w2 w3 common words here")])
+    df = incremental_minhash_pairs(batch, path, threshold=0.1)
+    # pytest tmp paths are longer than the default 100-char metadata
+    # truncation, which would cut the .../sigstore/bands suffix out of
+    # the Location strings we count
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert plan.count("sigstore/bands") == 1, plan
+    # sigs is read for the anti-join and both verify sides — but never more
+    assert 1 <= plan.count("sigstore/sigs") <= 3, plan

@@ -545,3 +545,47 @@ def test_gold_asof_time_travel(spark, tmp_path):
         assert got == snapshots[r], (r, got, snapshots[r])
     # run 2 snapshot specifically: key 1 at v=20, keys 2,3 present, no key 4
     assert snapshots[2] == [(1, 20), (2, 1), (3, 2)]
+
+
+def test_compact_artifact_rewrites_and_heals(spark, tmp_path):
+    """Append-only artifact compaction: 10 appended file sets collapse to
+    the byte-sized target with identical data; healthy dirs are left
+    alone (cheap probe only); every crash window of the swap self-heals
+    on the next invocation."""
+    from activecampaign_api_data_pipeline_spark.storage import compact_artifact, path_exists
+
+    path = str(tmp_path / "artifact")
+    for b in range(10):
+        spark.range(b * 100, (b + 1) * 100).coalesce(1).write.mode("append").parquet(path)
+
+    def file_count():
+        import os
+
+        return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    assert file_count() == 10
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert compact_artifact(spark, path, max_files=4) is True
+    assert file_count() <= 4
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
+    # healthy now: probe declines to rewrite
+    assert compact_artifact(spark, path, max_files=4) is False
+
+    import shutil
+
+    # crash window A: staging written, live dir still present -> staging discarded
+    shutil.copytree(path, path + "__compacting")
+    assert compact_artifact(spark, path, max_files=4) is False
+    assert not path_exists(spark, path + "__compacting")
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
+    # crash window B: between renames (live gone, staging complete) -> swap completes
+    shutil.move(path, path + "__compacting")
+    assert compact_artifact(spark, path, max_files=4) is False  # healed, then healthy
+    assert path_exists(spark, path) and not path_exists(spark, path + "__compacting")
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
+    # crash window C: post-swap __old leftover -> deleted
+    shutil.copytree(path, path + "__old")
+    assert compact_artifact(spark, path, max_files=4) is False
+    assert not path_exists(spark, path + "__old")
+    # absent artifact: no-op
+    assert compact_artifact(spark, str(tmp_path / "missing"), max_files=4) is False
