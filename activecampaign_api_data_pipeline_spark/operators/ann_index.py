@@ -322,6 +322,7 @@ def ivfpq_refine_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pushdown_ids: int = 10_000,
 ) -> DataFrame:
     """FAISS-style refine step: take the top-``r`` ADC candidates from the
     persisted index, re-rank them by EXACT L2 against the raw vectors,
@@ -329,22 +330,38 @@ def ivfpq_refine_index(
 
     The standard accuracy/cost ladder: the compressed search (codes only,
     ~3 % of raw bytes) proposes ``r`` candidates per query, then the
-    refine reads raw vectors for ONLY those Q×r ids — at 100 TB the
-    candidate list is broadcast against the corpus scan (a semi-join
-    point-lookup, no shuffle of the corpus) and recall approaches the
-    exact search's at a tiny fraction of its cost. Exact distance is the
-    same sequential double fold as the PQ tables, so results are
-    bit-reproducible by the SQL twin.
+    refine reads raw vectors for ONLY those Q×r ids — broadcast against
+    the corpus scan (a semi-join point-lookup, no shuffle of the corpus)
+    and recall approaches the exact search's at a tiny fraction of its
+    cost. Exact distance is the same sequential double fold as the PQ
+    tables, so results are bit-reproducible by the SQL twin.
+
+    A broadcast join alone still READS every corpus byte to look up Q×r
+    rows — join keys never reach the parquet footer. The candidate id
+    set is therefore collected (Q×r is bounded and small — the same
+    scalar-bounds class of collect as a watermark read) and pushed as a
+    literal ``isin`` filter on the raw scan, so row-group stats prune the
+    lookup to the files that hold the candidates. Pair the vector table
+    with ``TableStore.cluster_silver``/``zorder_silver`` on the id so
+    those stats are tight — on a clustered table the refine's IO scales
+    with Q×r, not corpus bytes. Above ``max_pushdown_ids`` the literal
+    list stops being free for Catalyst; the filter is skipped and the
+    broadcast join alone handles the (no-longer-point-lookup) refine.
     """
     from activecampaign_api_data_pipeline_spark.operators.similarity import _l2
 
     cand = ivfpq_search_index(spark, path, queries, k=r, nprobe=nprobe).select(
         "query_id", "neighbor_id"
     )
+    # one computation feeds the pushdown collect AND the join
+    cand = cand.localCheckpoint(eager=True)
     raw = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
     )
+    cand_ids = [r_["neighbor_id"] for r_ in cand.select("neighbor_id").distinct().collect()]
+    if len(cand_ids) <= max_pushdown_ids:
+        raw = raw.filter(F.col("neighbor_id").isin(cand_ids))
     qv = queries.select(
         "query_id",
         F.transform(F.col("qv"), lambda x: x.cast("double")).alias("qvd"),

@@ -551,6 +551,7 @@ def incremental_minhash_pairs(
     bands: int = 8,
     ngram: int = 3,
     threshold: float = 0.5,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against the persisted signature store
     (plus within-batch pairs) — incremental corpus dedup: each ingest
@@ -569,23 +570,32 @@ def incremental_minhash_pairs(
     collisions), flat as the store grows; a store self-join post-filtered
     to "one side new" would pay O(total store collisions) every batch —
     quadratic over the store's life.
+
+    ``broadcast_new`` (default True — the micro-batch ingest shape) hints
+    the batch-derived side of every store join so the stored artifacts
+    are never shuffled: the bands scan streams map-side against a
+    broadcast of the batch's bands, and the replay anti-join broadcasts
+    the batch ids. Per-ingest network cost is then O(batch), with the
+    store touched only as a columnar scan. Set False for giant backfill
+    batches that exceed broadcast memory — AQE picks the join strategy.
     """
     spark = new_docs.sparkSession
     sh = _shingle_sets(new_docs, id_col, text_col, ngram)
     new_sigs = minhash_signatures(sh, num_perm)
     new_bands = _banded(new_sigs, num_perm, bands)
+    hint = F.broadcast if broadcast_new else (lambda df: df)
     if path_exists(spark, f"{path}/sigs"):
         old_sigs = spark.read.parquet(f"{path}/sigs")
         old_bands = spark.read.parquet(f"{path}/bands")
         new_ids = new_sigs.select("doc_id")
-        old_sigs = old_sigs.join(new_ids, "doc_id", "left_anti")
-        old_bands = old_bands.join(new_ids, "doc_id", "left_anti")
+        old_sigs = old_sigs.join(hint(new_ids), "doc_id", "left_anti")
+        old_bands = old_bands.join(hint(new_ids), "doc_id", "left_anti")
         all_sigs = old_sigs.unionByName(new_sigs)
         all_bands = old_bands.unionByName(new_bands)
     else:
         all_sigs, all_bands = new_sigs, new_bands
     cand = (
-        new_bands.alias("l")
+        hint(new_bands.alias("l"))
         .join(all_bands.alias("r"), ["band", "bh"])
         .filter(F.col("l.doc_id") != F.col("r.doc_id"))
         # least/greatest normalises doc_a < doc_b; new-vs-new collisions

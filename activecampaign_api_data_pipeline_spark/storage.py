@@ -354,19 +354,16 @@ class TableStore:
         no longer reachable as snapshots — the documented trade-off).
         run_id comparison is lexicographic == chronological for both
         producers (``run_…`` pipeline ids, zero-padded ``batch_%08d``).
+
+        Replay cost is bounded by :meth:`checkpoint_asof` snapshots when
+        present: the dedup state is restored from the nearest checkpoint
+        ≤ ``run_id`` and only the bronze delta after it is replayed —
+        which also keeps snapshots reachable after :meth:`vacuum_bronze`
+        has dropped the runs a checkpoint already covers.
         """
         from pyspark.sql import Window
 
-        bronze = self.read("bronze", table).filter(F.col("run_id") <= run_id)
-        staged = bronze.withColumn(BUCKET_COL, _key_bucket(key_cols, self.n_buckets))
-        wf = Window.partitionBy(BUCKET_COL, HASH_COL).orderBy(
-            F.col("extracted_at").asc_nulls_last(), F.col("run_id").asc_nulls_last()
-        )
-        first = (
-            staged.withColumn("_rn", F.row_number().over(wf))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        first = self._first_asof(table, run_id, key_cols)
         order = []
         if updated_col is not None:
             order.append(F.col(updated_col).desc_nulls_last())
@@ -380,6 +377,83 @@ class TableStore:
             first.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+        )
+
+    def _first_asof(self, table: str, run_id: str, key_cols: list[str]) -> DataFrame:
+        """The dedup state as of ``run_id``: first occurrence of every
+        ``(bucket, row_hash)`` across bronze runs ≤ run_id, carrying its
+        FIRST run's lineage (re-appearing content keeps its original
+        timestamps, exactly as the persist path's anti-join behaves).
+
+        Incremental from the nearest :meth:`checkpoint_asof` snapshot ≤
+        ``run_id`` when one exists: restore the checkpoint, replay only
+        the bronze delta (checkpoint_run, run_id], anti-join the delta's
+        hashes against the restored state (a hash the checkpoint already
+        holds is a re-appearance, not a new row), dedup within the delta,
+        union. By induction this equals the full replay bit-for-bit while
+        reading O(delta) bronze instead of O(history).
+        """
+        from pyspark.sql import Window
+
+        ckpt_run = max(
+            (r for r in self.list_checkpoints(table) if r <= run_id), default=None
+        )
+        bronze = self.read("bronze", table).filter(F.col("run_id") <= run_id)
+        if ckpt_run is not None:
+            base = self.spark.read.parquet(self._ckpt_path(table, ckpt_run))
+            bronze = bronze.filter(F.col("run_id") > ckpt_run)
+        staged = bronze.withColumn(BUCKET_COL, _key_bucket(key_cols, self.n_buckets))
+        if ckpt_run is not None:
+            staged = staged.join(
+                base.select(BUCKET_COL, HASH_COL), [BUCKET_COL, HASH_COL], "left_anti"
+            )
+        wf = Window.partitionBy(BUCKET_COL, HASH_COL).orderBy(
+            F.col("extracted_at").asc_nulls_last(), F.col("run_id").asc_nulls_last()
+        )
+        first = (
+            staged.withColumn("_rn", F.row_number().over(wf))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if ckpt_run is not None:
+            first = base.unionByName(first, allowMissingColumns=True)
+        return first
+
+    def _ckpt_path(self, table: str, run_id: str) -> str:
+        return f"{self.root}/ckpt/{table}/asof_run={run_id}"
+
+    def list_checkpoints(self, table: str) -> list[str]:
+        path = f"{self.root}/ckpt/{table}"
+        if not self._exists(path):
+            return []
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return sorted(
+            f.getPath().getName().split("=", 1)[1]
+            for f in fs.listStatus(hpath)
+            if f.isDirectory() and f.getPath().getName().startswith("asof_run=")
+        )
+
+    def checkpoint_asof(self, table: str, run_id: str, key_cols: list[str]) -> None:
+        """Persist the dedup state as of ``run_id`` so later
+        :meth:`gold_asof` reads replay only the bronze delta past it —
+        run every K ingests to keep time-travel O(delta) instead of
+        O(bronze history), and BEFORE :meth:`vacuum_bronze` tightens the
+        retention window so snapshots stay reachable after the covered
+        runs are deleted.
+
+        The artifact is the first-occurrence frame (content-hash-unique
+        rows with first-run lineage), NOT the gold snapshot: gold alone
+        forgets superseded hashes, so a hash re-appearing in the delta
+        would replay as new and steal latest-per-key wins it should not
+        have. Size is O(unique content ≤ run) — silver-scale, not
+        bronze-scale. Idempotent: rewriting the same run's checkpoint
+        overwrites it. Builds incrementally from the nearest earlier
+        checkpoint via :meth:`_first_asof`.
+        """
+        self._first_asof(table, run_id, key_cols).write.mode("overwrite").parquet(
+            self._ckpt_path(table, run_id)
         )
 
     # -------------------------------------------------------- maintenance

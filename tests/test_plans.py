@@ -189,6 +189,14 @@ def test_ann_refine_broadcasts_candidates(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_ann_refine_pushes_candidate_ids_to_scan(spark):
+    # the Q x r candidate ids must reach the parquet footer as a pushed
+    # In-filter so row-group stats prune the raw-vector lookup — a
+    # broadcast join alone reads every corpus byte
+    p = _plan(spark, "sim_ann_index_refine")
+    assert "PushedFilters: [In(vec_id" in p, p[:2000]
+
+
 def test_heavy_gates_stay_above_widening_exchange(spark):
     # widened_filter's nondeterministic anchor must survive optimization:
     # if Catalyst ever learns to push it, the corpus gates fall back into

@@ -589,3 +589,52 @@ def test_compact_artifact_rewrites_and_heals(spark, tmp_path):
     assert not path_exists(spark, path + "__old")
     # absent artifact: no-op
     assert compact_artifact(spark, str(tmp_path / "missing"), max_files=4) is False
+
+
+def test_gold_asof_checkpoint_bit_equal_and_survives_vacuum(spark, tmp_path):
+    """Checkpointed time-travel: asof(run) is bit-equal with and without a
+    checkpoint; the replay reads only the bronze delta past the
+    checkpoint (plan-pinned); snapshots stay reachable after vacuum has
+    deleted the runs the checkpoint covers. Re-appearing content hashes
+    keep their FIRST occurrence's lineage (the gold-only-checkpoint trap)."""
+    from pyspark.sql import Row
+
+    store = TableStore(spark, str(tmp_path / "lake"), n_buckets=2)
+    # run 1: key 1 content A; run 2: key 1 content B (supersedes); run 3:
+    # key 1 content A AGAIN (same row_hash as run 1 -> dropped as dup, so
+    # B must still win); run 4: unrelated key
+    batches = {
+        1: [Row(id=1, v="A", ts="2020-01-01"), Row(id=2, v="x", ts="2020-01-01")],
+        2: [Row(id=1, v="B", ts="2020-01-02")],
+        3: [Row(id=1, v="A", ts="2020-01-01")],  # exact re-appearance of run 1's row
+        4: [Row(id=3, v="y", ts="2020-01-04")],
+    }
+    for r, rows in batches.items():
+        store.persist(spark.createDataFrame(rows), "t", ["id"], run_id=f"run_{r:04d}",
+                      updated_col="ts", extracted_at=f"2020-01-0{r} 00:00:00")
+
+    def snap(run):
+        return sorted(
+            (row["id"], row["v"])
+            for row in store.gold_asof("t", run, ["id"], updated_col="ts").collect()
+        )
+
+    plain = {r: snap(f"run_{r:04d}") for r in range(1, 5)}
+    assert plain[3] == [(1, "B"), (2, "x")]  # re-appeared A did NOT steal the win
+    store.checkpoint_asof("t", "run_0002", ["id"])
+    ckpt = {r: snap(f"run_{r:04d}") for r in range(1, 5)}
+    assert ckpt == plain
+    # replay past the checkpoint reads only the delta bronze partitions
+    df = store.gold_asof("t", "run_0004", ["id"], updated_col="ts")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "asof_run=run_0002" in plan
+    assert "run_id=run_0001" not in plan and "run_id=run_0002" not in plan
+    # vacuum away the runs the checkpoint covers: snapshots >= ckpt live on
+    store.vacuum_bronze("t", keep_runs=2)  # drops run_0001, run_0002
+    assert snap("run_0002") == plain[2]
+    assert snap("run_0003") == plain[3]
+    assert snap("run_0004") == plain[4]
