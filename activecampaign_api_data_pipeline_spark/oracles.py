@@ -1639,4 +1639,116 @@ SELECT doc_id, copy_id, shard, n_tokens,
 FROM c
 """
 
+    # global top-100 token vocabulary; rank deterministic (cnt desc, token)
+    o["a_vocab_topk"] = r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) != ''
+),
+c AS (SELECT token, count(*) AS cnt FROM t WHERE token != '' GROUP BY token),
+r AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+  FROM c
+)
+SELECT token, cnt, rank FROM r WHERE rank <= 100
+"""
+
+    # per-doc top-3 TF-IDF terms; idf rounded to 6dp BEFORE scoring
+    o["text_tfidf_topterms"] = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE trim(text) != ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t WHERE term != '' GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*) AS df,
+         round(ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1)
+                  / (count(*) + 1)), 6) AS idf
+  FROM tf GROUP BY term
+),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(CAST(tf.tf AS DOUBLE) * dfreq.idf, 6) AS score
+  FROM tf JOIN dfreq USING (term)
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
+"""
+
+    # deterministic stratified sample: hash bucket rule, rates en 10% /
+    # zh 80% / rest 25% — mirrors queries.a_sample_stratified
+    o["a_sample_stratified"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(concat_ws('||', 'strat', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 8000 ELSE 2500 END
+"""
+
+    # bigram conditional probabilities P(w2|w1); integer counts divide
+    # exactly, p rounds to 6
+    o["a_bigram_condprob"] = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) != ''
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+  FROM toks WHERE len(arr) >= 2
+),
+c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+p AS (
+  SELECT bigram, split_part(bigram, ' ', 1) AS w1, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS BIGINT)
+           AS prefix_cnt
+  FROM c
+)
+SELECT bigram, w1, cnt, prefix_cnt,
+       round(CAST(cnt AS DOUBLE) / CAST(prefix_cnt AS DOUBLE), 6) AS p
+FROM p
+"""
+
+    # temperature-smoothed language mixture weights (alpha = 0.3); the
+    # powered share is rounded then summed as DECIMAL so the
+    # normalization is order-free and cross-engine exact
+    o["llm_mixture_temperature"] = """
+WITH a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (
+  SELECT lang, n_docs,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS total
+  FROM a
+),
+pw AS (
+  SELECT lang, n_docs,
+         round(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS p_raw,
+         CAST(round(pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 0.3), 6)
+              AS DECIMAL(18,6)) AS pw
+  FROM t
+)
+SELECT lang, n_docs, p_raw,
+       round(CAST(pw AS DOUBLE) / CAST(sum(pw) OVER () AS DOUBLE), 6) AS p_temp
+FROM pw
+"""
+
+    # checkpointed time-travel: gold as of run 3 == latest-per-key over the
+    # union of the three runs' rows (run1 %3!=1 and run2 %3!=0 already
+    # cover every event; run3 adds only re-appearances)
+    o["k_gold_ckpt_asof"] = f"""
+WITH e AS (SELECT event_id, user_id, event_type, {TS} AS ts_str FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts_str DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id, event_type, ts_str FROM r WHERE rn = 1
+"""
+
     return o

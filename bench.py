@@ -87,6 +87,15 @@ HEADLINE = [
     "w_scd2_intervals",
     "sim_ann_index_refine",
     "mm_video_neardup",
+    # added round 6: vocab/TF-IDF/n-gram-LM/stratified-sample/temperature-
+    # mixture + checkpointed time-travel; the 44-query prefix above is the
+    # r5 FROZEN list (BASELINE.md) — append only
+    "a_vocab_topk",
+    "text_tfidf_topterms",
+    "a_bigram_condprob",
+    "a_sample_stratified",
+    "llm_mixture_temperature",
+    "k_gold_ckpt_asof",
 ]
 
 
