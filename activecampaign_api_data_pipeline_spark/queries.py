@@ -1677,11 +1677,16 @@ def a_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token") != ""
     )
     agg = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # global top-k via orderBy+limit -> TakeOrderedAndProject: every
+    # partition keeps its local top-100 and only those merge, so a
+    # 100M-token vocabulary never sorts (or collects) globally. The rank
+    # window then runs over the 100 surviving rows only. (A global
+    # row_number window would NOT get a WindowGroupLimit — the rule needs
+    # a partition spec — and would sort the whole vocab in one task.)
+    top = agg.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(100)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 100)
-        .select("token", "cnt", "rank")
+    return top.select(
+        "token", "cnt", F.row_number().over(w).cast("long").alias("rank")
     )
 
 
@@ -1707,9 +1712,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "tf", "score", "rank")
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", "tf", "score", F.col("_rn").cast("long").alias("rank"))
     )
 
 

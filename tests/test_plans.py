@@ -234,3 +234,28 @@ def test_incremental_minhash_scans_store_bands_once(spark, tmp_path):
     assert plan.count("sigstore/bands") == 1, plan
     # sigs is read for the anti-join and both verify sides — but never more
     assert 1 <= plan.count("sigstore/sigs") <= 3, plan
+
+
+def test_vocab_topk_partial_topk_no_global_sort(spark):
+    # the global top-100 must be TakeOrderedAndProject (per-partition
+    # partial top-k), never a whole-vocab single-task sort or window
+    p = _plan(spark, "a_vocab_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_tfidf_window_group_limit_and_broadcast(spark):
+    # per-doc top-3 gets the map-side WindowGroupLimit; the term->df dim
+    # joins broadcast (vocab is small next to the tf table)
+    p = _plan(spark, "text_tfidf_topterms")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_stratified_sample_map_only(spark):
+    # hash-bucket sampling is a pure scan predicate: the only exchange is
+    # the single-file scan widening, no join, no aggregation
+    p = _plan(spark, "a_sample_stratified")
+    assert p.count("Exchange") == 1, p
+    assert "Join" not in p and "HashAggregate" not in p
