@@ -357,6 +357,51 @@ def stream_into_ann_index(
     return writer.start()
 
 
+def minhash_sink_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    pairs_out: str,
+    threshold: float = 0.5,
+    **minhash_kw,
+) -> None:
+    """One micro-batch of the continuous-dedup sink, exposed at module
+    level so the replay contract is directly testable: running the same
+    (batch_df, batch_id) twice must leave store and pairs_out exactly as
+    one run would.
+
+    Exactly-once mechanics: the pairs output is partitioned by batch_id
+    and dynamically overwritten, so a replayed batch replaces its OWN
+    partition instead of appending duplicates; the store append is
+    replay-safe by its id anti-join; the pair computation itself is
+    deterministic given (batch, store) and the store only gains the
+    batch's own docs between the two runs — which the anti-join excludes
+    from the "stored" side — so the replayed pairs are identical.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_store_append,
+    )
+
+    if batch_df.isEmpty():
+        return
+    pairs = incremental_minhash_pairs(batch_df, path, threshold=threshold, **minhash_kw)
+    (
+        pairs.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(pairs_out)
+    )
+    minhash_store_append(batch_df, path, **minhash_kw)
+    # small-file maintenance (cheap listStatus probe when healthy).
+    # pairs_out is batch_id-partitioned for idempotent replay, so only
+    # the flat store artifacts are compacted here.
+    spark = batch_df.sparkSession
+    for artifact in ("sigs", "bands"):
+        compact_artifact(spark, f"{path}/{artifact}")
+
+
 def stream_into_minhash_store(
     stream: DataFrame,
     path: str,
@@ -375,35 +420,10 @@ def stream_into_minhash_store(
     text is never rescanned. Completes the persisted-artifact streaming
     set: medallion store, KMV sketches, ANN index, signature store.
     """
-    from activecampaign_api_data_pipeline_spark.operators.dedup import (
-        incremental_minhash_pairs,
-        minhash_store_append,
-    )
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        pairs = incremental_minhash_pairs(
-            batch_df, path, threshold=threshold, **minhash_kw
+        minhash_sink_batch(
+            batch_df, batch_id, path, pairs_out, threshold=threshold, **minhash_kw
         )
-        # exactly-once pairs sink: partition by batch_id and dynamically
-        # overwrite ONLY this batch's partition, so a micro-batch replayed
-        # after a crash (before the checkpoint commit) replaces its own
-        # earlier rows instead of appending duplicates
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(pairs_out)
-        )
-        minhash_store_append(batch_df, path, **minhash_kw)
-        # small-file maintenance (cheap listStatus probe when healthy).
-        # pairs_out is batch_id-partitioned for idempotent replay, so only
-        # the flat store artifacts are compacted here.
-        spark = batch_df.sparkSession
-        for artifact in ("sigs", "bands"):
-            compact_artifact(spark, f"{path}/{artifact}")
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -507,3 +507,39 @@ def test_stream_into_minhash_store(spark, tmp_path):
     assert not any(200 in p for p in found)
     # store holds every streamed doc exactly once
     assert spark.read.parquet(str(tmp_path / "sigstore/sigs")).count() == 14
+
+
+def test_minhash_sink_replay_exactly_once(spark, tmp_path):
+    """Replaying a micro-batch through the dedup sink (crash before the
+    checkpoint commit) must leave store AND pairs output identical to a
+    single run: the batch_id-partitioned dynamic overwrite replaces the
+    batch's own pairs partition, and the store append anti-joins ids."""
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        minhash_sink_batch,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b0 = spark.createDataFrame([Row(doc_id=i, text=base) for i in range(4)])
+    b1 = spark.createDataFrame(
+        [Row(doc_id=100, text=base), Row(doc_id=101, text="totally different words here now")]
+    )
+    path, pairs_out = str(tmp_path / "store"), str(tmp_path / "pairs")
+    minhash_sink_batch(b0, 0, path, pairs_out, threshold=0.5)
+    minhash_sink_batch(b1, 1, path, pairs_out, threshold=0.5)
+
+    def snapshot():
+        pairs = sorted(
+            (r["batch_id"], r["doc_a"], r["doc_b"], r["est_jaccard"])
+            for r in spark.read.parquet(pairs_out).collect()
+        )
+        sigs = sorted(r["doc_id"] for r in spark.read.parquet(f"{path}/sigs").collect())
+        return pairs, sigs
+
+    once = snapshot()
+    # replay batch 1 (same batch_df, same batch_id)
+    minhash_sink_batch(b1, 1, path, pairs_out, threshold=0.5)
+    assert snapshot() == once
+    # sanity: batch 1 found its cross-batch dups against batch 0
+    assert {(a, b) for _, a, b, _ in once[0] if _ == 1} >= {(0, 100), (1, 100)}
