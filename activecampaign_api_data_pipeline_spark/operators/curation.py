@@ -28,9 +28,18 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_count_col: str = "n_tokens",
     salt: str = "pack",
+    base_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: assign each document a token
     offset range inside fixed-budget training sequences.
+
+    ``base_offsets`` (shard, base) shifts each shard's running offset by
+    an already-consumed token count — the incremental-ingest hook: a
+    streaming sink passes the persisted per-shard totals so sequence
+    numbering continues seamlessly across micro-batches (see
+    ``streaming.incremental.packed_shards_sink_batch``). Absent shards
+    default to base 0; with ``base_offsets=None`` the op is the plain
+    batch packing.
 
     The standard pretraining packing scheme (GPT-style concat-then-chunk,
     public knowledge): documents are concatenated in a deterministic order
@@ -61,10 +70,18 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     toks = F.col(token_count_col).cast("long")
-    return (
+    staged = (
         docs.select(F.col(id_col), toks.alias("n_tokens"), shard)
         .withColumn("end_off", F.sum("n_tokens").over(w))
-        .select(
+    )
+    if base_offsets is not None:
+        staged = (
+            staged.join(F.broadcast(base_offsets), "shard", "left")
+            .withColumn("end_off", F.col("end_off") + F.coalesce(F.col("base"), F.lit(0)))
+            .drop("base")
+        )
+    return (
+        staged.select(
             F.col(id_col),
             "shard",
             "n_tokens",
@@ -122,6 +139,45 @@ def mixture_sample(
     return out.select(
         *[c for c in docs.columns],
         F.explode(F.sequence(F.lit(1), F.col("_n_copies"))).alias("copy_id"),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "budget",
+) -> DataFrame:
+    """Token-budget sampling: per stratum, admit documents in a
+    deterministic hash-shuffled order until the stratum's cumulative
+    token count reaches ``budget`` — how a pretraining mixture caps each
+    source by TOKENS (what the model actually consumes) rather than by
+    document count, without an RNG.
+
+    The hash order (``hash60(salt||id)``) is an arbitrary-but-fixed
+    permutation, so the admitted set is an unbiased sample of the
+    stratum, reproducible across runs and engines. A document is kept if
+    the running sum INCLUDING it stays ≤ budget (truncation rule:
+    the first over-budget document is dropped, not split — splitting is
+    :func:`pack_sequences`' job downstream).
+
+    One hash-partition window per stratum (independent parallel
+    cumsums); at 100 TB the shuffle moves (id, stratum, n_tokens) only —
+    text never moves. Returns the admitted rows with ``cum_tokens``.
+    """
+    h = hash60(F.concat_ws("||", F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w).cast("long")
+    return (
+        docs.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, stratum_col, tokens_col, "cum_tokens")
     )
 
 

@@ -1738,6 +1738,61 @@ SELECT lang, n_docs, p_raw,
 FROM pw
 """
 
+    # per-source token-budget sampling: deterministic hash admission order,
+    # cumulative-including-current <= budget (window sum cast BIGINT)
+    o["llm_token_budget_sample"] = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+         CAST(concat('0x', substr(md5(concat_ws('||', 'budget', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 400
+"""
+
+    # gold snapshot diff keyed by (user_id, event_type): run1 withholds
+    # event_id % 3 == 1, run2 has everything; added = key only in run2,
+    # changed = latest event moved (event_id differs — rows are
+    # functionally determined by event_id, so content-hash inequality on
+    # the Spark side is the same predicate)
+    o["k_dataset_diff"] = f"""
+WITH e AS (SELECT event_id, user_id, event_type, {TS} AS ts_str FROM events),
+s1 AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts_str DESC, event_id DESC) AS rn
+    FROM e WHERE event_id % 3 = 0
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts_str DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+)
+SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+       coalesce(s1.event_type, s2.event_type) AS event_type,
+       CASE WHEN s1.event_id IS NULL THEN 'added'
+            WHEN s2.event_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       s1.event_id AS event_id_a,
+       s2.event_id AS event_id_b
+FROM s1 FULL OUTER JOIN s2
+  ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+WHERE s1.event_id IS NULL OR s2.event_id IS NULL OR s1.event_id != s2.event_id
+"""
+
     # checkpointed time-travel: gold as of run 3 == latest-per-key over the
     # union of the three runs' rows (run1 %3!=1 and run2 %3!=0 already
     # cover every event; run3 adds only re-appearances)

@@ -379,6 +379,59 @@ class TableStore:
             .drop("_rn")
         )
 
+    def gold_diff(
+        self,
+        table: str,
+        run_a: str,
+        run_b: str,
+        key_cols: list[str],
+        carry_cols: list[str] | None = None,
+        updated_col: str | None = None,
+    ) -> DataFrame:
+        """Dataset diff between two gold snapshots: which keys were
+        ``added``, ``removed``, or ``changed`` from run_a to run_b — the
+        data-versioning primitive behind "what changed in the corpus
+        between the checkpoint we trained on and today".
+
+        Built on :meth:`gold_asof` (so both sides benefit from
+        checkpoints and survive bronze vacuum), keyed full-outer join,
+        change detection via the persisted content hash — any column
+        difference counts, no per-column compare list to maintain.
+        Unchanged keys are dropped (at 100 TB the diff output is
+        O(churn), the join is one shuffle on the snapshot keys).
+        ``carry_cols`` are emitted from both sides as ``<col>_a`` /
+        ``<col>_b`` for human-readable reports.
+        """
+        carry_cols = carry_cols or []
+        a = self.gold_asof(table, run_a, key_cols, updated_col=updated_col)
+        b = self.gold_asof(table, run_b, key_cols, updated_col=updated_col)
+        a_sel = a.select(
+            *key_cols,
+            F.col(HASH_COL).alias("_hash_a"),
+            *[F.col(c).alias(f"{c}_a") for c in carry_cols],
+        )
+        b_sel = b.select(
+            *key_cols,
+            F.col(HASH_COL).alias("_hash_b"),
+            *[F.col(c).alias(f"{c}_b") for c in carry_cols],
+        )
+        j = a_sel.join(b_sel, key_cols, "full_outer")
+        status = (
+            F.when(F.col("_hash_a").isNull(), F.lit("added"))
+            .when(F.col("_hash_b").isNull(), F.lit("removed"))
+            .when(F.col("_hash_a") != F.col("_hash_b"), F.lit("changed"))
+        )
+        return (
+            j.withColumn("status", status)
+            .filter(F.col("status").isNotNull())
+            .select(
+                *key_cols,
+                "status",
+                *[f"{c}_a" for c in carry_cols],
+                *[f"{c}_b" for c in carry_cols],
+            )
+        )
+
     def _first_asof(self, table: str, run_id: str, key_cols: list[str]) -> DataFrame:
         """The dedup state as of ``run_id``: first occurrence of every
         ``(bucket, row_hash)`` across bronze runs ≤ run_id, carrying its

@@ -27,9 +27,10 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
 from activecampaign_api_data_pipeline_spark.storage import (
     TableStore,
     compact_artifact,
@@ -348,6 +349,113 @@ def stream_into_ann_index(
         # stats-probe is a cheap listStatus when healthy
         for artifact in ("cells", "codes"):
             compact_artifact(spark, f"{path}/{artifact}")
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def packed_shards_sink_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "pack",
+) -> None:
+    """One micro-batch of continuous sequence packing: pack the batch's
+    documents CONTINUING each shard's token stream where the previous
+    batches left off, so sequence numbering is seamless across the whole
+    ingest history — the streaming form of
+    :func:`~...operators.curation.pack_sequences`.
+
+    State is ``{path}/offsets``: per (shard, batch_id) the shard's
+    cumulative token count AFTER that batch, partitioned by batch_id.
+    Reading the bases for batch b filters ``batch_id < b`` and takes each
+    shard's latest row — so a replayed batch (its own partition possibly
+    half-written by a crashed attempt) reconstructs exactly the pre-batch
+    state, and both its output partition and its state partition are
+    dynamically overwritten: exactly-once end to end. State size is
+    O(shards × batches) longs; output cost per batch is one shard
+    shuffle of (id, n_tokens) — text never moves, the corpus is never
+    re-read.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.curation import pack_sequences
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    state_path, out_path = f"{path}/offsets", f"{path}/packed"
+    base = None
+    if path_exists(spark, state_path):
+        st = spark.read.parquet(state_path).filter(F.col("batch_id") < F.lit(batch_id))
+        wl = Window.partitionBy("shard").orderBy(F.col("batch_id").desc())
+        base = (
+            st.withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") == 1)
+            .select("shard", F.col("next_off").alias("base"))
+        )
+    docs = batch_df.select(id_col, tokens_col)
+    packed = pack_sequences(
+        docs, budget=budget, n_shards=n_shards, id_col=id_col,
+        token_count_col=tokens_col, salt=salt, base_offsets=base,
+    )
+    (
+        packed.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
+    shard = F.pmod(
+        hash60(F.concat_ws("||", F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    ).alias("shard")
+    totals = (
+        batch_df.select(shard, F.col(tokens_col).cast("long").alias("_t"))
+        .groupBy("shard")
+        .agg(F.sum("_t").alias("_batch_tokens"))
+    )
+    if base is not None:
+        totals = totals.join(F.broadcast(base), "shard", "left").withColumn(
+            "_batch_tokens", F.col("_batch_tokens") + F.coalesce(F.col("base"), F.lit(0))
+        ).drop("base")
+    (
+        totals.select("shard", F.col("_batch_tokens").alias("next_off"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(state_path)
+    )
+
+
+def stream_into_packed_shards(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    budget: int = 256,
+    n_shards: int = 8,
+    trigger_available_now: bool = True,
+    **pack_kw,
+):
+    """Continuous training-sequence packing under foreachBatch: each
+    micro-batch of (doc_id, n_tokens) extends the per-shard token
+    streams (:func:`packed_shards_sink_batch`). Completes the streaming
+    curation path: gate/mixture are stateless per-row (plain
+    transformations on the stream); packing is the one stateful step and
+    its state is a parquet artifact, not engine state — replayable,
+    inspectable, compactable."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        packed_shards_sink_batch(
+            batch_df, batch_id, path, budget=budget, n_shards=n_shards, **pack_kw
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -638,3 +638,30 @@ def test_gold_asof_checkpoint_bit_equal_and_survives_vacuum(spark, tmp_path):
     assert snap("run_0002") == plain[2]
     assert snap("run_0003") == plain[3]
     assert snap("run_0004") == plain[4]
+
+
+def test_gold_diff_statuses(spark, tmp_path):
+    """added / removed / changed across two snapshots, both directions:
+    forward diff shows added+changed; the reverse diff re-labels the
+    same churn as removed+changed. Unchanged keys never appear."""
+    from pyspark.sql import Row
+
+    store = TableStore(spark, str(tmp_path / "lake"), n_buckets=2)
+    r1 = [Row(id=1, v="a", ts="2020-01-01"), Row(id=2, v="b", ts="2020-01-01")]
+    r2 = [Row(id=1, v="a2", ts="2020-01-02"), Row(id=3, v="c", ts="2020-01-02")]
+    store.persist(spark.createDataFrame(r1), "t", ["id"], run_id="r1",
+                  updated_col="ts", extracted_at="2020-01-01 00:00:00")
+    store.persist(spark.createDataFrame(r2), "t", ["id"], run_id="r2",
+                  updated_col="ts", extracted_at="2020-01-02 00:00:00")
+    fwd = {
+        r["id"]: (r["status"], r["v_a"], r["v_b"])
+        for r in store.gold_diff("t", "r1", "r2", ["id"], carry_cols=["v"],
+                                 updated_col="ts").collect()
+    }
+    # id=1 changed a->a2, id=3 added, id=2 untouched (absent)
+    assert fwd == {1: ("changed", "a", "a2"), 3: ("added", None, "c")}
+    rev = {
+        r["id"]: r["status"]
+        for r in store.gold_diff("t", "r2", "r1", ["id"], updated_col="ts").collect()
+    }
+    assert rev == {1: "changed", 3: "removed"}

@@ -543,3 +543,81 @@ def test_minhash_sink_replay_exactly_once(spark, tmp_path):
     assert snapshot() == once
     # sanity: batch 1 found its cross-batch dups against batch 0
     assert {(a, b) for _, a, b, _ in once[0] if _ == 1} >= {(0, 100), (1, 100)}
+
+
+def test_packed_shards_incremental_equals_batch_and_replays(spark, tmp_path):
+    """Streaming packing: feeding id-ordered micro-batches through the
+    offsets-state sink produces BIT-IDENTICAL packing to the batch
+    operator over the whole corpus (per-shard streams continue across
+    batches); replaying a batch (crash before checkpoint commit) leaves
+    output and state unchanged; a real availableNow stream over files
+    lands on the same result."""
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.curation import pack_sequences
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        packed_shards_sink_batch,
+        stream_into_packed_shards,
+    )
+
+    rows = [Row(doc_id=i, n_tokens=(i * 7) % 90 + 10) for i in range(60)]
+    docs = spark.createDataFrame(rows)
+    want = sorted(
+        tuple(r) for r in pack_sequences(docs, budget=64, n_shards=4).collect()
+    )
+
+    # ---- manual sink: 3 id-ordered batches ----
+    path = str(tmp_path / "packstore")
+    for b in range(3):
+        batch = spark.createDataFrame(rows[b * 20 : (b + 1) * 20])
+        packed_shards_sink_batch(batch, b, path, budget=64, n_shards=4)
+    got_df = spark.read.parquet(f"{path}/packed")
+    got = sorted(
+        (r["doc_id"], r["shard"], r["n_tokens"], r["seq_in_shard"], r["offset_in_seq"])
+        for r in got_df.collect()
+    )
+    assert got == want
+    # ---- replay last batch: exactly-once ----
+    state_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/offsets").collect()
+    )
+    packed_shards_sink_batch(spark.createDataFrame(rows[40:60]), 2, path, budget=64, n_shards=4)
+    assert sorted(
+        (r["doc_id"], r["shard"], r["n_tokens"], r["seq_in_shard"], r["offset_in_seq"])
+        for r in spark.read.parquet(f"{path}/packed").collect()
+    ) == want
+    assert sorted(tuple(r) for r in spark.read.parquet(f"{path}/offsets").collect()) == state_before
+
+    # ---- real stream: one parquet file per batch, availableNow ----
+    src = str(tmp_path / "src")
+    for b in range(3):
+        spark.createDataFrame(rows[b * 20 : (b + 1) * 20]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spath = str(tmp_path / "packstream")
+    q = stream_into_packed_shards(
+        stream, spath, checkpoint=str(tmp_path / "ckpt"), budget=64, n_shards=4
+    )
+    q.awaitTermination(180)
+    got_s = sorted(
+        (r["doc_id"], r["shard"], r["n_tokens"], r["seq_in_shard"], r["offset_in_seq"])
+        for r in spark.read.parquet(f"{spath}/packed").collect()
+    )
+    # file arrival order may differ from id order, so compare against the
+    # batch twin only on the INVARIANTS that hold for any arrival order:
+    # same doc set, same per-shard token totals, contiguous shard streams
+    assert {t[0] for t in got_s} == {t[0] for t in want}
+    import collections
+
+    def shard_tokens(ts):
+        d = collections.Counter()
+        for _, shard, n, _, _ in ts:
+            d[shard] += n
+        return d
+
+    assert shard_tokens(got_s) == shard_tokens(want)
