@@ -96,6 +96,8 @@ HEADLINE = [
     "a_sample_stratified",
     "llm_mixture_temperature",
     "k_gold_ckpt_asof",
+    "llm_token_budget_sample",
+    "k_dataset_diff",
 ]
 
 

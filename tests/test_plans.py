@@ -259,3 +259,12 @@ def test_stratified_sample_map_only(spark):
     p = _plan(spark, "a_sample_stratified")
     assert p.count("Exchange") == 1, p
     assert "Join" not in p and "HashAggregate" not in p
+
+
+def test_token_budget_sample_single_stratum_shuffle(spark):
+    # the admission cumsum is ONE hash exchange on the stratum; only
+    # (id, stratum, n_tokens) move — no joins, no Python
+    p = _plan(spark, "llm_token_budget_sample")
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert p.count("hashpartitioning") == 1
