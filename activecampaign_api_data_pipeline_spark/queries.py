@@ -1860,6 +1860,10 @@ def k_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = TableStore(spark, tempfile.mkdtemp(prefix="acdp_diff_"), n_buckets=8)
     store.persist(run1, "events", ["user_id", "event_type"], run_id="r1",
                   updated_col="_upd", extracted_at="2020-06-01 00:00:00")
+    # checkpoint the r1 dedup state: the r1 side of the diff restores it
+    # directly (zero bronze replay) and the r2 side replays only r2's
+    # delta — the intended production shape for snapshot diffs
+    store.checkpoint_asof("events", "r1", ["user_id", "event_type"])
     store.persist(run2, "events", ["user_id", "event_type"], run_id="r2",
                   updated_col="_upd", extracted_at="2020-06-02 00:00:00")
     return store.gold_diff(
