@@ -477,6 +477,107 @@ def cross_split_contamination(
     )
 
 
+def decontam_store_build(
+    test_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    max_df: int | None = 1000,
+) -> None:
+    """Persist the benchmark/eval side of decontamination ONCE so every
+    future training batch can be checked without re-shingling the eval
+    sets: ``postings`` (test_id, shingle-hash) with shingles hot WITHIN
+    the eval corpus (df > ``max_df``) dropped, ``sizes`` (test_id,
+    n_test — the surviving set size the containment denominator needs),
+    and a ``params.json`` sidecar (ngram, max_df) that
+    :func:`incremental_decontaminate` validates so a batch is never
+    checked with mismatched shingling. Rebuild = overwrite; the sidecar
+    is invalidated first and written last (same crash contract as the
+    ANN index build).
+
+    The hot cut here is test-side-only — the batch (train) side is
+    unbounded and unknown at build time. That differs from
+    :func:`cross_split_contamination`'s both-sides cut exactly when a
+    shingle is rare in the eval sets but hot in training data; such a
+    shingle costs O(df_train × df_test_small) in the join, which the
+    per-batch bound keeps linear in batch size.
+    """
+    import json as _json
+
+    spark = test_docs.sparkSession
+    spark.createDataFrame(
+        [(_json.dumps({"_building_": True}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    te = (
+        _shingle_sets(test_docs, id_col, text_col, ngram)
+        .select(F.col("doc_id").alias("test_id"), F.explode("shingles").alias("s"))
+        .select("test_id", F.xxhash64(F.col("s")).alias("shingle"))
+    )
+    if max_df is not None:
+        hot = (
+            te.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        te = te.join(F.broadcast(hot), "shingle", "left_anti")
+    te = te.localCheckpoint(eager=True)  # two writes + sizes, one computation
+    te.write.mode("overwrite").parquet(f"{path}/postings")
+    te.groupBy("test_id").agg(F.count("*").alias("n_test")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sizes")
+    spark.createDataFrame(
+        [(_json.dumps({"ngram": ngram, "max_df": max_df}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+
+
+def incremental_decontaminate(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Check a NEW training batch against the persisted eval-set store —
+    the per-ingest decontamination gate: shingle the batch (params from
+    the store sidecar), join against the stored postings, flag batch
+    docs whose containment of any eval doc ≥ ``threshold``.
+
+    Read-only against the store, so replays are trivially idempotent;
+    cost is O(batch shingles + posting collisions) and the eval corpora
+    are never re-read. Returns (train_id, test_id, n_common,
+    containment) like the batch operator.
+    """
+    import json as _json
+
+    spark = new_docs.sparkSession
+    raw = spark.read.text(f"{path}/params.json").collect()[0][0]
+    params = _json.loads(raw)
+    if "ngram" not in params:
+        raise ValueError(f"decontam store at {path} is incomplete (mid-rebuild?)")
+    tr = (
+        _shingle_sets(new_docs, id_col, text_col, int(params["ngram"]))
+        .select(F.col("doc_id").alias("train_id"), F.explode("shingles").alias("s"))
+        .select("train_id", F.xxhash64(F.col("s")).alias("shingle"))
+    )
+    te = spark.read.parquet(f"{path}/postings")
+    sizes = spark.read.parquet(f"{path}/sizes")
+    common = (
+        tr.join(te, "shingle")
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes, "test_id")
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_test").cast("double"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("train_id", "test_id", "n_common", "containment")
+    )
+
+
 def _banded(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """Explode a signature frame into (doc_id, band, bh) band-hash rows —
     shared by the in-session LSH and the persisted signature store."""

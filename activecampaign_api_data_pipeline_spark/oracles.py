@@ -1738,6 +1738,38 @@ SELECT lang, n_docs, p_raw,
 FROM pw
 """
 
+    # decontamination via the persisted eval-set store: same containment
+    # computation as llm_decontaminate but the hot-shingle cut is
+    # TEST-side-only (the store is built before any training batch exists)
+    o["llm_decontam_store"] = r"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(concat('0x', substr(md5(concat_ws('||', 'split', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 9000
+              THEN 'train' ELSE 'other' END AS grp
+  FROM documents
+),
+toks AS (SELECT doc_id, grp, regexp_split_to_array(trim(text), '\s+') AS t FROM sp),
+sh AS (
+  SELECT doc_id, grp,
+         list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' '))
+         ) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, grp, unnest(shingles) AS shingle FROM sh),
+te0 AS (SELECT doc_id AS test_id, shingle FROM ex WHERE grp <> 'train'),
+hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM te0 GROUP BY shingle) WHERE c > 1000),
+te AS (SELECT te0.* FROM te0 ANTI JOIN hot USING (shingle)),
+tr AS (SELECT doc_id AS train_id, shingle FROM ex WHERE grp = 'train'),
+tsz AS (SELECT test_id, count(*) AS n_test FROM te GROUP BY test_id),
+cm AS (SELECT train_id, test_id, count(*) AS n_common FROM tr JOIN te USING (shingle) GROUP BY train_id, test_id)
+SELECT train_id, test_id, n_common,
+       round(n_common / CAST(n_test AS DOUBLE), 6) AS containment
+FROM cm JOIN tsz USING (test_id)
+WHERE round(n_common / CAST(n_test AS DOUBLE), 6) >= 0.5
+"""
+
     # per-source token-budget sampling: deterministic hash admission order,
     # cumulative-including-current <= budget (window sum cast BIGINT)
     o["llm_token_budget_sample"] = r"""

@@ -1872,6 +1872,29 @@ def k_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_decontam_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a PERSISTED eval-set store: build the
+    store from the held-out split once (postings + sizes + params
+    sidecar), then check the train split as an arriving batch —
+    the per-ingest gate shape (store is read-only at check time; the
+    eval corpora are never re-shingled). Hot-shingle cut is
+    test-side-only, the store-build semantics."""
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        decontam_store_build,
+        incremental_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", "text", split_assign("doc_id"))
+    test = s.filter(F.col("split") != "train")
+    train = s.filter(F.col("split") == "train")
+    path = tempfile.mkdtemp(prefix="acdp_decontam_") + "/store"
+    decontam_store_build(test, path, ngram=3, max_df=1000)
+    return incremental_decontaminate(train, path, threshold=0.5)
+
+
 # Registry ORDER is part of the driver contract: the correctness gate checks
 # the FIRST 50 entries only.
 #
@@ -1905,6 +1928,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_mixture_temperature": llm_mixture_temperature,
     "llm_token_budget_sample": llm_token_budget_sample,
     "k_dataset_diff": k_dataset_diff,
+    "llm_decontam_store": llm_decontam_store,
     "k_gold_asof": k_gold_asof,
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "sim_cosine_topk": sim_cosine_topk,
@@ -1946,9 +1970,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_stream_dedup": t_stream_dedup,
     "t_stream_interval_join": t_stream_interval_join,
     "t_stream_topn": t_stream_topn,
-    "t_stream_append": t_stream_append,
     # ---- past the 50-entry window: r5-green, operator functions
     #      untouched this round, typed-replica green locally ----
+    "t_stream_append": t_stream_append,
     "t_stream_window_hourly": t_stream_window_hourly,
     "t_sessionize": t_sessionize,
     "q1_pricing_summary": q1_pricing_summary,

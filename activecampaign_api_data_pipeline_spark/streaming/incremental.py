@@ -465,6 +465,47 @@ def stream_into_packed_shards(
     return writer.start()
 
 
+def stream_decontaminate(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    flags_out: str,
+    threshold: float = 0.5,
+    trigger_available_now: bool = True,
+):
+    """Continuous decontamination gate: every micro-batch of training
+    documents is checked against the persisted eval-set store
+    (:func:`~...operators.dedup.incremental_decontaminate` — build it
+    once with ``decontam_store_build``) and flagged pairs land under
+    ``flags_out`` partitioned by batch_id (dynamic overwrite →
+    exactly-once under replay; the check itself is read-only against the
+    store). Per (train, test) pair the containment depends only on that
+    train doc and the frozen store, so the union of per-batch flags
+    equals the one-shot batch check — arrival order never matters."""
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        incremental_decontaminate,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flags = incremental_decontaminate(batch_df, path, threshold=threshold)
+        (
+            flags.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(flags_out)
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def minhash_sink_batch(
     batch_df: DataFrame,
     batch_id: int,

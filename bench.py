@@ -98,6 +98,7 @@ HEADLINE = [
     "k_gold_ckpt_asof",
     "llm_token_budget_sample",
     "k_dataset_diff",
+    "llm_decontam_store",
 ]
 
 

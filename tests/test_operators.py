@@ -249,3 +249,44 @@ def test_minhash_store_crash_between_appends_recovers(spark, tmp_path):
     batch = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta epsilon zeta")])
     pairs = incremental_minhash_pairs(batch, path, threshold=0.5)
     assert {r["doc_b"] for r in pairs.collect()} == {100} and pairs.count() == 3
+
+
+def test_decontam_store_incremental_equals_one_shot(spark, tmp_path):
+    """Per-(train,test) containment depends only on that train doc and the
+    frozen store, so checking batches independently must equal one shot
+    over their union; the params sidecar rejects a mid-rebuild store."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        decontam_store_build,
+        incremental_decontaminate,
+    )
+
+    bench = "the quick brown fox jumps over the lazy dog again and again"
+    test_docs = spark.createDataFrame(
+        [Row(doc_id=900, text=bench), Row(doc_id=901, text="completely unrelated benchmark text here okay")]
+    )
+    train_rows = [
+        Row(doc_id=1, text="prefix words " + bench + " suffix words"),  # contains 900
+        Row(doc_id=2, text="the quick brown fox jumps over something else entirely"),  # partial
+        Row(doc_id=3, text="nothing in common with any benchmark document at all"),
+        Row(doc_id=4, text=bench),  # exact copy of 900
+    ]
+    path = str(tmp_path / "store")
+    decontam_store_build(test_docs, path, ngram=3, max_df=None)
+
+    def rows(df):
+        return sorted((r["train_id"], r["test_id"], r["n_common"], r["containment"]) for r in df.collect())
+
+    whole = rows(incremental_decontaminate(spark.createDataFrame(train_rows), path, threshold=0.5))
+    split = rows(incremental_decontaminate(spark.createDataFrame(train_rows[:2]), path, threshold=0.5))
+    split += rows(incremental_decontaminate(spark.createDataFrame(train_rows[2:]), path, threshold=0.5))
+    assert sorted(split) == whole
+    assert {t[0] for t in whole} == {1, 4}  # the two containing docs flagged
+    # params guard: a mid-rebuild sidecar refuses checks
+    spark.createDataFrame([('{"_building_": true}',)], "p string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/params.json")
+    with _pytest.raises(ValueError, match="incomplete"):
+        incremental_decontaminate(spark.createDataFrame(train_rows[:1]), path)

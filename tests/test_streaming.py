@@ -621,3 +621,51 @@ def test_packed_shards_incremental_equals_batch_and_replays(spark, tmp_path):
         return d
 
     assert shard_tokens(got_s) == shard_tokens(want)
+
+
+def test_stream_decontaminate_flags_match_batch(spark, tmp_path):
+    """Streaming decontamination: flags accumulated across micro-batches
+    equal the one-shot check over the whole stream (read-only store ->
+    arrival order can't matter), partitioned by batch_id."""
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        decontam_store_build,
+        incremental_decontaminate,
+    )
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_decontaminate,
+    )
+
+    bench = "one two three four five six seven eight nine ten"
+    test_docs = spark.createDataFrame([Row(doc_id=900, text=bench)])
+    store = str(tmp_path / "store")
+    decontam_store_build(test_docs, store, ngram=3, max_df=None)
+
+    train_rows = [
+        Row(doc_id=1, text=bench + " extra tail"),
+        Row(doc_id=2, text="unrelated content that matches nothing at all truly"),
+        Row(doc_id=3, text="zero one two three four five six seven eight nine ten end"),
+    ]
+    src = str(tmp_path / "src")
+    for r in train_rows:
+        spark.createDataFrame([r]).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flags_out = str(tmp_path / "flags")
+    q = stream_decontaminate(stream, store, checkpoint=str(tmp_path / "ckpt"), flags_out=flags_out)
+    q.awaitTermination(180)
+    got = sorted(
+        (r["train_id"], r["test_id"], r["n_common"], r["containment"])
+        for r in spark.read.parquet(flags_out).collect()
+    )
+    want = sorted(
+        (r["train_id"], r["test_id"], r["n_common"], r["containment"])
+        for r in incremental_decontaminate(
+            spark.createDataFrame(train_rows), store, threshold=0.5
+        ).collect()
+    )
+    assert got == want and {t[0] for t in got} == {1, 3}
