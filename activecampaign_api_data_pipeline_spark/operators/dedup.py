@@ -532,6 +532,32 @@ def decontam_store_build(
     ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
 
 
+def ensure_decontam_store(
+    test_docs: DataFrame,
+    path: str,
+    ngram: int = 3,
+    max_df: int | None = 1000,
+    **build_kw,
+) -> str:
+    """Build the eval-set store at ``path`` unless a complete one with the
+    SAME (ngram, max_df) already exists — the build-once/check-many shape
+    (same ensure semantics as ``ensure_ann_index``: the sidecar is the
+    completeness marker, a mid-rebuild `_building_` sidecar or a param
+    mismatch triggers a rebuild)."""
+    import json as _json
+
+    spark = test_docs.sparkSession
+    try:
+        raw = spark.read.text(f"{path}/params.json").collect()[0][0]
+        existing = _json.loads(raw)
+        if existing.get("ngram") == ngram and existing.get("max_df") == max_df:
+            return path
+    except Exception:
+        pass  # absent or unreadable -> build
+    decontam_store_build(test_docs, path, ngram=ngram, max_df=max_df, **build_kw)
+    return path
+
+
 def incremental_decontaminate(
     new_docs: DataFrame,
     path: str,

@@ -1879,10 +1879,11 @@ def llm_decontam_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-ingest gate shape (store is read-only at check time; the
     eval corpora are never re-shingled). Hot-shingle cut is
     test-side-only, the store-build semantics."""
+    import hashlib
     import tempfile
 
     from activecampaign_api_data_pipeline_spark.operators.dedup import (
-        decontam_store_build,
+        ensure_decontam_store,
         incremental_decontaminate,
     )
 
@@ -1890,8 +1891,11 @@ def llm_decontam_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select("doc_id", "text", split_assign("doc_id"))
     test = s.filter(F.col("split") != "train")
     train = s.filter(F.col("split") == "train")
-    path = tempfile.mkdtemp(prefix="acdp_decontam_") + "/store"
-    decontam_store_build(test, path, ngram=3, max_df=1000)
+    # build-once/check-many: the store path is keyed by dataset + params
+    # (the ANN-index ensure pattern), so repeated runs pay only the check
+    key = hashlib.md5(f"{sf_dir}|ngram=3|max_df=1000".encode()).hexdigest()[:16]
+    path = f"{tempfile.gettempdir()}/acdp_decontam_{key}/store"
+    ensure_decontam_store(test, path, ngram=3, max_df=1000)
     return incremental_decontaminate(train, path, threshold=0.5)
 
 

@@ -290,3 +290,35 @@ def test_decontam_store_incremental_equals_one_shot(spark, tmp_path):
     ).text(f"{path}/params.json")
     with _pytest.raises(ValueError, match="incomplete"):
         incremental_decontaminate(spark.createDataFrame(train_rows[:1]), path)
+
+
+def test_ensure_decontam_store_skips_and_rebuilds(spark, tmp_path):
+    """Matching params reuse the store untouched; a param change or a
+    mid-rebuild sidecar triggers a rebuild."""
+    import os
+
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        ensure_decontam_store,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e f g h")])
+    path = str(tmp_path / "store")
+    ensure_decontam_store(docs, path, ngram=3, max_df=100)
+
+    def postings_mtime():
+        d = f"{path}/postings"
+        return max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+
+    m1 = postings_mtime()
+    ensure_decontam_store(docs, path, ngram=3, max_df=100)  # match -> no-op
+    assert postings_mtime() == m1
+    ensure_decontam_store(docs, path, ngram=2, max_df=100)  # mismatch -> rebuild
+    assert postings_mtime() > m1
+    m2 = postings_mtime()
+    spark.createDataFrame([('{"_building_": true}',)], "p string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/params.json")
+    ensure_decontam_store(docs, path, ngram=2, max_df=100)  # mid-rebuild -> rebuild
+    assert postings_mtime() > m2
