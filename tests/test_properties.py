@@ -104,3 +104,71 @@ def test_pack_sequences_properties(spark):
             assert seqs == sorted(seqs)  # monotone along the stream
 
     prop()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["s0", "s1", "s2"]), st.integers(1, 40)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(20, 120),
+)
+def test_token_budget_sample_properties(spark, rows, budget):
+    """Invariants for any corpus/budget: (1) every admitted doc's cumsum
+    (including itself) is <= budget, (2) the admitted set per stratum is
+    exactly the maximal prefix of the hash-order whose running total fits
+    — i.e. the first rejected doc would have overflowed."""
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
+    from activecampaign_api_data_pipeline_spark.operators.curation import (
+        token_budget_sample,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([Row(doc_id=i, source=s, n_tokens=n) for i, s, n in rows])
+    out = token_budget_sample(docs, budget=budget, stratum_col="source").collect()
+    assert all(r["cum_tokens"] <= budget for r in out)
+    # python reference: per-stratum hash order, greedy prefix
+    hashed = docs.select(
+        "doc_id", "source", "n_tokens",
+        hash60(F.concat_ws("||", F.lit("budget"), F.col("doc_id").cast("string"))).alias("h"),
+    ).collect()
+    want = set()
+    by_stratum = {}
+    for r in sorted(hashed, key=lambda r: (r["source"], r["h"], r["doc_id"])):
+        tot = by_stratum.get(r["source"], 0) + r["n_tokens"]
+        by_stratum[r["source"]] = tot  # running total advances even past budget
+        if tot <= budget:
+            want.add(r["doc_id"])
+    # NOTE the reference above keeps accumulating after overflow, exactly
+    # like the window cumsum does (truncation drops docs, it does not
+    # reset the stream)
+    assert {r["doc_id"] for r in out} == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_gold_diff_self_is_empty(spark, tmp_path_factory, rows):
+    """diff(run, run) is always empty — no churn against itself."""
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.storage import TableStore
+
+    store = TableStore(
+        spark, str(tmp_path_factory.mktemp("lake")), n_buckets=2
+    )
+    df = spark.createDataFrame([Row(id=i, v=v, ts="2020-01-01") for i, v in rows])
+    store.persist(df, "t", ["id"], run_id="r1", updated_col="ts",
+                  extracted_at="2020-01-01 00:00:00")
+    assert store.gold_diff("t", "r1", "r1", ["id"], updated_col="ts").count() == 0
