@@ -215,9 +215,14 @@ def frame_dedup_pairs(
     """
     from pyspark.sql import functions as F
 
-    fh = frames.select(
-        F.col(id_col).alias("mid"), F.md5(F.col(frame_col)).alias("fh")
-    ).distinct()
+    # persist: fh feeds FOUR consumers (sizes, hot cut, both join sides);
+    # without it each consumer re-runs the Arrow frame-sampling kernel —
+    # the expensive Python stage — once per branch
+    fh = (
+        frames.select(F.col(id_col).alias("mid"), F.md5(F.col(frame_col)).alias("fh"))
+        .distinct()
+        .persist()
+    )
     sizes = fh.groupBy("mid").agg(F.count("*").alias("n_frames"))
     hot = fh.groupBy("fh").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
     cold = fh.join(hot, "fh", "left_anti")
