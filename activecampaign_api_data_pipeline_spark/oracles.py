@@ -1738,6 +1738,58 @@ SELECT lang, n_docs, p_raw,
 FROM pw
 """
 
+    # hourly forward-fill grid per user (resample + ffill); grid bounded
+    # by each user's own first/last event hour
+    o["t_gapfill_forward"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+         date_trunc('hour', ts) AS h
+  FROM events
+),
+hv AS (
+  SELECT user_id, h, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, h
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hv GROUP BY user_id),
+g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+j AS (
+  SELECT g.user_id, g.h, hv.v
+  FROM g LEFT JOIN hv ON g.user_id = hv.user_id AND g.h = hv.h
+)
+SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(last_value(v IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS value
+FROM j
+"""
+
+    # data-quality expectations report: one row per check
+    o["k_dq_report"] = """
+SELECT 'null_name' AS check, 'customer' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM customer WHERE c_name IS NULL
+UNION ALL
+SELECT 'dup_pk', 'orders', CAST(count(*) AS BIGINT) FROM (
+  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+)
+UNION ALL
+SELECT 'orphan_fk_custkey', 'orders', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'nonpositive_quantity', 'lineitem', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'negative_price', 'lineitem', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_extendedprice < 0
+UNION ALL
+SELECT 'discount_over_8pct', 'lineitem', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_discount > 0.08
+"""
+
     # decontamination via the persisted eval-set store: same containment
     # computation as llm_decontaminate but the hot-shingle cut is
     # TEST-side-only (the store is built before any training batch exists)

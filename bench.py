@@ -99,6 +99,8 @@ HEADLINE = [
     "llm_token_budget_sample",
     "k_dataset_diff",
     "llm_decontam_store",
+    "t_gapfill_forward",
+    "k_dq_report",
 ]
 
 

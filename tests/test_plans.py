@@ -268,3 +268,13 @@ def test_token_budget_sample_single_stratum_shuffle(spark):
     assert "EvalPython" not in p
     assert "Join" not in p
     assert p.count("hashpartitioning") == 1
+
+
+def test_gapfill_latest_per_hour_group_limit(spark):
+    # the hourly latest-per-(user,hour) must plan as WindowGroupLimit;
+    # the grid explode is generated from the bounds rows, adding no
+    # Python and no cartesian
+    p = _plan(spark, "t_gapfill_forward")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
