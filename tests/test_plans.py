@@ -278,3 +278,36 @@ def test_gapfill_latest_per_hour_group_limit(spark):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_registry_window_policy_invariants():
+    # the driver checks the FIRST 50 registry entries; these invariants
+    # keep the rotation policy mechanically honest: a full window, every
+    # window entry oracle-backed, and the bench prefix frozen append-only
+    import __spark_entry__ as E
+    from bench import HEADLINE
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    names = list(qs)
+    assert len(names) >= 50
+    missing = [k for k in names[:50] if k not in os_]
+    assert not missing, f"window entries without oracles: {missing}"
+    assert set(HEADLINE) <= set(names)
+    # r5 frozen 44-query bench prefix (BASELINE.md) — append-only
+    r5_prefix = [
+        "flagship_chatter", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_revenue_by_nation", "j1_broadcast_enrich", "j_asof_last_order",
+        "j_range_events_in_window", "w1_latest_per_key", "w_running_analytics",
+        "a5_set_rollup", "a1_exact_dedup", "k2_medallion_snapshot",
+        "t_window_hourly", "t_stream_window_hourly", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "sim_cosine_topk",
+        "sim_embedding_neardup", "mm_image_features", "text_lang_id",
+        "text_quality", "text_winnowing", "q_semi_join", "q_anti_join",
+        "mm_audio_energy", "llm_corpus_prep", "t_sessionize", "sim_pq_topk",
+        "dedup_cluster_canonical", "sim_ivfpq_topk", "llm_decontaminate",
+        "llm_corpus_pipeline", "sim_ivfpq_from_index", "sim_ann_index_nprobe1",
+        "llm_pack_sequences", "llm_mixture_sample", "a_kmv_distinct_tokens",
+        "text_repetition", "sim_semantic_dedup", "llm_curation_pipeline",
+        "w_scd2_intervals", "sim_ann_index_refine", "mm_video_neardup",
+    ]
+    assert HEADLINE[:44] == r5_prefix, "frozen bench prefix was reordered"
