@@ -1891,9 +1891,16 @@ def llm_decontam_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select("doc_id", "text", split_assign("doc_id"))
     test = s.filter(F.col("split") != "train")
     train = s.filter(F.col("split") == "train")
-    # build-once/check-many: the store path is keyed by dataset + params
-    # (the ANN-index ensure pattern), so repeated runs pay only the check
-    key = hashlib.md5(f"{sf_dir}|ngram=3|max_df=1000".encode()).hexdigest()[:16]
+    # build-once/check-many: the store path is keyed by source fingerprint
+    # (path + mtime, the _ann_index_path pattern — regenerated data is a
+    # NEW path, never a stale hit) + params
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    mt = int(os.path.getmtime(src))
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{mt}|ngram=3|max_df=1000".encode()
+    ).hexdigest()[:16]
     path = f"{tempfile.gettempdir()}/acdp_decontam_{key}/store"
     ensure_decontam_store(test, path, ngram=3, max_df=1000)
     return incremental_decontaminate(train, path, threshold=0.5)
