@@ -122,15 +122,17 @@ def compact_artifact(
     ``ceil(bytes / target_bytes_per_file)`` files — sized for row-group
     locality at scale, not a blind ``coalesce(1)``.
 
-    Crash-safe swap (no reader ever sees duplicates): write the compacted
-    copy to ``{path}__compacting``, rename the live dir to ``{path}__old``,
-    rename staging into place, delete ``__old``. Every invocation heals a
-    previous crash first: a dangling staging dir is discarded (its data is
-    still fully present in the live dir), a missing live dir with staging
-    present is the between-renames window (complete the swap), a leftover
-    ``__old`` beside a live dir is post-swap garbage (delete). The only
-    contract is single-writer — the same contract the appending sinks
-    already require.
+    Crash-safe swap (no reader ever sees duplicated or partial DATA):
+    write the compacted copy to ``{path}__compacting``, rename the live
+    dir to ``{path}__old``, rename staging into place, delete ``__old``.
+    Every invocation heals a previous crash first: a dangling staging dir
+    is discarded (its data is still fully present in the live dir), a
+    missing live dir with staging present is the between-renames window
+    (complete the swap), a leftover ``__old`` beside a live dir is
+    post-swap garbage (delete). Contract: single WRITER (the same
+    contract the appending sinks already require); an external reader
+    racing the two renames can observe a brief path-not-found and should
+    retry — it can never observe duplicate or partial rows.
     """
     jvm = spark._jvm
     jsc = spark._jsc
