@@ -194,6 +194,50 @@ def audio_window_energy(media: DataFrame, window_ms: int = 250) -> DataFrame:
     )
 
 
+def audio_fingerprint_pairs(
+    media: DataFrame,
+    window_ms: int = 25,
+    q_levels: int = 16,
+    ngram: int = 4,
+    min_shared: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Audio near-dup via acoustic fingerprinting (public
+    envelope-hashing idea, Shazam-style reduced to energy): per-window
+    RMS (:func:`audio_window_energy`) quantized to ``q_levels`` buckets,
+    then ``ngram`` consecutive buckets hash into one fingerprint — two
+    recordings sharing ≥ ``min_shared`` fingerprints are near-dup
+    candidates, scored by distinct-fingerprint containment.
+
+    Reuses the postings machinery of :func:`frame_dedup_pairs` (hot cut,
+    pair join, containment), so the shuffle carries 16-byte hashes only.
+    The per-media envelope array is bounded by media duration (windows =
+    duration/window_ms), which bounds the ``collect_list``; quantization
+    rides the 6-dp-rounded RMS so the fingerprints are cross-engine
+    reproducible.
+    """
+    from pyspark.sql import functions as F
+
+    en = audio_window_energy(media, window_ms=window_ms)
+    seq = en.select(
+        "media_id",
+        "window_idx",
+        F.floor(F.round(F.col("rms"), 6) * q_levels).cast("int").alias("q"),
+    )
+    arr = seq.groupBy("media_id").agg(
+        F.array_sort(F.collect_list(F.struct("window_idx", "q"))).alias("s")
+    )
+    qarr = F.transform(F.col("s"), lambda x: x["q"].cast("string"))
+    m = F.greatest(F.size(qarr) - F.lit(ngram - 1), F.lit(0))
+    acc = F.slice(qarr, 1, m)
+    for j in range(2, ngram + 1):
+        acc = F.zip_with(acc, F.slice(qarr, j, m), lambda a, b: F.concat_ws(",", a, b))
+    fps = arr.select("media_id", F.explode(acc).alias("fp"))
+    return frame_dedup_pairs(
+        fps, frame_col="fp", min_shared=min_shared, max_df=max_df
+    )
+
+
 def frame_dedup_pairs(
     frames: DataFrame,
     id_col: str = "media_id",

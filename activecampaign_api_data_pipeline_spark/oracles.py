@@ -1304,6 +1304,43 @@ SELECT media_id, CAST(widx AS INTEGER) AS window_idx, round(sqrt(avg(x * x)), 6)
 FROM v GROUP BY media_id, widx
 """
 
+    # acoustic fingerprints: 2ms windows (16 samples at sr=8000), RMS
+    # rounded to 6dp, q = floor(rms*16), 4-window shingle md5s, postings
+    # pair join with hot cap df > 100, shared >= 3
+    o["mm_audio_neardup"] = """
+WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+w AS (SELECT media_id, text, n // 16 AS n_win FROM m WHERE n // 16 >= 1),
+i AS (SELECT media_id, text, unnest(generate_series(0, n_win - 1)) AS widx FROM w),
+s AS (SELECT media_id, widx, text, unnest(generate_series(1, 16)) AS k FROM i),
+v AS (SELECT media_id, widx,
+             (ord(substr(text, CAST(widx * 16 + k AS INTEGER), 1)) - 128.0) / 128.0 AS x
+      FROM s),
+e AS (SELECT media_id, widx, round(sqrt(avg(x * x)), 6) AS rms
+      FROM v GROUP BY media_id, widx),
+q AS (SELECT media_id, widx, CAST(floor(rms * 16) AS INTEGER) AS qv FROM e),
+l AS (SELECT media_id, list(qv ORDER BY widx) AS ql FROM q GROUP BY media_id),
+fp0 AS (
+  SELECT media_id,
+         unnest(list_transform(generate_series(1, len(ql) - 3),
+                i -> md5(concat_ws(',', ql[i], ql[i+1], ql[i+2], ql[i+3])))) AS fp
+  FROM l WHERE len(ql) >= 4
+),
+f AS (SELECT DISTINCT media_id, fp AS fh FROM fp0),
+sizes AS (SELECT media_id, count(*) AS nf FROM f GROUP BY media_id),
+hot AS (SELECT fh FROM (SELECT fh, count(*) AS df FROM f GROUP BY fh) WHERE df > 100),
+cold AS (SELECT f.* FROM f ANTI JOIN hot USING (fh)),
+sh AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+  FROM cold a JOIN cold b ON a.fh = b.fh AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared AS INTEGER) AS shared,
+       round(CAST(shared AS DOUBLE) / least(sa.nf, sb.nf), 6) AS containment
+FROM sh JOIN sizes sa ON sh.id_a = sa.media_id
+        JOIN sizes sb ON sh.id_b = sb.media_id
+WHERE shared >= 3
+"""
+
     # mirrors sample_frames(every_ms=500) + frame_dedup_pairs(min_shared=2,
     # max_df=100): n_frames = duration_ms // 500, frame = fixed byte slice,
     # fh = md5 (ASCII corpus: string md5 == binary md5), distinct per media

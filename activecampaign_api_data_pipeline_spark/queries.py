@@ -1344,6 +1344,21 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_dedup_pairs(frames, min_shared=2, max_df=100)
 
 
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via envelope fingerprints: 2 ms RMS windows
+    quantized to 16 levels, 4-window shingle hashes, postings join with
+    the hot cap — recordings sharing >= 3 fingerprints, containment
+    scored (the acoustic twin of the video frame-hash dedup)."""
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+    )
+
+    media = _media_from_docs(spark, sf_dir, "audio")
+    return audio_fingerprint_pairs(
+        media, window_ms=2, q_levels=16, ngram=4, min_shared=3, max_df=100
+    )
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode (stub) → 16-bin intensity histogram, exploded per bin."""
     from activecampaign_api_data_pipeline_spark.operators.multimodal import (
@@ -2024,6 +2039,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_decontam_store": llm_decontam_store,
     "t_gapfill_forward": t_gapfill_forward,
     "k_dq_report": k_dq_report,
+    "mm_audio_neardup": mm_audio_neardup,
     "k_gold_asof": k_gold_asof,
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "sim_cosine_topk": sim_cosine_topk,
@@ -2062,9 +2078,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_index_refine": sim_ann_index_refine,
     "t_incremental_replay": t_incremental_replay,
     "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
-    "t_stream_dedup": t_stream_dedup,
     # ---- past the 50-entry window: r5-green, operator functions
     #      untouched this round, typed-replica green locally ----
+    "t_stream_dedup": t_stream_dedup,
     "t_stream_interval_join": t_stream_interval_join,
     "t_stream_topn": t_stream_topn,
     "t_stream_append": t_stream_append,

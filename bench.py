@@ -101,6 +101,7 @@ HEADLINE = [
     "llm_decontam_store",
     "t_gapfill_forward",
     "k_dq_report",
+    "mm_audio_neardup",
 ]
 
 

@@ -311,3 +311,12 @@ def test_registry_window_policy_invariants():
         "w_scd2_intervals", "sim_ann_index_refine", "mm_video_neardup",
     ]
     assert HEADLINE[:44] == r5_prefix, "frozen bench prefix was reordered"
+
+
+def test_audio_neardup_no_cartesian_arrow_only(spark):
+    # fingerprint postings join must stay a hash join on the 16-byte
+    # hash; the only Python is the Arrow energy kernel
+    p = _plan(spark, "mm_audio_neardup")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" in p
