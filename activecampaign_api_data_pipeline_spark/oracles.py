@@ -1775,6 +1775,27 @@ SELECT lang, n_docs, p_raw,
 FROM pw
 """
 
+    # trailing 1-hour RANGE window per user over second-truncated epochs
+    # (Spark unix_timestamp truncates; floor(epoch()) matches); sums in
+    # DECIMAL, counts cast BIGINT (window count is BIGINT in DuckDB but
+    # the sum would be HUGEINT — cast both for safety)
+    o["w_trailing_1h"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, {TS} AS ts_str,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT user_id, event_id, ts_str,
+       CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_1h_sum,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ep
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_1h_n
+FROM e
+"""
+
     # hourly forward-fill grid per user (resample + ffill); grid bounded
     # by each user's own first/last event hour
     o["t_gapfill_forward"] = """

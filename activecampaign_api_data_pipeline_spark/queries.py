@@ -2003,6 +2003,35 @@ def k_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def w_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed trailing window: per user, the sum and count of event
+    values in the 1-hour interval ending at each event — the sliding
+    time-window aggregate (rate limiting, rolling metrics) expressed as
+    a range frame over epoch seconds, NOT a rows frame: ties and gaps in
+    event times are handled by the frame bound, no self-join, one
+    shuffle on the user key. Sums stay in DECIMAL for cross-engine
+    exactness."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts_str"),
+        F.unix_timestamp("ts").alias("epoch"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch").asc())
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_str",
+        F.sum("v").over(w).cast("double").alias("trailing_1h_sum"),
+        F.count("*").over(w).cast("long").alias("trailing_1h_n"),
+    )
+
+
 # Registry ORDER is part of the driver contract: the correctness gate checks
 # the FIRST 50 entries only.
 #
@@ -2040,6 +2069,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_gapfill_forward": t_gapfill_forward,
     "k_dq_report": k_dq_report,
     "mm_audio_neardup": mm_audio_neardup,
+    "w_trailing_1h": w_trailing_1h,
     "k_gold_asof": k_gold_asof,
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "sim_cosine_topk": sim_cosine_topk,
@@ -2077,9 +2107,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_running_analytics": w_running_analytics,
     "sim_ann_index_refine": sim_ann_index_refine,
     "t_incremental_replay": t_incremental_replay,
-    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
     # ---- past the 50-entry window: r5-green, operator functions
     #      untouched this round, typed-replica green locally ----
+    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
     "t_stream_dedup": t_stream_dedup,
     "t_stream_interval_join": t_stream_interval_join,
     "t_stream_topn": t_stream_topn,

@@ -102,6 +102,7 @@ HEADLINE = [
     "t_gapfill_forward",
     "k_dq_report",
     "mm_audio_neardup",
+    "w_trailing_1h",
 ]
 
 

@@ -320,3 +320,12 @@ def test_audio_neardup_no_cartesian_arrow_only(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "MapInPandas" in p
+
+
+def test_trailing_range_window_single_shuffle(spark):
+    # the trailing 1h aggregate is ONE hash exchange on the user key —
+    # a range frame, never a time self-join
+    p = _plan(spark, "w_trailing_1h")
+    assert "Join" not in p
+    assert p.count("hashpartitioning") == 1
+    assert "EvalPython" not in p
