@@ -377,3 +377,62 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style hashed importance scores for domain-targeted data
+    selection (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — public method, re-expressed declaratively).
+
+    Tokens hash into ``n_buckets`` feature buckets; each bucket's weight
+    is the target-vs-raw frequency ratio; a raw document's score is the
+    sum of its tokens' bucket weights. Deviations from the paper, both
+    determinism-motivated: the log-ratio becomes an exact integer
+    parts-per-million ratio ``(t_cnt * 1_000_000) div (r_cnt + 1)`` so
+    scores are BIGINT-exact across engines (float log sums are
+    order-sensitive), and selection is deterministic top-k rather than
+    Gumbel sampling (the repo's sampling primitives already cover
+    randomized selection via hash buckets).
+
+    Plan: one token explode feeds BOTH sides — the bucket-count aggregate
+    collapses to ``n_buckets`` rows map-side (partial agg) and comes back
+    as a broadcast join, so at 100 TB the only data-scale shuffle is the
+    per-document score aggregate. Returns every RAW document scored:
+    (id, n_toks, score) — callers rank/threshold.
+    """
+    toks = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    bucketed = toks.select(
+        F.col(id_col),
+        "_is_target",
+        F.pmod(hash60(F.concat_ws("||", F.lit(salt), F.col("tok"))), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    weights = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("t_cnt"),
+            F.sum(F.when(~F.col("_is_target"), 1).otherwise(0)).alias("r_cnt"),
+        )
+        .select("bucket", F.expr("t_cnt * 1000000 DIV (r_cnt + 1)").alias("w_ppm"))
+    )
+    return (
+        bucketed.filter(~F.col("_is_target"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("w_ppm").alias("score"),
+        )
+    )

@@ -742,3 +742,68 @@ def incremental_minhash_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+def block_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 3,
+) -> DataFrame:
+    """Passage-level (CCNet-style) exact dedup: drop repeated text blocks
+    corpus-wide, keeping the FIRST occurrence, and reassemble each
+    document from its surviving blocks.
+
+    CCNet/RefinedWeb dedup at the paragraph/line level before any
+    document-level pass; the reference pipeline has no analogue (it is
+    row-oriented), so this is part of the LLM-curation extension. The
+    unit here is a fixed ``block_words``-word block (the corpus carries
+    no newline structure), but the shape is the paragraph pipeline:
+    explode -> hash -> global first-occurrence -> reassemble.
+
+    Plan (two shuffles, no joins):
+      1. blocks are built MAP-SIDE from the token array with
+         ``transform(sequence(...), slice(...))`` — no groupBy to form
+         blocks, no Python;
+      2. first-occurrence-wins is a ``row_number`` over the 60-bit block
+         hash ordered by (doc, block index) — plans as WindowGroupLimit,
+         so each shuffle partition pre-prunes to one candidate per hash
+         before the final rank;
+      3. reassembly is a groupBy on the doc id with an order-free
+         ``array_sort(collect_list(struct(bidx, blk)))`` fold.
+
+    At 100 TB the dedup shuffle carries (hash, doc_id, bidx) — the block
+    TEXT rides along only because the survivor must be re-emitted; for a
+    count-only audit drop ``blk`` before the window and the shuffle is
+    24 bytes/row. Collision semantics match :func:`exact_dedup` (60-bit
+    content hash, collisions conflate — documented trade-off).
+
+    Returns one row per document that retains at least one block:
+    (id, n_blocks, n_kept, clean_text).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_blocks = F.ceil(F.size(toks) / F.lit(block_words)).cast("long")
+    blocks = F.transform(
+        F.sequence(F.lit(0), (n_blocks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * block_words + 1, block_words), " "),
+    )
+    exploded = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), n_blocks.alias("n_blocks"), F.posexplode(blocks).alias("bidx", "blk"))
+        .withColumn("bh", hash60(F.col("blk")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("bidx").asc())
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    return kept.groupBy(id_col).agg(
+        F.first("n_blocks").alias("n_blocks"),
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bidx", "blk"))),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -1948,4 +1948,94 @@ r AS (
 SELECT user_id, event_id, event_type, ts_str FROM r WHERE rn = 1
 """
 
+    # CCNet-style passage dedup: 3-word blocks, global first-occurrence
+    # wins on the 60-bit md5 hash, documents reassembled in block order
+    o["dedup_blocks"] = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+         CAST(ceil(len(regexp_split_to_array(trim(text), '\s+')) / 3.0) AS BIGINT)
+           AS n_blocks
+  FROM documents WHERE trim(text) != ''
+),
+b AS (
+  SELECT doc_id, n_blocks, unnest(generate_series(0, n_blocks - 1)) AS bidx, ws
+  FROM d
+),
+blk AS (
+  SELECT doc_id, n_blocks, bidx,
+         array_to_string(ws[bidx * 3 + 1 : bidx * 3 + 3], ' ') AS blk
+  FROM b
+),
+h AS (
+  SELECT *, CAST(concat('0x', substr(md5(blk), 1, 15)) AS BIGINT) AS bh FROM blk
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bh ORDER BY doc_id, bidx) AS rn FROM h
+)
+SELECT doc_id, max(n_blocks) AS n_blocks, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(blk, ' ' ORDER BY bidx) AS clean_text
+FROM r WHERE rn = 1 GROUP BY doc_id
+"""
+
+    # DSIR importance scores: hashed-unigram buckets, integer ppm
+    # target/raw ratio weights, deterministic top-100 of the raw pool
+    o["llm_importance_weights"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) != ''
+),
+b AS (
+  SELECT doc_id, is_t,
+         CAST(concat('0x', substr(md5(concat_ws('||', 'dsir', tok)), 1, 15)) AS BIGINT)
+           % 128 AS bucket
+  FROM toks
+),
+cnt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+  FROM b GROUP BY bucket
+),
+w AS (SELECT bucket, t_cnt * 1000000 // (r_cnt + 1) AS w_ppm FROM cnt),
+ds AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(w_ppm) AS BIGINT) AS score
+  FROM b JOIN w USING (bucket) WHERE NOT is_t GROUP BY doc_id
+),
+top AS (SELECT * FROM ds ORDER BY score DESC, doc_id LIMIT 100)
+SELECT doc_id, n_toks, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM top
+"""
+
+    # weekly cohort retention: cohort = ISO week (Monday-truncated, both
+    # engines) of the user's first event; join-free (min-window cohort,
+    # offset-0 census as cohort size), mirroring the Spark plan
+    o["a_cohort_retention"] = """
+WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+c AS (
+  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM e
+),
+j AS (
+  SELECT user_id, cohort_wk,
+         CAST(date_diff('day', CAST(cohort_wk AS DATE), CAST(wk AS DATE))
+              AS BIGINT) // 7 AS week_offset
+  FROM c
+),
+r AS (
+  SELECT cohort_wk, week_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM j GROUP BY cohort_wk, week_offset
+),
+s AS (
+  SELECT *, CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+                 OVER (PARTITION BY cohort_wk) AS BIGINT) AS cohort_size
+  FROM r
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset, n_users,
+       cohort_size,
+       round(CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS retention
+FROM s
+"""
+
     return o

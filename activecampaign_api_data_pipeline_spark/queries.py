@@ -2032,6 +2032,82 @@ def w_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style passage-level dedup: 3-word blocks deduplicated
+    corpus-wide (first occurrence wins), documents reassembled from the
+    surviving blocks. Two shuffles (block-hash window + doc regroup),
+    zero joins; blocks are built map-side from the token array."""
+    docs = _docs(spark, sf_dir)
+    return DD.block_dedup(docs, block_words=3).select(
+        "doc_id", "n_blocks", "n_kept", "clean_text"
+    )
+
+
+def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: hashed-unigram importance scores of the
+    raw pool against the 'en' target domain, deterministic top-100. The
+    bucket-weight table collapses to 128 rows map-side and broadcasts
+    back; the global top-k is orderBy+limit (TakeOrderedAndProject), the
+    rank window runs on the 100 survivors only."""
+    from activecampaign_api_data_pipeline_spark.operators.curation import importance_weights
+
+    docs = _docs(spark, sf_dir)
+    scored = importance_weights(docs, target_pred=F.col("lang") == "en")
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(100)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "n_toks",
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: users grouped by
+    the ISO week of their first event, distinct-user counts at each week
+    offset, retention as the share of the cohort still active.
+
+    Join-free by construction (no broadcast to outgrow at 100 TB): the
+    cohort week is a min-window over the user's distinct activity weeks,
+    and the cohort size is recovered from the offset-0 row of the tiny
+    (cohort x offset) aggregate — every user is active in their own
+    first week, so offset 0 IS the cohort census."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .distinct()
+    )
+    c = ev.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(Window.partitionBy("user_id")).alias("cohort_wk"),
+    )
+    ret = (
+        c.select(
+            "user_id",
+            "cohort_wk",
+            F.expr("datediff(wk, cohort_wk) DIV 7").alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    wc = Window.partitionBy("cohort_wk")
+    return ret.select(
+        F.date_format("cohort_wk", DATE_FMT).alias("cohort_week"),
+        "week_offset",
+        "n_users",
+        F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(wc).alias(
+            "cohort_size"
+        ),
+        F.round(
+            F.col("n_users")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(wc),
+            6,
+        ).alias("retention"),
+    )
+
+
 # Registry ORDER is part of the driver contract: the correctness gate checks
 # the FIRST 50 entries only.
 #
@@ -2049,11 +2125,14 @@ def w_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      displaced must be r(N-1)-green and locally re-verified
 #      (tools/oracle_replica.py — typed, stricter than the driver hash).
 #
-# r6 window: 6 new + k_gold_asof (never checked) + the 31 entries last
-# checked in r4 + the oracle/cast/pushdown-touched four + the
-# storage/streaming-module family. The dedup batch family sits in the
-# tail: r5-green, operator functions byte-identical this round (only the
-# incremental store half of dedup.py changed), typed-replica green.
+# r6 window: 16 new + k_gold_asof (never checked) + the r4-stale entries
+# + the two r5 hash-fail retries (llm_pack_sequences/llm_curation_pipeline,
+# oracle-touched). Overflow handled per rule 4: the three displaced
+# entries (t_incremental_replay — module-touch only; w_running_analytics,
+# sim_ann_index_refine — function-touched but r5-green and typed-replica
+# green after the touch) rank below new and 2-round-stale. The dedup
+# batch family sits in the tail: r5-green, operator functions
+# byte-identical this round, typed-replica green.
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r6 driver window (first 50) ----
@@ -2070,6 +2149,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_dq_report": k_dq_report,
     "mm_audio_neardup": mm_audio_neardup,
     "w_trailing_1h": w_trailing_1h,
+    "dedup_blocks": dedup_blocks,
+    "llm_importance_weights": llm_importance_weights,
+    "a_cohort_retention": a_cohort_retention,
     "k_gold_asof": k_gold_asof,
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "sim_cosine_topk": sim_cosine_topk,
@@ -2104,11 +2186,11 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnowing": text_winnowing,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_curation_pipeline": llm_curation_pipeline,
+    # ---- past the 50-entry window: r5-green, typed-replica green
+    #      locally (incl. the three rule-4 displacements noted above) ----
     "w_running_analytics": w_running_analytics,
     "sim_ann_index_refine": sim_ann_index_refine,
     "t_incremental_replay": t_incremental_replay,
-    # ---- past the 50-entry window: r5-green, operator functions
-    #      untouched this round, typed-replica green locally ----
     "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
     "t_stream_dedup": t_stream_dedup,
     "t_stream_interval_join": t_stream_interval_join,

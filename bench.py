@@ -103,6 +103,9 @@ HEADLINE = [
     "k_dq_report",
     "mm_audio_neardup",
     "w_trailing_1h",
+    "dedup_blocks",
+    "llm_importance_weights",
+    "a_cohort_retention",
 ]
 
 

@@ -329,3 +329,34 @@ def test_trailing_range_window_single_shuffle(spark):
     assert "Join" not in p
     assert p.count("hashpartitioning") == 1
     assert "EvalPython" not in p
+
+
+def test_block_dedup_window_limit_no_joins(spark):
+    # passage dedup must be two hash exchanges (block-hash window + doc
+    # regroup) with the first-occurrence rank pruned map-side by
+    # WindowGroupLimit; blocks are built from expressions, never Python
+    p = _plan(spark, "dedup_blocks")
+    assert "WindowGroupLimit" in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert p.count("hashpartitioning") == 2
+
+
+def test_importance_weights_broadcast_and_topk(spark):
+    # the 128-row bucket-weight table must come back as a broadcast join
+    # (never a shuffle join against the token explode) and the global
+    # top-100 must plan as TakeOrderedAndProject, not a full sort
+    p = _plan(spark, "llm_importance_weights")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p
+
+
+def test_cohort_retention_join_free(spark):
+    # cohort assignment is a min-window, cohort size an offset-0 window
+    # over the tiny aggregate: no joins anywhere in the plan
+    p = _plan(spark, "a_cohort_retention")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
