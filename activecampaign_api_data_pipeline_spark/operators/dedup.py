@@ -781,21 +781,35 @@ def block_dedup(
     Returns one row per document that retains at least one block:
     (id, n_blocks, n_kept, clean_text).
     """
+    exploded = _doc_blocks(docs, id_col, text_col, block_words)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("bidx").asc())
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    return _reassemble_blocks(kept, id_col)
+
+
+def _doc_blocks(
+    docs: DataFrame, id_col: str, text_col: str, block_words: int
+) -> DataFrame:
+    """Explode documents into hashed fixed-word blocks, map-side only:
+    (id, n_blocks, bidx, blk, bh)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_blocks = F.ceil(F.size(toks) / F.lit(block_words)).cast("long")
     blocks = F.transform(
         F.sequence(F.lit(0), (n_blocks - 1).cast("int")),
         lambda i: F.array_join(F.slice(toks, i * block_words + 1, block_words), " "),
     )
-    exploded = (
+    return (
         docs.filter(F.trim(F.col(text_col)) != "")
         .select(F.col(id_col), n_blocks.alias("n_blocks"), F.posexplode(blocks).alias("bidx", "blk"))
         .withColumn("bh", hash60(F.col("blk")))
     )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("bidx").asc())
-    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+
+def _reassemble_blocks(kept: DataFrame, id_col: str) -> DataFrame:
+    """Regroup surviving blocks into (id, n_blocks, n_kept, clean_text)
+    with an order-free array_sort fold."""
     return kept.groupBy(id_col).agg(
         F.first("n_blocks").alias("n_blocks"),
         F.count("*").alias("n_kept"),
@@ -807,3 +821,91 @@ def block_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+def incremental_block_dedup(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 3,
+) -> DataFrame:
+    """Clean a NEW batch of documents against a persisted block-hash
+    store — the growing-corpus half of passage-level dedup: each ingest
+    pays O(batch + one store scan), the corpus text is never re-read.
+
+    Within-batch first-occurrence runs first (same window as
+    :func:`block_dedup`), then blocks whose hash is already in the store
+    are dropped. The store is NEVER shuffled: hits are computed as
+    ``store ⋈ broadcast(batch hashes)`` — a map-side columnar scan — and
+    the batch then anti-joins the broadcast hit set (bounded by the
+    batch's own block count). With the store compacted and sorted by
+    ``bh`` (see :func:`block_store_append`), parquet row-group stats
+    prune most of that scan too.
+
+    Replay-safe: store rows owned by the batch's own ids are excluded
+    before the hit join, so a crashed-and-replayed batch (whose blocks
+    already landed in the store) still cleans identically.
+    """
+    spark = new_docs.sparkSession
+    blocks = _doc_blocks(new_docs, id_col, text_col, block_words)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("bidx").asc())
+    firsts = blocks.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    if path_exists(spark, f"{path}/blocks"):
+        store = spark.read.parquet(f"{path}/blocks")
+        batch_ids = new_docs.select(F.col(id_col)).distinct()
+        store = store.join(F.broadcast(batch_ids), id_col, "left_anti")
+        hits = (
+            store.join(F.broadcast(firsts.select("bh").distinct()), "bh")
+            .select("bh")
+            .distinct()
+        )
+        firsts = firsts.join(F.broadcast(hits), "bh", "left_anti")
+    return _reassemble_blocks(firsts, id_col)
+
+
+def block_store_append(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 3,
+) -> None:
+    """Fold a batch's block hashes into the persisted store.
+
+    Artifacts (parquet, append-only): ``blocks`` (bh, doc_id, bidx — the
+    hash plus first-owner provenance, ~24 bytes per block) and ``docs``
+    (doc_id) as the replay guard. Write ORDER is load-bearing, same
+    contract as :func:`minhash_store_append`: blocks first, docs second,
+    guard anti-joins docs — a crash between the appends re-appends
+    duplicate block rows on replay (absorbed by the hit join's set
+    semantics), while the reverse order would silently lose blocks.
+
+    Only the batch's KEPT blocks are appended (within-batch firsts not
+    already stored): duplicates add no membership information, so the
+    store grows by distinct corpus blocks, not corpus size.
+    """
+    spark = docs.sparkSession
+    if path_exists(spark, f"{path}/docs"):
+        seen = spark.read.parquet(f"{path}/docs")
+        docs = docs.join(F.broadcast(seen), id_col, "left_anti")
+    blocks = _doc_blocks(docs, id_col, text_col, block_words)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("bidx").asc())
+    firsts = blocks.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    if path_exists(spark, f"{path}/blocks"):
+        stored = spark.read.parquet(f"{path}/blocks")
+        hits = (
+            stored.join(F.broadcast(firsts.select("bh").distinct()), "bh")
+            .select("bh")
+            .distinct()
+        )
+        firsts = firsts.join(F.broadcast(hits), "bh", "left_anti")
+    ids = docs.select(id_col).distinct().localCheckpoint(eager=True)
+    # checkpoint breaks the lineage on {path}/blocks before appending to it
+    out = firsts.select("bh", id_col, "bidx").localCheckpoint(eager=True)
+    out.write.mode("append").parquet(f"{path}/blocks")
+    ids.write.mode("append").parquet(f"{path}/docs")

@@ -580,3 +580,67 @@ def stream_into_minhash_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def block_sink_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    clean_out: str,
+    block_words: int = 3,
+) -> None:
+    """One micro-batch of continuous passage-level dedup, module-level so
+    the replay contract is directly testable (same shape as
+    :func:`minhash_sink_batch`): cleaned documents land under
+    ``clean_out`` partitioned by batch_id with dynamic overwrite
+    (exactly-once — a replayed batch replaces its own partition), then
+    the batch's surviving block hashes fold into the store. The clean
+    step is deterministic given (batch, store-minus-batch-ids), and the
+    store append is replay-safe by its doc-id anti-join, so replays are
+    byte-identical.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        block_store_append,
+        incremental_block_dedup,
+    )
+
+    if batch_df.isEmpty():
+        return
+    cleaned = incremental_block_dedup(batch_df, path, block_words=block_words)
+    (
+        cleaned.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(clean_out)
+    )
+    block_store_append(batch_df, path, block_words=block_words)
+    spark = batch_df.sparkSession
+    for artifact in ("blocks", "docs"):
+        compact_artifact(spark, f"{path}/{artifact}")
+
+
+def stream_into_block_store(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    clean_out: str,
+    block_words: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Continuous CCNet-style passage dedup: every micro-batch of
+    documents is cleaned against the persisted block-hash store
+    (within-batch firsts + store anti-join, O(batch + one store scan)),
+    written exactly-once, and folded into the store. The corpus text is
+    never rescanned; the store grows by DISTINCT corpus blocks only.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        block_sink_batch(batch_df, batch_id, path, clean_out, block_words=block_words)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

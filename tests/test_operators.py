@@ -387,3 +387,76 @@ def test_importance_weights_favors_target_like_docs(spark):
     }
     assert set(out) == {3, 4}
     assert out[3] > out[4]
+
+
+def test_incremental_block_dedup_equals_batch_twin(spark, tmp_path):
+    """Batch-sequential passage dedup against the persisted block store
+    equals the one-shot operator on the union, when batch order follows
+    doc order (first-occurrence-wins is order-defined either way)."""
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        block_dedup,
+        block_store_append,
+        incremental_block_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    b1 = docs.filter(F.col("doc_id") <= mx // 2)
+    b2 = docs.filter(F.col("doc_id") > mx // 2)
+    path = str(tmp_path / "blockstore")
+
+    got1 = incremental_block_dedup(b1, path)
+    got1_rows = {r["doc_id"]: r for r in got1.collect()}
+    block_store_append(b1, path)
+    got2 = incremental_block_dedup(b2, path)
+    got2_rows = {r["doc_id"]: r for r in got2.collect()}
+    block_store_append(b2, path)
+
+    want = {r["doc_id"]: r for r in block_dedup(docs).collect()}
+    got = {**got1_rows, **got2_rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["clean_text"] == want[k]["clean_text"], k
+        assert got[k]["n_kept"] == want[k]["n_kept"], k
+
+    # replayed append is a no-op: docs unique, block count unchanged
+    nb = spark.read.parquet(f"{path}/blocks").count()
+    nd = spark.read.parquet(f"{path}/docs").count()
+    block_store_append(b2, path)
+    assert spark.read.parquet(f"{path}/blocks").count() == nb
+    assert spark.read.parquet(f"{path}/docs").count() == nd
+    # store holds exactly the distinct surviving blocks of the corpus
+    assert nb == sum(r["n_kept"] for r in want.values())
+
+
+def test_block_store_crash_between_appends_recovers(spark, tmp_path):
+    """Crash contract: blocks are written BEFORE the docs guard. Simulate
+    the partial state (blocks landed, docs absent): the replayed append
+    re-runs the batch — duplicate block rows are absorbed by the hit
+    join's set semantics, docs stays unique, and a later batch still
+    dedups correctly against the store."""
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        _doc_blocks,
+        block_store_append,
+        incremental_block_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f"), Row(doc_id=2, text="g h i j k l")]
+    )
+    path = str(tmp_path / "store")
+    # partial write: blocks landed, crash before the docs guard
+    _doc_blocks(docs, "doc_id", "text", 3).select("bh", "doc_id", "bidx").write.mode(
+        "append"
+    ).parquet(f"{path}/blocks")
+    block_store_append(docs, path)
+    assert spark.read.parquet(f"{path}/docs").count() == 2
+    # later batch repeating stored blocks is fully cleaned
+    batch = spark.createDataFrame([Row(doc_id=9, text="a b c g h i x y z")])
+    out = incremental_block_dedup(batch, path).collect()
+    assert len(out) == 1 and out[0]["clean_text"] == "x y z"
+    assert out[0]["n_kept"] == 1 and out[0]["n_blocks"] == 3

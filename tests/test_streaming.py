@@ -669,3 +669,77 @@ def test_stream_decontaminate_flags_match_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and {t[0] for t in got} == {1, 3}
+
+
+def test_stream_into_block_store(spark, tmp_path):
+    """Streamed passage dedup: blocks seen in earlier batches are dropped
+    from later ones; output is exactly-once per batch partition."""
+    import os
+
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_block_store,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    batches = [
+        [Row(doc_id=1, text="a b c d e f"), Row(doc_id=2, text="a b c x y z")],
+        [Row(doc_id=10, text="d e f q r s"), Row(doc_id=11, text="x y z")],
+    ]
+    for bno, rows in enumerate(batches):
+        f = src / f"b{bno}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(f) + "_tmp")
+        os.rename(str(f) + "_tmp", str(f))
+        base = 1_600_000_000 + bno * 60
+        for p in (str(f),) + tuple(os.path.join(str(f), x) for x in os.listdir(str(f))):
+            os.utime(p, (base, base))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = stream_into_block_store(
+        stream, str(tmp_path / "blockstore"),
+        checkpoint=str(tmp_path / "ckpt"), clean_out=str(tmp_path / "clean"),
+    )
+    q.awaitTermination(180)
+    clean = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "clean")).collect()}
+    assert clean[1]["clean_text"] == "a b c d e f"
+    assert clean[2]["clean_text"] == "x y z"          # within-batch dedup
+    assert clean[10]["clean_text"] == "q r s"         # cross-batch dedup
+    assert 11 not in clean                            # fully deduped away
+    # store holds each doc once and only distinct surviving blocks
+    assert spark.read.parquet(str(tmp_path / "blockstore/docs")).count() == 4
+    assert spark.read.parquet(str(tmp_path / "blockstore/blocks")).count() == 4
+
+
+def test_block_sink_replay_exactly_once(spark, tmp_path):
+    """Running the same (batch, batch_id) twice leaves clean_out and the
+    store exactly as a single run would (dynamic partition overwrite +
+    replay-guarded append)."""
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import block_sink_batch
+
+    path, out = str(tmp_path / "store"), str(tmp_path / "clean")
+    b0 = spark.createDataFrame([Row(doc_id=1, text="a b c d e f")])
+    b1 = spark.createDataFrame([Row(doc_id=2, text="a b c p q r")])
+    block_sink_batch(b0, 0, path, out)
+    block_sink_batch(b1, 1, path, out)
+
+    def snapshot():
+        clean = sorted(
+            (r["doc_id"], r["clean_text"], r["batch_id"])
+            for r in spark.read.parquet(out).collect()
+        )
+        blocks = sorted(
+            (r["bh"], r["doc_id"]) for r in spark.read.parquet(f"{path}/blocks").collect()
+        )
+        docs = sorted(r["doc_id"] for r in spark.read.parquet(f"{path}/docs").collect())
+        return clean, blocks, docs
+
+    before = snapshot()
+    block_sink_batch(b1, 1, path, out)  # replay
+    assert snapshot() == before

@@ -12,7 +12,9 @@ with every batch (O(total store collisions)).
 Prints one JSON line per batch plus a summary line appended by the caller
 to SCALE_SMOKE.json.
 
-Usage: python tools/smoke_incremental_ingest.py [n_batches] [rows_per_batch]
+Usage: python tools/smoke_incremental_ingest.py [n_batches] [rows_per_batch] [mode]
+mode: "minhash" (default) or "blocks" (incremental passage dedup — same
+flat-per-ingest contract: the store is scanned columnar, never shuffled).
 """
 
 from __future__ import annotations
@@ -32,10 +34,13 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    mode = sys.argv[3] if len(sys.argv) > 3 else "minhash"
 
     from pyspark.sql import functions as F
 
     from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        block_store_append,
+        incremental_block_dedup,
         incremental_minhash_pairs,
         minhash_store_append,
     )
@@ -57,13 +62,17 @@ def main() -> None:
     ]
 
     root = tempfile.mkdtemp(prefix="acdp_incr_smoke_")
-    path = f"{root}/sigstore"
+    path = f"{root}/sigstore" if mode == "minhash" else f"{root}/blockstore"
     times, pair_counts = [], []
     try:
         for b, batch in enumerate(slices):
             t0 = time.time()
-            n_pairs = incremental_minhash_pairs(batch, path, threshold=0.5).count()
-            minhash_store_append(batch, path)
+            if mode == "minhash":
+                n_pairs = incremental_minhash_pairs(batch, path, threshold=0.5).count()
+                minhash_store_append(batch, path)
+            else:
+                n_pairs = incremental_block_dedup(batch, path).count()
+                block_store_append(batch, path)
             dt = time.time() - t0
             times.append(round(dt, 2))
             pair_counts.append(n_pairs)
@@ -77,7 +86,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "experiment": "incremental_minhash_flat_ingest",
+                    "experiment": f"incremental_{mode}_flat_ingest",
                     "n_batches": n_batches,
                     "rows_per_batch": per_batch,
                     "sec_first": first,
