@@ -829,6 +829,7 @@ def incremental_block_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_words: int = 3,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Clean a NEW batch of documents against a persisted block-hash
     store — the growing-corpus half of passage-level dedup: each ingest
@@ -846,8 +847,15 @@ def incremental_block_dedup(
     Replay-safe: store rows owned by the batch's own ids are excluded
     before the hit join, so a crashed-and-replayed batch (whose blocks
     already landed in the store) still cleans identically.
+
+    ``broadcast_new`` (default True — the micro-batch ingest shape)
+    hints every batch-derived join side so the store is only ever
+    scanned, never shuffled. Set False for backfill batches whose block
+    set exceeds broadcast memory — AQE then picks the join strategy
+    (the store pays one shuffle, still no rescan of corpus text).
     """
     spark = new_docs.sparkSession
+    hint = F.broadcast if broadcast_new else (lambda df: df)
     blocks = _doc_blocks(new_docs, id_col, text_col, block_words)
     from pyspark.sql import Window
 
@@ -856,13 +864,13 @@ def incremental_block_dedup(
     if path_exists(spark, f"{path}/blocks"):
         store = spark.read.parquet(f"{path}/blocks")
         batch_ids = new_docs.select(F.col(id_col)).distinct()
-        store = store.join(F.broadcast(batch_ids), id_col, "left_anti")
+        store = store.join(hint(batch_ids), id_col, "left_anti")
         hits = (
-            store.join(F.broadcast(firsts.select("bh").distinct()), "bh")
+            store.join(hint(firsts.select("bh").distinct()), "bh")
             .select("bh")
             .distinct()
         )
-        firsts = firsts.join(F.broadcast(hits), "bh", "left_anti")
+        firsts = firsts.join(hint(hits), "bh", "left_anti")
     return _reassemble_blocks(firsts, id_col)
 
 
@@ -872,6 +880,7 @@ def block_store_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_words: int = 3,
+    broadcast_new: bool = True,
 ) -> None:
     """Fold a batch's block hashes into the persisted store.
 
@@ -886,11 +895,13 @@ def block_store_append(
     Only the batch's KEPT blocks are appended (within-batch firsts not
     already stored): duplicates add no membership information, so the
     store grows by distinct corpus blocks, not corpus size.
+    ``broadcast_new`` as in :func:`incremental_block_dedup`.
     """
     spark = docs.sparkSession
+    hint = F.broadcast if broadcast_new else (lambda df: df)
     if path_exists(spark, f"{path}/docs"):
         seen = spark.read.parquet(f"{path}/docs")
-        docs = docs.join(F.broadcast(seen), id_col, "left_anti")
+        docs = docs.join(seen, id_col, "left_anti")
     blocks = _doc_blocks(docs, id_col, text_col, block_words)
     from pyspark.sql import Window
 
@@ -899,11 +910,11 @@ def block_store_append(
     if path_exists(spark, f"{path}/blocks"):
         stored = spark.read.parquet(f"{path}/blocks")
         hits = (
-            stored.join(F.broadcast(firsts.select("bh").distinct()), "bh")
+            stored.join(hint(firsts.select("bh").distinct()), "bh")
             .select("bh")
             .distinct()
         )
-        firsts = firsts.join(F.broadcast(hits), "bh", "left_anti")
+        firsts = firsts.join(hint(hits), "bh", "left_anti")
     ids = docs.select(id_col).distinct().localCheckpoint(eager=True)
     # checkpoint breaks the lineage on {path}/blocks before appending to it
     out = firsts.select("bh", id_col, "bidx").localCheckpoint(eager=True)

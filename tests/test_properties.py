@@ -172,3 +172,38 @@ def test_gold_diff_self_is_empty(spark, tmp_path_factory, rows):
     store.persist(df, "t", ["id"], run_id="r1", updated_col="ts",
                   extracted_at="2020-01-01 00:00:00")
     assert store.gold_diff("t", "r1", "r1", ["id"], updated_col="ts").count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_block_dedup_matches_python_reference(spark, doc_words):
+    """block_dedup == a sequential pure-Python first-occurrence pass over
+    (doc_id, block_idx)-ordered blocks, for arbitrary small corpora."""
+    from activecampaign_api_data_pipeline_spark.operators.dedup import block_dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    B = 3
+    seen, want = set(), {}
+    for doc_id, text in rows:
+        toks = text.split()
+        blocks = [" ".join(toks[j : j + B]) for j in range(0, len(toks), B)]
+        kept = []
+        for blk in blocks:
+            if blk not in seen:
+                seen.add(blk)
+                kept.append(blk)
+        if kept:
+            want[doc_id] = (len(blocks), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in block_dedup(df, block_words=B).collect()
+    }
+    assert got == want
