@@ -401,11 +401,14 @@ def importance_weights(
     Gumbel sampling (the repo's sampling primitives already cover
     randomized selection via hash buckets).
 
-    Plan: one token explode feeds BOTH sides — the bucket-count aggregate
-    collapses to ``n_buckets`` rows map-side (partial agg) and comes back
-    as a broadcast join, so at 100 TB the only data-scale shuffle is the
-    per-document score aggregate. Returns every RAW document scored:
-    (id, n_toks, score) — callers rank/threshold.
+    Plan: the corpus is scanned and exploded TWICE (the weight subtree
+    and the scoring subtree — Spark does not share Generate subtrees,
+    and caching exploded tokens at 100 TB would cost more than the
+    second scan), but the only data-scale SHUFFLE is the per-document
+    score aggregate: the bucket-count aggregate collapses to
+    ``n_buckets`` rows map-side (partial agg) and comes back as a
+    broadcast join against the second scan. Returns every RAW document
+    scored: (id, n_toks, score) — callers rank/threshold.
     """
     toks = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col),

@@ -781,12 +781,7 @@ def block_dedup(
     Returns one row per document that retains at least one block:
     (id, n_blocks, n_kept, clean_text).
     """
-    exploded = _doc_blocks(docs, id_col, text_col, block_words)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("bidx").asc())
-    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
-    return _reassemble_blocks(kept, id_col)
+    return _reassemble_blocks(_batch_firsts(docs, id_col, text_col, block_words), id_col)
 
 
 def _doc_blocks(
@@ -805,6 +800,32 @@ def _doc_blocks(
         .select(F.col(id_col), n_blocks.alias("n_blocks"), F.posexplode(blocks).alias("bidx", "blk"))
         .withColumn("bh", hash60(F.col("blk")))
     )
+
+
+def _batch_firsts(
+    docs: DataFrame, id_col: str, text_col: str, block_words: int
+) -> DataFrame:
+    """Within-batch first-occurrence blocks: explode + the row_number
+    rank over the block hash (plans as WindowGroupLimit), ordered by
+    (doc, block index). The ONE definition of the dedup tiebreak — the
+    batch operator, the incremental clean, and the store append all
+    share it so their semantics cannot drift apart."""
+    blocks = _doc_blocks(docs, id_col, text_col, block_words)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("bidx").asc())
+    return blocks.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def _drop_stored_hits(firsts: DataFrame, stored: DataFrame, hint) -> DataFrame:
+    """Remove blocks whose hash already exists in the store: the store is
+    scanned against a (hinted) set of the batch's hashes, and the batch
+    anti-joins the resulting hit set — the store side is never shuffled
+    when the hint is broadcast."""
+    hits = (
+        stored.join(hint(firsts.select("bh").distinct()), "bh").select("bh").distinct()
+    )
+    return firsts.join(hint(hits), "bh", "left_anti")
 
 
 def _reassemble_blocks(kept: DataFrame, id_col: str) -> DataFrame:
@@ -830,6 +851,7 @@ def incremental_block_dedup(
     text_col: str = "text",
     block_words: int = 3,
     broadcast_new: bool = True,
+    firsts: DataFrame | None = None,
 ) -> DataFrame:
     """Clean a NEW batch of documents against a persisted block-hash
     store — the growing-corpus half of passage-level dedup: each ingest
@@ -853,24 +875,20 @@ def incremental_block_dedup(
     scanned, never shuffled. Set False for backfill batches whose block
     set exceeds broadcast memory — AQE then picks the join strategy
     (the store pays one shuffle, still no rescan of corpus text).
+
+    ``firsts`` lets a caller that ALSO appends (the streaming sink) pass
+    the batch's precomputed within-batch firsts so the explode+window
+    runs once per batch, not once per consumer.
     """
     spark = new_docs.sparkSession
     hint = F.broadcast if broadcast_new else (lambda df: df)
-    blocks = _doc_blocks(new_docs, id_col, text_col, block_words)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("bidx").asc())
-    firsts = blocks.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    if firsts is None:
+        firsts = _batch_firsts(new_docs, id_col, text_col, block_words)
     if path_exists(spark, f"{path}/blocks"):
         store = spark.read.parquet(f"{path}/blocks")
         batch_ids = new_docs.select(F.col(id_col)).distinct()
         store = store.join(hint(batch_ids), id_col, "left_anti")
-        hits = (
-            store.join(hint(firsts.select("bh").distinct()), "bh")
-            .select("bh")
-            .distinct()
-        )
-        firsts = firsts.join(hint(hits), "bh", "left_anti")
+        firsts = _drop_stored_hits(firsts, store, hint)
     return _reassemble_blocks(firsts, id_col)
 
 
@@ -881,6 +899,7 @@ def block_store_append(
     text_col: str = "text",
     block_words: int = 3,
     broadcast_new: bool = True,
+    firsts: DataFrame | None = None,
 ) -> None:
     """Fold a batch's block hashes into the persisted store.
 
@@ -895,27 +914,29 @@ def block_store_append(
     Only the batch's KEPT blocks are appended (within-batch firsts not
     already stored): duplicates add no membership information, so the
     store grows by distinct corpus blocks, not corpus size.
-    ``broadcast_new`` as in :func:`incremental_block_dedup`.
+    ``broadcast_new`` and ``firsts`` as in
+    :func:`incremental_block_dedup`. A precomputed ``firsts`` from the
+    FULL batch is equivalent to recomputing on the unseen subset: a
+    block whose in-batch first owner was already appended is in the
+    store (either appended under that owner or dropped as a hit when its
+    batch ran), so the hit anti-join removes it either way.
     """
     spark = docs.sparkSession
     hint = F.broadcast if broadcast_new else (lambda df: df)
+    new_ids = docs.select(id_col).distinct()
     if path_exists(spark, f"{path}/docs"):
         seen = spark.read.parquet(f"{path}/docs")
-        docs = docs.join(seen, id_col, "left_anti")
-    blocks = _doc_blocks(docs, id_col, text_col, block_words)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("bidx").asc())
-    firsts = blocks.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+        new_ids = new_ids.join(seen, id_col, "left_anti")
+    if firsts is None:
+        firsts = _batch_firsts(
+            docs.join(hint(new_ids), id_col, "left_semi"), id_col, text_col, block_words
+        )
+    else:
+        firsts = firsts.join(hint(new_ids), id_col, "left_semi")
     if path_exists(spark, f"{path}/blocks"):
         stored = spark.read.parquet(f"{path}/blocks")
-        hits = (
-            stored.join(hint(firsts.select("bh").distinct()), "bh")
-            .select("bh")
-            .distinct()
-        )
-        firsts = firsts.join(hint(hits), "bh", "left_anti")
-    ids = docs.select(id_col).distinct().localCheckpoint(eager=True)
+        firsts = _drop_stored_hits(firsts, stored, hint)
+    ids = new_ids.localCheckpoint(eager=True)
     # checkpoint breaks the lineage on {path}/blocks before appending to it
     out = firsts.select("bh", id_col, "bidx").localCheckpoint(eager=True)
     out.write.mode("append").parquet(f"{path}/blocks")

@@ -2127,10 +2127,12 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # r6 window: 16 new + k_gold_asof (never checked) + the r4-stale entries
 # + the two r5 hash-fail retries (llm_pack_sequences/llm_curation_pipeline,
-# oracle-touched). Overflow handled per rule 4: the three displaced
+# oracle-touched). Overflow handled per rule 4: the FOUR displaced
 # entries (t_incremental_replay — module-touch only; w_running_analytics,
 # sim_ann_index_refine — function-touched but r5-green and typed-replica
-# green after the touch) rank below new and 2-round-stale. The dedup
+# green after the touch; a_kmv_distinct_tokens — r5-green, function
+# untouched) rank below new and 2-round-stale. All four MUST lead the
+# r7 window (they skip r6, so r7 is their 2-round deadline). The dedup
 # batch family sits in the tail: r5-green, operator functions
 # byte-identical this round, typed-replica green.
 

@@ -600,13 +600,21 @@ def block_sink_batch(
     byte-identical.
     """
     from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        _batch_firsts,
         block_store_append,
         incremental_block_dedup,
     )
 
     if batch_df.isEmpty():
         return
-    cleaned = incremental_block_dedup(batch_df, path, block_words=block_words)
+    # one explode+window per batch, shared by the clean and the append
+    # (localCheckpoint so neither consumer recomputes it)
+    firsts = _batch_firsts(batch_df, "doc_id", "text", block_words).localCheckpoint(
+        eager=True
+    )
+    cleaned = incremental_block_dedup(
+        batch_df, path, block_words=block_words, firsts=firsts
+    )
     (
         cleaned.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
@@ -614,7 +622,7 @@ def block_sink_batch(
         .partitionBy("batch_id")
         .parquet(clean_out)
     )
-    block_store_append(batch_df, path, block_words=block_words)
+    block_store_append(batch_df, path, block_words=block_words, firsts=firsts)
     spark = batch_df.sparkSession
     for artifact in ("blocks", "docs"):
         compact_artifact(spark, f"{path}/{artifact}")

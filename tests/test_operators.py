@@ -345,27 +345,32 @@ def test_block_dedup_first_occurrence_and_reassembly(spark):
     assert out[4]["clean_text"] == "q r"  # partial tail block survives
 
 
-def test_block_dedup_rebuilt_corpus_block_unique(spark):
-    # property on real data: after dedup, re-splitting every clean_text
-    # into blocks yields globally unique blocks (no duplicate survives)
-    from activecampaign_api_data_pipeline_spark.operators.dedup import block_dedup
+def test_block_dedup_keeps_each_distinct_block_once(spark):
+    # the real first-occurrence invariant on real data: the number of
+    # surviving blocks equals the number of DISTINCT blocks in the
+    # original corpus (each distinct block kept exactly once, every
+    # duplicate dropped) — the distinct count comes from _doc_blocks
+    # directly, independent of the dedup window under test
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        _doc_blocks,
+        block_dedup,
+    )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = block_dedup(docs, block_words=3)
-    reblocked = block_dedup(
-        out.selectExpr("doc_id", "clean_text as text"), block_words=3
+    kept_total = out.agg(F.sum("n_kept")).first()[0]
+    distinct_blocks = (
+        _doc_blocks(docs, "doc_id", "text", 3).select("bh").distinct().count()
     )
-    tot = out.agg(F.sum("n_kept")).first()[0]
-    # NOTE: reassembly concatenates surviving blocks, so re-splitting can
-    # form NEW cross-boundary blocks when a middle block was dropped; docs
-    # that kept everything must round-trip bit-identically though
+    assert kept_total == distinct_blocks > 0
+    # and documents that kept every block round-trip bit-identically
     full = out.filter("n_kept = n_blocks").select("doc_id", "clean_text")
     orig = docs.join(full.select("doc_id"), "doc_id").select(
         "doc_id", F.trim(F.regexp_replace("text", r"\s+", " ")).alias("t")
     )
     joined = full.join(orig, "doc_id")
     assert joined.filter(F.col("clean_text") != F.col("t")).count() == 0
-    assert tot > 0 and reblocked.count() > 0
+    assert full.count() > 0
 
 
 def test_importance_weights_favors_target_like_docs(spark):

@@ -35,10 +35,13 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
     mode = sys.argv[3] if len(sys.argv) > 3 else "minhash"
+    if mode not in ("minhash", "blocks"):
+        raise SystemExit(f"unknown mode {mode!r}: expected 'minhash' or 'blocks'")
 
     from pyspark.sql import functions as F
 
     from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        _batch_firsts,
         block_store_append,
         incremental_block_dedup,
         incremental_minhash_pairs,
@@ -52,6 +55,13 @@ def main() -> None:
     docs = load_table(spark, SRC, "documents").select("doc_id", "text")
     # deterministic equal batches by id order — localCheckpoint each so the
     # timed loop measures ingest, not re-reading/slicing the corpus
+    total = docs.count()
+    if total < n_batches * per_batch:
+        raise SystemExit(
+            f"corpus has {total} rows < n_batches*per_batch = {n_batches * per_batch}: "
+            "later batches would be empty and the flat-ingest numbers vacuous — "
+            "lower the sizes or point SPARK_GRAFT_SF_DIR at a replicated corpus"
+        )
     ordered = docs.orderBy("doc_id").limit(n_batches * per_batch)
     slices = [
         ordered.orderBy("doc_id")
@@ -71,14 +81,19 @@ def main() -> None:
                 n_pairs = incremental_minhash_pairs(batch, path, threshold=0.5).count()
                 minhash_store_append(batch, path)
             else:
-                n_pairs = incremental_block_dedup(batch, path).count()
-                block_store_append(batch, path)
+                # the streaming-sink shape: one explode+window per batch,
+                # shared by the clean and the append
+                firsts = _batch_firsts(batch, "doc_id", "text", 3).localCheckpoint(
+                    eager=True
+                )
+                n_pairs = incremental_block_dedup(batch, path, firsts=firsts).count()
+                block_store_append(batch, path, firsts=firsts)
             dt = time.time() - t0
             times.append(round(dt, 2))
             pair_counts.append(n_pairs)
             print(
                 json.dumps(
-                    {"batch": b, "store_docs": b * per_batch, "sec": round(dt, 2), "pairs": n_pairs}
+                    {"batch": b, "store_docs": b * per_batch, "sec": round(dt, 2), ("pairs" if mode == "minhash" else "docs_out"): n_pairs}
                 ),
                 flush=True,
             )
@@ -93,7 +108,7 @@ def main() -> None:
                     "sec_last": last,
                     "last_over_first": round(last / first, 2) if first > 0 else None,
                     "sec_all": times,
-                    "pairs": pair_counts,
+                    ("pairs" if mode == "minhash" else "docs_out"): pair_counts,
                 }
             )
         )
