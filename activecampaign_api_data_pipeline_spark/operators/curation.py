@@ -410,26 +410,49 @@ def importance_weights(
     broadcast join against the second scan. Returns every RAW document
     scored: (id, n_toks, score) — callers rank/threshold.
     """
+    bucketed = _token_buckets(docs, target_pred, id_col, text_col, n_buckets, salt)
+    weights = _bucket_counts(bucketed).select(
+        "bucket", F.expr("t_cnt * 1000000 DIV (r_cnt + 1)").alias("w_ppm")
+    )
+    return _score_raw_docs(bucketed, weights, id_col)
+
+
+def _token_buckets(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    salt: str,
+) -> DataFrame:
+    """Explode documents into hashed feature buckets, map-side only:
+    (id, _is_target, bucket)."""
     toks = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col),
         target_pred.alias("_is_target"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
-    bucketed = toks.select(
+    return toks.select(
         F.col(id_col),
         "_is_target",
         F.pmod(hash60(F.concat_ws("||", F.lit(salt), F.col("tok"))), F.lit(n_buckets)).alias(
             "bucket"
         ),
     )
-    weights = (
-        bucketed.groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("t_cnt"),
-            F.sum(F.when(~F.col("_is_target"), 1).otherwise(0)).alias("r_cnt"),
-        )
-        .select("bucket", F.expr("t_cnt * 1000000 DIV (r_cnt + 1)").alias("w_ppm"))
+
+
+def _bucket_counts(bucketed: DataFrame) -> DataFrame:
+    """Per-bucket target/raw token counts: collapses to <= n_buckets rows
+    map-side (partial aggregation)."""
+    return bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(~F.col("_is_target"), 1).otherwise(0)).alias("r_cnt"),
     )
+
+
+def _score_raw_docs(bucketed: DataFrame, weights: DataFrame, id_col: str) -> DataFrame:
+    """Score each RAW document as the sum of its tokens' bucket weights
+    (weights broadcast — the only data-scale shuffle is the doc agg)."""
     return (
         bucketed.filter(~F.col("_is_target"))
         .join(F.broadcast(weights), "bucket")
@@ -439,3 +462,60 @@ def importance_weights(
             F.sum("w_ppm").alias("score"),
         )
     )
+
+
+def importance_state_fold(
+    docs: DataFrame,
+    path: str,
+    target_pred: Column,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    salt: str = "dsir",
+) -> None:
+    """Fold one batch's bucket counts into a persisted importance-weight
+    state — the incremental half of DSIR selection: the state is at most
+    ``n_buckets`` rows PER BATCH under ``{path}/partials``, so the whole
+    artifact stays tiny (128 longs x batches, compacted) no matter how
+    many exabytes of corpus flowed through it.
+
+    Exactly-once: the batch's partial counts are a ``batch_id``
+    partition written with dynamic overwrite — a replayed batch replaces
+    its own partition, never double-counts.
+    """
+    bucketed = _token_buckets(docs, target_pred, id_col, text_col, n_buckets, salt)
+    (
+        _bucket_counts(bucketed)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/partials")
+    )
+
+
+def importance_weights_from_state(
+    docs: DataFrame,
+    path: str,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Score RAW documents against the ACCUMULATED persisted state: the
+    partials sum to one <= ``n_buckets``-row weight table (a scan of a
+    KB-scale artifact), then scoring is the same broadcast-join plan as
+    the batch operator. After folding batches B1..Bn, scores equal the
+    one-shot :func:`importance_weights` over their union (exact integer
+    arithmetic end-to-end — pinned by test)."""
+    spark = docs.sparkSession
+    state = spark.read.parquet(f"{path}/partials")
+    weights = (
+        state.groupBy("bucket")
+        .agg(F.sum("t_cnt").alias("t_cnt"), F.sum("r_cnt").alias("r_cnt"))
+        .select("bucket", F.expr("t_cnt * 1000000 DIV (r_cnt + 1)").alias("w_ppm"))
+    )
+    bucketed = _token_buckets(docs, target_pred, id_col, text_col, n_buckets, salt)
+    return _score_raw_docs(bucketed, weights, id_col)

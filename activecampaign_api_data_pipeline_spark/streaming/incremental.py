@@ -652,3 +652,75 @@ def stream_into_block_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def importance_sink_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    scored_out: str,
+    target_pred,
+    n_buckets: int = 128,
+    salt: str = "dsir",
+) -> None:
+    """One micro-batch of continuous DSIR importance scoring: FOLD the
+    batch's bucket counts into the persisted state first (batch_id
+    partition, dynamic overwrite — idempotent), then score the batch's
+    raw docs against the ACCUMULATED state including itself. Fold-first
+    makes replay deterministic: the replayed fold rewrites the same
+    partition, so the replayed scoring sees the identical state. Weights
+    evolve as corpus accumulates — scores are per-batch snapshots, the
+    final selection pass re-scores against the converged state via
+    ``importance_weights_from_state``.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.curation import (
+        importance_state_fold,
+        importance_weights_from_state,
+    )
+
+    if batch_df.isEmpty():
+        return
+    importance_state_fold(
+        batch_df, path, target_pred, batch_id, n_buckets=n_buckets, salt=salt
+    )
+    scored = importance_weights_from_state(
+        batch_df, path, target_pred, n_buckets=n_buckets, salt=salt
+    )
+    (
+        scored.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(scored_out)
+    )
+    compact_artifact(batch_df.sparkSession, f"{path}/partials")
+
+
+def stream_importance_state(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    scored_out: str,
+    target_pred,
+    n_buckets: int = 128,
+    salt: str = "dsir",
+    trigger_available_now: bool = True,
+):
+    """Continuous DSIR state accumulation + per-batch scoring: the
+    persisted state is <= ``n_buckets`` rows per batch (and compacted),
+    so the streaming side carries KILOBYTES of state regardless of
+    corpus size — the extreme end of the repo's persisted-artifact set
+    (medallion, KMV, ANN, MinHash, blocks)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        importance_sink_batch(
+            batch_df, batch_id, path, scored_out, target_pred,
+            n_buckets=n_buckets, salt=salt,
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -257,3 +257,48 @@ def test_mixture_sample_is_streaming_safe(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM mix_stream").collect()))
     want = sorted(map(tuple, mixture_sample(batch, {"en": 0.4, "zh": 2.0}).collect()))
     assert got == want
+
+
+def test_importance_state_fold_equals_one_shot(spark, tmp_path):
+    """Folding batches into the persisted state then scoring from it
+    equals the one-shot importance_weights over the union (integer
+    arithmetic end-to-end); a replayed fold is a no-op."""
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators.curation import (
+        importance_state_fold,
+        importance_weights,
+        importance_weights_from_state,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    pred = F.col("lang") == "en"
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    b1 = docs.filter(F.col("doc_id") <= mx // 2)
+    b2 = docs.filter(F.col("doc_id") > mx // 2)
+    path = str(tmp_path / "dsir_state")
+
+    importance_state_fold(b1, path, pred, batch_id=0)
+    importance_state_fold(b2, path, pred, batch_id=1)
+
+    got = {
+        r["doc_id"]: (r["n_toks"], r["score"])
+        for r in importance_weights_from_state(docs, path, pred).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_toks"], r["score"])
+        for r in importance_weights(docs, pred).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replayed fold rewrites its own partition: state rows unchanged
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/partials").collect()
+    )
+    importance_state_fold(b2, path, pred, batch_id=1)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/partials").collect()
+    )
+    assert after == before

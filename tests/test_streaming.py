@@ -743,3 +743,42 @@ def test_block_sink_replay_exactly_once(spark, tmp_path):
     before = snapshot()
     block_sink_batch(b1, 1, path, out)  # replay
     assert snapshot() == before
+
+
+def test_importance_sink_replay_exactly_once(spark, tmp_path):
+    """Fold-first makes the scored output deterministic under replay:
+    running the same (batch, batch_id) twice leaves state and scores
+    exactly as one run would."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        importance_sink_batch,
+    )
+
+    path, out = str(tmp_path / "state"), str(tmp_path / "scored")
+    pred = F.col("lang") == "en"
+    b0 = spark.createDataFrame(
+        [Row(doc_id=1, text="aa bb aa", lang="en"),
+         Row(doc_id=2, text="aa bb cc", lang="de")]
+    )
+    b1 = spark.createDataFrame(
+        [Row(doc_id=3, text="aa aa aa", lang="de"),
+         Row(doc_id=4, text="zz yy", lang="de")]
+    )
+    importance_sink_batch(b0, 0, path, out, pred)
+    importance_sink_batch(b1, 1, path, out, pred)
+
+    def snapshot():
+        scored = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        state = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/partials").collect()
+        )
+        return scored, state
+
+    before = snapshot()
+    importance_sink_batch(b1, 1, path, out, pred)  # replay
+    assert snapshot() == before
+    # target-like raw doc outranks the alien one within its batch
+    scored = {r["doc_id"]: r["score"] for r in spark.read.parquet(out).collect()}
+    assert scored[3] > scored[4]
