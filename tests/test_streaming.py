@@ -782,3 +782,48 @@ def test_importance_sink_replay_exactly_once(spark, tmp_path):
     # target-like raw doc outranks the alien one within its batch
     scored = {r["doc_id"]: r["score"] for r in spark.read.parquet(out).collect()}
     assert scored[3] > scored[4]
+
+
+def test_stream_importance_state(spark, tmp_path):
+    """End-to-end availableNow stream: state accumulates across
+    micro-batches and each batch's raw docs get scored."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_importance_state,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    batches = [
+        [Row(doc_id=1, text="aa bb aa", lang="en"),
+         Row(doc_id=2, text="aa bb cc", lang="de")],
+        [Row(doc_id=3, text="aa aa bb", lang="de"),
+         Row(doc_id=4, text="zz yy xx", lang="de")],
+    ]
+    for bno, rows in enumerate(batches):
+        f = src / f"b{bno}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(f) + "_tmp")
+        os.rename(str(f) + "_tmp", str(f))
+        base = 1_600_000_000 + bno * 60
+        for p in (str(f),) + tuple(os.path.join(str(f), x) for x in os.listdir(str(f))):
+            os.utime(p, (base, base))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = stream_importance_state(
+        stream, str(tmp_path / "state"), checkpoint=str(tmp_path / "ckpt"),
+        scored_out=str(tmp_path / "scored"), target_pred=F.col("lang") == "en",
+    )
+    q.awaitTermination(180)
+    scored = {r["doc_id"]: r["score"] for r in spark.read.parquet(str(tmp_path / "scored")).collect()}
+    assert set(scored) == {2, 3, 4}          # raw docs only
+    assert scored[3] > scored[4]             # target-like beats alien
+    # accumulated state: batch-1 partials exist alongside batch-0's
+    state = spark.read.parquet(str(tmp_path / "state/partials"))
+    assert state.select("batch_id").distinct().count() == 2
