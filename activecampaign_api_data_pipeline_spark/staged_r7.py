@@ -1,0 +1,139 @@
+"""Queries STAGED for the round-7 driver window.
+
+The rotation policy (see the note above ``REGISTRY`` in ``queries.py``)
+requires every NEW registry entry to sit inside the driver's 50-query
+window the round it appears. This round's window is already saturated
+(17 new queries + the r4-stale refresh + the two r5 hash-fail retries),
+so these implementations are held OUT of the registry — registering
+them now would displace entries that are on their 2-round verification
+deadline. They are not unverified, though: each has a DuckDB oracle
+here and a pytest that runs the SAME typed Spark-vs-DuckDB compare the
+replica harness uses (``tests/test_staged_r7.py``). Round 7 promotes
+them by moving the function into ``queries.py``'s REGISTRY head and the
+oracle into ``oracles.build`` — nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def a_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: signup → view →
+    purchase, each stage's timestamp strictly after the previous
+    stage's. The classic product-analytics operator the repo's window
+    family doesn't yet cover as a query.
+
+    Plan: ONE exchange on the user key — the three stage timestamps are
+    stacked min-windows over the same partitioning (Catalyst reuses the
+    exchange), strictness enforced inside the window conditionals; the
+    final stage census is an aggregate of a one-row-per-user frame.
+    Second-truncated epochs (the ``w_trailing_1h`` convention) make the
+    strict inequalities engine-reproducible regardless of parquet
+    timestamp precision.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("es"))).over(wu)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "view") & (F.col("es") > F.col("t1")), F.col("es"))
+    ).over(wu)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("es") > F.col("t2")), F.col("es")
+        )
+    ).over(wu)
+    per_user = (
+        staged.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    counts = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view_after"),
+        F.count("t3").alias("n_purchase_after"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("stage_no"),
+                    F.lit("signup").alias("stage"),
+                    F.col("n_signup").alias("n_users"),
+                    F.col("n_users").alias("prev"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("stage_no"),
+                    F.lit("view_after_signup").alias("stage"),
+                    F.col("n_view_after").alias("n_users"),
+                    F.col("n_signup").alias("prev"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("stage_no"),
+                    F.lit("purchase_after_view").alias("stage"),
+                    F.col("n_purchase_after").alias("n_users"),
+                    F.col("n_view_after").alias("prev"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        F.col("s.stage_no").alias("stage_no"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(F.col("s.n_users") / F.col("s.prev"), 6).alias("conv_from_prev"),
+    )
+
+
+STAGED_ORACLES: dict[str, str] = {
+    "a_event_funnel": """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'signup' THEN es END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM e
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND es > t1 THEN es END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND es > t2 THEN es END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+pu AS (
+  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM s3 GROUP BY user_id
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(count(t1) AS BIGINT) AS n_signup,
+         CAST(count(t2) AS BIGINT) AS n_view_after,
+         CAST(count(t3) AS BIGINT) AS n_purchase_after
+  FROM pu
+),
+stages AS (
+  SELECT CAST(1 AS BIGINT) AS stage_no, 'signup' AS stage,
+         n_signup AS n_users, c.n_users AS prev FROM c
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'view_after_signup', n_view_after, n_signup FROM c
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase_after_view', n_purchase_after, n_view_after FROM c
+)
+SELECT stage_no, stage, n_users,
+       round(CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE), 6) AS conv_from_prev
+FROM stages
+""",
+}
