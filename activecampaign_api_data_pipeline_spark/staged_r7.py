@@ -93,6 +93,67 @@ def a_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_block_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental passage dedup driven END-TO-END through the persisted
+    block store, driver-checkable: the corpus splits into two ingest
+    batches by doc id, each batch is cleaned against (then folded into) a
+    fresh store, and the union of the cleaned batches must equal the
+    one-shot ``block_dedup`` — the batch-twin theorem as an oracle query
+    (oracle = the ``dedup_blocks`` SQL verbatim).
+
+    Each batch's cleaned output is eagerly materialized BEFORE the next
+    append: the clean plan reads the store, so lazy evaluation after a
+    later append would see blocks that did not exist at ingest time.
+    """
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        block_store_append,
+        incremental_block_dedup,
+    )
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    b1 = docs.filter(F.col("doc_id") <= mx // 2)
+    b2 = docs.filter(F.col("doc_id") > mx // 2)
+    path = tempfile.mkdtemp(prefix="acdp_blockstore_") + "/store"
+    out1 = incremental_block_dedup(b1, path).localCheckpoint(eager=True)
+    block_store_append(b1, path)
+    out2 = incremental_block_dedup(b2, path).localCheckpoint(eager=True)
+    block_store_append(b2, path)
+    return out1.unionByName(out2)
+
+
+def llm_importance_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection through the persisted weight state, driver-checkable:
+    two batch folds into a fresh state, then top-100 scoring FROM the
+    accumulated state — must equal the one-shot ``llm_importance_weights``
+    (oracle = that SQL verbatim; fold order cannot matter because the
+    state is a sum of per-batch integer counts)."""
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.curation import (
+        importance_state_fold,
+        importance_weights_from_state,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pred = F.col("lang") == "en"
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    path = tempfile.mkdtemp(prefix="acdp_dsirstate_") + "/state"
+    importance_state_fold(docs.filter(F.col("doc_id") <= mx // 2), path, pred, batch_id=0)
+    importance_state_fold(docs.filter(F.col("doc_id") > mx // 2), path, pred, batch_id=1)
+    scored = importance_weights_from_state(docs, path, pred)
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(100)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "n_toks", "score", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
 STAGED_ORACLES: dict[str, str] = {
     "a_event_funnel": """
 WITH e AS (
@@ -135,5 +196,63 @@ stages AS (
 SELECT stage_no, stage, n_users,
        round(CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE), 6) AS conv_from_prev
 FROM stages
+""",
+    # identical to the registered dedup_blocks oracle: the store
+    # roundtrip must reproduce the one-shot batch dedup bit-for-bit
+    "k_block_store_roundtrip": r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+         CAST(ceil(len(regexp_split_to_array(trim(text), '\s+')) / 3.0) AS BIGINT)
+           AS n_blocks
+  FROM documents WHERE trim(text) != ''
+),
+b AS (
+  SELECT doc_id, n_blocks, unnest(generate_series(0, n_blocks - 1)) AS bidx, ws
+  FROM d
+),
+blk AS (
+  SELECT doc_id, n_blocks, bidx,
+         array_to_string(ws[bidx * 3 + 1 : bidx * 3 + 3], ' ') AS blk
+  FROM b
+),
+h AS (
+  SELECT *, CAST(concat('0x', substr(md5(blk), 1, 15)) AS BIGINT) AS bh FROM blk
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bh ORDER BY doc_id, bidx) AS rn FROM h
+)
+SELECT doc_id, max(n_blocks) AS n_blocks, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(blk, ' ' ORDER BY bidx) AS clean_text
+FROM r WHERE rn = 1 GROUP BY doc_id
+""",
+    # identical to the registered llm_importance_weights oracle
+    "llm_importance_state_roundtrip": r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) != ''
+),
+b AS (
+  SELECT doc_id, is_t,
+         CAST(concat('0x', substr(md5(concat_ws('||', 'dsir', tok)), 1, 15)) AS BIGINT)
+           % 128 AS bucket
+  FROM toks
+),
+cnt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+  FROM b GROUP BY bucket
+),
+w AS (SELECT bucket, t_cnt * 1000000 // (r_cnt + 1) AS w_ppm FROM cnt),
+ds AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(w_ppm) AS BIGINT) AS score
+  FROM b JOIN w USING (bucket) WHERE NOT is_t GROUP BY doc_id
+),
+top AS (SELECT * FROM ds ORDER BY score DESC, doc_id LIMIT 100)
+SELECT doc_id, n_toks, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM top
 """,
 }
