@@ -50,3 +50,13 @@ def test_funnel_single_exchange(spark):
     assert p.count("hashpartitioning") == 1
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_staged_names_disjoint_from_registry():
+    from activecampaign_api_data_pipeline_spark.queries import REGISTRY
+
+    overlap = set(staged_r7.STAGED_ORACLES) & set(REGISTRY)
+    assert not overlap, f"staged queries already registered: {overlap}"
+    # every staged oracle has its query function in the module
+    for name in staged_r7.STAGED_ORACLES:
+        assert callable(getattr(staged_r7, name))
