@@ -154,7 +154,110 @@ def llm_importance_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS aggregate — the third grouping-lattice
+    operator next to the registered cube/rollup, with a set shape
+    ``((flag, status), (status), ())`` that NEITHER rollup nor cube can
+    express (a rollup drills down the prefix chain, a cube takes every
+    subset; this lattice keeps the ``(status)`` margin but drops the
+    ``(flag)`` one). Uses the Spark 4 ``DataFrame.groupingSets`` API —
+    one shuffle, gid disambiguates the strata exactly as in
+    ``a_rollup_revenue``/``a_cube_events``."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("gross"),
+            F.count("*").alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "gross",
+            "n",
+        )
+    )
+
+
+def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's ordered
+    event stream: ``lead()`` pairs consecutive events per user, the pair
+    census is normalised into integer parts-per-million conditional
+    probabilities (``n * 1000000 DIV row_total`` — the repo's exact-ppm
+    convention, no float division anywhere).
+
+    Plan: one exchange on ``user_id`` for the lead window; the pair
+    census is a ≤25-row aggregate (5×5 event types), so its shuffle and
+    the per-prev total window are driver-trivial at any corpus size —
+    the 100 TB cost is exactly one pass + one user-key exchange."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    agg = tr.groupBy("prev_type", "next_type").agg(F.count("*").alias("n_trans"))
+    wt = Window.partitionBy("prev_type")
+    return agg.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.expr(
+            "n_trans * 1000000 DIV sum(n_trans) OVER (PARTITION BY prev_type)"
+        ).alias("p_ppm"),
+    )
+
+
 STAGED_ORACLES: dict[str, str] = {
+    "a_grouping_sets": """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+""",
+    "w_event_transitions": """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+tr AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           AS next_type
+  FROM e
+),
+agg AS (
+  SELECT prev_type, next_type, count(*) AS n_trans
+  FROM tr WHERE next_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_trans,
+       n_trans * 1000000
+         // CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS p_ppm
+FROM agg
+""",
     "a_event_funnel": """
 WITH e AS (
   SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
