@@ -225,7 +225,144 @@ def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"555-[0-9]{3}-[0-9]{4}"
+
+
+def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking — the redaction pass every training-data
+    pipeline runs before text leaves the silver layer. The synthetic
+    tables carry no real PII, so the query first SYNTHESIZES a contact
+    card per customer (email derived from ``c_name``, phone from
+    ``c_custkey`` — both sides of the oracle build the identical string,
+    so the scrub is exercised with real bite on every row), then masks
+    email/phone patterns and reports per-row match counts.
+
+    Engine notes: patterns stay in the regex subset Java (Spark) and
+    RE2 (DuckDB) treat identically — char classes, bounded quantifiers,
+    no lookaround. DuckDB's ``regexp_replace`` is first-match-only by
+    default; the oracle passes ``'g'`` to match Spark's replace-all.
+    Map-only plan: zero exchanges at any scale."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    card = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> call 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    base = c.select("c_custkey", card.alias("card"))
+    return base.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all("card", F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("card", F.lit(_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("card", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+def a_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flags with EXACT decimal arithmetic —
+    no float summation anywhere, so the flag is bit-reproducible on any
+    engine: prices go to integer cents, and ``|x − μ| > 3σ`` is tested
+    in its cleared-denominator form ``(x·n − Σx)² > 9·(n·Σx² − (Σx)²)``
+    (population variance, all DECIMAL(38,0) — the widest intermediate,
+    ``9·n·Σx²``, stays < 10³⁸ for n ≤ 10¹⁰ rows per group at 10⁶-cent
+    prices, so the identity holds at the 100 TB group sizes too).
+
+    Plan: one partial-aggregated group stats pass (5 groups → broadcast
+    back), then a map-only flag — two scans OR one exchange, never a
+    per-row window."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    stats = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("decimal(38,0)").alias("s2"),
+    )
+    dev = (F.col("cents") * F.col("n") - F.col("s1"))
+    var_n2 = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    flagged = (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .withColumn("is_outlier", dev * dev > F.lit(9) * var_n2)
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.max(F.when(F.col("is_outlier"), F.col("cents")).otherwise(None))
+        .cast("long")
+        .alias("max_outlier_cents"),
+    )
+
+
 STAGED_ORACLES: dict[str, str] = {
+    "p_pii_scrub": r"""
+WITH card AS (
+  SELECT c_custkey,
+         c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+         '@example.com> call 555-' ||
+         lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         ' segment ' || c_mktsegment AS card
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(card,
+         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(card,
+         '555-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(card,
+         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+         '555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+FROM card
+""",
+    "a_zscore_outliers": """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+  FROM orders
+),
+st AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(cents) AS s1,
+         sum(cents * cents) AS s2
+  FROM o GROUP BY o_orderpriority
+),
+fl AS (
+  SELECT o.o_orderpriority, cents,
+         (cents * n - s1) * (cents * n - s1) > 9 * (n * s2 - s1 * s1)
+           AS is_outlier
+  FROM o JOIN st USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(max(CASE WHEN is_outlier THEN cents END) AS BIGINT)
+         AS max_outlier_cents
+FROM fl GROUP BY o_orderpriority
+""",
     "a_grouping_sets": """
 SELECT coalesce(l_returnflag, '<all>') AS returnflag,
        coalesce(l_linestatus, '<all>') AS linestatus,
