@@ -315,7 +315,167 @@ def a_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two corpus halves (the PSI-style
+    monitor a training pipeline runs between ingest generations):
+    ``n_chars`` is histogrammed into 10 fixed-width buckets over the
+    GLOBAL min/max, each half's bucket shares go to integer ppm, and the
+    report row is ``|a_ppm − b_ppm|`` per bucket. Everything is integer
+    arithmetic (the repo's exact-ppm convention) — no ``ln`` / float
+    division, so the drift numbers are engine-exact; a 10-row spine
+    (``spark.range``) guarantees empty buckets still report.
+
+    Plan: one scan computes min/max + half totals (scalar aggregate,
+    broadcast back), a second scan buckets and counts — the report
+    itself is a ≤10-row frame joined map-side. At 100 TB: two scans,
+    one tiny exchange."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bounds = docs.agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.max("doc_id").alias("mxid"),
+    )
+    d = docs.crossJoin(F.broadcast(bounds)).select(
+        F.expr("(n_chars - mn) * 10 DIV (mx - mn + 1)").alias("bucket"),
+        (F.col("doc_id") <= F.expr("mxid DIV 2")).alias("in_a"),
+    )
+    agg = d.groupBy("bucket").agg(
+        F.sum(F.col("in_a").cast("long")).alias("a_cnt"),
+        F.sum((~F.col("in_a")).cast("long")).alias("b_cnt"),
+    )
+    totals = d.agg(
+        F.sum(F.col("in_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("in_a")).cast("long")).alias("n_b"),
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    rep = (
+        spine.join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("a_cnt", F.lit(0)).alias("a_cnt"),
+            F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return rep.select(
+        "bucket",
+        "a_cnt",
+        "b_cnt",
+        F.expr("a_cnt * 1000000 DIV n_a").alias("a_ppm"),
+        F.expr("b_cnt * 1000000 DIV n_b").alias("b_ppm"),
+        F.abs(
+            F.expr("a_cnt * 1000000 DIV n_a") - F.expr("b_cnt * 1000000 DIV n_b")
+        ).alias("drift_ppm"),
+    )
+
+
+def j_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs that appear in
+    the most orders together. The naive shape is a lineitem SELF-JOIN on
+    the order key (two shuffles of the big table + a re-shuffle of the
+    pair explosion); this plan instead collects each order's DISTINCT
+    sorted part set (bounded per order — basket size, not corpus size)
+    and expands i<j pairs with array combinatorics INSIDE the row, so
+    the only big-table exchange is the order-key groupBy. Global top-20
+    follows the repo's TakeOrderedAndProject convention (orderBy+limit,
+    per-partition partial top-k — NEVER a global window), then ranks
+    the 20 survivors.
+
+    At 100 TB the basket bound is what saves this operator: pair count
+    is Σ b²/2 over basket sizes b (≤13 here), linear in rows for bounded
+    baskets — cap or df-filter pathological baskets before expansion."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    cnt = pairs.groupBy("part_a", "part_b").agg(F.count("*").alias("n_orders"))
+    top = cnt.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return top.select(
+        "part_a",
+        "part_b",
+        "n_orders",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 STAGED_ORACLES: dict[str, str] = {
+    "k_drift_report": """
+WITH b AS (
+  SELECT min(n_chars) AS mn, max(n_chars) AS mx, max(doc_id) AS mxid
+  FROM documents
+),
+d AS (
+  SELECT (n_chars - mn) * 10 // (mx - mn + 1) AS bucket,
+         doc_id <= mxid // 2 AS in_a
+  FROM documents CROSS JOIN b
+),
+agg AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+  FROM d GROUP BY bucket
+),
+t AS (
+  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM d
+),
+spine AS (SELECT unnest(generate_series(0, 9)) AS bucket)
+SELECT spine.bucket AS bucket,
+       coalesce(a_cnt, 0) AS a_cnt,
+       coalesce(b_cnt, 0) AS b_cnt,
+       coalesce(a_cnt, 0) * 1000000 // n_a AS a_ppm,
+       coalesce(b_cnt, 0) * 1000000 // n_b AS b_ppm,
+       abs(coalesce(a_cnt, 0) * 1000000 // n_a
+           - coalesce(b_cnt, 0) * 1000000 // n_b) AS drift_ppm
+FROM spine LEFT JOIN agg ON spine.bucket = agg.bucket CROSS JOIN t
+""",
+    "j_copurchase_pairs": """
+WITH sets AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+  FROM lineitem GROUP BY l_orderkey
+),
+ij AS (
+  SELECT l_orderkey, ps, unnest(generate_series(1, len(ps) - 1)) AS i
+  FROM sets WHERE len(ps) > 1
+),
+pr AS (
+  SELECT ps[i] AS part_a, unnest(ps[i + 1 : len(ps)]) AS part_b FROM ij
+),
+cnt AS (
+  SELECT part_a, part_b, count(*) AS n_orders
+  FROM pr GROUP BY part_a, part_b
+),
+top AS (
+  SELECT * FROM cnt ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+)
+SELECT part_a, part_b, n_orders,
+       CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+            AS BIGINT) AS rank
+FROM top
+""",
     "p_pii_scrub": r"""
 WITH card AS (
   SELECT c_custkey,

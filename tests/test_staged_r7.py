@@ -52,6 +52,57 @@ def test_funnel_single_exchange(spark):
     assert "EvalPython" not in p
 
 
+def test_pii_scrub_map_only_and_clean(spark):
+    # redaction must be a map-only plan (zero exchanges at any scale)
+    # and must leave NO residual email/phone pattern behind
+    from pyspark.sql import functions as F
+
+    df = staged_r7.p_pii_scrub(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
+    residue = df.select(
+        F.sum(
+            F.size(F.regexp_extract_all("scrubbed", F.lit(staged_r7._EMAIL_RE), 0))
+            + F.size(F.regexp_extract_all("scrubbed", F.lit(staged_r7._PHONE_RE), 0))
+        ).alias("r"),
+        F.min("n_emails").alias("mne"),
+        F.min("n_phones").alias("mnp"),
+    ).first()
+    assert residue["r"] == 0
+    assert residue["mne"] >= 1 and residue["mnp"] >= 1
+
+
+def test_copurchase_no_self_join(spark):
+    # pair expansion happens inside the row (array combinatorics), so the
+    # plan must contain NO join at all and the global top-20 must plan as
+    # TakeOrderedAndProject (partial per-partition top-k), never a
+    # whole-frame window sort
+    df = staged_r7.j_copurchase_pairs(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_zscore_no_window_broadcast_only(spark):
+    # group stats come back via broadcast; the flag pass is map-side —
+    # no per-row window, no sort-merge join
+    df = staged_r7.a_zscore_outliers(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_drift_report_spine_complete(spark):
+    # every bucket 0..9 reports exactly once even when empty, and the
+    # two half-shares each sum to ~1e6 ppm (integer-division remainder)
+    df = staged_r7.k_drift_report(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r["bucket"] for r in df) == list(range(10))
+    for side in ("a_ppm", "b_ppm"):
+        tot = sum(r[side] for r in df)
+        assert 1_000_000 - 10 <= tot <= 1_000_000
+
+
 def test_staged_names_disjoint_from_registry():
     from activecampaign_api_data_pipeline_spark.queries import REGISTRY
 
