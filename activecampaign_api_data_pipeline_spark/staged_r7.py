@@ -420,7 +420,57 @@ def j_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantized ANN top-k (``operators.similarity.sq8_topk``)
+    — the third codec in the repo's ANN ladder next to IVF and PQ/ADC,
+    and the only one whose distances are BIGINT-exact (zero-epsilon
+    oracle, no float-fold ceremony): per-dim [min,max] calibration, one
+    byte per dimension, integer squared distance over code arrays."""
+    from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.sq8_topk(emb, k=3, max_query_id=10)
+
+
 STAGED_ORACLES: dict[str, str] = {
+    "sim_sq8_topk": """
+WITH px AS (
+  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+st AS (
+  SELECT pos, CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx
+  FROM px GROUP BY pos
+),
+stats AS (
+  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM st
+),
+enc AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)), i ->
+           CASE WHEN mxs[i] - mns[i] > 0
+                THEN least(255, CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                      / (mxs[i] - mns[i]) * 255.0) AS BIGINT))
+                ELSE 0 END) AS code
+  FROM embeddings CROSS JOIN stats
+),
+q AS (SELECT vec_id AS query_id, code AS qc FROM enc WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(qc)),
+              i -> (qc[i] - e.code[i]) * (qc[i] - e.code[i]))) AS BIGINT)
+           AS qdist
+  FROM q CROSS JOIN enc e WHERE e.vec_id <> query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdist, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, qdist
+FROM r WHERE rk <= 3
+""",
     "k_drift_report": """
 WITH b AS (
   SELECT min(n_chars) AS mn, max(n_chars) AS mx, max(doc_id) AS mxid

@@ -111,3 +111,67 @@ def test_staged_names_disjoint_from_registry():
     # every staged oracle has its query function in the module
     for name in staged_r7.STAGED_ORACLES:
         assert callable(getattr(staged_r7, name))
+
+
+def test_sq8_codes_range_and_calibration(spark):
+    """Codes live in [0,255]; every non-constant dimension uses both
+    endpoints (the vector attaining the per-dim min codes 0, the max
+    codes 255) — the calibration actually spans the data."""
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    stats = SIM.sq8_stats(emb)
+    codes = SIM.sq8_encode(emb, stats)
+    px = codes.select(F.posexplode("code"))
+    per_dim = px.groupBy("pos").agg(
+        F.min("col").alias("lo"), F.max("col").alias("hi")
+    ).collect()
+    assert all(0 <= r["lo"] and r["hi"] <= 255 for r in per_dim)
+    # real embedding data: every dim varies -> full range used
+    assert all(r["lo"] == 0 and r["hi"] == 255 for r in per_dim)
+
+
+def test_sq8_recall_beats_pq_floor(spark):
+    """SQ8 keeps per-dimension resolution, so on these embeddings its
+    recall@3 vs exact L2 must clear the PQ floor (5/30) comfortably;
+    measured deterministic at sf0.001. Floor at 15."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).filter("query_id < 10")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "d", SIM._l2(F.col("qv"), F.col("nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    exact = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter("r<=3")
+        .select("query_id", "neighbor_id")
+    )
+    got = SIM.sq8_topk(emb, k=3, max_query_id=10).select("query_id", "neighbor_id")
+    assert got.count() == 30
+    assert got.intersect(exact).count() >= 15
+
+
+def test_sq8_search_plan_scans_codes_only(spark):
+    """The search plan must not fold the raw embedding column into the
+    distance stage: after encode, 'embedding' appears only below the
+    (cached) code build, and the scoring join is a broadcast."""
+    from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = SIM.sq8_topk(emb, k=3, max_query_id=10)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
