@@ -225,6 +225,103 @@ def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence profile: the gap between consecutive SAME-TYPE
+    events per user, summarised per event type as exact median / p90 /
+    max. Percentiles use the repo's integer-bracket interpolation (the
+    ``a_percentiles`` convention): target index via integer div/mod over
+    the rank window, ``lo*(10-rem)+hi*rem`` is exact in deci-second
+    integers, the single FP op is one final divide by 10 — bit-identical
+    on any IEEE engine, immune to the quantile_cont last-ulp flip.
+
+    Plan: one exchange on (user, type) for the lag window, then the
+    per-type rank window. The exact path sorts each type's gaps (5
+    groups); at 100 TB cadence percentiles over raw gaps are the
+    documented cost of exactness — the KMV sketch family is the
+    pre-aggregated scale path."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    wl = Window.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.col("es") - F.lag("es").over(wl))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    r = gaps.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("gap"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+
+    def q10(k: int, name: str):
+        lo_rn = F.expr(f"((n - 1) * {k}) DIV 10 + 1")
+        rem = F.min(F.expr(f"((n - 1) * {k}) % 10"))
+        lov = F.min(F.when(F.col("rn") == lo_rn, F.col("gap")))
+        hiv = F.coalesce(F.min(F.when(F.col("rn") == lo_rn + 1, F.col("gap"))), lov)
+        return ((lov * (F.lit(10) - rem) + hiv * rem) / F.lit(10.0)).alias(name)
+
+    return r.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        q10(5, "median_gap_s"),
+        q10(9, "p90_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+    )
+
+
+def j_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile scoring per customer
+    — the classic CRM segmentation the reference's pandas pipeline could
+    never express at scale. Metrics aggregate exactly (epoch seconds,
+    counts, DECIMAL cents); each quintile is ``(rank−1)·5 DIV n + 1``
+    over a deterministic (metric, custkey) order, so scores are integer-
+    exact with no percentile interpolation at all.
+
+    Plan: the fact scan collapses to ONE row per customer first; the
+    three rank windows run over that dim-scale frame (3–4 orders of
+    magnitude smaller than the fact table). The global windows are the
+    honest cost of exact ranking — at 10⁹ customers swap in
+    range-partitioned ranks; the fact-table cost stays one exchange."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("ots"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    base = o.groupBy("o_custkey").agg(
+        F.max("ots").alias("last_order_es"),
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("spend_cents"),
+    )
+
+    wr = Window.orderBy(F.col("last_order_es").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("n_orders").asc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("spend_cents").asc(), F.col("o_custkey").asc())
+    scored = (
+        base.withColumn("rn_r", F.row_number().over(wr))
+        .withColumn("rn_f", F.row_number().over(wf))
+        .withColumn("rn_m", F.row_number().over(wm))
+        .withColumn("n_cust", F.count("*").over(Window.partitionBy(F.lit(1))))
+    )
+    return scored.select(
+        "o_custkey",
+        "last_order_es",
+        "n_orders",
+        "spend_cents",
+        F.expr("(rn_r - 1) * 5 DIV n_cust + 1").alias("r_score"),
+        F.expr("(rn_f - 1) * 5 DIV n_cust + 1").alias("f_score"),
+        F.expr("(rn_m - 1) * 5 DIV n_cust + 1").alias("m_score"),
+        F.expr(
+            "((rn_r - 1) * 5 DIV n_cust + 1) * 100"
+            " + ((rn_f - 1) * 5 DIV n_cust + 1) * 10"
+            " + ((rn_m - 1) * 5 DIV n_cust + 1)"
+        ).alias("rfm_code"),
+    )
+
+
 _EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PHONE_RE = r"555-[0-9]{3}-[0-9]{4}"
 
@@ -434,6 +531,69 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES: dict[str, str] = {
+    "t_event_gaps": """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         es - lag(es) OVER (PARTITION BY user_id, event_type
+                            ORDER BY es, event_id) AS gap
+  FROM e
+),
+r AS (
+  SELECT event_type, gap,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM g WHERE gap IS NOT NULL
+)
+SELECT event_type, count(*) AS n_gaps,
+       CAST(min(CASE WHEN rn = ((n-1)*5) // 10 + 1 THEN gap END)
+              * (10 - min(((n-1)*5) % 10))
+          + coalesce(min(CASE WHEN rn = ((n-1)*5) // 10 + 2 THEN gap END),
+                     min(CASE WHEN rn = ((n-1)*5) // 10 + 1 THEN gap END))
+              * min(((n-1)*5) % 10) AS DOUBLE)
+         / CAST(10 AS DOUBLE) AS median_gap_s,
+       CAST(min(CASE WHEN rn = ((n-1)*9) // 10 + 1 THEN gap END)
+              * (10 - min(((n-1)*9) % 10))
+          + coalesce(min(CASE WHEN rn = ((n-1)*9) // 10 + 2 THEN gap END),
+                     min(CASE WHEN rn = ((n-1)*9) // 10 + 1 THEN gap END))
+              * min(((n-1)*9) % 10) AS DOUBLE)
+         / CAST(10 AS DOUBLE) AS p90_gap_s,
+       max(gap) AS max_gap_s
+FROM r GROUP BY event_type
+""",
+    "j_rfm_scores": """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ots,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT o_custkey, max(ots) AS last_order_es, count(*) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS spend_cents
+  FROM o GROUP BY o_custkey
+),
+s AS (
+  SELECT *,
+         row_number() OVER (ORDER BY last_order_es, o_custkey) AS rn_r,
+         row_number() OVER (ORDER BY n_orders, o_custkey) AS rn_f,
+         row_number() OVER (ORDER BY spend_cents, o_custkey) AS rn_m,
+         count(*) OVER () AS n_cust
+  FROM b
+)
+SELECT o_custkey, last_order_es, n_orders, spend_cents,
+       (rn_r - 1) * 5 // n_cust + 1 AS r_score,
+       (rn_f - 1) * 5 // n_cust + 1 AS f_score,
+       (rn_m - 1) * 5 // n_cust + 1 AS m_score,
+       ((rn_r - 1) * 5 // n_cust + 1) * 100
+         + ((rn_f - 1) * 5 // n_cust + 1) * 10
+         + ((rn_m - 1) * 5 // n_cust + 1) AS rfm_code
+FROM s
+""",
     "sim_sq8_topk": """
 WITH px AS (
   SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos

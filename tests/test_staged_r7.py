@@ -18,14 +18,15 @@ SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
 @pytest.mark.parametrize("name", sorted(staged_r7.STAGED_ORACLES))
-def test_staged_query_typed_exact(spark, name):
+def test_staged_query_typed_exact(spark, name, sf):
     from oracle_replica import typed_hash  # tools/oracle_replica.py
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    stbl = getattr(staged_r7, name)(spark, SF).toArrow()
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    stbl = getattr(staged_r7, name)(spark, sf).toArrow()
     otbl = con.execute(staged_r7.STAGED_ORACLES[name]).arrow()
     assert stbl.num_rows == otbl.num_rows > 0
     sh, sschema = typed_hash(stbl)
@@ -175,3 +176,26 @@ def test_sq8_search_plan_scans_codes_only(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_rfm_quintiles_balanced(spark):
+    """Each of r/f/m splits customers into five buckets of n/5 (+/-1 for
+    remainder) — the DIV-quintile can never produce a skewed bucket."""
+    import collections
+
+    rows = staged_r7.j_rfm_scores(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        c = collections.Counter(r[col] for r in rows)
+        assert sorted(c) == [1, 2, 3, 4, 5]
+        assert max(c.values()) - min(c.values()) <= 1, (col, c)
+    assert all(111 <= r["rfm_code"] <= 555 for r in rows)
+
+
+def test_event_gaps_sane(spark):
+    """Gaps are non-negative, median <= p90 <= max, every type reports."""
+    rows = staged_r7.t_event_gaps(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_gaps"] > 0
+        assert 0 <= r["median_gap_s"] <= r["p90_gap_s"] <= r["max_gap_s"]
