@@ -994,14 +994,90 @@ def sq8_topk(
     scored = (
         codes.select(F.col(id_col).alias("neighbor_id"), "code")
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
+        .withColumn("qdist", _sq8_dist(F.col("qc"), F.col("code")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
             "qdist",
-            F.aggregate(
-                F.zip_with(F.col("qc"), F.col("code"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
         )
+    )
+
+
+def _sq8_dist(a: Column, b: Column) -> Column:
+    """Exact integer squared distance between two SQ8 code arrays — the
+    zero-epsilon fold (BIGINT accumulator, no FP anywhere)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 10,
+    nprobe: int = 2,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF-gated SQ8 search: coarse k-means cells prune candidates (the
+    ``ivf_topk`` gate, shared cache key → nprobe variants and plain IVF
+    searches reuse ONE assignment), then integer SQ8 distances score only
+    the survivors — IVF-PQ's shape with SQ8's zero-epsilon arithmetic.
+
+    Each corpus vector lives in exactly one cell and a query probes
+    ``nprobe`` DISTINCT cells, so no (query, neighbor) pair can appear
+    twice — the rank window sees each candidate once.
+
+    At 100 TB: the search scans codes ⋈ cells (both vec_id-keyed index
+    artifacts — ``ann_index``-style persistence stores them side by side,
+    bucketed on the id, so the join is co-located); the Q×nprobe probe
+    list broadcasts, and per-query work is O(nprobe·N/C) code rows.
+    """
+    cents = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
+    cells = _cached_build(
+        _plan_key(emb) + ("ivf_assign", n_centroids, n_iters, id_col, vec_col),
+        lambda: _assign(emb, cents, id_col, vec_col),
+    )
+    key = _plan_key(emb) + ("sq8", id_col, vec_col)
+    stats = _cached_build(key + ("stats",), lambda: sq8_stats(emb, id_col, vec_col))
+    codes = _cached_build(
+        key + ("codes",), lambda: sq8_encode(emb, stats, id_col, vec_col)
+    )
+    qfilter = F.lit(True) if max_query_id is None else F.col(id_col) < max_query_id
+    qs = (
+        emb.filter(qfilter)
+        .join(F.broadcast(cents))
+        .withColumn("cc", cosine(F.col(vec_col), F.col("cv")))
+    )
+    w_probe = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cent_id").asc())
+    qp = (
+        qs.withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    qc = codes.filter(qfilter).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("qcode")
+    )
+    q = qp.join(qc, "query_id")
+    corpus = codes.join(cells.select(F.col(id_col), "cell"), id_col).select(
+        F.col(id_col).alias("neighbor_id"), "code", "cell"
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdist", _sq8_dist(F.col("qcode"), F.col("code")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qdist").asc(), F.col("neighbor_id").asc()

@@ -517,6 +517,104 @@ def j_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-gated SQ8 search (``operators.similarity.sq8_ivf_topk``):
+    coarse k-means cells prune candidates exactly as in IVF-PQ, integer
+    SQ8 distances score the survivors — the codec ladder composes. The
+    oracle composes the same way: the shared deterministic-k-means CTEs
+    (``oracles._ivf_assign_parts``) + the shared SQ8 encode CTEs."""
+    from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.sq8_ivf_topk(emb, n_centroids=8, k=3, max_query_id=10, nprobe=2)
+
+
+# SQ8 encode CTEs, shared by the brute and the IVF-gated oracle twins
+# (mirrors operators.similarity.sq8_stats / sq8_encode bit-for-bit: the
+# single FP expression is floor((x-mn)/(mx-mn)*255.0), identical
+# association both engines).
+_SQ8_ENC_PARTS = [
+    """sq8px AS (
+  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)""",
+    """sq8st AS (
+  SELECT pos, CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx
+  FROM sq8px GROUP BY pos
+)""",
+    "sq8stats AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM sq8st)",
+    """enc AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)), i ->
+           CASE WHEN mxs[i] - mns[i] > 0
+                THEN least(255, CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                      / (mxs[i] - mns[i]) * 255.0) AS BIGINT))
+                ELSE 0 END) AS code
+  FROM embeddings CROSS JOIN sq8stats
+)""",
+]
+
+_SQ8_DIST = (
+    "CAST(list_sum(list_transform(generate_series(1, len(qcode)),"
+    " i -> (qcode[i] - code[i]) * (qcode[i] - code[i]))) AS BIGINT)"
+)
+
+
+def _sq8_sql(k: int = 3, max_query_id: int = 10) -> str:
+    parts = _SQ8_ENC_PARTS + [
+        f"q AS (SELECT vec_id AS query_id, code AS qcode FROM enc WHERE vec_id < {max_query_id})",
+        f"""scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {_SQ8_DIST} AS qdist
+  FROM q CROSS JOIN enc e WHERE e.vec_id <> query_id
+)""",
+        """r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdist, neighbor_id) AS rk
+  FROM scored
+)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, qdist
+FROM r WHERE rk <= {k}
+"""
+
+
+def _sq8_ivf_sql(
+    n_centroids: int = 8,
+    k: int = 3,
+    max_query_id: int = 10,
+    nprobe: int = 2,
+    n_iters: int = 2,
+) -> str:
+    from activecampaign_api_data_pipeline_spark.oracles import _ivf_assign_parts
+
+    parts = _ivf_assign_parts(n_centroids, n_iters) + _SQ8_ENC_PARTS + [
+        f"qp AS (SELECT vec_id AS query_id, cent_id AS cell FROM rf "
+        f"WHERE vec_id < {max_query_id} AND rn <= {nprobe})",
+        f"qc AS (SELECT vec_id AS query_id, code AS qcode FROM enc WHERE vec_id < {max_query_id})",
+        "q AS (SELECT query_id, cell, qcode FROM qp JOIN qc USING (query_id))",
+        "corpus AS (SELECT enc.vec_id AS neighbor_id, code, cell FROM enc JOIN af ON enc.vec_id = af.vec_id)",
+        f"""scored AS (
+  SELECT query_id, neighbor_id, {_SQ8_DIST} AS qdist
+  FROM q JOIN corpus USING (cell) WHERE neighbor_id <> query_id
+)""",
+        """r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdist, neighbor_id) AS rk
+  FROM scored
+)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, qdist
+FROM r WHERE rk <= {k}
+"""
+
+
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit scalar-quantized ANN top-k (``operators.similarity.sq8_topk``)
     — the third codec in the repo's ANN ladder next to IVF and PQ/ADC,
@@ -594,43 +692,10 @@ SELECT o_custkey, last_order_es, n_orders, spend_cents,
          + ((rn_m - 1) * 5 // n_cust + 1) AS rfm_code
 FROM s
 """,
-    "sim_sq8_topk": """
-WITH px AS (
-  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
-),
-st AS (
-  SELECT pos, CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx
-  FROM px GROUP BY pos
-),
-stats AS (
-  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM st
-),
-enc AS (
-  SELECT vec_id,
-         list_transform(generate_series(1, len(embedding)), i ->
-           CASE WHEN mxs[i] - mns[i] > 0
-                THEN least(255, CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
-                      / (mxs[i] - mns[i]) * 255.0) AS BIGINT))
-                ELSE 0 END) AS code
-  FROM embeddings CROSS JOIN stats
-),
-q AS (SELECT vec_id AS query_id, code AS qc FROM enc WHERE vec_id < 10),
-scored AS (
-  SELECT query_id, e.vec_id AS neighbor_id,
-         CAST(list_sum(list_transform(generate_series(1, len(qc)),
-              i -> (qc[i] - e.code[i]) * (qc[i] - e.code[i]))) AS BIGINT)
-           AS qdist
-  FROM q CROSS JOIN enc e WHERE e.vec_id <> query_id
-),
-r AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY qdist, neighbor_id) AS rk
-  FROM scored
-)
-SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, qdist
-FROM r WHERE rk <= 3
-""",
+    "sim_sq8_topk": _sq8_sql(k=3, max_query_id=10),
+    "sim_sq8_ivf_topk": _sq8_ivf_sql(
+        n_centroids=8, k=3, max_query_id=10, nprobe=2, n_iters=2
+    ),
     "k_drift_report": """
 WITH b AS (
   SELECT min(n_chars) AS mn, max(n_chars) AS mx, max(doc_id) AS mxid

@@ -199,3 +199,17 @@ def test_event_gaps_sane(spark):
     for r in rows:
         assert r["n_gaps"] > 0
         assert 0 <= r["median_gap_s"] <= r["p90_gap_s"] <= r["max_gap_s"]
+
+
+def test_sq8_ivf_all_cells_equals_brute(spark):
+    """Probing every cell removes the gate entirely, so IVF-gated SQ8
+    must reproduce the brute SQ8 top-k bit-for-bit (same invariant the
+    IVF-PQ family pins against PQ)."""
+    from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute = SIM.sq8_topk(emb, k=3, max_query_id=10)
+    gated = SIM.sq8_ivf_topk(emb, n_centroids=8, k=3, max_query_id=10, nprobe=8)
+    assert brute.exceptAll(gated).count() == 0
+    assert gated.exceptAll(brute).count() == 0
