@@ -406,3 +406,144 @@ def ensure_ann_index(
         pass  # absent, unreadable, or mid-rebuild marker -> build
     build_ann_index(emb, path, **params)
     return path
+
+
+# ---------------------------------------------------------------------------
+# SQ8 persisted index — the scalar-quantization codec's train/add/search
+# lifecycle, with the exact store contracts of the IVF-PQ index above:
+# crash-safe ``_building_`` sidecar written FIRST and valid params LAST,
+# parquet round-trips as materialization barriers, frozen-artifact appends
+# costing O(new rows), and search results bit-identical to the in-session
+# operator (``similarity.sq8_topk``) on the same corpus.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Sq8IndexParams:
+    dim: int = 0  # filled by build
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+def build_sq8_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Sq8IndexParams:
+    """Calibrate + encode an SQ8 index at ``path``: ``stats`` (ONE row of
+    per-dim min/max arrays — bytes, broadcast at search time) and
+    ``codes`` (one BIGINT array per vector — the only per-vector data a
+    search scans, ~4x smaller than raw floats)."""
+    from activecampaign_api_data_pipeline_spark.operators.similarity import (
+        sq8_encode,
+        sq8_stats,
+    )
+
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    spark.createDataFrame(
+        [(json.dumps({"_building_": True}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+
+    stats = _write(sq8_stats(emb, id_col, vec_col), f"{path}/stats")
+    _write(sq8_encode(emb, stats, id_col, vec_col), f"{path}/codes")
+
+    params = Sq8IndexParams(dim, id_col, vec_col)
+    spark.createDataFrame([(json.dumps(params.to_dict()),)], "p string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/params.json")
+    return params
+
+
+def load_sq8_params(spark: SparkSession, path: str) -> Sq8IndexParams:
+    raw = spark.read.text(f"{path}/params.json").collect()[0][0]
+    return Sq8IndexParams(**json.loads(raw))
+
+
+def append_sq8_index(new_emb: DataFrame, path: str) -> None:
+    """Encode NEW vectors against the FROZEN calibration — O(new rows),
+    no rescan, no recalibration (out-of-range components clamp to the
+    [0,255] edges; recalibrating would silently re-mean the whole corpus,
+    so distribution drift is a rebuild at a new path, exactly like the
+    IVF-PQ index)."""
+    from activecampaign_api_data_pipeline_spark.operators.similarity import sq8_encode
+
+    spark = new_emb.sparkSession
+    p = load_sq8_params(spark, path)
+    stats = spark.read.parquet(f"{path}/stats")
+    sq8_encode(new_emb, stats, p.id_col, p.vec_col).write.mode("append").parquet(
+        f"{path}/codes"
+    )
+
+
+def sq8_search_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k over a persisted SQ8 index. ``queries`` is ``(query_id, qv)``.
+
+    Query vectors encode against the index's frozen stats (broadcast
+    one-row join), then integer distances score the code scan — the plan
+    touches codes only, never a raw corpus vector. On the corpus the
+    index was built from, results are bit-identical to
+    ``similarity.sq8_topk`` (parquet round-trips of doubles/BIGINTs are
+    exact), which is how the oracle checks this module."""
+    from activecampaign_api_data_pipeline_spark.operators.similarity import (
+        _sq8_dist,
+        sq8_encode,
+    )
+
+    p = load_sq8_params(spark, path)
+    stats = spark.read.parquet(f"{path}/stats")
+    codes = spark.read.parquet(f"{path}/codes")
+    qenc = sq8_encode(
+        queries.select(
+            F.col("query_id").alias(p.id_col), F.col("qv").alias(p.vec_col)
+        ),
+        stats,
+        p.id_col,
+        p.vec_col,
+    ).select(F.col(p.id_col).alias("query_id"), F.col("code").alias("qcode"))
+    scored = (
+        codes.select(F.col(p.id_col).alias("neighbor_id"), "code")
+        .join(F.broadcast(qenc), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdist", _sq8_dist(F.col("qcode"), F.col("code")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "qdist",
+        )
+    )
+
+
+def ensure_sq8_index(emb: DataFrame, path: str, **params) -> str:
+    """Build the SQ8 index at ``path`` unless a complete one already
+    exists (same completeness contract as :func:`ensure_ann_index`: the
+    sidecar must parse as full default-filled params, ``dim`` excluded;
+    a mid-rebuild ``_building_`` marker never false-matches)."""
+    spark = emb.sparkSession
+    requested = Sq8IndexParams(**params).to_dict()
+    requested.pop("dim")
+    try:
+        existing = load_sq8_params(spark, path).to_dict()
+        existing.pop("dim")
+        if existing == requested:
+            return path
+    except Exception:
+        pass  # absent, unreadable, or mid-rebuild marker -> build
+    build_sq8_index(emb, path, **params)
+    return path

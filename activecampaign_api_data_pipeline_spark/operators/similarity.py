@@ -950,7 +950,13 @@ def sq8_encode(
     code = F.zip_with(
         d,
         rng,
-        lambda dd, r: F.when(r > 0, F.least(F.lit(255), F.floor(dd / r * 255.0)))
+        # greatest(0, ·) is a no-op for in-corpus encodes (x >= mn by
+        # construction) but clamps out-of-range vectors encoded against
+        # FROZEN calibration stats (the persisted-index append path)
+        lambda dd, r: F.when(
+            r > 0,
+            F.greatest(F.lit(0), F.least(F.lit(255), F.floor(dd / r * 255.0))),
+        )
         .otherwise(0)
         .cast("long"),
     )

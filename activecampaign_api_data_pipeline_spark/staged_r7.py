@@ -615,6 +615,38 @@ FROM r WHERE rk <= {k}
 """
 
 
+def _sq8_index_path(sf_dir: str) -> str:
+    """Index location keyed on source fingerprint (path+mtime) — the
+    `_ann_index_path` convention: regenerated data can never hit a stale
+    store."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mt = int(os.path.getmtime(src))
+    key = hashlib.md5(f"{os.path.abspath(src)}|{mt}|sq8".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"acdp_sq8_index_{key}")
+
+
+def sim_sq8_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 search over the PERSISTED index (``ann_index.build_sq8_index``
+    / ``sq8_search_index``): train-once artifacts on disk, search scans
+    codes only. Bit-identical to the in-session ``sq8_topk`` on the same
+    corpus (parquet round-trips of doubles/BIGINTs are exact), so it
+    shares the ``_sq8_sql`` oracle verbatim."""
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as ANN
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _sq8_index_path(sf_dir)
+    ANN.ensure_sq8_index(emb, path)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ANN.sq8_search_index(spark, path, q, k=3)
+
+
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit scalar-quantized ANN top-k (``operators.similarity.sq8_topk``)
     — the third codec in the repo's ANN ladder next to IVF and PQ/ADC,
@@ -693,6 +725,9 @@ SELECT o_custkey, last_order_es, n_orders, spend_cents,
 FROM s
 """,
     "sim_sq8_topk": _sq8_sql(k=3, max_query_id=10),
+    # the persisted-index search is bit-identical to the in-session
+    # operator on the same corpus — it shares the twin verbatim
+    "sim_sq8_from_index": _sq8_sql(k=3, max_query_id=10),
     "sim_sq8_ivf_topk": _sq8_ivf_sql(
         n_centroids=8, k=3, max_query_id=10, nprobe=2, n_iters=2
     ),

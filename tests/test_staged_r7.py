@@ -213,3 +213,70 @@ def test_sq8_ivf_all_cells_equals_brute(spark):
     gated = SIM.sq8_ivf_topk(emb, n_centroids=8, k=3, max_query_id=10, nprobe=8)
     assert brute.exceptAll(gated).count() == 0
     assert gated.exceptAll(brute).count() == 0
+
+
+def test_sq8_index_lifecycle(spark, tmp_path):
+    """Build/search == in-session sq8_topk bit-for-bit; ensure() is a
+    no-op on a complete index; frozen-stats append clamps out-of-range
+    vectors into [0,255] and costs no recalibration (stats unchanged)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as ANN
+    from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "sq8idx")
+    ANN.ensure_sq8_index(emb, path)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from_index = ANN.sq8_search_index(spark, path, q, k=3)
+    in_session = SIM.sq8_topk(emb, k=3, max_query_id=10)
+    assert from_index.exceptAll(in_session).count() == 0
+    assert in_session.exceptAll(from_index).count() == 0
+
+    # ensure() must not rebuild a complete index
+    before = sorted(os.listdir(f"{path}/codes"))
+    ANN.ensure_sq8_index(emb, path)
+    assert sorted(os.listdir(f"{path}/codes")) == before
+
+    # frozen-stats append: a vector far outside the calibration range
+    # clamps to the [0, 255] edges; stats stay byte-identical
+    stats_before = spark.read.parquet(f"{path}/stats").collect()
+    dim = len(emb.select("embedding").first()[0])
+    wild = spark.createDataFrame(
+        [(10_000_000, [1e6] * dim), (10_000_001, [-1e6] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    ANN.append_sq8_index(wild, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    appended = codes.filter(F.col("vec_id") >= 10_000_000).collect()
+    assert len(appended) == 2
+    by_id = {r["vec_id"]: r["code"] for r in appended}
+    assert all(c == 255 for c in by_id[10_000_000])
+    assert all(c == 0 for c in by_id[10_000_001])
+    assert spark.read.parquet(f"{path}/stats").collect() == stats_before
+    # search over the grown index still answers (the wild rows rank last)
+    assert ANN.sq8_search_index(spark, path, q, k=3).count() == 30
+
+
+def test_sq8_index_crash_marker_forces_rebuild(spark, tmp_path):
+    """A crash mid-rebuild leaves the unparsable _building_ sidecar;
+    ensure() must rebuild, never accept the partial index."""
+    import json as _json
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as ANN
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "sq8idx")
+    ANN.build_sq8_index(emb, path)
+    # simulate the crash: sidecar back to the building marker
+    spark.createDataFrame(
+        [(_json.dumps({"_building_": True}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    ANN.ensure_sq8_index(emb, path)
+    assert ANN.load_sq8_params(spark, path).dim == 64
