@@ -724,3 +724,51 @@ def stream_importance_state(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_sq8_index(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    trigger_available_now: bool = True,
+):
+    """Continuous embedding ingest into the persisted SQ8 index — the
+    :func:`stream_into_ann_index` contract applied to the scalar-
+    quantization codec: the first micro-batch CALIBRATES and builds at
+    ``path`` (:func:`~...operators.ann_index.build_sq8_index`); every
+    later batch encodes against the FROZEN per-dim stats
+    (:func:`append_sq8_index` — O(batch), out-of-range components clamp
+    to the [0,255] edges, never a recalibration).
+
+    Exactly-once: appends are guarded by an anti-join against the ids
+    already in ``codes`` — a replayed batch (crash between append and
+    checkpoint commit) is a no-op. The probe scans only the code arrays
+    (~4x smaller than raw floats). ``compact_artifact`` bounds the
+    one-file-set-per-batch growth exactly as for the IVF-PQ artifacts.
+
+    Calibration caveat (the SQ8 analogue of train-then-add): stats
+    reflect the FIRST batch's ranges; sustained drift outside them
+    saturates codes at the edges — rebuild at a new path to recalibrate.
+    """
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not path_exists(spark, f"{path}/params.json"):
+            AIX.build_sq8_index(batch_df, path)
+            return
+        seen = spark.read.parquet(f"{path}/codes").select(F.col(id_col)).distinct()
+        fresh = batch_df.join(seen, id_col, "left_anti")
+        if not fresh.isEmpty():
+            AIX.append_sq8_index(fresh, path)
+        compact_artifact(spark, f"{path}/codes")
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

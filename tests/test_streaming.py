@@ -827,3 +827,56 @@ def test_stream_importance_state(spark, tmp_path):
     # accumulated state: batch-1 partials exist alongside batch-0's
     state = spark.read.parquet(str(tmp_path / "state/partials"))
     assert state.select("batch_id").distinct().count() == 2
+
+
+def test_stream_into_sq8_index_builds_then_appends(spark, tmp_path):
+    """SQ8 codec through the streaming ingest: first batch calibrates +
+    builds, later batches append against FROZEN stats; bit-identical to
+    manual build(b0)+append(b1)+append(b2); replays are no-ops."""
+    import os
+    import random
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_sq8_index,
+    )
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(90)]
+    schema = "vec_id long, embedding array<double>"
+    batches = [vecs[:40], vecs[40:70], vecs[70:]]
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    for bno, rows in enumerate(batches):
+        f = src / f"b{bno}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(f) + "_tmp")
+        os.rename(str(f) + "_tmp", str(f))
+        base = 1_600_000_000 + bno * 60
+        for p in (str(f),) + tuple(
+            os.path.join(str(f), x) for x in os.listdir(str(f))
+        ):
+            os.utime(p, (base, base))
+
+    streamed = str(tmp_path / "idx_stream")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = stream_into_sq8_index(stream, streamed, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    manual = str(tmp_path / "idx_manual")
+    AIX.build_sq8_index(spark.createDataFrame(batches[0], schema), manual)
+    for rows in batches[1:]:
+        AIX.append_sq8_index(spark.createDataFrame(rows, schema), manual)
+
+    for art in ("stats", "codes"):
+        a = sorted(map(tuple, spark.read.parquet(f"{streamed}/{art}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{manual}/{art}").collect()))
+        assert a == b, f"{art} differs"
+
+    # replay guard: every id of batch 1 is already coded -> anti-join empty
+    seen = spark.read.parquet(f"{streamed}/codes").select("vec_id").distinct()
+    dup = spark.createDataFrame(batches[1], schema)
+    assert dup.join(seen, "vec_id", "left_anti").isEmpty()
