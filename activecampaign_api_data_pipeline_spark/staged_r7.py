@@ -615,6 +615,73 @@ FROM r WHERE rk <= {k}
 """
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case normalization pass — the canonicalization step a
+    corpus pipeline runs before fingerprinting. The synthetic corpus is
+    already clean, so (the ``p_pii_scrub`` pattern) the query first
+    DIRTIES each document deterministically — tab prefix, uppercase,
+    trailing double space; both engines build the identical string — then
+    normalizes (lowercase, control-whitespace → space, run collapse,
+    trim) and proves the round-trip: ``norm == original`` row by row.
+    Map-only; zero exchanges at any scale."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = F.concat(F.lit("\t"), F.upper(F.col("text")), F.lit("  "))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(dirty), "[\\t\\r\\n]+", " "), " {2,}", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(dirty).cast("long").alias("n_chars_dirty"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm == F.col("text")).alias("roundtrip"),
+    )
+
+
+def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at [p05, p95] with EXACT integer
+    arithmetic end-to-end: thresholds are the lower-bracket rank values
+    (``rn = (n−1)·k DIV 100 + 1`` over integer cents — no interpolation,
+    no FP), clamping is least/greatest, and the report carries integer
+    cent sums, never float means. The robust-stats cleaning step for
+    price-like columns.
+
+    Plan: one rank pass per group extracts the two thresholds (5-row
+    frame, broadcast back), one clamp+aggregate pass produces the
+    report — the threshold sort is the documented cost of exactness
+    (same trade as ``a_percentiles``)."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    r = li.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("l_returnflag").orderBy("cents"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy("l_returnflag")))
+    th = r.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n - 1) * 5 DIV 100 + 1"), F.col("cents"))).alias("lo_cents"),
+        F.min(F.when(F.col("rn") == F.expr("(n - 1) * 95 DIV 100 + 1"), F.col("cents"))).alias("hi_cents"),
+    )
+    clamped = li.join(F.broadcast(th), "l_returnflag").withColumn(
+        "w", F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.max("lo_cents").alias("lo_cents"),
+        F.max("hi_cents").alias("hi_cents"),
+        F.sum((F.col("cents") < F.col("lo_cents")).cast("long")).alias("n_lo"),
+        F.sum((F.col("cents") > F.col("hi_cents")).cast("long")).alias("n_hi"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("w").alias("sum_winsorized_cents"),
+    )
+
+
 def _sq8_index_path(sf_dir: str) -> str:
     """Index location keyed on source fingerprint (path+mtime) — the
     `_ann_index_path` convention: regenerated data can never hit a stale
@@ -661,6 +728,53 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES: dict[str, str] = {
+    "text_normalize": r"""
+WITH d AS (
+  SELECT doc_id, text, chr(9) || upper(text) || '  ' AS dirty
+  FROM documents
+),
+n AS (
+  SELECT doc_id, text, dirty,
+         trim(regexp_replace(regexp_replace(lower(dirty),
+              '[\t\r\n]+', ' ', 'g'), ' {2,}', ' ', 'g')) AS norm
+  FROM d
+)
+SELECT doc_id,
+       CAST(length(dirty) AS BIGINT) AS n_chars_dirty,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       norm = text AS roundtrip
+FROM n
+""",
+    "a_winsorize": """
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, cents,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM p
+),
+th AS (
+  SELECT l_returnflag,
+         min(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN cents END) AS lo_cents,
+         min(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN cents END) AS hi_cents
+  FROM r GROUP BY l_returnflag
+)
+SELECT p.l_returnflag AS l_returnflag,
+       count(*) AS n,
+       max(lo_cents) AS lo_cents,
+       max(hi_cents) AS hi_cents,
+       CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(least(greatest(cents, lo_cents), hi_cents)) AS BIGINT)
+         AS sum_winsorized_cents
+FROM p JOIN th USING (l_returnflag)
+GROUP BY p.l_returnflag
+""",
     "t_event_gaps": """
 WITH e AS (
   SELECT user_id, event_id, event_type,

@@ -280,3 +280,16 @@ def test_sq8_index_crash_marker_forces_rebuild(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
     ANN.ensure_sq8_index(emb, path)
     assert ANN.load_sq8_params(spark, path).dim == 64
+
+
+def test_winsorize_bounds_and_tails(spark):
+    """Winsorized sum is bounded by the clamp window and both tails trim
+    ~5% of rows (integer-rank thresholds can be off by at most the tie
+    mass at the boundary)."""
+    rows = staged_r7.a_winsorize(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["lo_cents"] <= r["hi_cents"]
+        assert r["n"] * r["lo_cents"] <= r["sum_winsorized_cents"] <= r["n"] * r["hi_cents"]
+        assert r["n_lo"] <= r["n"] * 6 // 100
+        assert r["n_hi"] <= r["n"] * 6 // 100
