@@ -106,6 +106,26 @@ HEADLINE = [
     "dedup_blocks",
     "llm_importance_weights",
     "a_cohort_retention",
+    # appended post-r6-freeze: the r7-STAGED family (typed-replica
+    # verified, pre-registry — resolved from staged_r7, promoted to the
+    # REGISTRY head in round 7). The 60-query prefix above is the r6
+    # frozen list — append only.
+    "a_event_funnel",
+    "a_grouping_sets",
+    "w_event_transitions",
+    "p_pii_scrub",
+    "a_zscore_outliers",
+    "k_drift_report",
+    "j_copurchase_pairs",
+    "t_event_gaps",
+    "j_rfm_scores",
+    "text_normalize",
+    "a_winsorize",
+    "sim_sq8_topk",
+    "sim_sq8_ivf_topk",
+    "sim_sq8_from_index",
+    "k_block_store_roundtrip",
+    "llm_importance_state_roundtrip",
 ]
 
 
@@ -127,8 +147,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
+    from activecampaign_api_data_pipeline_spark import staged_r7
+
     for name in HEADLINE:
-        fn = REGISTRY[name]
+        # r7-staged queries bench before they enter the registry
+        fn = REGISTRY.get(name) or getattr(staged_r7, name)
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.time()
