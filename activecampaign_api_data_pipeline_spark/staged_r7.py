@@ -682,6 +682,64 @@ def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment — the one Structured Streaming
+    join shape the t_stream family didn't yet cover: a file-source event
+    stream left-joins the static customer dim (broadcast; re-read per
+    micro-batch by contract, which is how dim updates reach a running
+    stream), lands row-append through foreachBatch, and the sink is then
+    aggregated per segment.
+
+    Determinism: a stateless stream-static join emits exactly the batch's
+    rows joined to the dim — no watermark, no cross-batch state — so the
+    union over ANY batch partitioning equals the one-shot join; the
+    per-segment census over the sink is therefore batch-split-invariant
+    and the oracle is the plain static join."""
+    import os
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        load_table,
+        pin_confs,
+    )
+
+    pin_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="acdp_enrich_")
+    stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    # three micro-batches so the per-batch dim join genuinely repeats
+    ev.repartition(3).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"], "left"
+    ).select("event_id", "user_id", "value", "c_mktsegment")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        joined.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    return out.groupBy(
+        F.coalesce("c_mktsegment", F.lit("<none>")).alias("segment")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
 def _sq8_index_path(sf_dir: str) -> str:
     """Index location keyed on source fingerprint (path+mtime) — the
     `_ann_index_path` convention: regenerated data can never hit a stale
@@ -728,6 +786,13 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES: dict[str, str] = {
+    "t_stream_enrich": """
+SELECT coalesce(c_mktsegment, '<none>') AS segment,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY coalesce(c_mktsegment, '<none>')
+""",
     "text_normalize": r"""
 WITH d AS (
   SELECT doc_id, text, chr(9) || upper(text) || '  ' AS dirty

@@ -126,6 +126,7 @@ HEADLINE = [
     "sim_sq8_from_index",
     "k_block_store_roundtrip",
     "llm_importance_state_roundtrip",
+    "t_stream_enrich",
 ]
 
 
