@@ -740,6 +740,49 @@ def t_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming fold (``applyInPandasWithState``,
+    via ``streaming.stream_running_totals``): per-user cumulative
+    (count, cent-sum) state across three micro-batches, every batch
+    emitting the touched users' NEW totals. The LAST emission per user
+    must equal the one-shot groupBy — integer addition is batch-split-
+    invariant, which is the whole determinism contract of the operator —
+    so the oracle is the plain static aggregate."""
+    import os
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        load_table,
+        pin_confs,
+    )
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_running_totals,
+    )
+
+    pin_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="acdp_state_")
+    stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    ev.repartition(3).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = stream_running_totals(stream, sink, ckpt)
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("user_id", "n_events", "sum_cents")
+    )
+
+
 def _sq8_index_path(sf_dir: str) -> str:
     """Index location keyed on source fingerprint (path+mtime) — the
     `_ann_index_path` convention: regenerated data can never hit a stale
@@ -786,6 +829,12 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES: dict[str, str] = {
+    "t_stream_state_totals": """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY user_id
+""",
     "t_stream_enrich": """
 SELECT coalesce(c_mktsegment, '<none>') AS segment,
        count(*) AS n_events,

@@ -772,3 +772,65 @@ def stream_into_sq8_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_running_totals(
+    stream: DataFrame,
+    sink: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    cents_col: str = "cents",
+    trigger_available_now: bool = True,
+):
+    """Custom ARBITRARY-STATEFUL operator via ``applyInPandasWithState``
+    — the escape hatch for semantics Spark's built-in stateful ops can't
+    express (running per-key accumulators with app-defined emission).
+    State = ``(n, s)`` per key, folded over Arrow record batches (never
+    row-at-a-time); every micro-batch emits the UPDATED cumulative total
+    for each key it touched, stamped with the batch id by the foreachBatch
+    sink.
+
+    Determinism contract: addition over integers is order- and
+    batch-split-invariant, so the LAST emission per key equals the
+    one-shot ``groupBy(key).agg(count, sum)`` no matter how the stream
+    was micro-batched — which is exactly how the oracle checks it. Keep
+    the folded column integer (pre-scale to cents upstream); float state
+    would make emissions depend on fold order.
+
+    At 100 TB: state is two longs per key sharded across executors by the
+    group key; each batch shuffles only its own rows. The sink partitions
+    by batch for exactly-once replay (a replayed batch overwrites itself).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, sum_cents long"
+    state_schema = "n long, s long"
+
+    def _fold(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(pdf[cents_col].sum()) if len(pdf) else 0
+        state.update((n, s))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "sum_cents": [s]}
+        )
+
+    folded = stream.groupBy(key_col).applyInPandasWithState(
+        _fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(sink)
+
+    writer = folded.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -127,6 +127,7 @@ HEADLINE = [
     "k_block_store_roundtrip",
     "llm_importance_state_roundtrip",
     "t_stream_enrich",
+    "t_stream_state_totals",
 ]
 
 

@@ -880,3 +880,55 @@ def test_stream_into_sq8_index_builds_then_appends(spark, tmp_path):
     seen = spark.read.parquet(f"{streamed}/codes").select("vec_id").distinct()
     dup = spark.createDataFrame(batches[1], schema)
     assert dup.join(seen, "vec_id", "left_anti").isEmpty()
+
+
+def test_stream_running_totals_stateful_fold(spark, tmp_path):
+    """applyInPandasWithState fold: per-user totals are cumulative across
+    micro-batches (monotone non-decreasing), the sink is batch_id-
+    partitioned, and re-running the drained stream on the same checkpoint
+    is a no-op (exactly-once)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_running_totals,
+    )
+
+    rows = [(u, c) for u in range(5) for c in (100, 200, 300)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "user_id long, cents long").repartition(3).write.parquet(src)
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_running_totals(stream, sink, ckpt).awaitTermination(180)
+
+    out = spark.read.parquet(sink)
+    # batch-partitioned sink
+    assert glob.glob(os.path.join(sink, "batch_id=*"))
+    # cumulative monotone per user in batch order
+    hist = sorted(
+        ((r["user_id"], r["batch_id"], r["n_events"], r["sum_cents"])
+         for r in out.collect())
+    )
+    by_user = {}
+    for u, b, n, s in hist:
+        pn, ps = by_user.get(u, (0, 0))
+        assert n >= pn and s >= ps
+        by_user[u] = (n, s)
+    # final state equals the one-shot aggregate
+    assert by_user == {u: (3, 600) for u in range(5)}
+
+    # replay: drained stream + same checkpoint -> sink unchanged
+    n_before = out.count()
+    stream2 = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_running_totals(stream2, sink, ckpt).awaitTermination(180)
+    assert spark.read.parquet(sink).count() == n_before
