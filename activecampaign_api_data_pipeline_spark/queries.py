@@ -2151,6 +2151,15 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deadline in r7), then r6-touched functions. Displacement pool =
 # r6-green untouched entries (verify each with tools/oracle_replica.py
 # before moving it past 50).
+#
+# CADENCE ARITHMETIC (update to rule 3): with N registry entries and a
+# 50-slot window, the best achievable re-check cadence is ceil(N/50)
+# rounds. At 116 entries post-promotion that is 3 rounds, so rule 3's
+# bound becomes "every ceil(N/50)+0 rounds" with the PRIORITY ORDER of
+# rule 4 deciding who waits: new > never-checked > most-stale first.
+# Every entry parked past 50 must still be typed-replica green
+# (tools/oracle_replica.py — stricter than the driver hash) in the
+# round it is parked; the staleness bound applies to DRIVER rows only.
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r6 driver window (first 50) ----
