@@ -783,6 +783,57 @@ def t_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_session_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-algebra occupancy curve: 30-min-gap sessions (the
+    ``t_sessionize`` islands) are expanded onto an hourly grid —
+    ``sequence(start_hr, end_hr)`` explode, bounded per session — and
+    each hour reports how many sessions OVERLAP it plus the start/end
+    churn. The interval→time-grid pattern (room occupancy, concurrent
+    connections, active-user curves) that neither a window nor a plain
+    groupBy expresses.
+
+    Everything is integer epoch arithmetic (island assignment is
+    permutation-invariant under timestamp ties — equal stamps diff to 0,
+    never a new island). Plan: one user-key exchange for the islands,
+    one tiny hour-grid aggregate; the explode is bounded by session
+    span — at 100 TB cap pathological spans before expansion."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    wl = Window.partitionBy("user_id").orderBy("es")
+    l = ev.withColumn(
+        "new_s",
+        F.when(F.col("es") - F.lag("es").over(wl) >= 1800, 1).otherwise(0),
+    )
+    s = l.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("es").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("es").alias("s_es"), (F.max("es") + 1800).alias("e_es")
+    )
+    h = sess.select(
+        "s_es",
+        "e_es",
+        F.explode(
+            F.sequence(F.expr("s_es DIV 3600"), F.expr("(e_es - 1) DIV 3600"))
+        ).alias("hr"),
+    )
+    return h.groupBy("hr").agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(F.expr("s_es DIV 3600") == F.col("hr"), 1).otherwise(0))
+        .alias("n_starting"),
+        F.sum(F.when(F.expr("(e_es - 1) DIV 3600") == F.col("hr"), 1).otherwise(0))
+        .alias("n_ending"),
+    )
+
+
 def _sq8_index_path(sf_dir: str) -> str:
     """Index location keyed on source fingerprint (path+mtime) — the
     `_ann_index_path` convention: regenerated data can never hit a stale
@@ -829,6 +880,38 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES: dict[str, str] = {
+    "t_session_occupancy": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+l AS (
+  SELECT user_id, es,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es) >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, es,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY es
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+),
+sess AS (
+  SELECT user_id, sid, min(es) AS s_es, max(es) + 1800 AS e_es
+  FROM s GROUP BY user_id, sid
+),
+h AS (
+  SELECT s_es, e_es,
+         unnest(generate_series(s_es // 3600, (e_es - 1) // 3600)) AS hr
+  FROM sess
+)
+SELECT hr, count(*) AS n_active,
+       CAST(sum(CASE WHEN s_es // 3600 = hr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_starting,
+       CAST(sum(CASE WHEN (e_es - 1) // 3600 = hr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ending
+FROM h GROUP BY hr
+""",
     "t_stream_state_totals": """
 SELECT user_id, count(*) AS n_events,
        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)

@@ -128,6 +128,7 @@ HEADLINE = [
     "llm_importance_state_roundtrip",
     "t_stream_enrich",
     "t_stream_state_totals",
+    "t_session_occupancy",
 ]
 
 

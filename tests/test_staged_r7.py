@@ -293,3 +293,17 @@ def test_winsorize_bounds_and_tails(spark):
         assert r["n"] * r["lo_cents"] <= r["sum_winsorized_cents"] <= r["n"] * r["hi_cents"]
         assert r["n_lo"] <= r["n"] * 6 // 100
         assert r["n_hi"] <= r["n"] * 6 // 100
+
+
+def test_session_occupancy_churn_balance(spark):
+    """Occupancy bookkeeping: total starts == total ends == session count
+    (from t_sessionize), and per hour active >= max(starting, ending)."""
+    from activecampaign_api_data_pipeline_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = staged_r7.t_session_occupancy(spark, sf).collect()
+    n_sessions = REGISTRY["t_sessionize"](spark, sf).count()
+    assert sum(r["n_starting"] for r in rows) == n_sessions
+    assert sum(r["n_ending"] for r in rows) == n_sessions
+    for r in rows:
+        assert r["n_active"] >= max(r["n_starting"], r["n_ending"])
