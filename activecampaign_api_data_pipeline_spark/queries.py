@@ -2139,15 +2139,17 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r7 WINDOW PRE-PLAN (apply at the start of round 7 — do not reorder
 # before the r6 driver run): slots 1-4 = the rule-4 displacements
 # (w_running_analytics, sim_ann_index_refine, t_incremental_replay,
-# a_kmv_distinct_tokens — their 2-round deadline); slots 5-22 = the
-# EIGHTEEN staged_r7 promotions (move each function here + its
-# STAGED_ORACLES entry into oracles.build, names unchanged):
-# a_event_funnel, k_block_store_roundtrip, llm_importance_state_roundtrip,
+# a_kmv_distinct_tokens — their 2-round deadline); next = the staged_r7
+# promotions (ALL names in staged_r7.STAGED_ORACLES — move each function
+# here + its oracle into oracles.build, names unchanged): a_event_funnel,
+# k_block_store_roundtrip, llm_importance_state_roundtrip,
 # a_grouping_sets, w_event_transitions, p_pii_scrub, a_zscore_outliers,
 # k_drift_report, j_copurchase_pairs, t_event_gaps, j_rfm_scores,
 # text_normalize, a_winsorize, sim_sq8_topk, sim_sq8_ivf_topk,
-# sim_sq8_from_index, t_stream_enrich, t_stream_state_totals.
-# Remaining 28 slots: any entry whose last driver green is r5 (2-round
+# sim_sq8_from_index, t_stream_enrich, t_stream_state_totals,
+# t_session_occupancy, j_attribution_last_touch,
+# q_salted_count_distinct, q_salted_join_enrich.
+# Remaining slots: any entry whose last driver green is r5 (2-round
 # deadline in r7), then r6-touched functions. Displacement pool =
 # r6-green untouched entries (verify each with tools/oracle_replica.py
 # before moving it past 50).

@@ -834,6 +834,78 @@ def t_session_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent ``view`` no more than 1 h earlier. One pass over the
+    user-ordered stream — a running conditional max carries the last
+    view's timestamp, so no self-join, no interval explosion (the
+    stream-stream interval join is the STREAMING twin of this batch
+    shape). Ordering ties break on event_id, the repo's total-order
+    rule. Output: per-day attributed / unattributed purchase census."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    lv = F.max(F.when(F.col("event_type") == "view", F.col("es"))).over(w)
+    p = ev.withColumn("last_view_es", lv).filter(F.col("event_type") == "purchase")
+    return (
+        p.withColumn(
+            "attributed",
+            F.col("last_view_es").isNotNull()
+            & (F.col("es") - F.col("last_view_es") <= 3600),
+        )
+        .groupBy(F.expr("es DIV 86400").alias("day"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("attributed").cast("long")).alias("n_attributed"),
+        )
+    )
+
+
+def q_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe exact distinct (``operators.skew.salted_count_
+    distinct``) under the driver gate: value-space salting splits each
+    hot group's distinct-state across 16 sub-aggregations, phase-2 sums
+    are exact because every distinct value lands in exactly one salt.
+    The oracle is the plain COUNT(DISTINCT) — equivalence IS the
+    operator's contract."""
+    from activecampaign_api_data_pipeline_spark.operators.skew import (
+        salted_count_distinct,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return salted_count_distinct(ev, "event_type", "user_id", n_salts=16)
+
+
+def q_salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe equi-join (``operators.skew.salted_join``) under the
+    driver gate: the big side scatters over 16 content-derived salts
+    (xxhash64 — retry-stable), the dim side replicates per salt; the
+    result is row-identical to the plain join, which the plain-SQL
+    oracle asserts. Census per segment keeps the checked frame compact."""
+    from activecampaign_api_data_pipeline_spark.operators.skew import salted_join
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("value").cast("double").alias("value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="k", n_salts=16, how="inner")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
 def _sq8_index_path(sf_dir: str) -> str:
     """Index location keyed on source fingerprint (path+mtime) — the
     `_ann_index_path` convention: regenerated data can never hit a stale
@@ -880,6 +952,38 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES: dict[str, str] = {
+    "j_attribution_last_touch": """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+p AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'view' THEN es END)
+           OVER (PARTITION BY user_id ORDER BY es, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_es
+  FROM e
+)
+SELECT es // 86400 AS day,
+       count(*) AS n_purchases,
+       CAST(sum(CASE WHEN last_view_es IS NOT NULL
+                      AND es - last_view_es <= 3600
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+FROM p WHERE event_type = 'purchase'
+GROUP BY es // 86400
+""",
+    "q_salted_count_distinct": """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+""",
+    "q_salted_join_enrich": """
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
     "t_session_occupancy": """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events

@@ -129,6 +129,9 @@ HEADLINE = [
     "t_stream_enrich",
     "t_stream_state_totals",
     "t_session_occupancy",
+    "j_attribution_last_touch",
+    "q_salted_count_distinct",
+    "q_salted_join_enrich",
 ]
 
 

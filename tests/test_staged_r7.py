@@ -307,3 +307,21 @@ def test_session_occupancy_churn_balance(spark):
     assert sum(r["n_ending"] for r in rows) == n_sessions
     for r in rows:
         assert r["n_active"] >= max(r["n_starting"], r["n_ending"])
+
+
+def test_attribution_no_self_join(spark):
+    """Last-touch attribution must be the single-pass window shape:
+    no join anywhere, one user-key exchange feeding the window."""
+    df = staged_r7.j_attribution_last_touch(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_salted_join_replicates_dim_not_facts(spark):
+    """The salted join must scatter the BIG side by a content hash and
+    explode only the dim side; plan has no sort-merge join."""
+    df = staged_r7.q_salted_join_enrich(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in p
+    assert "SortMergeJoin" not in p
