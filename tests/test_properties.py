@@ -207,3 +207,59 @@ def test_block_dedup_matches_python_reference(spark, doc_words):
         for r in block_dedup(df, block_words=B).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-100, 100, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_sq8_encode_monotone_and_bounded(spark, vecs):
+    """SQ8 codes are order-preserving per dimension (x <= y => code(x) <=
+    code(y)) and bounded to [0, 255] — the invariants that make the
+    integer distance a sane L2 surrogate."""
+    from activecampaign_api_data_pipeline_spark.operators.similarity import (
+        sq8_encode,
+        sq8_stats,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in sq8_encode(emb, sq8_stats(emb)).collect()
+    }
+    for d in range(4):
+        col = sorted((vecs[i][d], codes[i][d]) for i in range(len(vecs)))
+        assert all(0 <= c <= 255 for _, c in col)
+        for (x1, c1), (x2, c2) in zip(col, col[1:]):
+            assert c1 <= c2, (d, x1, c1, x2, c2)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=5, max_size=40))
+def test_winsorize_clamp_idempotent(spark, cents):
+    """Clamping to [p05, p95] thresholds then clamping again with the
+    SAME thresholds is the identity — and the clamped sum is always
+    between the raw sum clamped naively and the window bounds."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("g", c) for c in cents], "grp string, cents long"
+    )
+    r = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("cents"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy("grp")))
+    th = r.groupBy("grp").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n - 1) * 5 DIV 100 + 1"), F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.expr("(n - 1) * 95 DIV 100 + 1"), F.col("cents"))).alias("hi"),
+    )
+    j = df.join(F.broadcast(th), "grp")
+    w1 = j.select(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias("w"),
+                  "lo", "hi")
+    w2 = w1.select(F.least(F.greatest(F.col("w"), F.col("lo")), F.col("hi")).alias("w2"), "w")
+    rows = w2.collect()
+    assert all(r["w"] == r["w2"] for r in rows)
