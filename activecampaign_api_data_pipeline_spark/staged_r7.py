@@ -951,6 +951,362 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.sq8_topk(emb, k=3, max_query_id=10)
 
 
+def g_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (3 unrolled iterations, damping 0.85)
+    over the co-purchase part graph — the repo's first ITERATIVE graph
+    propagation beyond connected components. Ranks are BIGINT
+    micro-units and every step is integer arithmetic (``rank div
+    outdeg``, ``(85 * inflow) div 100``), so the result is zero-epsilon
+    reproducible across engines — no float-fold ceremony.
+
+    Plan: the edge list and degree table are built ONCE and reused by
+    all iterations; each iteration is one shuffle join on the
+    destination key plus a broadcast-size rank frame at test scale. At
+    100 TB the rank and degree frames are co-partitioned with the edge
+    list on the source key (bucketing), so each iteration is a single
+    co-located join + one aggregation exchange on dst — the classic
+    Pregel-on-DataFrames shape. Global top-20 follows the repo's
+    TakeOrderedAndProject convention (orderBy+limit, never a global
+    window), then ranks the 20 survivors.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    edges = (
+        pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .union(pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    rank = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(3):
+        per_node = rank.join(deg, rank["node"] == deg["src"]).select(
+            "node", F.expr("pr div outdeg").alias("contrib")
+        )
+        inflow = (
+            edges.join(per_node, edges["src"] == per_node["node"])
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        rank = (
+            rank.select("node")
+            .join(inflow, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000).cast("long")
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).alias("pr"),
+            )
+        )
+    top = rank.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank_no"), "node", "pr"
+    )
+
+
+def k_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    customer's order-priority observations (ordered by order date, key
+    as tiebreak) into change rows with ``[eff_from, eff_to)`` validity
+    intervals, a version number, and an ``is_current`` flag — the
+    standard warehouse dimension-history operator the medallion layer
+    (``storage.py``) snapshots but never versioned.
+
+    Plan: ONE exchange on the customer key — the change-detection lag,
+    the validity lead and the version row_number all share the same
+    (partition, order) spec, and the change filter preserves both the
+    distribution and the sort, so Catalyst runs all three windows on a
+    single sort+exchange. Timestamps go out as UTC-formatted strings
+    (repo oracle convention), open intervals as the 9999-12-31 sentinel.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = o.withColumn("prev_attr", F.lag("o_orderpriority").over(w)).where(
+        F.col("prev_attr").isNull()
+        | (F.col("prev_attr") != F.col("o_orderpriority"))
+    )
+    hist = chg.withColumn("eff_to_ts", F.lead("o_orderdate").over(w)).withColumn(
+        "version", F.row_number().over(w).cast("long")
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("attr"),
+        F.date_format("o_orderdate", fmt).alias("eff_from"),
+        F.coalesce(
+            F.date_format("eff_to_ts", fmt), F.lit("9999-12-31 00:00:00")
+        ).alias("eff_to"),
+        F.col("eff_to_ts").isNull().alias("is_current"),
+        "version",
+    )
+
+
+def j_fuzzy_block_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: probe part names are deterministically
+    DIRTIED (one character deleted at a key-derived position — the
+    synthesized-bite pattern, so the matcher is exercised on every
+    probe and stays oracle-checkable on a clean corpus), then recovered
+    by a block join + Levenshtein ≤ 1 filter. Blocking on the 2-char
+    prefix is sound because the deletion position is pinned ≥ 3.
+
+    Plan: the equi-join on the block key is the only pairing — the
+    quadratic edit-distance predicate runs INSIDE blocks only, never as
+    a cartesian. At 100 TB the block key generalizes to q-gram prefix +
+    length-band blocking with a hot-block df cap (the dedup postings
+    pattern); Levenshtein stays a post-join filter on the bounded
+    candidate set.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = (
+        p.where((F.col("p_partkey") % 7 == 0) & (F.length("p_name") >= 5))
+        .withColumn("pos", F.expr("3 + p_partkey % (length(p_name) - 3)"))
+        .select(
+            F.col("p_partkey").alias("probe_id"),
+            F.expr(
+                "concat(substr(p_name, 1, CAST(pos AS INT) - 1),"
+                " substr(p_name, CAST(pos AS INT) + 1))"
+            ).alias("dirty"),
+        )
+        .withColumn("blk", F.substring("dirty", 1, 2))
+    )
+    cat = p.select(
+        F.col("p_partkey").alias("cat_id"),
+        F.col("p_name").alias("cat_name"),
+        F.substring("p_name", 1, 2).alias("blk"),
+    )
+    m = probes.join(cat, ["blk"]).where(F.levenshtein("dirty", "cat_name") <= 1)
+    return m.select(
+        "probe_id",
+        "cat_id",
+        F.levenshtein("dirty", "cat_name").cast("long").alias("dist"),
+        (F.col("probe_id") == F.col("cat_id")).alias("is_self"),
+    )
+
+
+def a_exact_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group dispersion: exact median, median-absolute-
+    deviation and a 3-MAD outlier census of event values per event
+    type. Values go through the repo's cents convention (DECIMAL(18,2)
+    → BIGINT) so the exact interpolated percentiles land on binary
+    fractions (.5/.25 steps) that both engines represent exactly —
+    doubles without epsilon.
+
+    Plan: three aggregation exchanges on the (tiny-cardinality) group
+    key, with the median and MAD frames broadcast back onto the fact
+    scan. The exact `percentile` is the correctness baseline;
+    `percentile_approx` is the documented 100 TB swap (same plan
+    shape, sketch-mergeable partials, no full per-group sort).
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def w_ewma_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (α = 0.5) — time-series smoothing as a SEQUENTIAL FOLD over the
+    user's chronologically-sorted value list, the repo's established
+    zero-epsilon double pattern: both engines run the identical
+    left-fold ``acc ← 0.5·x + 0.5·acc`` in the identical order, so the
+    IEEE roundings coincide bit-for-bit.
+
+    Plan: one exchange (the user groupBy); sort and fold happen inside
+    the row via array expressions — no window, no Python. At 100 TB the
+    per-user list is bounded by events-per-user, not corpus size; cap
+    or window the tail like the mart's max-events guard for pathological
+    keys.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    lst = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("es", "event_id", "cents"))).alias("xs")
+    )
+    return lst.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.expr(
+            "aggregate("
+            " slice(transform(xs, s -> CAST(s.cents AS DOUBLE)), 2, size(xs)),"
+            " CAST(element_at(transform(xs, s -> CAST(s.cents AS DOUBLE)), 1) AS DOUBLE),"
+            " (acc, x) -> 0.5 * x + 0.5 * acc)"
+        ).alias("ewma_cents"),
+    )
+
+
+def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the document token stream:
+    d = 3 salted md5 hash rows × w = 512 columns, estimate = min over
+    rows of the collided counter, reported next to the exact count for
+    the top-20 tokens (est ≥ exact always — the CMS one-sided error).
+    The md5→hash60 identity keeps the sketch bit-reproducible in both
+    engines.
+
+    Plan: the sketch build is a map-side-combinable groupBy on (row,
+    col) — 1,536 counters TOTAL regardless of corpus size, the whole
+    point of the sketch at 100 TB — and the counter frame broadcasts
+    onto the candidate lookup. Global top-20 via orderBy+limit
+    (TakeOrderedAndProject), ranked after the take.
+    """
+    from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    d_arr = F.array(F.lit(0), F.lit(1), F.lit(2))
+    trip = toks.select("tok", F.explode(d_arr).alias("d")).withColumn(
+        "col",
+        F.pmod(
+            hash60(F.concat_ws("||", F.lit("cms"), F.col("d").cast("string"), F.col("tok"))),
+            F.lit(512),
+        ),
+    )
+    counters = trip.groupBy("d", "col").agg(F.count("*").alias("cnt"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    cand = exact.select("tok", "n_exact", F.explode(d_arr).alias("d")).withColumn(
+        "col",
+        F.pmod(
+            hash60(F.concat_ws("||", F.lit("cms"), F.col("d").cast("string"), F.col("tok"))),
+            F.lit(512),
+        ),
+    )
+    est = (
+        cand.join(F.broadcast(counters), ["d", "col"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"), F.max("n_exact").alias("n_exact"))
+    )
+    top = est.orderBy(F.col("est").desc(), F.col("tok").asc()).limit(20)
+    w = Window.orderBy(F.col("est").desc(), F.col("tok").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank_no"), "tok", "est", "n_exact"
+    )
+
+
+def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style membership prefilter ahead of a fact-dim join: the
+    selective dim side (one market segment) hashes its keys into k = 3
+    positions of an 8,192-slot space; the fact scan keeps only rows
+    whose THREE probe positions are all present, and the exact join
+    then removes the false positives. The position set is
+    oracle-reproducible (md5→hash60), so the candidate census itself is
+    verified, not just the final join.
+
+    Plan: the filter is applied ON THE SCAN SIDE before any exchange —
+    at 100 TB this is the shuffle-volume lever Spark's runtime bloom
+    filter automates for sort-merge joins; building it manually keeps
+    it available for broadcast joins and makes the reduction
+    measurable. The position array is a single broadcast row; the dim
+    join is broadcast too.
+    """
+    from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    pos = dim.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("d"), "c_custkey"
+    ).select(
+        F.pmod(
+            hash60(
+                F.concat_ws(
+                    "||", F.lit("bloom"), F.col("d").cast("string"),
+                    F.col("c_custkey").cast("string"),
+                )
+            ),
+            F.lit(8192),
+        ).alias("p")
+    )
+    bits = pos.agg(F.array_sort(F.collect_set("p")).alias("bits"))
+
+    def probe(i: int):
+        return F.pmod(
+            hash60(
+                F.concat_ws(
+                    "||", F.lit("bloom"), F.lit(str(i)),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            F.lit(8192),
+        )
+
+    fact = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cand = fact.crossJoin(F.broadcast(bits)).where(
+        F.array_contains("bits", probe(0))
+        & F.array_contains("bits", probe(1))
+        & F.array_contains("bits", probe(2))
+    )
+    m = cand.join(F.broadcast(dim), cand["user_id"] == dim["c_custkey"], "left")
+    return m.agg(
+        F.count("*").alias("n_candidates"),
+        F.count("c_custkey").alias("n_matched"),
+        F.sum(
+            F.when(
+                F.col("c_custkey").isNotNull(), F.col("value").cast("decimal(18,2)")
+            )
+        ).cast("double").alias("sum_value"),
+    )
+
+
 STAGED_ORACLES: dict[str, str] = {
     "j_attribution_last_touch": """
 WITH e AS (
@@ -1379,5 +1735,211 @@ top AS (SELECT * FROM ds ORDER BY score DESC, doc_id LIMIT 100)
 SELECT doc_id, n_toks, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
 FROM top
+""",
+    "g_pagerank_fixed": """
+WITH pairs0 AS (
+  SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT part_a AS src, part_b AS dst FROM pairs0
+  UNION
+  SELECT part_b AS src, part_a AS dst FROM pairs0
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+c1 AS (
+  SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT b.node, CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM r0 b LEFT JOIN c1 c ON b.node = c.dst
+),
+c2 AS (
+  SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT b.node, CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM r1 b LEFT JOIN c2 c ON b.node = c.dst
+),
+c3 AS (
+  SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT b.node, CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM r2 b LEFT JOIN c3 c ON b.node = c.dst
+),
+top AS (SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank_no,
+       node, pr
+FROM top
+""",
+    "k_scd2_history": """
+WITH l AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         lag(o_orderpriority) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_attr
+  FROM orders
+),
+chg AS (
+  SELECT * FROM l WHERE prev_attr IS NULL OR prev_attr <> o_orderpriority
+),
+h AS (
+  SELECT *,
+         lead(o_orderdate) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS eff_to_ts,
+         CAST(row_number() OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+           AS version
+  FROM chg
+)
+SELECT o_custkey AS custkey, o_orderpriority AS attr,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS eff_from,
+       coalesce(strftime(eff_to_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+         AS eff_to,
+       eff_to_ts IS NULL AS is_current,
+       version
+FROM h
+""",
+    "j_fuzzy_block_match": """
+WITH probes0 AS (
+  SELECT p_partkey AS probe_id,
+         3 + p_partkey % (length(p_name) - 3) AS pos, p_name
+  FROM part WHERE p_partkey % 7 = 0 AND length(p_name) >= 5
+),
+probes AS (
+  SELECT probe_id,
+         concat(substr(p_name, 1, CAST(pos AS INT) - 1),
+                substr(p_name, CAST(pos AS INT) + 1)) AS dirty
+  FROM probes0
+),
+cat AS (
+  SELECT p_partkey AS cat_id, p_name AS cat_name, substr(p_name, 1, 2) AS blk
+  FROM part
+)
+SELECT probe_id, cat_id,
+       CAST(levenshtein(dirty, cat_name) AS BIGINT) AS dist,
+       probe_id = cat_id AS is_self
+FROM probes JOIN cat ON substr(dirty, 1, 2) = blk
+WHERE levenshtein(dirty, cat_name) <= 1
+""",
+    "a_exact_median_mad": """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+  FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, med.med_cents, abs(e.cents - med.med_cents) AS adev
+  FROM e JOIN med ON e.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(dev.med_cents) AS med_cents,
+       max(mad.mad_cents) AS mad_cents,
+       CAST(sum(CASE WHEN dev.adev > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+""",
+    "w_ewma_per_key": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT user_id, list(CAST(cents AS DOUBLE) ORDER BY es, event_id) AS vs
+  FROM e GROUP BY user_id
+)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+       list_reduce(vs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma_cents
+FROM g
+""",
+    "a_cms_heavy_hitters": r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE trim(text) != ''
+),
+trip AS (
+  SELECT tok, d,
+         CAST(concat('0x', substr(md5(
+           concat_ws('||', 'cms', CAST(d AS VARCHAR), tok)), 1, 15)) AS BIGINT)
+           % 512 AS col
+  FROM toks, (SELECT unnest([0, 1, 2]) AS d)
+),
+counters AS (
+  SELECT d, col, CAST(count(*) AS BIGINT) AS cnt FROM trip GROUP BY d, col
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY tok
+),
+cand AS (
+  SELECT tok, n_exact, d,
+         CAST(concat('0x', substr(md5(
+           concat_ws('||', 'cms', CAST(d AS VARCHAR), tok)), 1, 15)) AS BIGINT)
+           % 512 AS col
+  FROM exact, (SELECT unnest([0, 1, 2]) AS d)
+),
+est AS (
+  SELECT cand.tok, min(counters.cnt) AS est, max(cand.n_exact) AS n_exact
+  FROM cand JOIN counters USING (d, col)
+  GROUP BY cand.tok
+),
+top AS (SELECT tok, est, n_exact FROM est ORDER BY est DESC, tok LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY est DESC, tok) AS BIGINT) AS rank_no,
+       tok, est, n_exact
+FROM top
+""",
+    "j_bloom_prefilter_join": """
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+pos AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(concat_ws('||', 'bloom',
+           CAST(d AS VARCHAR), CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT)
+           % 8192 AS p
+  FROM dim, (SELECT unnest([0, 1, 2]) AS d)
+),
+bits AS (SELECT list_sort(list(p)) AS bits FROM pos),
+cand AS (
+  SELECT e.user_id, e.value
+  FROM events e, bits b
+  WHERE list_contains(b.bits,
+          CAST(concat('0x', substr(md5(concat_ws('||', 'bloom', '0',
+            CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8192)
+    AND list_contains(b.bits,
+          CAST(concat('0x', substr(md5(concat_ws('||', 'bloom', '1',
+            CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8192)
+    AND list_contains(b.bits,
+          CAST(concat('0x', substr(md5(concat_ws('||', 'bloom', '2',
+            CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8192)
+),
+m AS (
+  SELECT cand.*, dim.c_custkey
+  FROM cand LEFT JOIN dim ON cand.user_id = dim.c_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(c_custkey) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN c_custkey IS NOT NULL
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS sum_value
+FROM m
 """,
 }
