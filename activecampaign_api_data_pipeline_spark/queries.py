@@ -2148,7 +2148,12 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_normalize, a_winsorize, sim_sq8_topk, sim_sq8_ivf_topk,
 # sim_sq8_from_index, t_stream_enrich, t_stream_state_totals,
 # t_session_occupancy, j_attribution_last_touch,
-# q_salted_count_distinct, q_salted_join_enrich.
+# q_salted_count_distinct, q_salted_join_enrich, g_pagerank_fixed,
+# k_scd2_history, j_fuzzy_block_match, a_exact_median_mad,
+# w_ewma_per_key, a_cms_heavy_hitters, j_bloom_prefilter_join,
+# g_triangle_count, w_anomaly_trailing_z, a_kmv_setops.
+# (32 staged names total — with the 4 rule-4 displacements that is 36
+# hard slots; fill the rest with r5-stale per the priority order.)
 # Remaining slots: any entry whose last driver green is r5 (2-round
 # deadline in r7), then r6-touched functions. Displacement pool =
 # r6-green untouched entries (verify each with tools/oracle_replica.py

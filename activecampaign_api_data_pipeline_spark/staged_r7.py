@@ -483,9 +483,14 @@ def j_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the basket bound is what saves this operator: pair count
     is Σ b²/2 over basket sizes b (≤13 here), linear in rows for bounded
     baskets — cap or df-filter pathological baskets before expansion."""
-    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        ensure_min_parallelism,
+        load_table,
+    )
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     sets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
@@ -969,9 +974,14 @@ def g_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject convention (orderBy+limit, never a global
     window), then ranks the 20 survivors.
     """
-    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        ensure_min_parallelism,
+        load_table,
+    )
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     sets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
@@ -992,8 +1002,15 @@ def g_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
         .union(pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst")))
         .distinct()
+        # every iteration re-reads the edge list; without truncating the
+        # lineage here each of the ~7 downstream consumers would re-run
+        # the basket groupBy + pair explosion + distinct (measured 12-15 s
+        # → ~2 s at sf0.1). Same pattern as dedup_cluster_canonical's CC
+        # rounds (operators/dedup.py:379) — a reliable checkpoint dir
+        # replaces this on a real cluster.
+        .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     rank = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("pr"))
     for _ in range(3):
         per_node = rank.join(deg, rank["node"] == deg["src"]).select(
@@ -1078,32 +1095,47 @@ def j_fuzzy_block_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern); Levenshtein stays a post-join filter on the bounded
     candidate set.
     """
-    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        ensure_min_parallelism,
+        load_table,
+    )
 
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    probes = (
-        p.where((F.col("p_partkey") % 7 == 0) & (F.length("p_name") >= 5))
-        .withColumn("pos", F.expr("3 + p_partkey % (length(p_name) - 3)"))
+    # the raw p_name universe is 64 values for 20k parts — degenerate for
+    # linkage — so the catalog name is the UNIQUE synthesized
+    # "p_name#p_partkey" (both engines build the identical string)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.concat_ws("#", "p_name", "p_partkey").alias("name")
+    )
+    probes = ensure_min_parallelism(
+        p.where((F.col("p_partkey") % 7 == 0) & (F.length("name") >= 5))
+        .withColumn("pos", F.expr("3 + p_partkey % (length(name) - 3)"))
         .select(
             F.col("p_partkey").alias("probe_id"),
             F.expr(
-                "concat(substr(p_name, 1, CAST(pos AS INT) - 1),"
-                " substr(p_name, CAST(pos AS INT) + 1))"
+                "concat(substr(name, 1, CAST(pos AS INT) - 1),"
+                " substr(name, CAST(pos AS INT) + 1))"
             ).alias("dirty"),
         )
+        # a deletion at position ≥ 3 preserves the 2-char prefix, and the
+        # original length is len(dirty)+1 — both block keys are exact,
+        # so blocking loses no true match (no recall hole to hide)
         .withColumn("blk", F.substring("dirty", 1, 2))
+        .withColumn("blen", F.length("dirty") + 1)
     )
     cat = p.select(
         F.col("p_partkey").alias("cat_id"),
-        F.col("p_name").alias("cat_name"),
-        F.substring("p_name", 1, 2).alias("blk"),
+        F.col("name").alias("cat_name"),
+        F.substring("name", 1, 2).alias("blk"),
+        F.length("name").alias("blen"),
     )
-    m = probes.join(cat, ["blk"]).where(F.levenshtein("dirty", "cat_name") <= 1)
-    return m.select(
-        "probe_id",
-        "cat_id",
-        F.levenshtein("dirty", "cat_name").cast("long").alias("dist"),
-        (F.col("probe_id") == F.col("cat_id")).alias("is_self"),
+    m = probes.join(F.broadcast(cat), ["blk", "blen"]).where(
+        F.levenshtein("dirty", "cat_name") <= 1
+    )
+    return m.groupBy("probe_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min(F.levenshtein("dirty", "cat_name")).cast("long").alias("best_dist"),
+        F.min("cat_id").alias("best_match"),
+        F.max((F.col("cat_id") == F.col("probe_id")).cast("int")).cast("boolean").alias("recovered"),
     )
 
 
@@ -1204,9 +1236,14 @@ def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject), ranked after the take.
     """
     from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
-    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        ensure_min_parallelism,
+        load_table,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    )
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
     )
@@ -1304,6 +1341,195 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_custkey").isNotNull(), F.col("value").cast("decimal(18,2)")
             )
         ).cast("double").alias("sum_value"),
+    )
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient over the
+    thresholded co-purchase graph (edge weight = co-order count ≥ 2 —
+    the sparsifying support filter, ~3.5k edges at BOTH sf0.01 and
+    sf0.1). Triangles enumerate via the canonical a<b<c orientation:
+    edges (a,b)⋈(b,c) propose wedges, a closing (a,c) edge confirms —
+    each triangle counted exactly once, no post-hoc division. The
+    clustering coefficient is integer ppm (3·Δ·10⁶ div wedges):
+    zero-epsilon.
+
+    Plan: the heavy work is the basket pair expansion (in-row array
+    combinatorics, ONE order-key exchange — the copurchase shape); the
+    support filter shrinks the graph BEFORE any self-join, and the two
+    triangle joins run broadcast on the thresholded edge list. At
+    100 TB the orientation generalizes to degree-ordering (low-degree
+    endpoint proposes) so hub nodes don't quadratically explode the
+    wedge side.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        ensure_min_parallelism,
+        load_table,
+    )
+
+    li = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    e = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    nodes = e.select(F.col("a").alias("n")).union(e.select("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    tri = (
+        e.alias("e1")
+        .join(F.broadcast(e.alias("e2")), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            F.broadcast(e.alias("e3")),
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    out = n_nodes.crossJoin(n_edges).crossJoin(wedges).crossJoin(tri)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges > 0 THEN (3 * n_triangles * 1000000) div n_wedges"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("global_cc_ppm"),
+    )
+
+
+def w_anomaly_trailing_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag an event when its value
+    deviates from the mean of the user's previous ≤10 events by more
+    than 3 trailing standard deviations — the streaming-monitoring
+    z-spike rule, in CLEARED-DENOMINATOR integer form ((n·x−s)² >
+    9·(n·q−s²), cents domain) so there is no division, no sqrt, and no
+    float anywhere: zero-epsilon across engines.
+
+    Plan: one exchange on the user key; count/sum/sum-of-squares share
+    a single trailing rows-frame over one sort. Bounded state (10 rows)
+    — the same shape Structured Streaming keeps per key, so the batch
+    query IS the stream query's oracle at 100 TB.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = (
+        e.withColumn("n", F.count("cents").over(w))
+        .withColumn("s", F.sum("cents").over(w))
+        .withColumn("q", F.sum(F.expr("cents * cents")).over(w))
+        .withColumn(
+            "flag",
+            F.when(
+                (F.col("n") >= 5)
+                & (
+                    F.expr("(n * cents - s) * (n * cents - s)")
+                    > F.expr("9 * (n * q - s * s)")
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return scored.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("flag").alias("n_flagged"),
+        F.min(F.when(F.col("flag") == 1, F.col("event_id"))).alias("first_flag_event"),
+    )
+
+
+def a_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: estimated distinct-token counts for English
+    docs, non-English docs, their UNION and their INTERSECTION — the
+    union estimated purely by MERGING the two KMV states (never
+    re-scanning the corpus; the mergeability that makes the sketch the
+    100 TB incremental-distinct primitive) and the intersection by
+    inclusion-exclusion, clamped at 0. Exact counts ride along so the
+    estimator's error is visible in the result.
+
+    Plan: one (split, hash)-distinct exchange + a WindowGroupLimit
+    top-k per split — k longs per split cross the shuffle, nothing
+    unbounded; the merge and both estimates are single-row array
+    expressions.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.curation import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    k = 256
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    state = kmv_state(toks, "tok", group_cols=["is_en"], k=k)
+    a = state.where(F.col("is_en")).select(F.lit(1).alias("g"), "kmv")
+    b = state.where(~F.col("is_en")).select(F.lit(1).alias("g"), "kmv")
+    est_a = kmv_estimate(a.drop("g").select(F.lit("en").alias("split"), "kmv"), k=k)
+    est_b = kmv_estimate(b.drop("g").select(F.lit("other").alias("split"), "kmv"), k=k)
+    merged = kmv_merge(a, b, ["g"], k=k)
+    est_u = kmv_estimate(merged.drop("g").select(F.lit("union").alias("split"), "kmv"), k=k)
+    exact = toks.select("is_en", "tok").distinct()
+    n_a = exact.where(F.col("is_en")).agg(F.count("*").alias("n_en"))
+    n_b = exact.where(~F.col("is_en")).agg(F.count("*").alias("n_other"))
+    n_u = exact.select("tok").distinct().agg(F.count("*").alias("n_union"))
+    ea = est_a.select(F.col("distinct_est").alias("est_en"))
+    eb = est_b.select(F.col("distinct_est").alias("est_other"))
+    eu = est_u.select(F.col("distinct_est").alias("est_union"))
+    out = ea.crossJoin(eb).crossJoin(eu).crossJoin(n_a).crossJoin(n_b).crossJoin(n_u)
+    return out.select(
+        "est_en",
+        "est_other",
+        "est_union",
+        F.greatest(
+            F.lit(0.0), F.col("est_en") + F.col("est_other") - F.col("est_union")
+        ).alias("est_intersect"),
+        "n_en",
+        "n_other",
+        "n_union",
+        (F.col("n_en") + F.col("n_other") - F.col("n_union")).alias("n_intersect"),
     )
 
 
@@ -1809,26 +2035,34 @@ SELECT o_custkey AS custkey, o_orderpriority AS attr,
 FROM h
 """,
     "j_fuzzy_block_match": """
-WITH probes0 AS (
+WITH p AS (
+  SELECT p_partkey, concat_ws('#', p_name, p_partkey) AS name FROM part
+),
+probes0 AS (
   SELECT p_partkey AS probe_id,
-         3 + p_partkey % (length(p_name) - 3) AS pos, p_name
-  FROM part WHERE p_partkey % 7 = 0 AND length(p_name) >= 5
+         3 + p_partkey % (length(name) - 3) AS pos, name
+  FROM p WHERE p_partkey % 7 = 0 AND length(name) >= 5
 ),
 probes AS (
   SELECT probe_id,
-         concat(substr(p_name, 1, CAST(pos AS INT) - 1),
-                substr(p_name, CAST(pos AS INT) + 1)) AS dirty
+         concat(substr(name, 1, CAST(pos AS INT) - 1),
+                substr(name, CAST(pos AS INT) + 1)) AS dirty
   FROM probes0
 ),
 cat AS (
-  SELECT p_partkey AS cat_id, p_name AS cat_name, substr(p_name, 1, 2) AS blk
-  FROM part
+  SELECT p_partkey AS cat_id, name AS cat_name,
+         substr(name, 1, 2) AS blk, length(name) AS blen
+  FROM p
 )
-SELECT probe_id, cat_id,
-       CAST(levenshtein(dirty, cat_name) AS BIGINT) AS dist,
-       probe_id = cat_id AS is_self
-FROM probes JOIN cat ON substr(dirty, 1, 2) = blk
+SELECT probe_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(levenshtein(dirty, cat_name)) AS BIGINT) AS best_dist,
+       min(cat_id) AS best_match,
+       CAST(max(CASE WHEN cat_id = probe_id THEN 1 ELSE 0 END) AS BOOLEAN)
+         AS recovered
+FROM probes JOIN cat
+  ON substr(dirty, 1, 2) = blk AND length(dirty) + 1 = blen
 WHERE levenshtein(dirty, cat_name) <= 1
+GROUP BY probe_id
 """,
     "a_exact_median_mad": """
 WITH e AS (
@@ -1941,5 +2175,110 @@ SELECT CAST(count(*) AS BIGINT) AS n_candidates,
                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
          AS sum_value
 FROM m
+""",
+    "g_triangle_count": """
+WITH pairs0 AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b,
+         count(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM pairs0 WHERE w >= 2),
+nodes AS (SELECT DISTINCT n FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+  GROUP BY n
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+census AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT n_triangles FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN (3 * n_triangles * 1000000) // n_wedges
+            ELSE CAST(0 AS BIGINT) END AS global_cc_ppm
+FROM census
+""",
+    "w_anomaly_trailing_z": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, cents,
+         count(cents) OVER w AS n,
+         CAST(sum(cents) OVER w AS BIGINT) AS s,
+         CAST(sum(cents * cents) OVER w AS BIGINT) AS q
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+),
+f AS (
+  SELECT user_id, event_id,
+         CASE WHEN n >= 5
+               AND (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)
+              THEN 1 ELSE 0 END AS flag
+  FROM s
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(flag) AS BIGINT) AS n_flagged,
+       min(CASE WHEN flag = 1 THEN event_id END) AS first_flag_event
+FROM f GROUP BY user_id
+""",
+    "a_kmv_setops": r"""
+WITH toks AS (
+  SELECT lang = 'en' AS is_en,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) != ''
+),
+h AS (
+  SELECT DISTINCT is_en,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS _h
+  FROM toks
+),
+r AS (
+  SELECT is_en, _h,
+         row_number() OVER (PARTITION BY is_en ORDER BY _h ASC) AS rn
+  FROM h
+),
+sk AS (SELECT is_en, _h FROM r WHERE rn <= 256),
+u AS (
+  SELECT _h, row_number() OVER (ORDER BY _h ASC) AS rn
+  FROM (SELECT DISTINCT _h FROM sk)
+),
+usk AS (SELECT _h FROM u WHERE rn <= 256),
+est AS (
+  SELECT
+    (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0
+                       / CAST(max(_h) AS DOUBLE), 4) END
+     FROM sk WHERE is_en) AS est_en,
+    (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0
+                       / CAST(max(_h) AS DOUBLE), 4) END
+     FROM sk WHERE NOT is_en) AS est_other,
+    (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0
+                       / CAST(max(_h) AS DOUBLE), 4) END
+     FROM usk) AS est_union,
+    (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks WHERE is_en) AS n_en,
+    (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks WHERE NOT is_en) AS n_other,
+    (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks) AS n_union
+)
+SELECT est_en, est_other, est_union,
+       greatest(0.0, est_en + est_other - est_union) AS est_intersect,
+       n_en, n_other, n_union,
+       n_en + n_other - n_union AS n_intersect
+FROM est
 """,
 }

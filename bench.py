@@ -132,6 +132,18 @@ HEADLINE = [
     "j_attribution_last_touch",
     "q_salted_count_distinct",
     "q_salted_join_enrich",
+    # second r7-staged batch: iterative graph, warehouse SCD2, record
+    # linkage, robust stats, time-series fold, CMS sketch, bloom prefilter
+    "g_pagerank_fixed",
+    "k_scd2_history",
+    "j_fuzzy_block_match",
+    "a_exact_median_mad",
+    "w_ewma_per_key",
+    "a_cms_heavy_hitters",
+    "j_bloom_prefilter_join",
+    "g_triangle_count",
+    "w_anomaly_trailing_z",
+    "a_kmv_setops",
 ]
 
 
