@@ -1313,25 +1313,52 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(8192),
         ).alias("p")
     )
-    bits = pos.agg(F.array_sort(F.collect_set("p")).alias("bits"))
-
-    def probe(i: int):
-        return F.pmod(
-            hash60(
-                F.concat_ws(
-                    "||", F.lit("bloom"), F.lit(str(i)),
-                    F.col("user_id").cast("string"),
-                )
+    # true bitmask encoding: 256 words x 32 bits (positive longs only —
+    # no sign/overflow skew between engines). The first cut kept a sorted
+    # position ARRAY probed with array_contains; the 10x smoke measured
+    # 5.2x cost because once the filter saturates, every probe pays a
+    # linear scan of up to 8,192 elements per row. The bitmask probe is
+    # O(1) per hash regardless of fill. (The ORACLE still models the
+    # filter as a position SET — the encoding is invisible to results.)
+    wordbits = pos.select(
+        F.expr("p div 32").alias("w"), F.expr("p % 32").alias("b")
+    ).distinct()
+    words = wordbits.groupBy("w").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).alias("v")
+    )
+    mask = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "v"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i.cast("long")), F.lit(0).cast("long")
             ),
-            F.lit(8192),
-        )
+        ).alias("bits")
+    )
 
     fact = load_table(spark, sf_dir, "events").select("user_id", "value")
-    cand = fact.crossJoin(F.broadcast(bits)).where(
-        F.array_contains("bits", probe(0))
-        & F.array_contains("bits", probe(1))
-        & F.array_contains("bits", probe(2))
+    cand = fact.crossJoin(F.broadcast(mask))
+    for i in range(3):
+        cand = cand.withColumn(
+            f"_p{i}",
+            F.pmod(
+                hash60(
+                    F.concat_ws(
+                        "||", F.lit("bloom"), F.lit(str(i)),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                F.lit(8192),
+            ),
+        )
+    hit = (
+        "(element_at(bits, CAST(_p{0} div 32 AS INT) + 1)"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(_p{0} % 32 AS INT))) != 0"
     )
+    cand = cand.where(
+        F.expr(hit.format(0)) & F.expr(hit.format(1)) & F.expr(hit.format(2))
+    ).drop("_p0", "_p1", "_p2", "bits")
     m = cand.join(F.broadcast(dim), cand["user_id"] == dim["c_custkey"], "left")
     return m.agg(
         F.count("*").alias("n_candidates"),
