@@ -1418,6 +1418,10 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 2)
         .select("a", "b")
+        # eight downstream consumers (nodes/deg/edge-count/3-way triangle
+        # join/wedges) would each re-run the basket expansion; the
+        # thresholded graph is ~3.5k rows, so truncate the lineage once
+        .localCheckpoint()
     )
     nodes = e.select(F.col("a").alias("n")).union(e.select("b")).distinct()
     deg = (
@@ -1440,7 +1444,11 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_triangles"))
     )
-    out = n_nodes.crossJoin(n_edges).crossJoin(wedges).crossJoin(tri)
+    out = (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+    )
     return out.select(
         "n_nodes",
         "n_edges",
@@ -1545,7 +1553,13 @@ def a_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = est_a.select(F.col("distinct_est").alias("est_en"))
     eb = est_b.select(F.col("distinct_est").alias("est_other"))
     eu = est_u.select(F.col("distinct_est").alias("est_union"))
-    out = ea.crossJoin(eb).crossJoin(eu).crossJoin(n_a).crossJoin(n_b).crossJoin(n_u)
+    out = (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_u))
+    )
     return out.select(
         "est_en",
         "est_other",
