@@ -2151,9 +2151,16 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_salted_count_distinct, q_salted_join_enrich, g_pagerank_fixed,
 # k_scd2_history, j_fuzzy_block_match, a_exact_median_mad,
 # w_ewma_per_key, a_cms_heavy_hitters, j_bloom_prefilter_join,
-# g_triangle_count, w_anomaly_trailing_z, a_kmv_setops.
-# (32 staged names total — with the 4 rule-4 displacements that is 36
-# hard slots; fill the rest with r5-stale per the priority order.)
+# g_triangle_count, w_anomaly_trailing_z, a_kmv_setops, p_json_props,
+# w_share_of_total, w_cumulative_uniques, a_value_histogram,
+# a_ks_two_sample.
+# (37 staged names total — more than one r7 window can hold next to the
+# 4 rule-4 displacements. r7 promotion therefore SPLITS the staged set:
+# promote into REGISTRY-head up to the 50-slot budget in the order
+# listed above (older staged first — they have waited longest), register
+# the remainder at the registry TAIL (they stay typed-replica-verified
+# via the staged test until their window turn in r8), and apply the
+# cadence arithmetic note below.)
 # Remaining slots: any entry whose last driver green is r5 (2-round
 # deadline in r7), then r6-touched functions. Displacement pool =
 # r6-green untouched entries (verify each with tools/oracle_replica.py

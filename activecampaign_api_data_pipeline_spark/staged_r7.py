@@ -1574,6 +1574,173 @@ def a_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events ``props`` payload column
+    (``{"k": <int>}``): ``get_json_object`` path extraction → typed
+    cast → per-type stats — the semi-structured column family the
+    reference's API-JSON flattening implies but the repo never
+    exercised as a query (the pipeline flattens BEFORE the DataFrame;
+    this does it IN the engine).
+
+    Plan: extraction is a pure JVM expression inside the scan
+    projection (no Python, no shuffle before the single aggregation
+    exchange). At 100 TB prefer ``from_json`` with an explicit schema
+    once fields stabilize — schema'd parsing vectorizes better than
+    repeated path probes.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
+
+
+def w_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each event type's share of its day's event
+    volume, in integer ppm (cnt·10⁶ div day_total) — the
+    percent-of-total window family (RATIO_TO_REPORT in warehouse
+    dialects) with zero-epsilon arithmetic.
+
+    Plan: one aggregation exchange on (day, type); the day-total is a
+    window over the aggregated frame (day cardinality, not event
+    cardinality), so the heavy data crosses the shuffle exactly once.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("day"),
+        "event_type",
+    )
+    g = e.groupBy("day", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("day")
+    return g.select(
+        "day",
+        "event_type",
+        "n",
+        F.sum("n").over(w).alias("day_total"),
+        F.expr("n * 1000000 div sum(n) OVER (PARTITION BY day)").alias("share_ppm"),
+    )
+
+
+def w_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-uniques curve: per day, the number of FIRST-SEEN users
+    (new), the running total of distinct users ever seen, and the day's
+    active count — the growth-accounting metric that naive
+    count-distinct-over-expanding-window computes quadratically; here
+    it's min-first-seen + a cumulative sum over the tiny day frame.
+
+    Plan: two aggregations (per-user min day; per-day counts) and a
+    day-ordered running sum over the day-cardinality frame. Nothing
+    quadratic, no expanding distinct state — the 100 TB-safe shape.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("day"),
+    )
+    active = e.groupBy("day").agg(F.countDistinct("user_id").alias("n_active"))
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("day"))
+    new = first_seen.groupBy("day").agg(F.count("*").alias("n_new"))
+    j = active.join(new, "day", "left").select(
+        "day", "n_active", F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "day", "n_active", "n_new", F.sum("n_new").over(w).alias("cum_uniques")
+    )
+
+
+def a_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equi-width histogram: 10 buckets over each event type's
+    [min, max] cents range, bucket edges and assignment in pure integer
+    arithmetic (no width_bucket dependency, no float edges — the
+    formula is the oracle).
+
+    Plan: one stats aggregation broadcast back onto the scan, then the
+    (type, bucket) aggregation — two exchanges, the second over ≤
+    10·|types| rows of partial counts (map-side combined).
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    stats = e.groupBy("event_type").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    b = e.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "mn",
+        "mx",
+        F.expr(
+            "least(CAST(9 AS BIGINT),"
+            " ((cents - mn) * 10) div greatest(CAST(1 AS BIGINT), mx - mn + 1))"
+        ).alias("bucket"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"),
+        F.max(
+            F.expr("mn + bucket * ((mx - mn + 1) div 10)")
+        ).alias("bucket_lo_cents"),
+    )
+
+
+def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two experiment arms (user_id parity), in CLEARED-
+    DENOMINATOR integer form: D·n₁·n₂ = max|cum₁·n₂ − cum₂·n₁| over the
+    merged support, reported with its ppm normalization — distribution
+    drift testing (the A/B guardrail) with zero float anywhere.
+
+    Plan: one aggregation on the value support (conditional counts per
+    arm), one ordered cumulative window over the support frame (distinct
+    cents values, not events), and a single-row max — support
+    cardinality, not event cardinality, crosses the window.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.pmod("user_id", F.lit(2)).alias("arm"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    per_v = e.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("c_a").over(w).alias("cum_a"), F.sum("c_b").over(w).alias("cum_b")
+    )
+    tot = e.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))).alias(
+            "d_num"
+        ),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr("d_num * 1000000 div (n_a * n_b)").alias("d_ppm"),
+    )
+
+
 STAGED_ORACLES: dict[str, str] = {
     "j_attribution_last_touch": """
 WITH e AS (
@@ -2321,5 +2488,106 @@ SELECT est_en, est_other, est_union,
        n_en, n_other, n_union,
        n_en + n_other - n_union AS n_intersect
 FROM est
+""",
+    "p_json_props": """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM e GROUP BY event_type
+""",
+    "w_share_of_total": """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, event_type
+  FROM events
+),
+g AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY day, event_type
+)
+SELECT day, event_type, n,
+       CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+       n * 1000000 // CAST(sum(n) OVER (PARTITION BY day) AS BIGINT)
+         AS share_ppm
+FROM g
+""",
+    "w_cumulative_uniques": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+active AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM e GROUP BY day
+),
+fs AS (SELECT user_id, min(day) AS day FROM e GROUP BY user_id),
+nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY day),
+j AS (
+  SELECT a.day, a.n_active, coalesce(nw.n_new, 0) AS n_new
+  FROM active a LEFT JOIN nw ON a.day = nw.day
+)
+SELECT day, n_active, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_uniques
+FROM j
+""",
+    "a_value_histogram": """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+st AS (
+  SELECT event_type, min(cents) AS mn, max(cents) AS mx
+  FROM e GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type, mn, mx,
+         least(CAST(9 AS BIGINT),
+               ((cents - mn) * 10)
+                 // greatest(CAST(1 AS BIGINT), mx - mn + 1)) AS bucket
+  FROM e JOIN st ON e.event_type = st.event_type
+)
+SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+       max(mn + bucket * ((mx - mn + 1) // 10)) AS bucket_lo_cents
+FROM b GROUP BY event_type, bucket
+""",
+    "a_ks_two_sample": """
+WITH e AS (
+  SELECT user_id % 2 AS arm,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+v AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM e GROUP BY cents
+),
+c AS (
+  SELECT CAST(sum(c_a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_a,
+         CAST(sum(c_b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_b
+  FROM v
+),
+t AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM e
+)
+SELECT max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+       max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS d_num,
+       max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) * 1000000
+         // (max(t.n_a) * max(t.n_b)) AS d_ppm
+FROM c, t
 """,
 }

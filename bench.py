@@ -144,6 +144,11 @@ HEADLINE = [
     "g_triangle_count",
     "w_anomaly_trailing_z",
     "a_kmv_setops",
+    "p_json_props",
+    "w_share_of_total",
+    "w_cumulative_uniques",
+    "a_value_histogram",
+    "a_ks_two_sample",
 ]
 
 
