@@ -2153,8 +2153,8 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w_ewma_per_key, a_cms_heavy_hitters, j_bloom_prefilter_join,
 # g_triangle_count, w_anomaly_trailing_z, a_kmv_setops, p_json_props,
 # w_share_of_total, w_cumulative_uniques, a_value_histogram,
-# a_ks_two_sample.
-# (37 staged names total — more than one r7 window can hold next to the
+# a_ks_two_sample, w_holt_linear, t_stream_anomaly.
+# (39 staged names total — more than one r7 window can hold next to the
 # 4 rule-4 displacements. r7 promotion therefore SPLITS the staged set:
 # promote into REGISTRY-head up to the 50-slot budget in the order
 # listed above (older staged first — they have waited longest), register

@@ -788,6 +788,75 @@ def t_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-DEPENDENT stateful streaming: the trailing-z spike monitor
+    (``streaming.stateful.stream_trailing_anomaly``) run over three
+    event-time-sliced micro-batches — unlike the commutative
+    running-totals fold, a trailing window only replays correctly when
+    batches arrive in event-time order, so the harness slices the
+    source by time thirds and pins file pickup order (names + strictly
+    increasing mtimes). Per-key state is the last ≤10 observations;
+    flags are bit-identical to the batch twin ``w_anomaly_trailing_z``,
+    whose SQL is the oracle.
+
+    At 100 TB this is the real shape of event-time replay: sources
+    deliver watermark-ordered batches, the monitor keeps O(window)
+    state per key, and a replayed batch idempotently overwrites its own
+    sink partition.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        load_table,
+        pin_confs,
+    )
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        stream_trailing_anomaly,
+    )
+
+    pin_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    b = ev.agg(F.min("es").alias("mn"), F.max("es").alias("mx")).first()
+    mn, mx = int(b["mn"]), int(b["mx"])
+    root = tempfile.mkdtemp(prefix="acdp_anom_")
+    stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(stream_dir)
+    for i in range(3):
+        sl = ev.where(
+            F.expr(
+                f"least(2, CAST(((es - {mn}) * 3) div ({mx} - {mn} + 1) AS INT))"
+                f" = {i}"
+            )
+        )
+        tmp = os.path.join(root, f"slice{i}")
+        sl.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("user_id long, es long, event_id long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = stream_trailing_anomaly(stream, sink, ckpt)
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    return out.groupBy("user_id").agg(
+        F.sum("n_new").alias("n_events"),
+        F.sum("n_flagged").alias("n_flagged"),
+        F.min("first_flag_event").alias("first_flag_event"),
+    )
+
+
 def t_session_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-algebra occupancy curve: 30-min-gap sessions (the
     ``t_sessionize`` islands) are expanded onto an hourly grid —
@@ -1218,6 +1287,56 @@ def w_ewma_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(element_at(transform(xs, s -> CAST(s.cents AS DOUBLE)), 1) AS DOUBLE),"
             " (acc, x) -> 0.5 * x + 0.5 * acc)"
         ).alias("ewma_cents"),
+    )
+
+
+def w_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=β=0.5) per
+    user over the chronological value series, plus the one-step-ahead
+    forecast — the trend-aware big sibling of :func:`w_ewma_per_key`,
+    expressed as the same zero-epsilon SEQUENTIAL FOLD but with a
+    STRUCT accumulator on the Spark side. The oracle does the SAME fold
+    as a recursive CTE (row-at-a-time, identical per-step expression
+    shapes) — NOT as a DuckDB struct-lambda ``list_reduce``: DuckDB
+    1.0's struct-accumulator fold mis-binds fields across steps
+    (minimal repro: fold {'l': acc.l*10 + x.l, 't': acc.t + acc.l}
+    over [1,2,3] returns t=124, correct is 13), so multi-field lambda
+    state is unusable for parity. Both step expressions are written in
+    INDEPENDENT form (t' = 0.25·(x − l + t) + 0.5·t, never referencing
+    l') so the two engines' expression trees — and their IEEE
+    roundings — coincide exactly.
+
+    Plan: one exchange (the user groupBy); the sort and the struct fold
+    are in-row array expressions — no window, no Python, state is two
+    doubles per key.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    lst = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("es", "event_id", "cents"))).alias("xs")
+    )
+    fold = (
+        "aggregate("
+        " slice(transform(xs, s -> CAST(s.cents AS DOUBLE)), 2, size(xs)),"
+        " named_struct("
+        "   'l', CAST(element_at(transform(xs, s -> CAST(s.cents AS DOUBLE)), 1) AS DOUBLE),"
+        "   't', CAST(0.0 AS DOUBLE)),"
+        " (acc, x) -> named_struct("
+        "   'l', 0.5 * x + 0.5 * (acc.l + acc.t),"
+        "   't', 0.25 * (x - acc.l + acc.t) + 0.5 * acc.t))"
+    )
+    return lst.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.expr(fold + ".l").alias("level_cents"),
+        F.expr(fold + ".t").alias("trend_cents"),
+        F.expr("(" + fold + ".l) + (" + fold + ".t)").alias("forecast_cents"),
     )
 
 
@@ -2313,6 +2432,32 @@ SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
        list_reduce(vs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma_cents
 FROM g
 """,
+    "w_holt_linear": """
+WITH RECURSIVE e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+ord AS (
+  SELECT user_id, CAST(cents AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY es, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+),
+f AS (
+  SELECT user_id, n, i, x AS l, CAST(0.0 AS DOUBLE) AS t
+  FROM ord WHERE i = 1
+  UNION ALL
+  SELECT f.user_id, f.n, o.i,
+         0.5 * o.x + 0.5 * (f.l + f.t) AS l,
+         0.25 * (o.x - f.l + f.t) + 0.5 * f.t AS t
+  FROM f JOIN ord o ON o.user_id = f.user_id AND o.i = f.i + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       l AS level_cents, t AS trend_cents,
+       l + t AS forecast_cents
+FROM f WHERE i = n
+""",
     "a_cms_heavy_hitters": r"""
 WITH toks AS (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
@@ -2417,6 +2562,33 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
 FROM census
 """,
     "w_anomaly_trailing_z": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, cents,
+         count(cents) OVER w AS n,
+         CAST(sum(cents) OVER w AS BIGINT) AS s,
+         CAST(sum(cents * cents) OVER w AS BIGINT) AS q
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+),
+f AS (
+  SELECT user_id, event_id,
+         CASE WHEN n >= 5
+               AND (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)
+              THEN 1 ELSE 0 END AS flag
+  FROM s
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(flag) AS BIGINT) AS n_flagged,
+       min(CASE WHEN flag = 1 THEN event_id END) AS first_flag_event
+FROM f GROUP BY user_id
+""",
+    "t_stream_anomaly": """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

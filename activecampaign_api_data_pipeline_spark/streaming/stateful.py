@@ -56,3 +56,104 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ANOM_OUT_SCHEMA = (
+    "user_id long, n_new long, n_flagged long, first_flag_event long"
+)
+ANOM_STATE_SCHEMA = "es array<long>, eid array<long>, cents array<long>"
+_ANOM_WINDOW = 10
+_ANOM_MIN_N = 5
+
+
+def _update_trailing_anomaly(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key trailing-window z-spike detector (the streaming twin of
+    ``staged_r7.w_anomaly_trailing_z``): state is the key's last ≤10
+    (es, event_id, cents) observations; each batch's rows are sorted by
+    event time, scored against the concatenated history with the same
+    cleared-denominator integer rule the batch query uses
+    ((n·x−s)² > 9·(n·q−s²), n ≥ 5), and the state window slides on.
+
+    Correctness depends on the STREAM delivering batches in event-time
+    order (the harness time-slices the source); within a batch any
+    arrival order is fine — the kernel sorts. All arithmetic is int64
+    (bounded as in the batch query), so flags are bit-identical to the
+    batch plan's.
+    """
+    import numpy as np
+
+    (user_id,) = key
+    if state.exists:
+        p_es, p_eid, p_cents = (list(x) for x in state.get)
+    else:
+        p_es, p_eid, p_cents = [], [], []
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        rows = pd.concat(frames, ignore_index=True).sort_values(
+            ["es", "event_id"]
+        )
+        es = p_es + rows["es"].tolist()
+        eid = p_eid + rows["event_id"].tolist()
+        cents = p_cents + rows["cents"].tolist()
+    else:
+        es, eid, cents = p_es, p_eid, p_cents
+    k = len(p_es)
+    c = np.asarray(cents, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(c)])
+    cumq = np.concatenate([[0], np.cumsum(c * c)])
+    idx = np.arange(len(c))
+    lo = np.maximum(0, idx - _ANOM_WINDOW)
+    n = idx - lo
+    s = cum[idx] - cum[lo]
+    q = cumq[idx] - cumq[lo]
+    flag = (n >= _ANOM_MIN_N) & (
+        (n * c - s) * (n * c - s) > 9 * (n * q - s * s)
+    )
+    new_flags = flag[k:]
+    first = None
+    if new_flags.any():
+        first = int(eid[k + int(np.argmax(new_flags))])
+    state.update((es[-_ANOM_WINDOW:], eid[-_ANOM_WINDOW:], cents[-_ANOM_WINDOW:]))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_new": int(len(new_flags)),
+                "n_flagged": int(new_flags.sum()),
+                "first_flag_event": first,
+            }
+        ]
+    )
+
+
+def stream_trailing_anomaly(stream: DataFrame, sink: str, checkpoint: str):
+    """Continuous trailing-z anomaly monitor: bounded per-key state (10
+    observations), Arrow-batched scoring, batch_id-partitioned
+    exactly-once sink (a replayed batch overwrites its own partition).
+    At 100 TB state is ~30 longs per key in the state store; each batch
+    shuffles only its own rows on the key."""
+    from pyspark.sql import functions as F
+
+    scored = stream.groupBy("user_id").applyInPandasWithState(
+        _update_trailing_anomaly,
+        ANOM_OUT_SCHEMA,
+        ANOM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(sink)
+
+    return (
+        scored.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

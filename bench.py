@@ -149,6 +149,8 @@ HEADLINE = [
     "w_cumulative_uniques",
     "a_value_histogram",
     "a_ks_two_sample",
+    "w_holt_linear",
+    "t_stream_anomaly",
 ]
 
 

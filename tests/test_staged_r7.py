@@ -325,3 +325,142 @@ def test_salted_join_replicates_dim_not_facts(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in p
     assert "SortMergeJoin" not in p
+
+
+# ---------------------------------------------------------------- batch 4+5
+
+
+def test_bloom_no_false_negatives(spark):
+    # the bitmask prefilter may only ADD candidates (false positives) —
+    # the matched census must equal the plain inner join exactly, and
+    # candidates can never undercut matches
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    row = staged_r7.j_bloom_prefilter_join(spark, sf).first()
+    ev = load_table(spark, sf, "events").select("user_id")
+    cust = (
+        load_table(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    exact = ev.join(cust, ev["user_id"] == cust["c_custkey"]).count()
+    assert row["n_matched"] == exact
+    assert row["n_candidates"] >= row["n_matched"]
+
+
+def test_bloom_prefilter_above_scan_no_smj(spark):
+    # the probe filter must run before the dim join (scan side), and the
+    # single-row mask + dim both broadcast — no sort-merge join anywhere
+    df = staged_r7.j_bloom_prefilter_join(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoop") >= 2
+
+
+def test_cms_one_sided_error(spark):
+    # count-min can only OVER-estimate
+    rows = staged_r7.a_cms_heavy_hitters(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    assert all(r["est"] >= r["n_exact"] for r in rows)
+
+
+def test_pagerank_output_sane(spark):
+    rows = staged_r7.g_pagerank_fixed(spark, "/root/testdata/sf0.001").collect()
+    # base mass floor: every node keeps >= 150000 micro-units
+    assert all(r["pr"] >= 150000 for r in rows)
+    prs = [r["pr"] for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert [r["rank_no"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_triangle_census_consistent(spark):
+    r = staged_r7.g_triangle_count(spark, "/root/testdata/sf0.001").first()
+    assert r["n_wedges"] >= 0 and r["n_triangles"] >= 0
+    # each triangle closes three wedges: cc <= 1 always
+    assert 0 <= r["global_cc_ppm"] <= 1_000_000
+
+
+def test_ks_distance_bounds(spark):
+    r = staged_r7.a_ks_two_sample(spark, "/root/testdata/sf0.001").first()
+    assert 0 <= r["d_num"] <= r["n_a"] * r["n_b"]
+    assert 0 <= r["d_ppm"] <= 1_000_000
+
+
+def test_fuzzy_linkage_recovers_every_probe(spark):
+    # blocking is exact for a single deletion at pos >= 3, so every probe
+    # must recover its own catalog row at distance exactly 1
+    rows = staged_r7.j_fuzzy_block_match(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r["recovered"] for r in rows)
+    assert all(r["best_dist"] == 1 for r in rows)
+
+
+def test_scd2_single_exchange_no_join(spark):
+    df = staged_r7.k_scd2_history(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_share_of_total_sums_to_million(spark):
+    import collections
+
+    rows = staged_r7.w_share_of_total(spark, "/root/testdata/sf0.001").collect()
+    per_day = collections.defaultdict(int)
+    types_per_day = collections.Counter()
+    for r in rows:
+        per_day[r["day"]] += r["share_ppm"]
+        types_per_day[r["day"]] += 1
+    for day, tot in per_day.items():
+        # integer division drops < 1 ppm per type
+        assert 1_000_000 - types_per_day[day] <= tot <= 1_000_000
+
+
+def test_cumulative_uniques_reconciles(spark):
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        staged_r7.w_cumulative_uniques(spark, sf).collect(), key=lambda r: r["day"]
+    )
+    total = (
+        load_table(spark, sf, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1]["cum_uniques"] == total == sum(r["n_new"] for r in rows)
+    cums = [r["cum_uniques"] for r in rows]
+    assert cums == sorted(cums)
+    assert all(r["n_active"] >= r["n_new"] for r in rows)
+
+
+def test_histogram_partitions_every_event(spark):
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = staged_r7.a_value_histogram(spark, sf).collect()
+    assert all(0 <= r["bucket"] <= 9 for r in rows)
+    n_events = load_table(spark, sf, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+
+
+def test_anomaly_flag_accounting(spark):
+    rows = staged_r7.w_anomaly_trailing_z(spark, "/root/testdata/sf0.001").collect()
+    assert all(0 <= r["n_flagged"] <= r["n_events"] for r in rows)
+    for r in rows:
+        assert (r["first_flag_event"] is None) == (r["n_flagged"] == 0)
+
+
+def test_kmv_setops_statistically_sane(spark):
+    # k=256 KMV: relative error ~1/sqrt(k) ~ 6%; allow 3 sigma. The
+    # intersection inherits both arms' error, so its bound scales with
+    # the UNION size. Deterministic hashes -> no flakiness.
+    r = staged_r7.a_kmv_setops(spark, "/root/testdata/sf0.01").first()
+    for est, exact in (
+        (r["est_en"], r["n_en"]),
+        (r["est_other"], r["n_other"]),
+        (r["est_union"], r["n_union"]),
+    ):
+        assert abs(est - exact) <= 0.2 * exact
+    assert abs(r["est_intersect"] - r["n_intersect"]) <= 0.2 * r["n_union"]
