@@ -293,3 +293,40 @@ def frame_dedup_pairs(
             ).alias("containment"),
         )
     )
+
+
+def image_ahash_bands(decoded: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over decoded grayscale pixels, emitted as
+    four 16-bit band values (row-major grid order): nearest-neighbor
+    sample the pixel matrix onto a ``grid×grid`` lattice, threshold each
+    sample against the lattice mean (integer form ``grid²·pix > Σpix`` —
+    no division), pack bits 16 at a time.
+
+    Banded output is the LSH-ready form: two images within Hamming
+    distance 3 of each other MUST share at least one identical band
+    (pigeonhole over 4 bands), so near-dup candidate generation is a
+    band-bucket equi-join — never an all-pairs scan. Same shape as the
+    SimHash text bands (`operators.dedup.simhash_pairs`, cited there) and
+    the classic pHash/ahash family (public imagehash semantics).
+    """
+    n_bits = grid * grid
+    n_bands = n_bits // 16
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                px = np.asarray(r.pixels, dtype=np.int64).reshape(r.height, r.width)
+                ys = (np.arange(grid) * r.height // grid).clip(0, r.height - 1)
+                xs = (np.arange(grid) * r.width // grid).clip(0, r.width - 1)
+                sub = px[np.ix_(ys, xs)].reshape(-1)
+                total = int(sub.sum())
+                bits = (sub * n_bits > total).astype(np.int64)
+                bands = [
+                    int((bits[16 * b : 16 * b + 16] << np.arange(16)).sum())
+                    for b in range(n_bands)
+                ]
+                out.append((r.media_id, bands))
+            yield pd.DataFrame(out, columns=["media_id", "bands"])
+
+    return decoded.mapInPandas(_hash, "media_id long, bands array<long>")

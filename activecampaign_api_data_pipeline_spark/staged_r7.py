@@ -1860,6 +1860,76 @@ def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup census: decode (stub) → 8×8 average-hash
+    → 4×16-bit pigeonhole bands → band-bucket candidate join → exact
+    Hamming ≤ 3 verify. The multimodal twin of the SimHash text path:
+    candidates come ONLY from shared band buckets (two hashes within
+    Hamming 3 must share a band), a df cap on hot buckets bounds the
+    bucket join, and the verify is integer xor+popcount on 4 longs per
+    pair. The decode/hash kernel is Arrow-batched Python; everything
+    after it is JVM expressions.
+
+    Census output (one row) so the operator is oracle-checkable even
+    when the corpus has few perceptual dups; the oracle reproduces the
+    stub decode byte-for-byte (``ord(substr(text,...))`` on the
+    pure-ASCII corpus, same lattice arithmetic).
+    """
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import (
+        decode_images,
+        image_ahash_bands,
+    )
+    from activecampaign_api_data_pipeline_spark.queries import _media_from_docs
+
+    media = _media_from_docs(spark, sf_dir, "image").filter("meta.height >= 8")
+    hashes = image_ahash_bands(decode_images(media), grid=8).localCheckpoint()
+    b = hashes.select("media_id", F.posexplode("bands").alias("band", "bv"))
+    sizes = b.groupBy("band", "bv").agg(F.count("*").alias("df"))
+    bc = b.join(sizes, ["band", "bv"]).where(F.col("df") <= 100)
+    pairs = (
+        bc.alias("x")
+        .join(
+            bc.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("ma"), F.col("y.media_id").alias("mb")
+        )
+        .distinct()
+    )
+    ham = (
+        pairs.join(
+            hashes.select(F.col("media_id").alias("ma"), F.col("bands").alias("ba")),
+            "ma",
+        )
+        .join(
+            hashes.select(F.col("media_id").alias("mb"), F.col("bands").alias("bb")),
+            "mb",
+        )
+        .select(
+            "ma",
+            "mb",
+            F.expr(
+                "bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1])"
+                " + bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3])"
+            ).cast("long").alias("hamming"),
+        )
+    )
+    n_images = hashes.agg(F.count("*").alias("n_images"))
+    n_buckets = sizes.agg(F.count("*").cast("long").alias("n_buckets"))
+    n_cand = ham.agg(F.count("*").alias("n_candidate_pairs"))
+    n_dup = ham.where(F.col("hamming") <= 3).agg(
+        F.count("*").alias("n_neardup_pairs")
+    )
+    return (
+        n_images.crossJoin(F.broadcast(n_buckets))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_dup))
+    )
+
+
 STAGED_ORACLES: dict[str, str] = {
     "j_attribution_last_touch": """
 WITH e AS (
@@ -2528,6 +2598,56 @@ SELECT CAST(count(*) AS BIGINT) AS n_candidates,
                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
          AS sum_value
 FROM m
+""",
+    "mm_image_phash_neardup": """
+WITH m AS (
+  SELECT doc_id AS media_id, text, n_chars // 16 AS h
+  FROM documents WHERE n_chars // 16 >= 8
+),
+g AS (SELECT media_id, text, h, unnest(generate_series(0, 63)) AS gidx FROM m),
+p AS (
+  SELECT media_id, gidx,
+         ord(substr(text,
+             CAST(((gidx // 8) * h // 8) * 16 + (gidx % 8) * 2 + 1 AS INTEGER),
+             1)) AS pix
+  FROM g
+),
+t AS (SELECT media_id, CAST(sum(pix) AS BIGINT) AS total FROM p GROUP BY media_id),
+bits AS (
+  SELECT p.media_id, gidx,
+         CASE WHEN 64 * pix > total THEN 1 ELSE 0 END AS bit
+  FROM p JOIN t ON p.media_id = t.media_id
+),
+bv AS (
+  SELECT media_id, gidx // 16 AS band,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(gidx % 16 AS INTEGER)))
+              AS BIGINT) AS bv
+  FROM bits GROUP BY media_id, gidx // 16
+),
+sizes AS (SELECT band, bv, count(*) AS df FROM bv GROUP BY band, bv),
+bc AS (
+  SELECT b.media_id, b.band, b.bv
+  FROM bv b JOIN sizes s ON b.band = s.band AND b.bv = s.bv
+  WHERE s.df <= 100
+),
+pairs AS (
+  SELECT DISTINCT x.media_id AS ma, y.media_id AS mb
+  FROM bc x JOIN bc y
+    ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id
+),
+ham AS (
+  SELECT pairs.ma, pairs.mb,
+         CAST(sum(bit_count(xor(a.bv, b.bv))) AS BIGINT) AS hamming
+  FROM pairs
+  JOIN bv a ON a.media_id = pairs.ma
+  JOIN bv b ON b.media_id = pairs.mb AND a.band = b.band
+  GROUP BY pairs.ma, pairs.mb
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_images,
+       (SELECT CAST(count(*) AS BIGINT) FROM sizes) AS n_buckets,
+       (SELECT CAST(count(*) AS BIGINT) FROM ham) AS n_candidate_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM ham WHERE hamming <= 3)
+         AS n_neardup_pairs
 """,
     "g_triangle_count": """
 WITH pairs0 AS (
