@@ -2038,4 +2038,11 @@ SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset, n_users,
 FROM s
 """
 
+    # round-7 promotion: the staged_r7 batch keeps its oracles next to its
+    # implementations; merge them here so every REGISTRY entry resolves.
+    from activecampaign_api_data_pipeline_spark.staged_r7 import PROMOTED_ORACLES
+
+    overlap = set(o) & set(PROMOTED_ORACLES)
+    assert not overlap, f"duplicate oracle keys: {overlap}"
+    o.update(PROMOTED_ORACLES)
     return o

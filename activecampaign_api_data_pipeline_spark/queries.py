@@ -2125,58 +2125,127 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      displaced must be r(N-1)-green and locally re-verified
 #      (tools/oracle_replica.py — typed, stricter than the driver hash).
 #
-# r6 window: 16 new + k_gold_asof (never checked) + the r4-stale entries
-# + the two r5 hash-fail retries (llm_pack_sequences/llm_curation_pipeline,
-# oracle-touched). Overflow handled per rule 4: the FOUR displaced
-# entries (t_incremental_replay — module-touch only; w_running_analytics,
-# sim_ann_index_refine — function-touched but r5-green and typed-replica
-# green after the touch; a_kmv_distinct_tokens — r5-green, function
-# untouched) rank below new and 2-round-stale. All four MUST lead the
-# r7 window (they skip r6, so r7 is their 2-round deadline). The dedup
-# batch family sits in the tail: r5-green, operator functions
-# byte-identical this round, typed-replica green.
+# r7 window (EXECUTED per the r6 pre-plan): slots 1-4 = the rule-4
+# displacements (2-round deadline this round); slots 5-44 = the FORTY
+# staged_r7 promotions, first-ever driver rows (functions stay defined
+# in staged_r7.py — REGISTRY references them; oracles merged into
+# build_oracles from staged_r7.PROMOTED_ORACLES); slots 45-47 = r5-green
+# entries function-touched this round (mm_video_neardup + mm_audio_neardup:
+# frame_dedup_pairs persist-leak fix; sim_semantic_dedup: proportional-
+# centroids default) per rule 2; slots 48-50 = r5-stale streaming entries.
 #
-# r7 WINDOW PRE-PLAN (apply at the start of round 7 — do not reorder
-# before the r6 driver run): slots 1-4 = the rule-4 displacements
-# (w_running_analytics, sim_ann_index_refine, t_incremental_replay,
-# a_kmv_distinct_tokens — their 2-round deadline); next = the staged_r7
-# promotions (ALL names in staged_r7.STAGED_ORACLES — move each function
-# here + its oracle into oracles.build, names unchanged): a_event_funnel,
-# k_block_store_roundtrip, llm_importance_state_roundtrip,
-# a_grouping_sets, w_event_transitions, p_pii_scrub, a_zscore_outliers,
-# k_drift_report, j_copurchase_pairs, t_event_gaps, j_rfm_scores,
-# text_normalize, a_winsorize, sim_sq8_topk, sim_sq8_ivf_topk,
-# sim_sq8_from_index, t_stream_enrich, t_stream_state_totals,
-# t_session_occupancy, j_attribution_last_touch,
-# q_salted_count_distinct, q_salted_join_enrich, g_pagerank_fixed,
-# k_scd2_history, j_fuzzy_block_match, a_exact_median_mad,
-# w_ewma_per_key, a_cms_heavy_hitters, j_bloom_prefilter_join,
-# g_triangle_count, w_anomaly_trailing_z, a_kmv_setops, p_json_props,
-# w_share_of_total, w_cumulative_uniques, a_value_histogram,
-# a_ks_two_sample, w_holt_linear, t_stream_anomaly.
-# (39 staged names total — more than one r7 window can hold next to the
-# 4 rule-4 displacements. r7 promotion therefore SPLITS the staged set:
-# promote into REGISTRY-head up to the 50-slot budget in the order
-# listed above (older staged first — they have waited longest), register
-# the remainder at the registry TAIL (they stay typed-replica-verified
-# via the staged test until their window turn in r8), and apply the
-# cadence arithmetic note below.)
-# Remaining slots: any entry whose last driver green is r5 (2-round
-# deadline in r7), then r6-touched functions. Displacement pool =
-# r6-green untouched entries (verify each with tools/oracle_replica.py
-# before moving it past 50).
+# CADENCE (rule-3 update, executed from the r6 note): with N registry
+# entries and a 50-slot window the best achievable driver re-check
+# cadence is ceil(N/50) rounds — at 138 entries that is 3 rounds. Rule 3
+# therefore reads "every ceil(N/50) rounds" with rule 4's priority order
+# (new > never-checked > most-stale > touched) deciding who waits.
+# Every entry parked past 50 must be typed-replica green
+# (tools/oracle_replica.py) in the round it is parked; the staleness
+# bound applies to DRIVER rows only.
 #
-# CADENCE ARITHMETIC (update to rule 3): with N registry entries and a
-# 50-slot window, the best achievable re-check cadence is ceil(N/50)
-# rounds. At 116 entries post-promotion that is 3 rounds, so rule 3's
-# bound becomes "every ceil(N/50)+0 rounds" with the PRIORITY ORDER of
-# rule 4 deciding who waits: new > never-checked > most-stale first.
-# Every entry parked past 50 must still be typed-replica green
-# (tools/oracle_replica.py — stricter than the driver hash) in the
-# round it is parked; the staleness bound applies to DRIVER rows only.
+# r8 WINDOW PRE-PLAN: the tail below is 88 entries — 48 last-green-r5
+# (now 3-round-stale: they MUST lead the r8 window, 48 slots) + 40
+# last-green-r6 (their deadline is r9; they fill r8's remaining 2 slots
+# oldest-first, then the r9 window). Any staged_r8 promotion ranks
+# first per rule 1 and displaces the youngest r6-green entries.
+
+from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
+    a_cms_heavy_hitters,
+    a_event_funnel,
+    a_exact_median_mad,
+    a_grouping_sets,
+    a_kmv_setops,
+    a_ks_two_sample,
+    a_value_histogram,
+    a_winsorize,
+    a_zscore_outliers,
+    g_pagerank_fixed,
+    g_triangle_count,
+    j_attribution_last_touch,
+    j_bloom_prefilter_join,
+    j_copurchase_pairs,
+    j_fuzzy_block_match,
+    j_rfm_scores,
+    k_block_store_roundtrip,
+    k_drift_report,
+    k_scd2_history,
+    llm_importance_state_roundtrip,
+    mm_image_phash_neardup,
+    p_json_props,
+    p_pii_scrub,
+    q_salted_count_distinct,
+    q_salted_join_enrich,
+    sim_sq8_from_index,
+    sim_sq8_ivf_topk,
+    sim_sq8_topk,
+    t_event_gaps,
+    t_session_occupancy,
+    t_stream_anomaly,
+    t_stream_enrich,
+    t_stream_state_totals,
+    text_normalize,
+    w_anomaly_trailing_z,
+    w_cumulative_uniques,
+    w_event_transitions,
+    w_ewma_per_key,
+    w_holt_linear,
+    w_share_of_total,
+)
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r6 driver window (first 50) ----
+    # ---- r7 driver window (first 50) ----
+    "w_running_analytics": w_running_analytics,
+    "sim_ann_index_refine": sim_ann_index_refine,
+    "t_incremental_replay": t_incremental_replay,
+    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
+    "a_event_funnel": a_event_funnel,
+    "k_block_store_roundtrip": k_block_store_roundtrip,
+    "llm_importance_state_roundtrip": llm_importance_state_roundtrip,
+    "a_grouping_sets": a_grouping_sets,
+    "w_event_transitions": w_event_transitions,
+    "p_pii_scrub": p_pii_scrub,
+    "a_zscore_outliers": a_zscore_outliers,
+    "k_drift_report": k_drift_report,
+    "j_copurchase_pairs": j_copurchase_pairs,
+    "t_event_gaps": t_event_gaps,
+    "j_rfm_scores": j_rfm_scores,
+    "text_normalize": text_normalize,
+    "a_winsorize": a_winsorize,
+    "sim_sq8_topk": sim_sq8_topk,
+    "sim_sq8_ivf_topk": sim_sq8_ivf_topk,
+    "sim_sq8_from_index": sim_sq8_from_index,
+    "t_stream_enrich": t_stream_enrich,
+    "t_stream_state_totals": t_stream_state_totals,
+    "t_session_occupancy": t_session_occupancy,
+    "j_attribution_last_touch": j_attribution_last_touch,
+    "q_salted_count_distinct": q_salted_count_distinct,
+    "q_salted_join_enrich": q_salted_join_enrich,
+    "g_pagerank_fixed": g_pagerank_fixed,
+    "k_scd2_history": k_scd2_history,
+    "j_fuzzy_block_match": j_fuzzy_block_match,
+    "a_exact_median_mad": a_exact_median_mad,
+    "w_ewma_per_key": w_ewma_per_key,
+    "a_cms_heavy_hitters": a_cms_heavy_hitters,
+    "j_bloom_prefilter_join": j_bloom_prefilter_join,
+    "g_triangle_count": g_triangle_count,
+    "w_anomaly_trailing_z": w_anomaly_trailing_z,
+    "a_kmv_setops": a_kmv_setops,
+    "p_json_props": p_json_props,
+    "w_share_of_total": w_share_of_total,
+    "w_cumulative_uniques": w_cumulative_uniques,
+    "a_value_histogram": a_value_histogram,
+    "a_ks_two_sample": a_ks_two_sample,
+    "w_holt_linear": w_holt_linear,
+    "t_stream_anomaly": t_stream_anomaly,
+    "mm_image_phash_neardup": mm_image_phash_neardup,
+    "mm_video_neardup": mm_video_neardup,
+    "mm_audio_neardup": mm_audio_neardup,
+    "sim_semantic_dedup": sim_semantic_dedup,
+    "t_stream_dedup": t_stream_dedup,
+    "t_stream_interval_join": t_stream_interval_join,
+    "t_stream_topn": t_stream_topn,
+    # ---- past the 50-entry window (see cadence note above):
+    #      r5/r6-green, typed-replica green locally ----
     "k_gold_ckpt_asof": k_gold_ckpt_asof,
     "a_vocab_topk": a_vocab_topk,
     "text_tfidf_topterms": text_tfidf_topterms,
@@ -2188,7 +2257,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_decontam_store": llm_decontam_store,
     "t_gapfill_forward": t_gapfill_forward,
     "k_dq_report": k_dq_report,
-    "mm_audio_neardup": mm_audio_neardup,
     "w_trailing_1h": w_trailing_1h,
     "dedup_blocks": dedup_blocks,
     "llm_importance_weights": llm_importance_weights,
@@ -2227,15 +2295,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnowing": text_winnowing,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_curation_pipeline": llm_curation_pipeline,
-    # ---- past the 50-entry window: r5-green, typed-replica green
-    #      locally (incl. the three rule-4 displacements noted above) ----
-    "w_running_analytics": w_running_analytics,
-    "sim_ann_index_refine": sim_ann_index_refine,
-    "t_incremental_replay": t_incremental_replay,
-    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
-    "t_stream_dedup": t_stream_dedup,
-    "t_stream_interval_join": t_stream_interval_join,
-    "t_stream_topn": t_stream_topn,
     "t_stream_append": t_stream_append,
     "t_stream_window_hourly": t_stream_window_hourly,
     "t_sessionize": t_sessionize,
@@ -2265,10 +2324,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_from_index": sim_ivfpq_from_index,
     "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
     "sim_ann_index_append": sim_ann_index_append,
-    "mm_video_neardup": mm_video_neardup,
     "text_repetition": text_repetition,
     "llm_mixture_sample": llm_mixture_sample,
-    "sim_semantic_dedup": sim_semantic_dedup,
     "w_scd2_intervals": w_scd2_intervals,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

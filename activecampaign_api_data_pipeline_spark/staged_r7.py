@@ -1,16 +1,14 @@
-"""Queries STAGED for the round-7 driver window.
+"""Queries staged in round 6, PROMOTED to the registry in round 7.
 
-The rotation policy (see the note above ``REGISTRY`` in ``queries.py``)
-requires every NEW registry entry to sit inside the driver's 50-query
-window the round it appears. This round's window is already saturated
-(17 new queries + the r4-stale refresh + the two r5 hash-fail retries),
-so these implementations are held OUT of the registry — registering
-them now would displace entries that are on their 2-round verification
-deadline. They are not unverified, though: each has a DuckDB oracle
-here and a pytest that runs the SAME typed Spark-vs-DuckDB compare the
-replica harness uses (``tests/test_staged_r7.py``). Round 7 promotes
-them by moving the function into ``queries.py``'s REGISTRY head and the
-oracle into ``oracles.build`` — nothing else changes.
+These 39 queries were built in round 6 while the driver's 50-query
+window was saturated; each carried a DuckDB oracle here plus a pytest
+running the SAME typed Spark-vs-DuckDB compare the replica harness uses
+(``tests/test_staged_r7.py``). Round 7 executed the pre-planned
+promotion: every name in ``PROMOTED_ORACLES`` is now referenced from
+``queries.py``'s REGISTRY (window head) and its oracle is merged into
+``oracles.build_oracles``. The implementations stay in this module —
+REGISTRY imports them — so function history and the typed regression
+test remain in one place. New pre-registry work goes in ``staged_r8``.
 """
 
 from __future__ import annotations
@@ -1930,7 +1928,7 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES: dict[str, str] = {
+PROMOTED_ORACLES: dict[str, str] = {
     "j_attribution_last_touch": """
 WITH e AS (
   SELECT user_id, event_id, event_type,

@@ -151,7 +151,15 @@ HEADLINE = [
     "a_ks_two_sample",
     "w_holt_linear",
     "t_stream_anomaly",
+    # appended round 7 (the one promoted query missing from the r6 list;
+    # the 99-entry prefix above is the r7 FROZEN list — append only)
+    "mm_image_phash_neardup",
 ]
+
+# frozen per-round prefixes (BASELINE.md) — scope totals reported on the
+# final stdout line so regressions stay attributable even when the full
+# per-query dict has to drop off that line to fit the driver's capture
+SCOPES = {"r1_23": 23, "r5_44": 44, "r6_60": 60, "r7_99": 99}
 
 
 def _median(xs: list[float]) -> float:
@@ -172,11 +180,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
-    from activecampaign_api_data_pipeline_spark import staged_r7
+    from activecampaign_api_data_pipeline_spark import staged_r8
 
     for name in HEADLINE:
-        # r7-staged queries bench before they enter the registry
-        fn = REGISTRY.get(name) or getattr(staged_r7, name)
+        # staged queries bench before they enter the registry
+        fn = REGISTRY.get(name) or getattr(staged_r8, name)
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.time()
@@ -190,20 +198,42 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_spread.json"
     )
     with open(spread_path, "w") as fh:
-        json.dump({"sf": sf, "reps": reps, "spread": spread}, fh, indent=1)
-    # compact headline object LAST on stdout — the driver tail-parses this
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": reps,
-            }
+        json.dump(
+            {"sf": sf, "reps": reps, "queries": timings, "spread": spread},
+            fh,
+            indent=1,
         )
-    )
+    # compact headline object LAST on stdout — the driver tail-parses a
+    # BOUNDED capture window (round 6's 99-entry per-query dict overflowed
+    # it and left BENCH_r06.json with "parsed": null). Keep the line under
+    # ~1800 chars: frozen-scope prefix totals always fit; the per-query
+    # dict is included at 2-dp only while it fits, else the slowest 15
+    # (full per-query medians + spread always live in BENCH_spread.json).
+    scopes = {
+        label: round(sum(timings[n] for n in HEADLINE[:k] if n in timings), 3)
+        for label, k in SCOPES.items()
+        if k <= len(timings)
+    }
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+        "n_queries": len(timings),
+        "scopes": scopes,
+        "detail": "BENCH_spread.json",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+        payload["queries"] = {n: round(t, 2) for n, t in slowest.items()}
+        payload["queries_note"] = "slowest 15 of %d; full set in detail file" % len(
+            timings
+        )
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -292,13 +292,13 @@ def test_registry_window_policy_invariants():
     assert len(names) >= 50
     missing = [k for k in names[:50] if k not in os_]
     assert not missing, f"window entries without oracles: {missing}"
-    # every bench entry resolves: registry first, else the r7-staged
+    # every bench entry resolves: registry first, else the staged
     # module (pre-registry queries bench under the same typed verification)
-    from activecampaign_api_data_pipeline_spark import staged_r7
+    from activecampaign_api_data_pipeline_spark import staged_r8
 
     unresolved = [
         n for n in HEADLINE
-        if n not in names and n not in staged_r7.STAGED_ORACLES
+        if n not in names and n not in staged_r8.STAGED_ORACLES
     ]
     assert not unresolved, f"bench entries without query or staged impl: {unresolved}"
     # r5 frozen 44-query bench prefix (BASELINE.md) — append-only

@@ -1,8 +1,10 @@
-"""Typed Spark-vs-DuckDB verification for the r7-staged queries — the
-same compare the replica harness applies to registered queries (Arrow
-schema families + canonical sorted-row value hash), run in pytest so a
-staged query carries a hard signal before it ever enters the driver
-window."""
+"""Typed Spark-vs-DuckDB verification for the staged-query batches —
+the same compare the replica harness applies to registered queries
+(Arrow schema families + canonical sorted-row value hash), run in
+pytest so a staged query carries a hard signal before it ever enters
+the driver window. The r7 batch is PROMOTED (registered) as of round 7
+but keeps this typed regression coverage; new pre-registry work in
+staged_r8 is picked up by the same parametrization automatically."""
 
 import sys
 from pathlib import Path
@@ -12,22 +14,28 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from activecampaign_api_data_pipeline_spark import staged_r7
+from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8
 
 SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+_TYPED = {
+    **{n: (staged_r7, sql) for n, sql in staged_r7.PROMOTED_ORACLES.items()},
+    **{n: (staged_r8, sql) for n, sql in staged_r8.STAGED_ORACLES.items()},
+}
+
 
 @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
-@pytest.mark.parametrize("name", sorted(staged_r7.STAGED_ORACLES))
+@pytest.mark.parametrize("name", sorted(_TYPED))
 def test_staged_query_typed_exact(spark, name, sf):
     from oracle_replica import typed_hash  # tools/oracle_replica.py
 
+    mod, sql = _TYPED[name]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    stbl = getattr(staged_r7, name)(spark, sf).toArrow()
-    otbl = con.execute(staged_r7.STAGED_ORACLES[name]).arrow()
+    stbl = getattr(mod, name)(spark, sf).toArrow()
+    otbl = con.execute(sql).arrow()
     assert stbl.num_rows == otbl.num_rows > 0
     sh, sschema = typed_hash(stbl)
     oh, oschema = typed_hash(otbl)
@@ -104,14 +112,20 @@ def test_drift_report_spine_complete(spark):
         assert 1_000_000 - 10 <= tot <= 1_000_000
 
 
-def test_staged_names_disjoint_from_registry():
+def test_promoted_registered_staged_disjoint():
     from activecampaign_api_data_pipeline_spark.queries import REGISTRY
 
-    overlap = set(staged_r7.STAGED_ORACLES) & set(REGISTRY)
+    # r7 promotion executed: every promoted query is registered, its
+    # REGISTRY entry IS the staged_r7 function, and its oracle resolves
+    missing = set(staged_r7.PROMOTED_ORACLES) - set(REGISTRY)
+    assert not missing, f"promoted queries not registered: {missing}"
+    for name in staged_r7.PROMOTED_ORACLES:
+        assert REGISTRY[name] is getattr(staged_r7, name)
+    # pre-registry staging stays disjoint until its own promotion round
+    overlap = set(staged_r8.STAGED_ORACLES) & set(REGISTRY)
     assert not overlap, f"staged queries already registered: {overlap}"
-    # every staged oracle has its query function in the module
-    for name in staged_r7.STAGED_ORACLES:
-        assert callable(getattr(staged_r7, name))
+    for name in staged_r8.STAGED_ORACLES:
+        assert callable(getattr(staged_r8, name))
 
 
 def test_sq8_codes_range_and_calibration(spark):

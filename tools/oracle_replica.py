@@ -100,13 +100,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
-    # r7-staged queries verify through the same gate before registration
-    from activecampaign_api_data_pipeline_spark import staged_r7
+    # staged queries verify through the same gate before registration
+    from activecampaign_api_data_pipeline_spark import staged_r8
 
-    for name in staged_r7.STAGED_ORACLES:
+    for name in staged_r8.STAGED_ORACLES:
         if name not in qs:
-            qs[name] = getattr(staged_r7, name)
-            os_[name] = staged_r7.STAGED_ORACLES[name]
+            qs[name] = getattr(staged_r8, name)
+            os_[name] = staged_r8.STAGED_ORACLES[name]
     failures = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

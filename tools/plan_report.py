@@ -66,16 +66,16 @@ def main() -> None:
             f" {c['pushed']} | {c['cartesian']} |"
         )
 
-    from activecampaign_api_data_pipeline_spark import staged_r7  # noqa: E402
+    from activecampaign_api_data_pipeline_spark import staged_r8  # noqa: E402
 
     print(
-        "\n## r7-staged queries (typed-replica verified, pre-registry —"
+        "\n## staged queries (typed-replica verified, pre-registry —"
         " same census, same invariants)\n"
     )
     print("| query | hash shuffles | rr widen | broadcast | SMJ | arrow py | row py | pushed filters | cartesian |")
     print("|---|---|---|---|---|---|---|---|---|")
-    for name in sorted(staged_r7.STAGED_ORACLES):
-        df = getattr(staged_r7, name)(spark, sf_dir)
+    for name in sorted(staged_r8.STAGED_ORACLES):
+        df = getattr(staged_r8, name)(spark, sf_dir)
         c = census(df._jdf.queryExecution().executedPlan().toString())
         print(
             f"| {name} | {c['hash_shuffles']} | {c['rr_widen']} | {c['broadcasts']} |"
