@@ -259,13 +259,16 @@ def frame_dedup_pairs(
     """
     from pyspark.sql import functions as F
 
-    # persist: fh feeds FOUR consumers (sizes, hot cut, both join sides);
-    # without it each consumer re-runs the Arrow frame-sampling kernel —
-    # the expensive Python stage — once per branch
+    # localCheckpoint: fh feeds FOUR consumers (sizes, hot cut, both join
+    # sides); without sharing, each consumer re-runs the Arrow
+    # frame-sampling kernel — the expensive Python stage — once per
+    # branch. Eager localCheckpoint over persist() because callers never
+    # get a handle to unpersist: a pinned cache entry per invocation
+    # (4 query entries × bench reps) would accumulate for the session.
     fh = (
         frames.select(F.col(id_col).alias("mid"), F.md5(F.col(frame_col)).alias("fh"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = fh.groupBy("mid").agg(F.count("*").alias("n_frames"))
     hot = fh.groupBy("fh").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)

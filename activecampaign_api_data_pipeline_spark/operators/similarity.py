@@ -994,7 +994,10 @@ def sq8_topk(
     codes = _cached_build(
         key + ("codes",), lambda: sq8_encode(emb, stats, id_col, vec_col)
     )
-    q = codes.filter(F.col(id_col) < max_query_id).select(
+    qfilter = (
+        F.lit(True) if max_query_id is None else F.col(id_col) < max_query_id
+    )  # None = all-pairs; a null-literal compare would silently select 0 queries
+    q = codes.filter(qfilter).select(
         F.col(id_col).alias("query_id"), F.col("code").alias("qc")
     )
     scored = (

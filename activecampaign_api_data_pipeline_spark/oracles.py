@@ -76,13 +76,15 @@ def _cos(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-def _ivf_assign_parts(n_centroids: int, n_iters: int) -> list[str]:
+def _ivf_assign_parts(n_centroids: int | str, n_iters: int) -> list[str]:
     """CTE list ending in ``rf`` (per-(vector, centroid) ranking) and
     ``af`` (final cell assignment) — the deterministic k-means shared by
     the IVF search twin and the SemDeDup twin: seeds = first N by id,
     then ``n_iters`` Lloyd rounds (cosine argmax assignment, element-wise
     mean ROUNDED to 6 decimals — the rounding is what makes the centroids
-    bit-identical across engines despite FP summation order)."""
+    bit-identical across engines despite FP summation order).
+    ``n_centroids`` may be an int literal or a SQL scalar expression
+    (e.g. a count-derived subquery for proportional clustering)."""
     parts = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids})",
@@ -143,7 +145,7 @@ FROM r WHERE rk <= {k}
 """
 
 
-def _semantic_dedup_sql(n_centroids: int, n_iters: int, tau: float) -> str:
+def _semantic_dedup_sql(n_centroids: int | str, n_iters: int, tau: float) -> str:
     """SemDeDup twin of operators.curation.semantic_dedup: the shared
     k-means assignment, then within-cell pairs with cos >= tau drop the
     higher id; survivors keep ``kept = 1``."""
@@ -1591,7 +1593,14 @@ SELECT lang, k_eff,
 FROM agg
 """
 
-    o["sim_semantic_dedup"] = _semantic_dedup_sql(n_centroids=8, n_iters=2, tau=0.5)
+    # proportional-clusters DEFAULT (constant ~64-vector cells): C is the
+    # same count-derived expression the operator computes, so the oracle
+    # tracks it at any SF — the linear configuration is the checked one
+    o["sim_semantic_dedup"] = _semantic_dedup_sql(
+        n_centroids="(SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM e)",
+        n_iters=2,
+        tau=0.5,
+    )
 
     # SCD2 validity intervals: lead(ts) over the version order; NULL
     # valid_to marks the current row

@@ -1586,11 +1586,14 @@ def a_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cluster embeddings, drop within-cluster
-    semantic near-dups (cos >= 0.5) keeping the lowest id."""
+    semantic near-dups (cos >= 0.5) keeping the lowest id. Uses the
+    operator's proportional-centroids DEFAULT (C = ceil(N/64)) — the
+    configuration that stays linear at scale — so the oracle derives C
+    from the same count."""
     from activecampaign_api_data_pipeline_spark.operators.curation import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(emb, n_centroids=8, tau=0.5, n_iters=2)
+    out = semantic_dedup(emb, tau=0.5, n_iters=2)
     return out.select("vec_id", "cell", F.col("kept").cast("int").alias("kept"))
 
 

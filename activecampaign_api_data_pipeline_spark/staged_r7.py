@@ -1821,9 +1821,12 @@ def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift testing (the A/B guardrail) with zero float anywhere.
 
     Plan: one aggregation on the value support (conditional counts per
-    arm), one ordered cumulative window over the support frame (distinct
-    cents values, not events), and a single-row max — support
-    cardinality, not event cardinality, crosses the window.
+    arm), a TWO-LEVEL cumulative sum over the support frame — the
+    per-row window partitioned by fixed-width value bucket, per-bucket
+    offsets from a global window over the bucket aggregate only — and a
+    single-row max. Support cardinality, not event cardinality, crosses
+    the bucketed window, and the single-task stage sees ≤ domain/4096
+    rows at any scale.
     """
     from activecampaign_api_data_pipeline_spark.sources.tables import load_table
 
@@ -1834,10 +1837,33 @@ def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = e.groupBy("cents").agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c_a"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c_b"),
+    ).withColumn("bkt", F.expr("cents div 4096"))
+    # two-level prefix sum: the per-row cumulative window is PARTITIONED
+    # by a fixed-width value bucket (distributed however large the
+    # support grows); the only global-ordered window crosses the tiny
+    # per-bucket aggregate (≤ domain/4096 rows), the same
+    # aggregate-then-rank shape as the vocab top-k queries. A bare
+    # Window.orderBy over the whole support would run single-task.
+    wv = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        F.sum("c_a").over(w).alias("cum_a"), F.sum("c_b").over(w).alias("cum_b")
+    within = per_v.select(
+        "bkt",
+        F.sum("c_a").over(wv).alias("wa"),
+        F.sum("c_b").over(wv).alias("wb"),
+    )
+    pb = per_v.groupBy("bkt").agg(
+        F.sum("c_a").alias("ba"), F.sum("c_b").alias("bb")
+    )
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = pb.select(
+        "bkt",
+        F.coalesce(F.sum("ba").over(wo), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("bb").over(wo), F.lit(0)).alias("ob"),
+    )
+    cum = within.join(F.broadcast(off), "bkt").select(
+        (F.col("wa") + F.col("oa")).alias("cum_a"),
+        (F.col("wb") + F.col("ob")).alias("cum_b"),
     )
     tot = e.groupBy().agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),

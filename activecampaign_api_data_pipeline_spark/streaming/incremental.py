@@ -333,10 +333,23 @@ def stream_into_ann_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # explicit probe, not try/except: a transient read failure must
-        # not masquerade as "no index" and trigger a rebuild over an
-        # existing path (storage.path_exists rationale)
-        if not path_exists(spark, f"{path}/params.json"):
+        # explicit probe, not bare try/except: a transient read failure
+        # must not masquerade as "no index" and trigger a rebuild over an
+        # existing path (storage.path_exists rationale). But existence
+        # alone conflates "complete index" with "crashed first-batch
+        # build": build_* writes a '_building_' params.json FIRST, so a
+        # crash mid-build leaves a sidecar that parses as garbage and
+        # would wedge every replay on the append path. Mirror
+        # ensure_ann_index: rebuild on an unparsable sidecar, let genuine
+        # IO errors (read.text/collect failures) propagate.
+        complete = False
+        if path_exists(spark, f"{path}/params.json"):
+            try:
+                AIX.load_ann_params(spark, path)
+                complete = True
+            except (TypeError, ValueError, KeyError, IndexError):
+                complete = False  # '_building_' marker or junk sidecar
+        if not complete:
             AIX.build_ann_index(batch_df, path, **(build_params or {}))
             return
         seen = spark.read.parquet(f"{path}/codes").select(
@@ -693,7 +706,11 @@ def importance_sink_batch(
         .partitionBy("batch_id")
         .parquet(scored_out)
     )
-    compact_artifact(batch_df.sparkSession, f"{path}/partials")
+    # No compaction here: the state under {path}/partials is PARTITIONED
+    # by batch_id, and that layout IS the replay contract — a replayed
+    # fold dynamically overwrites its own partition. Flattening it would
+    # turn a replay into an append (double counting). Growth is bounded
+    # anyway: each partition holds ≤ n_buckets tiny rows in one file.
 
 
 def stream_importance_state(
@@ -707,10 +724,11 @@ def stream_importance_state(
     trigger_available_now: bool = True,
 ):
     """Continuous DSIR state accumulation + per-batch scoring: the
-    persisted state is <= ``n_buckets`` rows per batch (and compacted),
-    so the streaming side carries KILOBYTES of state regardless of
-    corpus size — the extreme end of the repo's persisted-artifact set
-    (medallion, KMV, ANN, MinHash, blocks)."""
+    persisted state is <= ``n_buckets`` rows per batch_id partition (one
+    file each — the partitioned layout is the replay contract, so it is
+    deliberately NOT compacted), keeping the streaming side at KILOBYTES
+    of state regardless of corpus size — the extreme end of the repo's
+    persisted-artifact set (medallion, KMV, ANN, MinHash, blocks)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         importance_sink_batch(
@@ -757,7 +775,18 @@ def stream_into_sq8_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if not path_exists(spark, f"{path}/params.json"):
+        # same crashed-build self-heal as stream_into_ann_index: rebuild
+        # when the sidecar is absent OR fails to parse as valid params
+        # (the '_building_' marker build_sq8_index writes first); only
+        # genuine IO errors propagate.
+        complete = False
+        if path_exists(spark, f"{path}/params.json"):
+            try:
+                AIX.load_sq8_params(spark, path)
+                complete = True
+            except (TypeError, ValueError, KeyError, IndexError):
+                complete = False
+        if not complete:
             AIX.build_sq8_index(batch_df, path)
             return
         seen = spark.read.parquet(f"{path}/codes").select(F.col(id_col)).distinct()

@@ -114,7 +114,11 @@ def _update_trailing_anomaly(
     new_flags = flag[k:]
     first = None
     if new_flags.any():
-        first = int(eid[k + int(np.argmax(new_flags))])
+        # min event_id among NEWLY flagged events — the batch oracle
+        # (w_anomaly_trailing_z) takes min(event_id) over flagged rows,
+        # so picking the chronologically-first flag instead would only
+        # agree when ids happen to be monotone with (es, event_id) order
+        first = int(min(np.asarray(eid[k:], dtype=np.int64)[new_flags]))
     state.update((es[-_ANOM_WINDOW:], eid[-_ANOM_WINDOW:], cents[-_ANOM_WINDOW:]))
     yield pd.DataFrame(
         [

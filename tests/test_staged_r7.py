@@ -403,6 +403,18 @@ def test_ks_distance_bounds(spark):
     assert 0 <= r["d_ppm"] <= 1_000_000
 
 
+def test_ks_cumsum_window_partitioned(spark):
+    # the per-row cumulative window must be PARTITIONED (bucketed
+    # two-level prefix sum); only the tiny per-bucket aggregate may
+    # cross a global-ordered window
+    df = staged_r7.a_ks_two_sample(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bkt" in p
+    wins = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    heavy = [ln for ln in wins if "cents" in ln]
+    assert heavy and all("bkt" in ln for ln in heavy)
+
+
 def test_fuzzy_linkage_recovers_every_probe(spark):
     # blocking is exact for a single deletion at pos >= 3, so every probe
     # must recover its own catalog row at distance exactly 1

@@ -429,6 +429,83 @@ def test_stream_into_ann_index_builds_then_appends(spark, tmp_path):
     assert spark.read.parquet(f"{streamed}/codes").count() == n_before
 
 
+def test_anomaly_kernel_min_id_not_chronological(spark):
+    """first_flag_event must be min(event_id) among NEWLY flagged events
+    (the batch oracle's min over flagged rows), not the id at the
+    chronologically first flag — they diverge when ids are not monotone
+    with event time."""
+    import pandas as pd
+
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        _update_trailing_anomaly,
+    )
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+    # 9 calm observations then two spikes; the EARLIER spike (es=9)
+    # carries the LARGER id 99, the later one (es=10) id 42 — min is 42
+    es = list(range(11))
+    eid = [1, 2, 3, 4, 5, 6, 7, 8, 9, 99, 42]
+    cents = [100] * 9 + [100000, 10000000]
+    pdf = pd.DataFrame({"es": es, "event_id": eid, "cents": cents})
+    (out,) = list(_update_trailing_anomaly((7,), iter([pdf]), _FakeState()))
+    assert out.loc[0, "n_flagged"] >= 2
+    assert out.loc[0, "first_flag_event"] == 42
+
+
+def test_stream_into_ann_index_heals_crashed_build(spark, tmp_path):
+    """A crash mid-first-batch build leaves the '_building_' params
+    sidecar build_ann_index writes FIRST. The replayed batch must take
+    the BUILD path again (self-heal, mirroring ensure_ann_index), not
+    the append path — which would fail on every restart and wedge the
+    stream permanently."""
+    import json as _json
+    import random
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_ann_index,
+    )
+
+    rng = random.Random(11)
+    schema = "vec_id long, embedding array<double>"
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b0"))
+
+    # simulate the crashed build: marker sidecar present, no artifacts
+    streamed = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(_json.dumps({"_building_": True}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{streamed}/params.json")
+
+    params = dict(n_centroids=4, m=4, ksub=8, n_iters=2)
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/b*")
+    q = stream_into_ann_index(
+        stream, streamed, checkpoint=str(tmp_path / "ckpt"), build_params=params
+    )
+    q.awaitTermination(120)
+
+    # healed: valid params, and codes match a clean one-shot build
+    p = AIX.load_ann_params(spark, streamed)
+    assert p.n_centroids == 4
+    manual = str(tmp_path / "idx_manual")
+    AIX.build_ann_index(spark.createDataFrame(rows, schema), manual, **params)
+    a = sorted(map(tuple, spark.read.parquet(f"{streamed}/codes").collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{manual}/codes").collect()))
+    assert a == b
+
+
 def test_stream_into_store_auto_compact(spark, stream_dir, tmp_path):
     """auto_compact_files: ingest keeps silver below the fragmentation
     threshold without a blind every-N cadence."""
