@@ -2120,13 +2120,15 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   2. Queries TOUCHED this round (their operator function, the oracle SQL,
 #      or a module function on their execution path changed) go inside the
 #      window for a fresh driver row.
-#   3. Every entry needs a green driver row at least every 2 rounds: an
-#      entry whose last green row is round N-2 MUST be inside the window
-#      in round N. Only r(N-1)-green, untouched entries may sit past 50.
+#   3. Every entry needs a green driver row at least every ceil(N/50)
+#      rounds (N = registry size; the best achievable cadence with a
+#      50-slot window — 3 rounds at the current 138 entries): an entry
+#      at its cadence deadline MUST be inside the window that round.
+#      Untouched entries greener than the deadline may sit past 50.
 #   4. When the hard set exceeds 50, prefer (in order): new > never-checked
-#      > 2-round-stale > touched-function > touched-module; anything
-#      displaced must be r(N-1)-green and locally re-verified
-#      (tools/oracle_replica.py — typed, stricter than the driver hash).
+#      > most-stale > touched-function > touched-module; anything
+#      displaced must be typed-replica green the round it is parked
+#      (tools/oracle_replica.py — stricter than the driver hash).
 #
 # r7 window (EXECUTED per the r6 pre-plan): slots 1-4 = the rule-4
 # displacements (2-round deadline this round); slots 5-44 = the FORTY

@@ -292,6 +292,18 @@ def test_registry_window_policy_invariants():
     assert len(names) >= 50
     missing = [k for k in names[:50] if k not in os_]
     assert not missing, f"window entries without oracles: {missing}"
+    # cadence rule 3: with N entries and a 50-slot window the re-check
+    # cadence is ceil(N/50) rounds — the policy comment, SURVEY §8 and
+    # this test must all state the same formula
+    import inspect
+    import math
+
+    from activecampaign_api_data_pipeline_spark import queries as Q
+
+    cadence = math.ceil(len(names) / 50)
+    assert cadence >= 1
+    assert "ceil(N/50)" in inspect.getsource(Q), "policy comment lost the cadence formula"
+    assert "ceil(N/50)" in open("SURVEY.md").read()
     # every bench entry resolves: registry first, else the staged
     # module (pre-registry queries bench under the same typed verification)
     from activecampaign_api_data_pipeline_spark import staged_r8
