@@ -3,12 +3,21 @@
 Same contract as ``staged_r7`` had before its promotion: the rotation
 policy (note above ``REGISTRY`` in ``queries.py``) requires every NEW
 registry entry to sit inside the driver's 50-query window the round it
-appears. When the window is full, new work lands here instead — each
-query ships with a DuckDB oracle in ``STAGED_ORACLES`` and is verified
-by the SAME typed Spark-vs-DuckDB compare the replica harness uses
-(``tests/test_staged_r7.py`` parametrizes over this dict too). A later
-round promotes the batch by referencing the functions from REGISTRY and
-merging the oracles into ``oracles.build_oracles``.
+appears. The r7 window is saturated by the 40 staged_r7 promotions, so
+new work lands here — each query ships with a DuckDB oracle in
+``STAGED_ORACLES`` and is verified by the SAME typed Spark-vs-DuckDB
+compare the replica harness uses (``tests/test_staged_r7.py``
+parametrizes over this dict too). Round 8 promotes the batch by
+referencing the functions from REGISTRY and merging the oracles into
+``oracles.build_oracles``.
+
+Batch r8.1 — operator families the registry does not cover yet:
+- ``w_pattern_match``: MATCH_RECOGNIZE-lite event-sequence CEP
+- ``k_cdc_merge``: CDC upsert/delete apply (Delta MERGE semantics)
+- ``a_weighted_sample``: deterministic weighted sampling per stratum
+- ``llm_ngram_novelty``: per-doc novelty scoring vs the train split
+- ``w_rolling_median``: exact order-statistic (median) over a sliding
+  row frame
 """
 
 from __future__ import annotations
@@ -16,8 +25,310 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from activecampaign_api_data_pipeline_spark.functions.hashing import hash60, split_assign
 from activecampaign_api_data_pipeline_spark.sources.tables import load_table
 
 __all__ = ["STAGED_ORACLES"]
 
-STAGED_ORACLES: dict[str, str] = {}
+#: epoch-seconds events projection shared by the event queries (the
+#: second-truncation convention that keeps ordering engine-reproducible)
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+
+
+def w_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite, the CEP
+    operator): per user, occurrences of the strictly-consecutive pattern
+    view → click → purchase in (event-time, id) order.
+
+    Plan: ONE exchange on the user key — both lookahead columns are
+    ``lead`` offsets over the same window spec, so Catalyst plans a
+    single Window operator; the per-user census is an aggregate of the
+    matched rows only. This is the scalable CEP shape: no self-joins,
+    no per-row Python, state = 2 rows of lookahead inside the sort run.
+    At 100 TB the only cost is the user-key shuffle every per-user
+    analytic already pays.
+    """
+    e = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    m = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    hits = m.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t2") == "click")
+        & (F.col("t3") == "purchase")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("event_id").alias("first_match_event"),
+    )
+
+
+def k_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the Delta/Hudi MERGE semantics as a query: a change
+    stream of I(nsert)/U(pdate)/D(elete) ops per key is collapsed to the
+    final table state (last-writer-wins by (event-time, id) sequence;
+    keys whose LAST op is a delete drop out as tombstones).
+
+    The change stream is synthesized deterministically from events
+    (signup→I, error→D, else U) so both engines see the identical ops.
+    Plan: ONE exchange on the key — the last-op rank and the per-key op
+    count are windows over the same partitioning; at 100 TB this is the
+    standard snapshot-from-changelog compaction (the medallion store's
+    W1 pattern applied to op-typed rows).
+    """
+    e = _ev(spark, sf_dir).withColumn(
+        "op",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")),
+    )
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("es").desc(), F.col("event_id").desc()
+    )
+    wall = Window.partitionBy("user_id")
+    ranked = e.select(
+        "user_id",
+        "op",
+        "event_id",
+        "cents",
+        F.row_number().over(wlast).alias("_rn"),
+        F.count("*").over(wall).alias("n_ops"),
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            "n_ops",
+            F.col("op").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("cents").alias("last_cents"),
+        )
+    )
+
+
+def a_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling per stratum: priority =
+    hash60(salted id) div weight — a doc's selection odds scale with its
+    weight (n_chars), yet the draw is a pure expression: stateless, no
+    RNG, stable across runs/partitionings/engines, append-safe (the
+    exponential-keys trick of A-ES reservoir sampling with the repo's
+    integer oracle-reproducible hash in place of -ln(u)).
+
+    Plan: one partitioned top-k window (WindowGroupLimit pushes the
+    per-partition partial top-k map-side), exactly the w2 shape — at
+    100 TB the shuffle carries only survivors per stratum.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.greatest("n_chars", F.lit(1)).alias("weight")
+    )
+    pri = docs.withColumn(
+        "h", hash60(F.concat_ws("||", F.lit("ws"), F.col("doc_id").cast("string")))
+    ).withColumn("priority", F.expr("h div weight"))
+    w = Window.partitionBy("lang").orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+    ranked = pri.withColumn("_rk", F.row_number().over(w))
+    return ranked.filter(F.col("_rk") <= 5).select(
+        "lang",
+        F.col("_rk").cast("long").alias("rk"),
+        "doc_id",
+        "weight",
+        "priority",
+    )
+
+
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty scoring vs the train split: the fraction
+    (ppm) of an eval doc's distinct 3-gram shingles NOT seen anywhere in
+    the train split — the curation metric that prunes stale/duplicated
+    eval candidates and measures corpus freshness (the per-doc
+    complement of cross-split decontamination, which flags containment
+    OF the eval set).
+
+    Plan shape at 100 TB: shingles are hashed to 60-bit ints before the
+    join, so the novelty join shuffles (doc_id, 8-byte hash) pairs —
+    never text; the train reference is a distinct-hash set (aggregate),
+    and the verdict per doc is one left join + one aggregate.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.dedup import _shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", split_assign("doc_id")
+    )
+    sh = _shingle_sets(docs, "doc_id", "text", ngram=3)
+    hashed = (
+        sh.join(docs.select("doc_id", "split"), "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            F.explode("shingles").alias("shingle"),
+        )
+        .select("doc_id", "split", hash60("shingle").alias("sh"))
+    )
+    train = (
+        hashed.filter(F.col("split") == "train").select("sh").distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    ev = hashed.filter(F.col("split") != "train")
+    per_doc = (
+        ev.join(train, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("n_novel * 1000000 div n_shingles").alias("novelty_ppm"),
+    )
+
+
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling MEDIAN (lower median, integer cents) of each user's
+    last ≤5 event values in (event-time, id) order — the order-statistic
+    window the rank/sum/avg family can't express. Median-of-5 smoothing
+    is the classic robust despiker for monitoring series.
+
+    Plan: ONE exchange on the user key; the frame is collected as a ≤5
+    array per row and the median is array expression work (sort + middle
+    element) — bounded state per row, no second pass, no UDF.
+    """
+    e = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = e.select(
+        "user_id",
+        "event_id",
+        F.sort_array(F.collect_list("cents").over(w)).alias("win"),
+    )
+    return arr.select(
+        "user_id",
+        "event_id",
+        F.element_at(F.col("win"), ((F.size("win") + 1) / 2).cast("int")).alias(
+            "roll_med_cents"
+        ),
+    )
+
+
+_H60 = (
+    "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+STAGED_ORACLES: dict[str, str] = {
+    "w_pattern_match": """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+)
+SELECT user_id, count(*) AS n_matches, min(event_id) AS first_match_event
+FROM m
+WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'
+GROUP BY user_id
+""",
+    "k_cdc_merge": """
+WITH e AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT user_id, op, event_id, cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY es DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM e
+)
+SELECT user_id, n_ops, op AS last_op, event_id AS last_event_id,
+       cents AS last_cents
+FROM r WHERE rn = 1 AND op <> 'D'
+""",
+    "a_weighted_sample": f"""
+WITH d AS (
+  SELECT doc_id, lang, greatest(n_chars, 1) AS weight,
+         {_H60} // greatest(n_chars, 1) AS priority
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY priority ASC, doc_id ASC
+  ) AS rk
+  FROM d
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, weight, priority
+FROM r WHERE rk <= 5
+""",
+    "llm_ngram_novelty": r"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(concat('0x', substr(md5(concat_ws('||', 'split', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 9000
+              THEN 'train' ELSE 'other' END AS grp
+  FROM documents
+),
+toks AS (SELECT doc_id, grp, regexp_split_to_array(trim(text), '\s+') AS t FROM sp WHERE trim(text) <> ''),
+sh AS (
+  SELECT doc_id, grp,
+         list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' '))
+         ) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id, grp,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+  FROM (SELECT doc_id, grp, unnest(shingles) AS shingle FROM sh)
+),
+tr AS (SELECT DISTINCT sh FROM ex WHERE grp = 'train'),
+ev AS (SELECT doc_id, sh FROM ex WHERE grp <> 'train'),
+j AS (
+  SELECT ev.doc_id, CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END AS novel
+  FROM ev LEFT JOIN tr ON ev.sh = tr.sh
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(novel) AS BIGINT) AS n_novel,
+       CAST(sum(novel) AS BIGINT) * 1000000 // count(*) AS novelty_ppm
+FROM j GROUP BY doc_id
+""",
+    "w_rolling_median": """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id,
+       list_sort(list(cents) OVER w)[CAST((count(*) OVER w + 1) // 2 AS INT)]
+         AS roll_med_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+}

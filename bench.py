@@ -154,6 +154,14 @@ HEADLINE = [
     # appended round 7 (the one promoted query missing from the r6 list;
     # the 99-entry prefix above is the r7 FROZEN list — append only)
     "mm_image_phash_neardup",
+    # r8-staged batch (typed-replica verified, pre-registry — resolved
+    # from staged_r8): CEP pattern match, CDC apply, weighted sampling,
+    # n-gram novelty, rolling median
+    "w_pattern_match",
+    "k_cdc_merge",
+    "a_weighted_sample",
+    "llm_ngram_novelty",
+    "w_rolling_median",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

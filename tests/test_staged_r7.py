@@ -490,3 +490,77 @@ def test_kmv_setops_statistically_sane(spark):
     ):
         assert abs(est - exact) <= 0.2 * exact
     assert abs(r["est_intersect"] - r["n_intersect"]) <= 0.2 * r["n_union"]
+
+
+# ---- staged_r8 batch plan invariants ----
+
+def _plan8(spark, name, sf="/root/testdata/sf0.001"):
+    df = getattr(staged_r8, name)(spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pattern_match_single_exchange(spark):
+    # both leads share one window spec; census = aggregate of matches
+    p = _plan8(spark, "w_pattern_match")
+    assert p.count("hashpartitioning") == 1
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_cdc_merge_single_exchange(spark):
+    # last-op rank and per-key count reuse ONE exchange on the key
+    p = _plan8(spark, "k_cdc_merge")
+    assert p.count("hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_weighted_sample_group_limit(spark):
+    # per-stratum top-5 must push a WindowGroupLimit (partial map-side
+    # top-k), and the draw is pure expression work — no joins, no Python
+    p = _plan8(spark, "a_weighted_sample")
+    assert "WindowGroupLimit" in p
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_rolling_median_single_exchange(spark):
+    p = _plan8(spark, "w_rolling_median")
+    assert p.count("hashpartitioning") == 1
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_ngram_novelty_hash_join_no_text_shuffle(spark):
+    # the novelty join must run on the 60-bit shingle hash — the
+    # exchange feeding it carries (doc_id, sh), never shingle text
+    p = _plan8(spark, "llm_ngram_novelty")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    import re
+    exch = [ln for ln in p.splitlines() if "hashpartitioning(sh#" in ln]
+    assert exch, "novelty join not keyed on the shingle hash"
+    assert not re.search(r"hashpartitioning\(shingle#", p)
+
+
+def test_cdc_merge_tombstones_dropped(spark):
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    out = staged_r8.k_cdc_merge(spark, "/root/testdata/sf0.001")
+    assert out.filter(F.col("last_op") == "D").count() == 0
+    # every surviving key's op count covers all its change rows
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = dict(ev.groupBy("user_id").count().collect())
+    for r in out.limit(20).collect():
+        assert r["n_ops"] == n[r["user_id"]]
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    # selection probability must scale with weight: the sampled docs'
+    # mean weight should exceed the corpus mean (integer-priority draw)
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    got = staged_r8.a_weighted_sample(spark, "/root/testdata/sf0.01")
+    mean_sampled = got.agg(F.avg("weight")).first()[0]
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    mean_all = docs.agg(F.avg(F.greatest("n_chars", F.lit(1)))).first()[0]
+    assert mean_sampled > mean_all
