@@ -227,6 +227,113 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_cdc_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge driven END-TO-END through the medallion store's
+    tombstone path, driver-checkable: the synthesized I/U/D change
+    stream is split by event-id PARITY into two out-of-order ingest
+    batches; each persists with ``tombstone_col`` (delete markers flow
+    to bronze/silver as auditable history, gold excludes keys whose
+    latest-by-sequence row is a delete — the GDPR-erasure shape). The
+    final gold snapshot must equal the one-shot ``k_cdc_merge`` collapse
+    regardless of which batch carried which op — last-writer-wins by the
+    zero-padded (epoch, event_id) sequence string, not arrival order.
+
+    At 100 TB: tombstones hash to their key's bucket, so a delete batch
+    costs O(touched buckets) exactly like an upsert batch; history stays
+    queryable in silver and erasure is a gold-rebuild of those buckets.
+    """
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.storage import TableStore
+
+    e = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "cents",
+        F.concat(
+            F.lpad(F.col("es").cast("string"), 12, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("seq"),
+    ).withColumn("is_del", F.col("op") == "D")
+    store = TableStore(spark, tempfile.mkdtemp(prefix="acdp_cdc_") + "/lake", n_buckets=8)
+    for run, batch in (
+        ("r1", e.filter(F.col("event_id") % 2 == 0)),
+        ("r2", e.filter(F.col("event_id") % 2 == 1)),
+    ):
+        store.persist(
+            batch, "cdc_state", ["user_id"], run_id=run, updated_col="seq",
+            extracted_at="2026-01-01 00:00:00", tombstone_col="is_del",
+        )
+    return store.read("gold", "cdc_state").select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("cents").alias("last_cents"),
+    )
+
+
+def t_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous CDC → snapshot maintenance: the SAME synthesized I/U/D
+    change stream as ``k_cdc_store_roundtrip``, delivered as a REAL
+    Structured Streaming job (file source, three micro-batches) through
+    ``stream_into_store(tombstone_col=...)``. Last-writer-wins by the
+    (epoch, id) sequence string is batch-split-INVARIANT, so the final
+    gold snapshot equals the one-shot collapse no matter how the stream
+    was sliced — and a replayed batch is a content-hash no-op. This is
+    the Delta/Hudi continuous MERGE shape: per batch cost O(touched
+    buckets), deletes included.
+    """
+    import os
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.storage import TableStore
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_store,
+    )
+
+    pin_confs(spark)
+    e = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "cents",
+        F.concat(
+            F.lpad(F.col("es").cast("string"), 12, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("seq"),
+    ).withColumn("is_del", F.col("op") == "D")
+    root = tempfile.mkdtemp(prefix="acdp_streamcdc_")
+    stream_dir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    e.repartition(3).write.parquet(stream_dir)
+    store = TableStore(spark, os.path.join(root, "lake"), n_buckets=8)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, op string, cents long, seq string, is_del boolean"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = stream_into_store(
+        stream, store, "cdc_state", ["user_id"], ckpt,
+        updated_col="seq", tombstone_col="is_del",
+    )
+    q.awaitTermination(300)
+    return store.read("gold", "cdc_state").select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("cents").alias("last_cents"),
+    )
+
+
 _H60 = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
@@ -284,6 +391,42 @@ r AS (
 )
 SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, weight, priority
 FROM r WHERE rk <= 5
+""",
+    "k_cdc_store_roundtrip": """
+WITH e AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT user_id, op, event_id, cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY es DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, op AS last_op, event_id AS last_event_id, cents AS last_cents
+FROM r WHERE rn = 1 AND op <> 'D'
+""",
+    "t_stream_cdc": """
+WITH e AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT user_id, op, event_id, cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY es DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, op AS last_op, event_id AS last_event_id, cents AS last_cents
+FROM r WHERE rn = 1 AND op <> 'D'
 """,
     "llm_ngram_novelty": r"""
 WITH sp AS (

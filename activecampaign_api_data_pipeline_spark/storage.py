@@ -202,6 +202,7 @@ class TableStore:
         run_id: str,
         updated_col: str | None = None,
         extracted_at: str | None = None,
+        tombstone_col: str | None = None,
     ) -> PersistResult:
         """Tri-destination persist (reference :134-188), incremental form.
 
@@ -209,6 +210,12 @@ class TableStore:
         snapshot (reference's update-column, fallback ``extracted_at``).
         ``extracted_at`` may be pinned for reproducible tests; defaults to
         the driver's current UTC time, constant for the whole run.
+        ``tombstone_col`` names a BOOLEAN column marking delete ops (CDC
+        'D' rows / GDPR erasure requests): tombstones flow through
+        bronze/silver as auditable history, but a key whose LATEST row is
+        a tombstone is excluded from gold — and a later upsert resurrects
+        it. This is Delta/Hudi MERGE delete semantics at O(batch buckets)
+        cost, since tombstones hash to the same buckets as their keys.
         """
         content_cols = [c for c in df.columns if c not in LINEAGE_COLS]
         stamp = (
@@ -287,7 +294,10 @@ class TableStore:
                 #    function of silver, so re-running it is idempotent; the
                 #    cost stays O(batch buckets) either way (duplicates hash
                 #    to the same buckets as their originals).
-                self.rebuild_gold(table, key_cols, updated_col, buckets=buckets)
+                self.rebuild_gold(
+                    table, key_cols, updated_col, buckets=buckets,
+                    tombstone_col=tombstone_col,
+                )
             fresh.unpersist()
         finally:
             staged.unpersist()
@@ -299,6 +309,7 @@ class TableStore:
         key_cols: list[str],
         updated_col: str | None = None,
         buckets: list[int] | None = None,
+        tombstone_col: str | None = None,
     ) -> None:
         """Recompute gold from silver for ``buckets`` (default: ALL).
 
@@ -329,11 +340,47 @@ class TableStore:
             silver.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .repartition(F.col(BUCKET_COL))
         )
+        rebuilt = None
+        if tombstone_col is not None:
+            # drop keys whose LATEST row is a delete marker (after the
+            # rank, so an upsert newer than a tombstone resurrects the
+            # key); null marker = not deleted
+            rebuilt = (
+                buckets
+                if buckets is not None
+                else [r[BUCKET_COL] for r in silver.select(BUCKET_COL).distinct().collect()]
+            )
+            latest = latest.filter(
+                ~F.coalesce(F.col(tombstone_col), F.lit(False))
+            )
+        latest = latest.repartition(F.col(BUCKET_COL))
+        gold_path = self._path("gold", table)
+        if tombstone_col is not None:
+            # dynamic overwrite only rewrites partitions PRESENT in the
+            # output — a bucket whose every key tombstoned away would keep
+            # its stale partition. Find the selected buckets with zero
+            # survivors and drop their partition dirs explicitly (after
+            # the write; a crash in between is repaired by re-running this
+            # idempotent rebuild, same as the documented gold-commit
+            # window). O(selected buckets) directory ops, no data rewrite.
+            latest.persist()
+            survivors = {
+                r[BUCKET_COL] for r in latest.select(BUCKET_COL).distinct().collect()
+            }
         latest.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
-        ).partitionBy(BUCKET_COL).parquet(self._path("gold", table))
+        ).partitionBy(BUCKET_COL).parquet(gold_path)
+        if tombstone_col is not None:
+            latest.unpersist()
+            jvm = self.spark._jvm
+            hconf = self.spark._jsc.hadoopConfiguration()
+            fs = jvm.org.apache.hadoop.fs.Path(gold_path).getFileSystem(hconf)
+            for b in set(rebuilt) - survivors:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{gold_path}/{BUCKET_COL}={b}"),
+                    True,
+                )
 
     def gold_asof(
         self,

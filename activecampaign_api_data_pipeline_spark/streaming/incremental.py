@@ -247,9 +247,16 @@ def stream_into_store(
     compact_every: int | None = None,
     auto_compact_files: int | None = None,
     kmv: tuple[str, list[str]] | None = None,
+    tombstone_col: str | None = None,
 ):
     """Continuous medallion ingest: each micro-batch persists through the
     store (delta/bronze/silver/gold), giving exactly-once-observable output.
+
+    ``tombstone_col`` forwards the store's CDC delete semantics: a batch
+    may carry I/U/D ops, delete markers flow into history and a key whose
+    latest-by-``updated_col`` row is a delete leaves gold — continuous
+    changelog→snapshot maintenance (Delta MERGE shape) with the same
+    replay idempotency as upserts.
 
     Exactly-once-ish reasoning (T2): Structured Streaming replays a failed
     micro-batch from the checkpoint; the store's content-hash silver makes
@@ -280,6 +287,7 @@ def stream_into_store(
             key_cols,
             run_id=f"batch_{batch_id:08d}",
             updated_col=updated_col,
+            tombstone_col=tombstone_col,
         )
         if kmv is not None:
             store.update_kmv(table, batch_df, kmv[0], kmv[1])

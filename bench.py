@@ -162,6 +162,8 @@ HEADLINE = [
     "a_weighted_sample",
     "llm_ngram_novelty",
     "w_rolling_median",
+    "k_cdc_store_roundtrip",
+    "t_stream_cdc",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -665,3 +665,33 @@ def test_gold_diff_statuses(spark, tmp_path):
         for r in store.gold_diff("t", "r2", "r1", ["id"], updated_col="ts").collect()
     }
     assert rev == {1: "changed", 3: "removed"}
+
+
+def test_tombstone_deletes_and_resurrects(spark, store):
+    """tombstone_col: a key whose LATEST row is a delete drops out of
+    gold (silver keeps the full auditable history); a NEWER upsert
+    resurrects it; an OLDER late-arriving upsert does not."""
+    sch = SCHEMA + ", del boolean"
+
+    def persist(run, rows, when):
+        df = spark.createDataFrame(rows, sch)
+        return store.persist(df, "t", ["cid"], run_id=run, updated_col="udate",
+                             extracted_at=when, tombstone_col="del")
+
+    persist("r1", [("1", "a@x", "2020-01-01", False),
+                   ("2", "b@x", "2020-01-01", False)], "2020-06-01 00:00:00")
+    assert {r["cid"] for r in store.read("gold", "t").collect()} == {"1", "2"}
+
+    # delete key 1 (newer udate): gone from gold, history intact in silver
+    persist("r2", [("1", "a@x", "2020-01-02", True)], "2020-06-02 00:00:00")
+    assert {r["cid"] for r in store.read("gold", "t").collect()} == {"2"}
+    assert store.read("silver", "t").filter("cid = '1'").count() == 2
+
+    # LATE upsert older than the tombstone: key stays deleted
+    persist("r3", [("1", "old@x", "2020-01-01", False)], "2020-06-03 00:00:00")
+    assert {r["cid"] for r in store.read("gold", "t").collect()} == {"2"}
+
+    # genuinely newer upsert resurrects the key with the new value
+    persist("r4", [("1", "new@x", "2020-01-03", False)], "2020-06-04 00:00:00")
+    gold = {r["cid"]: r["email"] for r in store.read("gold", "t").collect()}
+    assert gold == {"1": "new@x", "2": "b@x"}
