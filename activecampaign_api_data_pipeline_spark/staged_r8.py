@@ -334,11 +334,143 @@ def t_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles via fixed-width bucket histograms:
+    p50/p90/p99 of event value (cents) per event type, estimated as the
+    lower bound of the first bucket whose cumulative count reaches the
+    target rank. The sketch IS the (type, bucket) count table — mergeable
+    across shards/days by addition, error bounded by the bucket width
+    (1000 cents), zero floats anywhere.
+
+    Plan: one map-side-combined aggregate on (type, bucket); the
+    cumulative window runs over the tiny bucket-support frame PARTITIONED
+    by type — support cardinality (domain/1000), not event cardinality,
+    crosses it. The 100 TB shape of percentile monitoring (the exact
+    per-row rank sort a_percentiles pays is the cost-of-exactness path).
+    """
+    e = _ev(spark, sf_dir)
+    hist = (
+        e.withColumn("bkt", F.expr("cents div 1000"))
+        .groupBy("event_type", "bkt")
+        .agg(F.count("*").alias("n"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bkt",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    def est(pct):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.lit(pct) * F.col("total"), F.col("bkt") * 1000)
+        ).alias(f"p{pct}_est_cents")
+    return cum.groupBy("event_type").agg(est(50), est(90), est(99))
+
+
+def w_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's event-value series — the
+    time-series diagnostic (is spending bursty or mean-reverting?) —
+    with ALL sufficient statistics in exact int64 and r-squared as one
+    final identically-shaped float expression both engines evaluate on
+    identical integers (the repo's doubles-as-final-cast rule). Bound:
+    n·x² must stay under 2^63 — at 1e5-cent values that allows ~9e8
+    observations per key, far past any real per-user series.
+
+    Plan: ONE exchange on the user key (lag + the sums share the
+    partitioning), then a per-user aggregate; no joins, no second pass.
+    """
+    e = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    pairs = e.select(
+        "user_id", F.col("cents").alias("x"), F.lag("cents").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    agg = pairs.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).filter(F.col("n") >= 3)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "user_id",
+        "n",
+        num.alias("num"),
+        den1.alias("den1"),
+        den2.alias("den2"),
+        F.round(
+            (num.cast("double") * num.cast("double"))
+            / F.nullif(den1.cast("double") * den2.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("r2"),
+    )
+
+
 _H60 = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
 
 STAGED_ORACLES: dict[str, str] = {
+    "a_bucket_quantiles": """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+h AS (
+  SELECT event_type, cents // 1000 AS bkt, count(*) AS n
+  FROM e GROUP BY event_type, cents // 1000
+),
+c AS (
+  SELECT event_type, bkt,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bkt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM h
+)
+SELECT event_type,
+       min(CASE WHEN cum * 100 >= 50 * total THEN bkt * 1000 END) AS p50_est_cents,
+       min(CASE WHEN cum * 100 >= 90 * total THEN bkt * 1000 END) AS p90_est_cents,
+       min(CASE WHEN cum * 100 >= 99 * total THEN bkt * 1000 END) AS p99_est_cents
+FROM c GROUP BY event_type
+""",
+    "w_lag1_autocorr": """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+p AS (
+  SELECT user_id, cents AS x,
+         lag(cents) OVER (PARTITION BY user_id ORDER BY es, event_id) AS y
+  FROM e
+),
+a AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p WHERE y IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 3
+)
+SELECT user_id, n,
+       n * sxy - sx * sy AS num,
+       n * sxx - sx * sx AS den1,
+       n * syy - sy * sy AS den2,
+       round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE), 0.0),
+             6) AS r2
+FROM a
+""",
     "w_pattern_match": """
 WITH e AS (
   SELECT user_id, event_id, event_type,

@@ -164,6 +164,8 @@ HEADLINE = [
     "w_rolling_median",
     "k_cdc_store_roundtrip",
     "t_stream_cdc",
+    "a_bucket_quantiles",
+    "w_lag1_autocorr",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

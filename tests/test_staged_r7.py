@@ -564,3 +564,50 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     mean_all = docs.agg(F.avg(F.greatest("n_chars", F.lit(1)))).first()[0]
     assert mean_sampled > mean_all
+
+
+def test_bucket_quantiles_monotone_and_partitioned(spark):
+    # estimates must be monotone p50<=p90<=p99 and the cumulative window
+    # partitioned by type (never a global single-task sort)
+    df = staged_r8.a_bucket_quantiles(spark, "/root/testdata/sf0.001")
+    for r in df.collect():
+        assert r["p50_est_cents"] <= r["p90_est_cents"] <= r["p99_est_cents"]
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(event_type" in p
+    assert "Join" not in p
+
+
+def test_bucket_quantiles_bounds_exact(spark):
+    # each estimate's bucket must CONTAIN the exact percentile value
+    # (error bounded by the 1000-cent width)
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    est = {r["event_type"]: r for r in staged_r8.a_bucket_quantiles(spark, sf).collect()}
+    e = load_table(spark, sf, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    import math
+    for et, grp in [(r["event_type"], r) for r in e.groupBy("event_type").count().collect()]:
+        vals = sorted(
+            r["cents"] for r in e.filter(F.col("event_type") == et).collect()
+        )
+        for pct in (50, 90, 99):
+            exact = vals[math.ceil(pct / 100 * len(vals)) - 1]
+            lo = est[et][f"p{pct}_est_cents"]
+            assert lo <= exact < lo + 1000
+
+
+def test_lag1_autocorr_single_exchange_and_bounds(spark):
+    df = staged_r8.w_lag1_autocorr(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("hashpartitioning") == 1
+    assert "Join" not in p
+    for r in df.collect():
+        if r["r2"] is not None:
+            assert 0 <= r["r2"] <= 1.000001
+        # Cauchy-Schwarz: num^2 <= den1*den2
+        assert r["num"] * r["num"] <= r["den1"] * r["den2"]
