@@ -335,11 +335,26 @@ def test_registry_window_policy_invariants():
 
 def test_audio_neardup_no_cartesian_arrow_only(spark):
     # fingerprint postings join must stay a hash join on the 16-byte
-    # hash; the only Python is the Arrow energy kernel
+    # hash; the only Python is the Arrow energy kernel. Since the r7
+    # localCheckpoint fix (shared frame-hash subtree, no pinned cache),
+    # the kernel runs at BUILD time and the final plan reads the
+    # checkpointed RDD — so assert the kernel on the PRE-checkpoint
+    # fingerprint frame instead of the final plan string.
     p = _plan(spark, "mm_audio_neardup")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
-    assert "MapInPandas" in p
+    assert "ExistingRDD" in p or "Scan ExistingRDD" in p  # checkpointed postings
+
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+    from activecampaign_api_data_pipeline_spark.queries import _media_from_docs
+
+    media = _media_from_docs(spark, "/root/testdata/sf0.001", "audio")
+    en = audio_window_energy(media, window_ms=2)
+    pre = en._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in pre
+    assert "BatchEvalPython" not in pre
 
 
 def test_trailing_range_window_single_shuffle(spark):
