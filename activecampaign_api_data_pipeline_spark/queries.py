@@ -2149,10 +2149,16 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bound applies to DRIVER rows only.
 #
 # r8 WINDOW PRE-PLAN: the tail below is 88 entries — 48 last-green-r5
-# (now 3-round-stale: they MUST lead the r8 window, 48 slots) + 40
-# last-green-r6 (their deadline is r9; they fill r8's remaining 2 slots
-# oldest-first, then the r9 window). Any staged_r8 promotion ranks
-# first per rule 1 and displaces the youngest r6-green entries.
+# (cadence deadline r8 = r5 + ceil(N/50): they fill 48 slots of the r8
+# window) + 40 last-green-r6 (deadline r9; the 2 remaining r8 slots go
+# to the oldest of them, the rest lead r9 alongside this round's
+# window). The NINE staged_r8 queries therefore stay STAGED through r8
+# (the same rule-1 deferral staged_r7 used in r6 — registering them in
+# r8 would displace deadline entries; they remain typed-replica exact
+# at two SFs via tests/test_staged_r7.py until their r9 promotion,
+# which then follows the staged_r7 promotion mechanics verbatim:
+# REGISTRY references + STAGED_ORACLES -> PROMOTED_ORACLES -> merged
+# into build_oracles).
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,
