@@ -413,11 +413,75 @@ def w_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM familiarity score: the mean (ppm) conditional
+    bigram probability of the doc's bigram occurrences under the
+    corpus's own bigram LM — the integer-exact stand-in for a
+    perplexity quality filter (fluent boilerplate scores high, novel or
+    garbled text scores low; filter or curriculum-sort on it).
+
+    Scale shape: the LM is ONE aggregate over corpus bigrams with its
+    prefix totals from a window over the (tiny) bigram vocab; the
+    scoring join is keyed on the 60-bit bigram hash, so the shuffle
+    carries (doc_id, 8 bytes) — text never moves twice. Per-bigram
+    familiarity quantizes to ppm BEFORE the per-doc mean, keeping every
+    intermediate an exact int64.
+    """
+    from activecampaign_api_data_pipeline_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = docs.select(
+        "doc_id", F.explode(TX.word_ngrams(F.col("text"), 2)).alias("bigram")
+    ).select("doc_id", hash60("bigram").alias("bh"), F.col("bigram"))
+    lm = (
+        occ.groupBy("bigram").agg(F.count("*").alias("cnt"))
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("prefix_cnt", F.sum("cnt").over(Window.partitionBy("w1")))
+        .select(
+            hash60("bigram").alias("bh"),
+            F.expr("cnt * 1000000 div prefix_cnt").alias("fam_ppm"),
+        )
+    )
+    return (
+        occ.select("doc_id", "bh")
+        .join(lm, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("sum(fam_ppm) div count(*)").alias("mean_fam_ppm"),
+        )
+    )
+
+
 _H60 = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
 
 STAGED_ORACLES: dict[str, str] = {
+    "text_bigram_familiarity": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents WHERE trim(text) != ''
+),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+  FROM toks WHERE len(arr) >= 2
+),
+c AS (SELECT bigram, count(*) AS cnt FROM occ GROUP BY bigram),
+lm AS (
+  SELECT bigram,
+         CAST(cnt AS BIGINT) * 1000000
+           // CAST(sum(cnt) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS BIGINT)
+           AS fam_ppm
+  FROM c
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(fam_ppm) AS BIGINT) // count(*) AS mean_fam_ppm
+FROM occ JOIN lm USING (bigram)
+GROUP BY doc_id
+""",
     "a_bucket_quantiles": """
 WITH e AS (
   SELECT event_type,

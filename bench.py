@@ -166,6 +166,7 @@ HEADLINE = [
     "t_stream_cdc",
     "a_bucket_quantiles",
     "w_lag1_autocorr",
+    "text_bigram_familiarity",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -611,3 +611,18 @@ def test_lag1_autocorr_single_exchange_and_bounds(spark):
             assert 0 <= r["r2"] <= 1.000001
         # Cauchy-Schwarz: num^2 <= den1*den2
         assert r["num"] * r["num"] <= r["den1"] * r["den2"]
+
+
+def test_bigram_familiarity_bounds_and_hash_join(spark):
+    # ppm scores live in (0, 1e6]; the scoring join must be keyed on the
+    # 60-bit bigram hash (no raw-text shuffle)
+    df = staged_r8.text_bigram_familiarity(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows and all(0 < r["mean_fam_ppm"] <= 1_000_000 for r in rows)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    join_lines = [ln for ln in p.splitlines() if "HashJoin" in ln]
+    assert join_lines and all(re.search(r"\[bh#\d+L\]", ln) for ln in join_lines), (
+        "scoring join not keyed on the bigram hash"
+    )
+    assert "EvalPython" not in p and "CartesianProduct" not in p
