@@ -453,6 +453,62 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-DEPENDENT streaming CEP: the view→click→purchase pattern
+    monitor (``streaming.stateful.stream_pattern_match``) over three
+    event-time-sliced micro-batches — per-key state is the 2-row
+    lookahead buffer, so patterns SPANNING batch boundaries are caught
+    exactly once (the new/old third-element split is disjoint). The
+    batch twin ``w_pattern_match`` is the oracle: totals and min first
+    event id must be identical however the stream was sliced.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        stream_pattern_match,
+    )
+
+    pin_confs(spark)
+    ev = _ev(spark, sf_dir).select("user_id", "es", "event_id", "event_type")
+    b = ev.agg(F.min("es").alias("mn"), F.max("es").alias("mx")).first()
+    mn, mx = int(b["mn"]), int(b["mx"])
+    root = tempfile.mkdtemp(prefix="acdp_pat_")
+    stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(stream_dir)
+    for i in range(3):
+        sl = ev.where(
+            F.expr(
+                f"least(2, CAST(((es - {mn}) * 3) div ({mx} - {mn} + 1) AS INT))"
+                f" = {i}"
+            )
+        )
+        tmp = os.path.join(root, f"slice{i}")
+        sl.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, es long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = stream_pattern_match(stream, sink, ckpt)
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    agg = out.groupBy("user_id").agg(
+        F.sum("n_matches").alias("n_matches"),
+        F.min("first_match_event").alias("first_match_event"),
+    )
+    return agg.filter(F.col("n_matches") > 0)
+
+
 _H60 = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
@@ -536,6 +592,24 @@ SELECT user_id, n,
 FROM a
 """,
     "w_pattern_match": """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+)
+SELECT user_id, count(*) AS n_matches, min(event_id) AS first_match_event
+FROM m
+WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'
+GROUP BY user_id
+""",
+    "t_stream_pattern": """
 WITH e AS (
   SELECT user_id, event_id, event_type,
          CAST(floor(epoch(ts)) AS BIGINT) AS es

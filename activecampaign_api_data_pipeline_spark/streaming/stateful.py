@@ -161,3 +161,90 @@ def stream_trailing_anomaly(stream: DataFrame, sink: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+PAT_OUT_SCHEMA = "user_id long, n_matches long, first_match_event long"
+PAT_STATE_SCHEMA = "es array<long>, eid array<long>, et array<string>"
+_PATTERN = ("view", "click", "purchase")
+
+
+def _update_pattern_match(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Cross-batch CEP kernel (streaming twin of
+    ``staged_r8.w_pattern_match``): state is the key's last ≤2
+    (es, event_id, event_type) observations — the lookahead buffer a
+    strictly-consecutive 3-event pattern needs at a batch boundary.
+    Each batch's rows sort by event time, concatenate after the carried
+    buffer, and every triple whose THIRD element is a new row is
+    scanned — triples completed in earlier batches had their third
+    element there, so the new/old split is disjoint and nothing double
+    counts. Requires event-time-ordered batch delivery (the
+    ``t_stream_anomaly`` harness contract); within a batch any arrival
+    order is fine.
+    """
+    (user_id,) = key
+    if state.exists:
+        p_es, p_eid, p_et = (list(x) for x in state.get)
+    else:
+        p_es, p_eid, p_et = [], [], []
+    k = len(p_es)
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        rows = pd.concat(frames, ignore_index=True).sort_values(["es", "event_id"])
+        es = p_es + rows["es"].tolist()
+        eid = p_eid + rows["event_id"].tolist()
+        et = p_et + rows["event_type"].tolist()
+    else:
+        es, eid, et = p_es, p_eid, p_et
+    import numpy as np
+
+    first = None
+    n = 0
+    if len(es) >= 3:
+        a = np.asarray(et, dtype=object)
+        m = (
+            (a[:-2] == _PATTERN[0])
+            & (a[1:-1] == _PATTERN[1])
+            & (a[2:] == _PATTERN[2])
+        )
+        idx = np.nonzero(m)[0]
+        idx = idx[idx + 2 >= k]  # triples completed in THIS batch only
+        n = int(len(idx))
+        if n:
+            first = int(np.asarray(eid, dtype=np.int64)[idx].min())
+    state.update((es[-2:], eid[-2:], et[-2:]))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_matches": n, "first_match_event": first}]
+    )
+
+
+def stream_pattern_match(stream: DataFrame, sink: str, checkpoint: str):
+    """Continuous event-sequence CEP: bounded per-key state (2 rows of
+    lookahead in the state store), Arrow-batched scanning, batch_id-
+    partitioned exactly-once sink. At 100 TB the state is 3 scalars x 2
+    per key and each batch shuffles only its own rows on the key — the
+    Flink-CEP shape on Structured Streaming."""
+    from pyspark.sql import functions as F
+
+    scored = stream.groupBy("user_id").applyInPandasWithState(
+        _update_pattern_match,
+        PAT_OUT_SCHEMA,
+        PAT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(sink)
+
+    return (
+        scored.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

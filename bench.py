@@ -167,6 +167,7 @@ HEADLINE = [
     "a_bucket_quantiles",
     "w_lag1_autocorr",
     "text_bigram_familiarity",
+    "t_stream_pattern",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -1009,3 +1009,48 @@ def test_stream_running_totals_stateful_fold(spark, tmp_path):
     )
     stream_running_totals(stream2, sink, ckpt).awaitTermination(180)
     assert spark.read.parquet(sink).count() == n_before
+
+
+def test_pattern_kernel_catches_boundary_spanning_match(spark):
+    """A view→click→purchase triple SPLIT across micro-batches must be
+    counted exactly once (the 2-row lookahead state), and a triple fully
+    inside an earlier batch must not recount when its rows ride the
+    state into the next call."""
+    import pandas as pd
+
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        _update_pattern_match,
+    )
+
+    class _S:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+    st = _S()
+    # batch 1: a full match (1,2,3) + the first two rows of a second
+    b1 = pd.DataFrame({
+        "es": [1, 2, 3, 4, 5],
+        "event_id": [11, 12, 13, 14, 15],
+        "event_type": ["view", "click", "purchase", "view", "click"],
+    })
+    (o1,) = list(_update_pattern_match((7,), iter([b1]), st))
+    assert o1.loc[0, "n_matches"] == 1
+    assert o1.loc[0, "first_match_event"] == 11
+    # batch 2: completes the boundary-spanning match; 13/14/15 must not recount
+    b2 = pd.DataFrame({
+        "es": [6], "event_id": [16], "event_type": ["purchase"],
+    })
+    (o2,) = list(_update_pattern_match((7,), iter([b2]), st))
+    assert o2.loc[0, "n_matches"] == 1
+    assert o2.loc[0, "first_match_event"] == 14
+    # batch 3: nothing new -> zero matches
+    b3 = pd.DataFrame({"es": [7], "event_id": [17], "event_type": ["view"]})
+    (o3,) = list(_update_pattern_match((7,), iter([b3]), st))
+    assert o3.loc[0, "n_matches"] == 0 and o3.loc[0, "first_match_event"] is None
