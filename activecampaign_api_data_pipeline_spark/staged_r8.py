@@ -11,13 +11,20 @@ parametrizes over this dict too). Round 8 promotes the batch by
 referencing the functions from REGISTRY and merging the oracles into
 ``oracles.build_oracles``.
 
-Batch r8.1 — operator families the registry does not cover yet:
-- ``w_pattern_match``: MATCH_RECOGNIZE-lite event-sequence CEP
-- ``k_cdc_merge``: CDC upsert/delete apply (Delta MERGE semantics)
+Operator families the registry does not cover yet (11 queries):
+- ``w_pattern_match`` / ``t_stream_pattern``: MATCH_RECOGNIZE-lite
+  event-sequence CEP, batch + cross-batch streaming (2-row lookahead
+  state catches boundary-spanning patterns exactly once)
+- ``k_cdc_merge`` / ``k_cdc_store_roundtrip`` / ``t_stream_cdc``: CDC
+  upsert/delete apply (Delta MERGE semantics) — one-shot collapse, the
+  medallion tombstone path, and continuous streaming maintenance
 - ``a_weighted_sample``: deterministic weighted sampling per stratum
 - ``llm_ngram_novelty``: per-doc novelty scoring vs the train split
 - ``w_rolling_median``: exact order-statistic (median) over a sliding
   row frame
+- ``a_bucket_quantiles``: mergeable bucket-histogram quantile sketch
+- ``w_lag1_autocorr``: lag-1 autocorrelation, int64 sufficient stats
+- ``text_bigram_familiarity``: per-doc bigram-LM familiarity (ppm)
 """
 
 from __future__ import annotations
