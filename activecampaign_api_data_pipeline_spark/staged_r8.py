@@ -11,7 +11,7 @@ parametrizes over this dict too). Round 8 promotes the batch by
 referencing the functions from REGISTRY and merging the oracles into
 ``oracles.build_oracles``.
 
-Operator families the registry does not cover yet (11 queries):
+Operator families the registry does not cover yet (12 queries):
 - ``w_pattern_match`` / ``t_stream_pattern``: MATCH_RECOGNIZE-lite
   event-sequence CEP, batch + cross-batch streaming (2-row lookahead
   state catches boundary-spanning patterns exactly once)
@@ -25,6 +25,7 @@ Operator families the registry does not cover yet (11 queries):
 - ``a_bucket_quantiles``: mergeable bucket-histogram quantile sketch
 - ``w_lag1_autocorr``: lag-1 autocorrelation, int64 sufficient stats
 - ``text_bigram_familiarity``: per-doc bigram-LM familiarity (ppm)
+- ``g_kcore``: bounded k-core decomposition (graph-periphery curation)
 """
 
 from __future__ import annotations
@@ -516,11 +517,97 @@ def t_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(F.col("n_matches") > 0)
 
 
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition (k=3, three peel rounds) over the
+    thresholded co-purchase graph — the graph-curation primitive that
+    strips low-engagement periphery (spam/noise nodes shed first; the
+    surviving core is the high-signal subgraph). Each round recomputes
+    degrees among survivors and removes nodes below k; three rounds
+    bound the cost deterministically (full coreness = iterate to fixed
+    point, the same loop shape).
+
+    Plan: the basket pair expansion is the one heavy exchange (in-row
+    array combinatorics, the copurchase shape); the symmetrized edge
+    list is localCheckpointed ONCE and every round is then one semi-join
+    gate + one count aggregate over it — O(E) per round, no growth. At
+    100 TB the loop is the standard Pregel-style peel; rounds are
+    data-independent barriers.
+    """
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        ensure_min_parallelism,
+        load_table,
+    )
+
+    li = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    e = pairs.groupBy("a", "b").agg(F.count("*").alias("w")).where(F.col("w") >= 2)
+    sym = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select("u").distinct()
+    deg = None
+    for _ in range(3):
+        gated = sym.join(alive, "u").join(
+            alive.withColumnRenamed("u", "v"), "v"
+        )
+        deg = gated.groupBy("u").agg(F.count("*").alias("deg"))
+        alive = deg.where(F.col("deg") >= 3).select("u").localCheckpoint(eager=True)
+    return deg.where(F.col("deg") >= 3).select(
+        F.col("u").alias("node_id"), "deg"
+    )
+
+
 _H60 = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
 
 STAGED_ORACLES: dict[str, str] = {
+    "g_kcore": """
+WITH pairs0 AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b,
+         count(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM pairs0 WHERE w >= 2),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+a0 AS (SELECT DISTINCT u FROM sym),
+d1 AS (
+  SELECT s.u, count(*) AS deg FROM sym s
+  JOIN a0 x ON s.u = x.u JOIN a0 y ON s.v = y.u GROUP BY s.u
+),
+a1 AS (SELECT u FROM d1 WHERE deg >= 3),
+d2 AS (
+  SELECT s.u, count(*) AS deg FROM sym s
+  JOIN a1 x ON s.u = x.u JOIN a1 y ON s.v = y.u GROUP BY s.u
+),
+a2 AS (SELECT u FROM d2 WHERE deg >= 3),
+d3 AS (
+  SELECT s.u, count(*) AS deg FROM sym s
+  JOIN a2 x ON s.u = x.u JOIN a2 y ON s.v = y.u GROUP BY s.u
+)
+SELECT u AS node_id, deg FROM d3 WHERE deg >= 3
+""",
     "text_bigram_familiarity": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr

@@ -168,6 +168,7 @@ HEADLINE = [
     "w_lag1_autocorr",
     "text_bigram_familiarity",
     "t_stream_pattern",
+    "g_kcore",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -626,3 +626,30 @@ def test_bigram_familiarity_bounds_and_hash_join(spark):
         "scoring join not keyed on the bigram hash"
     )
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_kcore_peel_monotone(spark):
+    # every survivor carries deg >= 3 within the core, and the 3-round
+    # core is a SUBSET of the full graph's deg>=3 nodes (peeling only
+    # removes — a core node's neighbors can only have been removed, so
+    # its full-graph degree bounds its core degree from above)
+    import duckdb
+
+    core = {r["node_id"]: r["deg"] for r in staged_r8.g_kcore(spark, SF).collect()}
+    assert core and all(d >= 3 for d in core.values())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    full = dict(con.execute("""
+        WITH pairs0 AS (
+          SELECT a.l_partkey AS a, b.l_partkey AS b, count(DISTINCT a.l_orderkey) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        ),
+        e AS (SELECT a, b FROM pairs0 WHERE w >= 2),
+        sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)
+        SELECT u, count(*) FROM sym GROUP BY u
+    """).fetchall())
+    for node, deg in core.items():
+        assert full[node] >= deg >= 3
