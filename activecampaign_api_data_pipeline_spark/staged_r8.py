@@ -11,7 +11,7 @@ parametrizes over this dict too). Round 8 promotes the batch by
 referencing the functions from REGISTRY and merging the oracles into
 ``oracles.build_oracles``.
 
-Operator families the registry does not cover yet (12 queries):
+Operator families the registry does not cover yet (14 queries):
 - ``w_pattern_match`` / ``t_stream_pattern``: MATCH_RECOGNIZE-lite
   event-sequence CEP, batch + cross-batch streaming (2-row lookahead
   state catches boundary-spanning patterns exactly once)
@@ -26,6 +26,8 @@ Operator families the registry does not cover yet (12 queries):
 - ``w_lag1_autocorr``: lag-1 autocorrelation, int64 sufficient stats
 - ``text_bigram_familiarity``: per-doc bigram-LM familiarity (ppm)
 - ``g_kcore``: bounded k-core decomposition (graph-periphery curation)
+- ``text_dict_tag``: gazetteer/dictionary multi-pattern tagging
+- ``llm_temporal_split``: leakage-accounted temporal train/holdout manifest
 """
 
 from __future__ import annotations
@@ -576,11 +578,138 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gazetteer for dictionary tagging: term -> tag (two small topic sets)
+_DICT_TAGS: dict[str, str] = {
+    "join": "exec", "merge": "exec", "sort": "exec", "scan": "exec",
+    "agg": "exec", "window": "exec",
+    "spark": "engine", "query": "engine", "batch": "engine",
+    "stream": "engine",
+}
+
+
+def text_dict_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern dictionary tagging (gazetteer matching): every doc
+    is tagged with the distinct tags of the dictionary terms it
+    contains, plus a per-tag hit count — the scalable alternative to
+    running N regexes per row (tokenize once, ONE broadcast join against
+    the term list; Aho-Corasick semantics for word-boundary terms).
+
+    Plan: tokenize+explode is per-row expression work; the dictionary
+    joins BROADCAST (it is config-sized by definition); the per-doc
+    rollup is one aggregate. At 100 TB: cost = one pass + one shuffle on
+    doc_id, independent of dictionary size up to broadcast limits.
+    """
+    from activecampaign_api_data_pipeline_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    dic = spark.createDataFrame(
+        sorted(_DICT_TAGS.items()), "tok string, tag string"
+    )
+    hits = toks.join(F.broadcast(dic), "tok")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("tag")), ",").alias("tags"),
+            F.count("*").alias("n_hits"),
+            F.countDistinct("tok").alias("n_terms"),
+        )
+    )
+
+
+def llm_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/holdout split MANIFEST with entity-leakage
+    accounting: cutoff = the global 80th-percentile event second
+    (bucket-exact, derived from the data); every event before it is
+    ``train``, at/after it ``holdout``, and the manifest reports per
+    user how their events divide plus the ``crosses_boundary`` flag —
+    the guard an evaluation harness uses to drop (or specially handle)
+    entities that appear on both sides of the temporal boundary. The
+    time-ordered counterpart of the hash ``split_assign`` (which
+    balances but cannot give leak-free time-ordered evaluation).
+
+    Plan: one pass for the cutoff (bucket histogram over hour buckets —
+    support-sized, never a sort), one exchange on the user key for the
+    per-user division; append-safe (new events only grow holdout or
+    flip the flag, never silently relabel history).
+    """
+    e = _ev(spark, sf_dir).select("user_id", "es")
+    hist = e.groupBy(F.expr("es div 3600").alias("hb")).agg(F.count("*").alias("n"))
+    wc = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cut_row = (
+        hist.select(
+            "hb",
+            F.sum("n").over(wc).alias("cum"),
+            F.sum("n").over(wt).alias("total"),
+        )
+        .where(F.col("cum") * 100 >= 80 * F.col("total"))
+        .agg(F.min("hb").alias("hb"))
+        .first()
+    )
+    cutoff = (int(cut_row["hb"]) + 1) * 3600  # first second AFTER the bucket
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("es") < cutoff, 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("es") >= cutoff, 1).otherwise(0)).alias("n_holdout"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_train",
+            "n_holdout",
+            (
+                (F.col("n_train") > 0) & (F.col("n_holdout") > 0)
+            ).cast("int").alias("crosses_boundary"),
+        )
+    )
+
+
 _H60 = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
 
 STAGED_ORACLES: dict[str, str] = {
+    "text_dict_tag": """
+WITH dic(tok, tag) AS (VALUES
+  ('join','exec'),('merge','exec'),('sort','exec'),('scan','exec'),
+  ('agg','exec'),('window','exec'),
+  ('spark','engine'),('query','engine'),('batch','engine'),
+  ('stream','engine')
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+h AS (SELECT doc_id, t.tok, tag FROM toks t JOIN dic USING (tok))
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(list(tag))), ',') AS tags,
+       count(*) AS n_hits,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_terms
+FROM h GROUP BY doc_id
+""",
+    "llm_temporal_split": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+hist AS (SELECT es // 3600 AS hb, count(*) AS n FROM e GROUP BY es // 3600),
+c AS (
+  SELECT hb,
+         CAST(sum(n) OVER (ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM hist
+),
+cut AS (SELECT (min(hb) + 1) * 3600 AS cutoff FROM c WHERE cum * 100 >= 80 * total)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN es < (SELECT cutoff FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN es >= (SELECT cutoff FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+       CAST(CASE WHEN sum(CASE WHEN es < (SELECT cutoff FROM cut) THEN 1 ELSE 0 END) > 0
+                  AND sum(CASE WHEN es >= (SELECT cutoff FROM cut) THEN 1 ELSE 0 END) > 0
+            THEN 1 ELSE 0 END AS INTEGER) AS crosses_boundary
+FROM e GROUP BY user_id
+""",
     "g_kcore": """
 WITH pairs0 AS (
   SELECT a.l_partkey AS a, b.l_partkey AS b,

@@ -169,6 +169,8 @@ HEADLINE = [
     "text_bigram_familiarity",
     "t_stream_pattern",
     "g_kcore",
+    "text_dict_tag",
+    "llm_temporal_split",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -653,3 +653,32 @@ def test_kcore_peel_monotone(spark):
     """).fetchall())
     for node, deg in core.items():
         assert full[node] >= deg >= 3
+
+
+def test_temporal_split_manifest_consistent(spark):
+    # the manifest partitions every user's events (train + holdout =
+    # total), the global split hits ~80/20 (bucket-width tolerance),
+    # and crosses_boundary is exactly (n_train>0 AND n_holdout>0)
+    from pyspark.sql import functions as F
+
+    sp = staged_r8.llm_temporal_split(spark, SF)
+    rows = sp.collect()
+    assert rows
+    for r in rows:
+        assert r["n_train"] + r["n_holdout"] == r["n_events"]
+        assert r["crosses_boundary"] == int(r["n_train"] > 0 and r["n_holdout"] > 0)
+    tot = sp.agg(F.sum("n_train"), F.sum("n_holdout")).first()
+    frac = tot[0] / (tot[0] + tot[1])
+    assert 0.78 <= frac <= 0.9  # 80th pct cutoff, hour-bucket granularity
+
+
+def test_dict_tag_broadcast_no_regex_blowup(spark):
+    # ONE broadcast join, no per-row multi-regex, tags sorted distinct
+    df = staged_r8.text_dict_tag(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+    for r in df.limit(20).collect():
+        parts = r["tags"].split(",")
+        assert parts == sorted(set(parts))
+        assert r["n_hits"] >= r["n_terms"] >= 1
