@@ -11,7 +11,7 @@ parametrizes over this dict too). Round 8 promotes the batch by
 referencing the functions from REGISTRY and merging the oracles into
 ``oracles.build_oracles``.
 
-Operator families the registry does not cover yet (14 queries):
+Operator families the registry does not cover yet (15 queries):
 - ``w_pattern_match`` / ``t_stream_pattern``: MATCH_RECOGNIZE-lite
   event-sequence CEP, batch + cross-batch streaming (2-row lookahead
   state catches boundary-spanning patterns exactly once)
@@ -28,6 +28,7 @@ Operator families the registry does not cover yet (14 queries):
 - ``g_kcore``: bounded k-core decomposition (graph-periphery curation)
 - ``text_dict_tag``: gazetteer/dictionary multi-pattern tagging
 - ``llm_temporal_split``: leakage-accounted temporal train/holdout manifest
+- ``a_survival_hazard``: discrete-time survival/churn life table (ppm)
 """
 
 from __future__ import annotations
@@ -667,11 +668,71 @@ def llm_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival (churn) hazard table: a user's observed
+    lifetime is the whole weeks between their first and last event;
+    week k reports how many users were still "alive" entering week k
+    (``n_at_risk``), how many ended there (``n_ended``), and the
+    discrete hazard in ppm — the life-table form of Kaplan-Meier, kept
+    in exact integers (the survival PRODUCT is the one float consumers
+    derive downstream; the hazard table itself is the mergeable,
+    oracle-exact artifact).
+
+    Plan: one exchange on the user key for lifetimes, then the at-risk
+    counts come from a REVERSE cumulative sum over the lifetime-support
+    frame (≤ max-weeks rows cross that window, never users). The
+    at-risk identity n_at_risk(k) = Σ_{j>=k} n_ended(j) holds because
+    every observed lifetime terminates in-window (right-censoring would
+    add a censored count per week — same shape, one more column).
+    """
+    e = _ev(spark, sf_dir).select("user_id", "es")
+    life = e.groupBy("user_id").agg(
+        F.expr("CAST((max(es) - min(es)) div 604800 AS BIGINT)").alias("wk")
+    )
+    ended = life.groupBy("wk").agg(F.count("*").alias("n_ended"))
+    wrev = Window.orderBy(F.col("wk").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ended.select(
+            "wk",
+            "n_ended",
+            F.sum("n_ended").over(wrev).alias("n_at_risk"),
+        )
+        .select(
+            "wk",
+            "n_at_risk",
+            "n_ended",
+            F.expr("n_ended * 1000000 div n_at_risk").alias("hazard_ppm"),
+        )
+    )
+
+
 _H60 = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
 
 STAGED_ORACLES: dict[str, str] = {
+    "a_survival_hazard": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+life AS (
+  SELECT user_id, (max(es) - min(es)) // 604800 AS wk
+  FROM e GROUP BY user_id
+),
+ended AS (SELECT wk, count(*) AS n_ended FROM life GROUP BY wk),
+t AS (
+  SELECT wk, n_ended,
+         CAST(sum(n_ended) OVER (ORDER BY wk DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_at_risk
+  FROM ended
+)
+SELECT wk, n_at_risk, n_ended,
+       n_ended * 1000000 // n_at_risk AS hazard_ppm
+FROM t
+""",
     "text_dict_tag": """
 WITH dic(tok, tag) AS (VALUES
   ('join','exec'),('merge','exec'),('sort','exec'),('scan','exec'),

@@ -171,6 +171,7 @@ HEADLINE = [
     "g_kcore",
     "text_dict_tag",
     "llm_temporal_split",
+    "a_survival_hazard",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -682,3 +682,24 @@ def test_dict_tag_broadcast_no_regex_blowup(spark):
         parts = r["tags"].split(",")
         assert parts == sorted(set(parts))
         assert r["n_hits"] >= r["n_terms"] >= 1
+
+
+def test_survival_hazard_life_table_identities(spark):
+    # n_at_risk is non-increasing in week, equals the tail sum of
+    # n_ended, the week-0 at-risk count equals the user universe, and
+    # every hazard is a valid probability in ppm
+    rows = sorted(
+        staged_r8.a_survival_hazard(spark, SF).collect(), key=lambda r: r["wk"]
+    )
+    assert rows and rows[0]["wk"] >= 0
+    total_users = rows[0]["n_at_risk"] if rows[0]["wk"] == 0 else None
+    tail = sum(r["n_ended"] for r in rows)
+    if total_users is not None:
+        assert total_users == tail
+    prev = None
+    for r in rows:
+        assert 0 < r["n_ended"] <= r["n_at_risk"]
+        assert 0 < r["hazard_ppm"] <= 1_000_000
+        if prev is not None:
+            assert r["n_at_risk"] <= prev
+        prev = r["n_at_risk"]
