@@ -2152,7 +2152,7 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (cadence deadline r8 = r5 + ceil(N/50): they fill 48 slots of the r8
 # window) + 40 last-green-r6 (deadline r9; the 2 remaining r8 slots go
 # to the oldest of them, the rest lead r9 alongside this round's
-# window). The FIFTEEN staged_r8 queries therefore stay STAGED through r8
+# window). The SIXTEEN staged_r8 queries therefore stay STAGED through r8
 # (the same rule-1 deferral staged_r7 used in r6 — registering them in
 # r8 would displace deadline entries; they remain typed-replica exact
 # at two SFs via tests/test_staged_r7.py until their r9 promotion,

@@ -11,7 +11,7 @@ parametrizes over this dict too). Round 8 promotes the batch by
 referencing the functions from REGISTRY and merging the oracles into
 ``oracles.build_oracles``.
 
-Operator families the registry does not cover yet (15 queries):
+Operator families the registry does not cover yet (16 queries):
 - ``w_pattern_match`` / ``t_stream_pattern``: MATCH_RECOGNIZE-lite
   event-sequence CEP, batch + cross-batch streaming (2-row lookahead
   state catches boundary-spanning patterns exactly once)
@@ -29,6 +29,7 @@ Operator families the registry does not cover yet (15 queries):
 - ``text_dict_tag``: gazetteer/dictionary multi-pattern tagging
 - ``llm_temporal_split``: leakage-accounted temporal train/holdout manifest
 - ``a_survival_hazard``: discrete-time survival/churn life table (ppm)
+- ``k_profile_orders``: one-scan N-column data profiler (Deequ shape)
 """
 
 from __future__ import annotations
@@ -708,11 +709,101 @@ def a_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: columns profiled by k_profile_orders (explicit, so the oracle and the
+#: Spark stack stay in lockstep as the table evolves)
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def k_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic column profiler (the warehouse data-profiling primitive:
+    what Deequ/Great-Expectations compute before constraints are
+    written): one row per column with row count, null count, distinct
+    count, and lexicographic min/max of the canonical string form.
+    Numeric columns canonicalize through DECIMAL(18,2) so the string
+    form is engine-stable (the repo's FP discipline).
+
+    Plan: ONE aggregate pass over the table computes every column's
+    stats as parallel aggregate expressions (no per-column scans), then
+    one in-row stack/unpivot emits the report — at 100 TB the profile
+    costs exactly one scan regardless of column count.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def canon(c):
+        dt = dict(o.dtypes)[c]
+        col = F.col(c)
+        if dt in ("double", "float", "decimal(18,2)"):
+            col = col.cast("decimal(18,2)")
+        return col.cast("string")
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        s = canon(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(s).alias(f"{c}__ndv"),
+            F.min(s).alias(f"{c}__mn"),
+            F.max(s).alias(f"{c}__mx"),
+        ]
+    wide = o.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__n").alias("n_rows"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__ndv").alias("n_distinct"),
+                        F.col(f"{c}__mn").alias("min_str"),
+                        F.col(f"{c}__mx").alias("max_str"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*")
+
+
 _H60 = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
 
 STAGED_ORACLES: dict[str, str] = {
+    "k_profile_orders": """
+WITH w AS (
+  SELECT
+    count(*) AS n,
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+    CAST(count(DISTINCT CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS k_ndv,
+    min(CAST(o_orderkey AS VARCHAR)) AS k_mn, max(CAST(o_orderkey AS VARCHAR)) AS k_mx,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
+    CAST(count(DISTINCT CAST(o_custkey AS VARCHAR)) AS BIGINT) AS c_ndv,
+    min(CAST(o_custkey AS VARCHAR)) AS c_mn, max(CAST(o_custkey AS VARCHAR)) AS c_mx,
+    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+    CAST(count(DISTINCT CAST(o_orderstatus AS VARCHAR)) AS BIGINT) AS s_ndv,
+    min(CAST(o_orderstatus AS VARCHAR)) AS s_mn, max(CAST(o_orderstatus AS VARCHAR)) AS s_mx,
+    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+    CAST(count(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS BIGINT) AS t_ndv,
+    min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS t_mn,
+    max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS t_mx,
+    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+    CAST(count(DISTINCT CAST(o_orderpriority AS VARCHAR)) AS BIGINT) AS p_ndv,
+    min(CAST(o_orderpriority AS VARCHAR)) AS p_mn, max(CAST(o_orderpriority AS VARCHAR)) AS p_mx
+  FROM orders
+)
+SELECT 'o_orderkey' AS column, n AS n_rows, k_nulls AS n_nulls, k_ndv AS n_distinct, k_mn AS min_str, k_mx AS max_str FROM w
+UNION ALL
+SELECT 'o_custkey', n, c_nulls, c_ndv, c_mn, c_mx FROM w
+UNION ALL
+SELECT 'o_orderstatus', n, s_nulls, s_ndv, s_mn, s_mx FROM w
+UNION ALL
+SELECT 'o_totalprice', n, t_nulls, t_ndv, t_mn, t_mx FROM w
+UNION ALL
+SELECT 'o_orderpriority', n, p_nulls, p_ndv, p_mn, p_mx FROM w
+""",
     "a_survival_hazard": """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events

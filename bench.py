@@ -172,6 +172,7 @@ HEADLINE = [
     "text_dict_tag",
     "llm_temporal_split",
     "a_survival_hazard",
+    "k_profile_orders",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -703,3 +703,16 @@ def test_survival_hazard_life_table_identities(spark):
         if prev is not None:
             assert r["n_at_risk"] <= prev
         prev = r["n_at_risk"]
+
+
+def test_profile_single_scan(spark):
+    # profiling N columns must cost ONE scan of the table (parallel
+    # aggregate expressions), never a per-column pass
+    df = staged_r8.k_profile_orders(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    rows = {r["column"]: r for r in df.collect()}
+    assert set(rows) == set(staged_r8._PROFILE_COLS)
+    pk = rows["o_orderkey"]
+    assert pk["n_nulls"] == 0 and pk["n_distinct"] == pk["n_rows"]  # primary key
