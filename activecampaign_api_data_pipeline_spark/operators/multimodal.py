@@ -259,43 +259,51 @@ def frame_dedup_pairs(
     """
     from pyspark.sql import functions as F
 
-    # localCheckpoint: fh feeds FOUR consumers (sizes, hot cut, both join
-    # sides); without sharing, each consumer re-runs the Arrow
-    # frame-sampling kernel — the expensive Python stage — once per
-    # branch. Eager localCheckpoint over persist() because callers never
-    # get a handle to unpersist: a pinned cache entry per invocation
-    # (4 query entries × bench reps) would accumulate for the session.
+    # fh feeds FOUR consumers (sizes, hot cut, both join sides); without
+    # sharing, each consumer re-runs the Arrow frame-sampling kernel —
+    # the expensive Python stage — once per branch. persist() the subtree
+    # for the duration of ONE eager materialization of the (tiny) pairs
+    # result, then unpersist in the finally: no pinned cache entry
+    # outlives the call, and the checkpoint write is the pair list, not
+    # the full frame-hash postings (the r7 eager-checkpoint-of-fh form
+    # paid a full postings write per invocation — BENCH r7 regression).
     fh = (
         frames.select(F.col(id_col).alias("mid"), F.md5(F.col(frame_col)).alias("fh"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    sizes = fh.groupBy("mid").agg(F.count("*").alias("n_frames"))
-    hot = fh.groupBy("fh").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
-    cold = fh.join(hot, "fh", "left_anti")
-    a = cold.select(F.col("mid").alias("id_a"), "fh")
-    b = cold.select(F.col("mid").alias("id_b"), "fh")
-    shared = (
-        a.join(b, "fh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= min_shared)
-    )
-    sa = sizes.select(F.col("mid").alias("id_a"), F.col("n_frames").alias("na"))
-    sb = sizes.select(F.col("mid").alias("id_b"), F.col("n_frames").alias("nb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.col("shared").cast("int").alias("shared"),
-            F.round(
-                F.col("shared").cast("double") / F.least("na", "nb"), 6
-            ).alias("containment"),
+    try:
+        sizes = fh.groupBy("mid").agg(F.count("*").alias("n_frames"))
+        hot = fh.groupBy("fh").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
+        cold = fh.join(hot, "fh", "left_anti")
+        a = cold.select(F.col("mid").alias("id_a"), "fh")
+        b = cold.select(F.col("mid").alias("id_b"), "fh")
+        shared = (
+            a.join(b, "fh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared)
         )
-    )
+        sa = sizes.select(F.col("mid").alias("id_a"), F.col("n_frames").alias("na"))
+        sb = sizes.select(F.col("mid").alias("id_b"), F.col("n_frames").alias("nb"))
+        out = (
+            shared.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.col("shared").cast("int").alias("shared"),
+                F.round(
+                    F.col("shared").cast("double") / F.least("na", "nb"), 6
+                ).alias("containment"),
+            )
+        )
+        # eager: runs the whole DAG once while fh is pinned; the returned
+        # frame reads the checkpointed pair list (a few rows per media id)
+        return out.localCheckpoint(eager=True)
+    finally:
+        fh.unpersist()
 
 
 def image_ahash_bands(decoded: DataFrame, grid: int = 8) -> DataFrame:

@@ -141,3 +141,22 @@ def test_frame_dedup_pairs_planted_and_capped(spark):
     assert (r["id_a"], r["id_b"]) == (0, 100)
     assert r["shared"] == 4
     assert abs(r["containment"] - 4 / 5) < 1e-9
+
+
+def test_frame_dedup_pairs_leaves_no_pinned_cache(spark):
+    """The shared frame-hash subtree is persisted only for the eager
+    pairs materialization inside frame_dedup_pairs — after the call
+    returns, no persisted RDD may remain (r6 advice: a pinned cache
+    entry per invocation accumulates across bench reps)."""
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import frame_dedup_pairs
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    rows = [(vid, i, f"v{vid}-f{i}".encode()) for vid in range(4) for i in range(3)]
+    frames = spark.createDataFrame(rows, "media_id long, frame_idx int, frame binary")
+    out = frame_dedup_pairs(frames, min_shared=2, max_df=10)
+    out.collect()
+    # exactly ONE persisted RDD may remain: the localCheckpoint of the
+    # tiny pairs result (freed by the ContextCleaner when the returned
+    # frame is GC'd). The large frame-hash postings subtree must be gone.
+    assert sc._jsc.getPersistentRDDs().size() <= before + 1
