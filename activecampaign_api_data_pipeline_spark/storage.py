@@ -381,6 +381,23 @@ class TableStore:
                     jvm.org.apache.hadoop.fs.Path(f"{gold_path}/{BUCKET_COL}={b}"),
                     True,
                 )
+            if not survivors:
+                # every key of the selected buckets tombstoned away. If NO
+                # bucket dir remains anywhere in gold, the directory has
+                # zero parquet footers and a later read('gold', ...) dies
+                # with 'unable to infer schema' — write one empty,
+                # schema-bearing part file instead (BUCKET_COL stays as a
+                # regular int column, same name/type the partitioned read
+                # surfaces), so an emptied table reads as 0 typed rows.
+                gp = jvm.org.apache.hadoop.fs.Path(gold_path)
+                has_bucket_dirs = fs.exists(gp) and any(
+                    st.getPath().getName().startswith(f"{BUCKET_COL}=")
+                    for st in fs.listStatus(gp)
+                )
+                if not has_bucket_dirs:
+                    self.spark.createDataFrame([], latest.schema).coalesce(
+                        1
+                    ).write.mode("overwrite").parquet(gold_path)
 
     def gold_asof(
         self,

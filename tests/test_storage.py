@@ -695,3 +695,29 @@ def test_tombstone_deletes_and_resurrects(spark, store):
     persist("r4", [("1", "new@x", "2020-01-03", False)], "2020-06-04 00:00:00")
     gold = {r["cid"]: r["email"] for r in store.read("gold", "t").collect()}
     assert gold == {"1": "new@x", "2": "b@x"}
+
+
+def test_tombstone_all_keys_reads_empty_gold(spark, store):
+    """Zero-survivor rebuild (r7 advice): when EVERY key tombstones away,
+    gold must still read as an empty TYPED table — not die with 'unable
+    to infer schema' on a footer-less directory — and a later upsert must
+    repopulate it normally."""
+    sch = SCHEMA + ", del boolean"
+
+    def persist(run, rows, when):
+        df = spark.createDataFrame(rows, sch)
+        return store.persist(df, "t", ["cid"], run_id=run, updated_col="udate",
+                             extracted_at=when, tombstone_col="del")
+
+    persist("r1", [("1", "a@x", "2020-01-01", False),
+                   ("2", "b@x", "2020-01-01", False)], "2020-06-01 00:00:00")
+    persist("r2", [("1", "a@x", "2020-01-02", True),
+                   ("2", "b@x", "2020-01-02", True)], "2020-06-02 00:00:00")
+    gold = store.read("gold", "t")
+    assert gold.count() == 0
+    assert "cid" in gold.columns and "email" in gold.columns
+    # the emptied table is not a dead end: a newer upsert brings keys back
+    persist("r3", [("1", "back@x", "2020-01-03", False)], "2020-06-03 00:00:00")
+    assert {r["cid"]: r["email"] for r in store.read("gold", "t").collect()} == {
+        "1": "back@x"
+    }
