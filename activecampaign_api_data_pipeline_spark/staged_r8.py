@@ -218,8 +218,15 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE exchange on the user key; the frame is collected as a ≤5
     array per row and the median is array expression work (sort + middle
     element) — bounded state per row, no second pass, no UDF.
+
+    NULL semantics are PINNED by the explicit ``cents IS NOT NULL``
+    filter (both engines): Spark's ``collect_list`` drops NULLs while
+    DuckDB's ``list() OVER w`` keeps them (and sorts them first), so
+    without the filter parity would hold only while the fixtures happen
+    to be NULL-free. The filtered query is NULL-complete by
+    construction.
     """
-    e = _ev(spark, sf_dir)
+    e = _ev(spark, sf_dir).filter(F.col("cents").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("es", "event_id")
@@ -254,6 +261,7 @@ def k_cdc_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs O(touched buckets) exactly like an upsert batch; history stays
     queryable in silver and erasure is a gold-rebuild of those buckets.
     """
+    import shutil
     import tempfile
 
     from activecampaign_api_data_pipeline_spark.storage import TableStore
@@ -271,21 +279,26 @@ def k_cdc_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.col("event_id").cast("string"), 12, "0"),
         ).alias("seq"),
     ).withColumn("is_del", F.col("op") == "D")
-    store = TableStore(spark, tempfile.mkdtemp(prefix="acdp_cdc_") + "/lake", n_buckets=8)
-    for run, batch in (
-        ("r1", e.filter(F.col("event_id") % 2 == 0)),
-        ("r2", e.filter(F.col("event_id") % 2 == 1)),
-    ):
-        store.persist(
-            batch, "cdc_state", ["user_id"], run_id=run, updated_col="seq",
-            extracted_at="2026-01-01 00:00:00", tombstone_col="is_del",
-        )
-    return store.read("gold", "cdc_state").select(
-        "user_id",
-        F.col("op").alias("last_op"),
-        F.col("event_id").alias("last_event_id"),
-        F.col("cents").alias("last_cents"),
-    )
+    root = tempfile.mkdtemp(prefix="acdp_cdc_")
+    try:
+        store = TableStore(spark, root + "/lake", n_buckets=8)
+        for run, batch in (
+            ("r1", e.filter(F.col("event_id") % 2 == 0)),
+            ("r2", e.filter(F.col("event_id") % 2 == 1)),
+        ):
+            store.persist(
+                batch, "cdc_state", ["user_id"], run_id=run, updated_col="seq",
+                extracted_at="2026-01-01 00:00:00", tombstone_col="is_del",
+            )
+        # materialize the (per-user-sized) snapshot so the lake dir can go
+        return store.read("gold", "cdc_state").select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("cents").alias("last_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def t_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,28 +335,35 @@ def t_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.col("event_id").cast("string"), 12, "0"),
         ).alias("seq"),
     ).withColumn("is_del", F.col("op") == "D")
+    import shutil
+
     root = tempfile.mkdtemp(prefix="acdp_streamcdc_")
-    stream_dir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
-    e.repartition(3).write.parquet(stream_dir)
-    store = TableStore(spark, os.path.join(root, "lake"), n_buckets=8)
-    stream = (
-        spark.readStream.schema(
-            "user_id long, event_id long, op string, cents long, seq string, is_del boolean"
+    try:
+        stream_dir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+        e.repartition(3).write.parquet(stream_dir)
+        store = TableStore(spark, os.path.join(root, "lake"), n_buckets=8)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, op string, cents long, seq string, is_del boolean"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
         )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stream_dir)
-    )
-    q = stream_into_store(
-        stream, store, "cdc_state", ["user_id"], ckpt,
-        updated_col="seq", tombstone_col="is_del",
-    )
-    q.awaitTermination(300)
-    return store.read("gold", "cdc_state").select(
-        "user_id",
-        F.col("op").alias("last_op"),
-        F.col("event_id").alias("last_event_id"),
-        F.col("cents").alias("last_cents"),
-    )
+        q = stream_into_store(
+            stream, store, "cdc_state", ["user_id"], ckpt,
+            updated_col="seq", tombstone_col="is_del",
+        )
+        # availableNow trigger: a False return means the stream stalled —
+        # fail HERE, not as a confusing partial-snapshot parity mismatch
+        assert q.awaitTermination(300), "CDC stream did not drain in 300s"
+        return store.read("gold", "cdc_state").select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("cents").alias("last_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def a_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,36 +509,39 @@ def t_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.agg(F.min("es").alias("mn"), F.max("es").alias("mx")).first()
     mn, mx = int(b["mn"]), int(b["mx"])
     root = tempfile.mkdtemp(prefix="acdp_pat_")
-    stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
-    os.makedirs(stream_dir)
-    for i in range(3):
-        sl = ev.where(
-            F.expr(
-                f"least(2, CAST(((es - {mn}) * 3) div ({mx} - {mn} + 1) AS INT))"
-                f" = {i}"
+    try:
+        stream_dir, sink, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+        os.makedirs(stream_dir)
+        for i in range(3):
+            sl = ev.where(
+                F.expr(
+                    f"least(2, CAST(((es - {mn}) * 3) div ({mx} - {mn} + 1) AS INT))"
+                    f" = {i}"
+                )
             )
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, es long, event_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
         )
-        tmp = os.path.join(root, f"slice{i}")
-        sl.coalesce(1).write.parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
-    stream = (
-        spark.readStream.schema(
-            "user_id long, es long, event_id long, event_type string"
+        q = stream_pattern_match(stream, sink, ckpt)
+        assert q.awaitTermination(300), "pattern stream did not drain in 300s"
+        out = spark.read.parquet(sink)
+        agg = out.groupBy("user_id").agg(
+            F.sum("n_matches").alias("n_matches"),
+            F.min("first_match_event").alias("first_match_event"),
         )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stream_dir)
-    )
-    q = stream_pattern_match(stream, sink, ckpt)
-    q.awaitTermination(300)
-    out = spark.read.parquet(sink)
-    agg = out.groupBy("user_id").agg(
-        F.sum("n_matches").alias("n_matches"),
-        F.min("first_match_event").alias("first_match_event"),
-    )
-    return agg.filter(F.col("n_matches") > 0)
+        return agg.filter(F.col("n_matches") > 0).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,46 +748,15 @@ def k_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE aggregate pass over the table computes every column's
     stats as parallel aggregate expressions (no per-column scans), then
     one in-row stack/unpivot emits the report — at 100 TB the profile
-    costs exactly one scan regardless of column count.
+    costs exactly one scan regardless of column count. This query runs
+    the operator's ``exact=True`` parity path (5 columns → a small,
+    oracle-checkable Expand ×5); production profiles default to the
+    HLL path, which plans NO Expand (see ``operators.profile``).
     """
+    from activecampaign_api_data_pipeline_spark.operators.profile import profile_columns
+
     o = load_table(spark, sf_dir, "orders")
-
-    def canon(c):
-        dt = dict(o.dtypes)[c]
-        col = F.col(c)
-        if dt in ("double", "float", "decimal(18,2)"):
-            col = col.cast("decimal(18,2)")
-        return col.cast("string")
-
-    aggs = []
-    for c in _PROFILE_COLS:
-        s = canon(c)
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(s).alias(f"{c}__ndv"),
-            F.min(s).alias(f"{c}__mn"),
-            F.max(s).alias(f"{c}__mx"),
-        ]
-    wide = o.agg(*aggs)
-    stacked = wide.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(f"{c}__n").alias("n_rows"),
-                        F.col(f"{c}__nulls").alias("n_nulls"),
-                        F.col(f"{c}__ndv").alias("n_distinct"),
-                        F.col(f"{c}__mn").alias("min_str"),
-                        F.col(f"{c}__mx").alias("max_str"),
-                    )
-                    for c in _PROFILE_COLS
-                ]
-            )
-        ).alias("s")
-    )
-    return stacked.select("s.*")
+    return profile_columns(o, _PROFILE_COLS, exact=True)
 
 
 _H60 = (
@@ -1111,6 +1103,7 @@ WITH e AS (
          CAST(floor(epoch(ts)) AS BIGINT) AS es,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events
+  WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) IS NOT NULL
 )
 SELECT user_id, event_id,
        list_sort(list(cents) OVER w)[CAST((count(*) OVER w + 1) // 2 AS INT)]

@@ -395,3 +395,35 @@ def test_cohort_retention_join_free(spark):
     assert "Join" not in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_profile_columns_hll_default_plans_no_expand(spark):
+    # the profiler's scale path (approx_count_distinct) must NOT plan an
+    # Expand (the countDistinct rewrite multiplies every input row by
+    # the number of profiled columns pre-shuffle); the exact parity path
+    # is allowed to — that is precisely the documented trade
+    from activecampaign_api_data_pipeline_spark.operators.profile import profile_columns
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, SF, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    approx = profile_columns(o, cols)  # default exact=False
+    pa = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in pa
+    assert "EvalPython" not in pa
+    exact = profile_columns(o, cols, exact=True)
+    pe = exact._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in pe  # the documented cost-of-exactness shape
+    # and the HLL estimate is a real profile: identical everywhere except
+    # n_distinct, which lands within the configured rsd envelope
+    ex = {r["column"]: r.asDict() for r in exact.collect()}
+    ap = {r["column"]: r.asDict() for r in approx.collect()}
+    for c in cols:
+        assert ap[c]["n_rows"] == ex[c]["n_rows"]
+        assert ap[c]["n_nulls"] == ex[c]["n_nulls"]
+        assert ap[c]["min_str"] == ex[c]["min_str"]
+        assert ap[c]["max_str"] == ex[c]["max_str"]
+        assert abs(ap[c]["n_distinct"] - ex[c]["n_distinct"]) <= max(
+            2, 0.2 * ex[c]["n_distinct"]
+        )
