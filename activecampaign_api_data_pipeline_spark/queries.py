@@ -2130,35 +2130,39 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      displaced must be typed-replica green the round it is parked
 #      (tools/oracle_replica.py — stricter than the driver hash).
 #
-# r7 window (EXECUTED per the r6 pre-plan): slots 1-4 = the rule-4
-# displacements (2-round deadline this round); slots 5-44 = the FORTY
-# staged_r7 promotions, first-ever driver rows (functions stay defined
-# in staged_r7.py — REGISTRY references them; oracles merged into
-# build_oracles from staged_r7.PROMOTED_ORACLES); slots 45-47 = r5-green
-# entries function-touched this round (mm_video_neardup + mm_audio_neardup:
-# frame_dedup_pairs persist-leak fix; sim_semantic_dedup: proportional-
-# centroids default) per rule 2; slots 48-50 = r5-stale streaming entries.
+# r8 window (EXECUTED per the r7 pre-plan, adjusted for this round's
+# touches): slots 1-39 = ALL 39 last-green-r5 entries at their
+# ceil(138/50)=3-round cadence deadline (rule 3); slots 40-44 = the five
+# TableStore-path queries (k_scd2_history, k_gold_ckpt_asof,
+# k_dataset_diff, k_gold_asof, k2_medallion_snapshot) whose persist()
+# execution path gained the zero-survivor tombstone branch this round
+# (rule 2, touched-module); slots 45-46 = mm_video_neardup +
+# mm_audio_neardup, whose shared frame_dedup_pairs kernel was reworked
+# persist-scoped after the r7 driver run (rule 2, touched-function);
+# slots 47-49 = three oldest-by-position last-green-r6 entries
+# (a_vocab_topk, text_tfidf_topterms, a_sample_stratified) easing the
+# r9 load; slot 50 = j_rfm_scores, whose exact ranks moved to the
+# bucketed two-level form (operators/ranking.py) this round (rule 2,
+# touched-function — it displaced the fourth bonus entry,
+# a_bigram_condprob, which is r6-green and inside its cadence).
 #
-# CADENCE (rule-3 update, executed from the r6 note): with N registry
-# entries and a 50-slot window the best achievable driver re-check
-# cadence is ceil(N/50) rounds — at 138 entries that is 3 rounds. Rule 3
-# therefore reads "every ceil(N/50) rounds" with rule 4's priority order
-# (new > never-checked > most-stale > touched) deciding who waits.
-# Every entry parked past 50 must be typed-replica green
-# (tools/oracle_replica.py) in the round it is parked; the staleness
-# bound applies to DRIVER rows only.
+# CADENCE (rule-3, from the r6 note): with N registry entries and a
+# 50-slot window the best achievable driver re-check cadence is
+# ceil(N/50) rounds — 3 at 138 entries. Rule 3 therefore reads "every
+# ceil(N/50) rounds" with rule 4's priority order (new > never-checked
+# > most-stale > touched) deciding who waits. Every entry parked past
+# 50 must be typed-replica green (tools/oracle_replica.py) in the round
+# it is parked; the staleness bound applies to DRIVER rows only.
 #
-# r8 WINDOW PRE-PLAN: the tail below is 88 entries — 48 last-green-r5
-# (cadence deadline r8 = r5 + ceil(N/50): they fill 48 slots of the r8
-# window) + 40 last-green-r6 (deadline r9; the 2 remaining r8 slots go
-# to the oldest of them, the rest lead r9 alongside this round's
-# window). The SIXTEEN staged_r8 queries therefore stay STAGED through r8
-# (the same rule-1 deferral staged_r7 used in r6 — registering them in
-# r8 would displace deadline entries; they remain typed-replica exact
-# at two SFs via tests/test_staged_r7.py until their r9 promotion,
-# which then follows the staged_r7 promotion mechanics verbatim:
+# r9 WINDOW PRE-PLAN: promote the SIXTEEN staged_r8 queries (rule 1:
 # REGISTRY references + STAGED_ORACLES -> PROMOTED_ORACLES -> merged
-# into build_oracles).
+# into build_oracles, the staged_r7 mechanics verbatim) — N becomes
+# 154, so the cadence lengthens to ceil(154/50)=4 rounds and the
+# last-green-r6 deadline moves to r10. The 34 remaining r9 slots go to
+# last-green-r6 entries (oldest-by-position first); the rest of the
+# r6-green set plus this round's window lead the r10 rotation. Any
+# staged_r9 queries stage through r9 under the same deferral unless
+# slots remain.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,
@@ -2204,108 +2208,6 @@ from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
 )
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r7 driver window (first 50) ----
-    "w_running_analytics": w_running_analytics,
-    "sim_ann_index_refine": sim_ann_index_refine,
-    "t_incremental_replay": t_incremental_replay,
-    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
-    "a_event_funnel": a_event_funnel,
-    "k_block_store_roundtrip": k_block_store_roundtrip,
-    "llm_importance_state_roundtrip": llm_importance_state_roundtrip,
-    "a_grouping_sets": a_grouping_sets,
-    "w_event_transitions": w_event_transitions,
-    "p_pii_scrub": p_pii_scrub,
-    "a_zscore_outliers": a_zscore_outliers,
-    "k_drift_report": k_drift_report,
-    "j_copurchase_pairs": j_copurchase_pairs,
-    "t_event_gaps": t_event_gaps,
-    "j_rfm_scores": j_rfm_scores,
-    "text_normalize": text_normalize,
-    "a_winsorize": a_winsorize,
-    "sim_sq8_topk": sim_sq8_topk,
-    "sim_sq8_ivf_topk": sim_sq8_ivf_topk,
-    "sim_sq8_from_index": sim_sq8_from_index,
-    "t_stream_enrich": t_stream_enrich,
-    "t_stream_state_totals": t_stream_state_totals,
-    "t_session_occupancy": t_session_occupancy,
-    "j_attribution_last_touch": j_attribution_last_touch,
-    "q_salted_count_distinct": q_salted_count_distinct,
-    "q_salted_join_enrich": q_salted_join_enrich,
-    "g_pagerank_fixed": g_pagerank_fixed,
-    "k_scd2_history": k_scd2_history,
-    "j_fuzzy_block_match": j_fuzzy_block_match,
-    "a_exact_median_mad": a_exact_median_mad,
-    "w_ewma_per_key": w_ewma_per_key,
-    "a_cms_heavy_hitters": a_cms_heavy_hitters,
-    "j_bloom_prefilter_join": j_bloom_prefilter_join,
-    "g_triangle_count": g_triangle_count,
-    "w_anomaly_trailing_z": w_anomaly_trailing_z,
-    "a_kmv_setops": a_kmv_setops,
-    "p_json_props": p_json_props,
-    "w_share_of_total": w_share_of_total,
-    "w_cumulative_uniques": w_cumulative_uniques,
-    "a_value_histogram": a_value_histogram,
-    "a_ks_two_sample": a_ks_two_sample,
-    "w_holt_linear": w_holt_linear,
-    "t_stream_anomaly": t_stream_anomaly,
-    "mm_image_phash_neardup": mm_image_phash_neardup,
-    "mm_video_neardup": mm_video_neardup,
-    "mm_audio_neardup": mm_audio_neardup,
-    "sim_semantic_dedup": sim_semantic_dedup,
-    "t_stream_dedup": t_stream_dedup,
-    "t_stream_interval_join": t_stream_interval_join,
-    "t_stream_topn": t_stream_topn,
-    # ---- past the 50-entry window (see cadence note above):
-    #      r5/r6-green, typed-replica green locally ----
-    "k_gold_ckpt_asof": k_gold_ckpt_asof,
-    "a_vocab_topk": a_vocab_topk,
-    "text_tfidf_topterms": text_tfidf_topterms,
-    "a_sample_stratified": a_sample_stratified,
-    "a_bigram_condprob": a_bigram_condprob,
-    "llm_mixture_temperature": llm_mixture_temperature,
-    "llm_token_budget_sample": llm_token_budget_sample,
-    "k_dataset_diff": k_dataset_diff,
-    "llm_decontam_store": llm_decontam_store,
-    "t_gapfill_forward": t_gapfill_forward,
-    "k_dq_report": k_dq_report,
-    "w_trailing_1h": w_trailing_1h,
-    "dedup_blocks": dedup_blocks,
-    "llm_importance_weights": llm_importance_weights,
-    "a_cohort_retention": a_cohort_retention,
-    "k_gold_asof": k_gold_asof,
-    "k2_medallion_snapshot": k2_medallion_snapshot,
-    "sim_cosine_topk": sim_cosine_topk,
-    "sim_srp_neardup": sim_srp_neardup,
-    "sim_embedding_neardup": sim_embedding_neardup,
-    "a_cube_events": a_cube_events,
-    "a_pivot_events": a_pivot_events,
-    "flagship_chatter": flagship_chatter,
-    "j_range_events_in_window": j_range_events_in_window,
-    "w_rank_family": w_rank_family,
-    "a5_set_rollup": a5_set_rollup,
-    "w1_latest_per_key": w1_latest_per_key,
-    "a4_watermark_max_id": a4_watermark_max_id,
-    "a6_contact_digest": a6_contact_digest,
-    "j_asof_last_order": j_asof_last_order,
-    "j1_broadcast_enrich": j1_broadcast_enrich,
-    "u2_conform_union": u2_conform_union,
-    "dedup_exact_fingerprint": dedup_exact_fingerprint,
-    "a1_exact_dedup": a1_exact_dedup,
-    "p2_rowhash": p2_rowhash,
-    "p_scalar_derivations": p_scalar_derivations,
-    "q_anti_join": q_anti_join,
-    "q_semi_join": q_semi_join,
-    "llm_split_assign": llm_split_assign,
-    "llm_token_chunks": llm_token_chunks,
-    "mm_frame_sample": mm_frame_sample,
-    "mm_image_features": mm_image_features,
-    "mm_audio_energy": mm_audio_energy,
-    "text_quality": text_quality,
-    "text_lang_id": text_lang_id,
-    "text_token_counts": text_token_counts,
-    "text_winnowing": text_winnowing,
-    "llm_pack_sequences": llm_pack_sequences,
-    "llm_curation_pipeline": llm_curation_pipeline,
     "t_stream_append": t_stream_append,
     "t_stream_window_hourly": t_stream_window_hourly,
     "t_sessionize": t_sessionize,
@@ -2345,4 +2247,107 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_decontaminate": llm_decontaminate,
     "llm_corpus_prep": llm_corpus_prep,
     "llm_corpus_pipeline": llm_corpus_pipeline,
+    "k_scd2_history": k_scd2_history,
+    "k_gold_ckpt_asof": k_gold_ckpt_asof,
+    "k_dataset_diff": k_dataset_diff,
+    "k_gold_asof": k_gold_asof,
+    "k2_medallion_snapshot": k2_medallion_snapshot,
+    "mm_video_neardup": mm_video_neardup,
+    "mm_audio_neardup": mm_audio_neardup,
+    "a_vocab_topk": a_vocab_topk,
+    "text_tfidf_topterms": text_tfidf_topterms,
+    "a_sample_stratified": a_sample_stratified,
+    "j_rfm_scores": j_rfm_scores,
+    # ---- past the 50-entry window
+    #      (displaced bonus slot) ----
+    "a_bigram_condprob": a_bigram_condprob,
+    # ---- past the 50-entry window (see cadence note above):
+    #      r6/r7-green, typed-replica green locally ----
+    "w_running_analytics": w_running_analytics,
+    "sim_ann_index_refine": sim_ann_index_refine,
+    "t_incremental_replay": t_incremental_replay,
+    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
+    "a_event_funnel": a_event_funnel,
+    "k_block_store_roundtrip": k_block_store_roundtrip,
+    "llm_importance_state_roundtrip": llm_importance_state_roundtrip,
+    "a_grouping_sets": a_grouping_sets,
+    "w_event_transitions": w_event_transitions,
+    "p_pii_scrub": p_pii_scrub,
+    "a_zscore_outliers": a_zscore_outliers,
+    "k_drift_report": k_drift_report,
+    "j_copurchase_pairs": j_copurchase_pairs,
+    "t_event_gaps": t_event_gaps,
+    "text_normalize": text_normalize,
+    "a_winsorize": a_winsorize,
+    "sim_sq8_topk": sim_sq8_topk,
+    "sim_sq8_ivf_topk": sim_sq8_ivf_topk,
+    "sim_sq8_from_index": sim_sq8_from_index,
+    "t_stream_enrich": t_stream_enrich,
+    "t_stream_state_totals": t_stream_state_totals,
+    "t_session_occupancy": t_session_occupancy,
+    "j_attribution_last_touch": j_attribution_last_touch,
+    "q_salted_count_distinct": q_salted_count_distinct,
+    "q_salted_join_enrich": q_salted_join_enrich,
+    "g_pagerank_fixed": g_pagerank_fixed,
+    "j_fuzzy_block_match": j_fuzzy_block_match,
+    "a_exact_median_mad": a_exact_median_mad,
+    "w_ewma_per_key": w_ewma_per_key,
+    "a_cms_heavy_hitters": a_cms_heavy_hitters,
+    "j_bloom_prefilter_join": j_bloom_prefilter_join,
+    "g_triangle_count": g_triangle_count,
+    "w_anomaly_trailing_z": w_anomaly_trailing_z,
+    "a_kmv_setops": a_kmv_setops,
+    "p_json_props": p_json_props,
+    "w_share_of_total": w_share_of_total,
+    "w_cumulative_uniques": w_cumulative_uniques,
+    "a_value_histogram": a_value_histogram,
+    "a_ks_two_sample": a_ks_two_sample,
+    "w_holt_linear": w_holt_linear,
+    "t_stream_anomaly": t_stream_anomaly,
+    "mm_image_phash_neardup": mm_image_phash_neardup,
+    "sim_semantic_dedup": sim_semantic_dedup,
+    "t_stream_dedup": t_stream_dedup,
+    "t_stream_interval_join": t_stream_interval_join,
+    "t_stream_topn": t_stream_topn,
+    "llm_mixture_temperature": llm_mixture_temperature,
+    "llm_token_budget_sample": llm_token_budget_sample,
+    "llm_decontam_store": llm_decontam_store,
+    "t_gapfill_forward": t_gapfill_forward,
+    "k_dq_report": k_dq_report,
+    "w_trailing_1h": w_trailing_1h,
+    "dedup_blocks": dedup_blocks,
+    "llm_importance_weights": llm_importance_weights,
+    "a_cohort_retention": a_cohort_retention,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_srp_neardup": sim_srp_neardup,
+    "sim_embedding_neardup": sim_embedding_neardup,
+    "a_cube_events": a_cube_events,
+    "a_pivot_events": a_pivot_events,
+    "flagship_chatter": flagship_chatter,
+    "j_range_events_in_window": j_range_events_in_window,
+    "w_rank_family": w_rank_family,
+    "a5_set_rollup": a5_set_rollup,
+    "w1_latest_per_key": w1_latest_per_key,
+    "a4_watermark_max_id": a4_watermark_max_id,
+    "a6_contact_digest": a6_contact_digest,
+    "j_asof_last_order": j_asof_last_order,
+    "j1_broadcast_enrich": j1_broadcast_enrich,
+    "u2_conform_union": u2_conform_union,
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "a1_exact_dedup": a1_exact_dedup,
+    "p2_rowhash": p2_rowhash,
+    "p_scalar_derivations": p_scalar_derivations,
+    "q_anti_join": q_anti_join,
+    "q_semi_join": q_semi_join,
+    "llm_split_assign": llm_split_assign,
+    "llm_token_chunks": llm_token_chunks,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_image_features": mm_image_features,
+    "mm_audio_energy": mm_audio_energy,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_token_counts": text_token_counts,
+    "text_winnowing": text_winnowing,
+    "llm_pack_sequences": llm_pack_sequences,
+    "llm_curation_pipeline": llm_curation_pipeline,
 }

@@ -276,10 +276,16 @@ def j_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact with no percentile interpolation at all.
 
     Plan: the fact scan collapses to ONE row per customer first; the
-    three rank windows run over that dim-scale frame (3–4 orders of
-    magnitude smaller than the fact table). The global windows are the
-    honest cost of exact ranking — at 10⁹ customers swap in
-    range-partitioned ranks; the fact-table cost stays one exchange."""
+    three exact ranks then run BUCKETED (``operators.ranking.
+    bucketed_global_rank``): value-range buckets, per-bucket local rank,
+    plus the cumulative count of lower buckets — no single-task sort
+    anywhere; the only global windows run over the ≤64-row bucket
+    support frames. ``n_cust`` is a broadcast one-row aggregate, not a
+    whole-frame window. At 10⁹ customers every exchange is either
+    key-partitioned or support-sized."""
+    from activecampaign_api_data_pipeline_spark.operators.ranking import (
+        bucketed_global_rank,
+    )
     from activecampaign_api_data_pipeline_spark.sources.tables import load_table
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -295,14 +301,11 @@ def j_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("spend_cents"),
     )
 
-    wr = Window.orderBy(F.col("last_order_es").asc(), F.col("o_custkey").asc())
-    wf = Window.orderBy(F.col("n_orders").asc(), F.col("o_custkey").asc())
-    wm = Window.orderBy(F.col("spend_cents").asc(), F.col("o_custkey").asc())
-    scored = (
-        base.withColumn("rn_r", F.row_number().over(wr))
-        .withColumn("rn_f", F.row_number().over(wf))
-        .withColumn("rn_m", F.row_number().over(wm))
-        .withColumn("n_cust", F.count("*").over(Window.partitionBy(F.lit(1))))
+    ranked = bucketed_global_rank(base, "last_order_es", "o_custkey", "rn_r")
+    ranked = bucketed_global_rank(ranked, "n_orders", "o_custkey", "rn_f")
+    ranked = bucketed_global_rank(ranked, "spend_cents", "o_custkey", "rn_m")
+    scored = ranked.crossJoin(
+        F.broadcast(base.agg(F.count("*").alias("n_cust")))
     )
     return scored.select(
         "o_custkey",

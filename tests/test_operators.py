@@ -465,3 +465,40 @@ def test_block_store_crash_between_appends_recovers(spark, tmp_path):
     out = incremental_block_dedup(batch, path).collect()
     assert len(out) == 1 and out[0]["clean_text"] == "x y z"
     assert out[0]["n_kept"] == 1 and out[0]["n_blocks"] == 3
+
+
+def test_bucketed_global_rank_matches_global_row_number(spark):
+    # the bucketed two-level rank must equal the single-task global
+    # row_number exactly — on a skewed distribution, with ties on the
+    # value column, and via the explicit-boundaries skew path too
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators.ranking import (
+        bucketed_global_rank,
+    )
+
+    rows = [(i, (i * 37) % 11 if i % 5 else 10_000) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    expect = {
+        r["id"]: r["rk"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+            .cast("long")
+            .alias("rk"),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["rk"]
+        for r in bucketed_global_rank(df, "v", "id", "rk", buckets=8).collect()
+    }
+    assert got == expect
+    got_b = {
+        r["id"]: r["rk"]
+        for r in bucketed_global_rank(
+            df, "v", "id", "rk", boundaries=[3, 7, 9_999]
+        ).collect()
+    }
+    assert got_b == expect

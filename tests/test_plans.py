@@ -427,3 +427,16 @@ def test_profile_columns_hll_default_plans_no_expand(spark):
         assert abs(ap[c]["n_distinct"] - ex[c]["n_distinct"]) <= max(
             2, 0.2 * ex[c]["n_distinct"]
         )
+
+
+def test_rfm_ranks_are_bucketed_not_single_task(spark):
+    # every exact-rank row_number in j_rfm_scores must be partitioned by
+    # the value bucket — the only unpartitioned windows allowed are the
+    # <=64-row bucket-support cumsums (and nothing may rank the whole
+    # customer frame in one task, the r7 verdict item)
+    p = _plan(spark, "j_rfm_scores")
+    import re
+
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\((\w+)", p)
+    assert len(rn_specs) == 3
+    assert all(s.startswith("_bkt") for s in rn_specs)
