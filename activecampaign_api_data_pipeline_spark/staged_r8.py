@@ -7,9 +7,11 @@ appears. The r7 window is saturated by the 40 staged_r7 promotions, so
 new work lands here — each query ships with a DuckDB oracle in
 ``STAGED_ORACLES`` and is verified by the SAME typed Spark-vs-DuckDB
 compare the replica harness uses (``tests/test_staged_r7.py``
-parametrizes over this dict too). Round 8 promotes the batch by
-referencing the functions from REGISTRY and merging the oracles into
-``oracles.build_oracles``.
+parametrizes over this dict too). Round 9 promotes the batch (the r8
+window was owned by the 39 last-green-r5 entries at their cadence
+deadline plus this round's touched queries — see the rotation pre-plan
+above ``REGISTRY``) by referencing the functions from REGISTRY and
+merging the oracles into ``oracles.build_oracles``.
 
 Operator families the registry does not cover yet (16 queries):
 - ``w_pattern_match`` / ``t_stream_pattern``: MATCH_RECOGNIZE-lite

@@ -1,0 +1,640 @@
+"""Queries STAGED for the round-9 driver window.
+
+Same contract as ``staged_r8``: each query ships with a DuckDB oracle in
+``STAGED_ORACLES`` and is verified by the typed Spark-vs-DuckDB compare
+(``tests/test_staged_r7.py`` parametrizes over this dict) at two SFs
+before it ever enters the registry. Per the rotation pre-plan (comment
+above ``REGISTRY``), the r9 window is owned by the 16 staged_r8
+promotions plus last-green-r6 entries; this batch stages through r9 and
+promotes when slots open.
+
+Operator families the registry does not cover yet (8 queries):
+
+- ``w_cusum_drift``: CUSUM drift/changepoint statistic per key, with
+  max-drawdown — the sequential-fold detector made window-expressible
+  via the prefix-sum-minus-running-extremum identity
+- ``t_debounce_events`` / ``t_stream_debounce``: telemetry debounce
+  (drop same-type repeats within a gap), batch + cross-batch streaming
+  twin with 1-row per-key state
+- ``w_sliding_distinct``: trailing-24h DISTINCT users per hour — the
+  sliding-window distinct count, exact, via interval-merge + boundary
+  deltas + bucketed prefix sums (never a per-window recount)
+- ``llm_quota_split``: exact-proportion stratified train/holdout split
+  (per-stratum quotas, hash-priority ranks)
+- ``a_benford_digits``: first-digit Benford conformance report (DQ /
+  fraud screening shape)
+- ``a_mann_whitney_u``: exact Mann-Whitney U (rank-sum) two-sample
+  test in cleared-denominator integers over the value support
+- ``text_bm25_topk``: BM25-shaped multi-term retrieval scoring
+  (integer idf/saturation variant), global top-k
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
+from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+__all__ = ["STAGED_ORACLES"]
+
+#: epoch-seconds events projection (the staged_r8 convention); queries
+#: that do cents arithmetic additionally pin ``cents IS NOT NULL``
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+
+
+def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift detector + max drawdown — the classic
+    sequential changepoint statistic (Page's CUSUM, public textbook
+    form) over each user's event-value series, reported as the max
+    upward CUSUM, alarm census against threshold ``20·k̄``, and the max
+    drawdown of the centered cumulative series.
+
+    The recursion ``S_t = max(0, S_{t-1} + x_t − k)`` is NOT a window
+    function, but its closed form IS: ``S_t = P_t − min_{j≤t} P_j``
+    with ``P`` the prefix sum of ``x − k`` (and symmetrically drawdown
+    ``D_t = max_{j≤t} P_j − P_t``) — so the whole detector is two
+    stacked windows over ONE exchange on the user key, exact int64,
+    no UDF, no iteration. ``k`` (the reference level) is the corpus
+    mean value as an exact integer division, broadcast as a one-row
+    aggregate.
+    """
+    e = _ev(spark, sf_dir).filter(F.col("cents").isNotNull())
+    tot = e.agg(F.expr("sum(cents) div count(*)").alias("k"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = e.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "event_id",
+        "es",
+        "k",
+        F.sum(F.col("cents") - F.col("k")).over(w).alias("p"),
+    )
+    q = p.select(
+        "user_id",
+        "event_id",
+        "k",
+        "p",
+        F.min("p").over(w).alias("pmin"),
+        F.max("p").over(w).alias("pmax"),
+    )
+    s = q.select(
+        "user_id",
+        "event_id",
+        "k",
+        (F.col("p") - F.col("pmin")).alias("s"),
+        (F.col("pmax") - F.col("p")).alias("dd"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("s").alias("max_cusum"),
+        F.max("dd").alias("max_drawdown"),
+        F.sum(F.when(F.col("s") >= 20 * F.col("k"), 1).otherwise(0)).alias(
+            "n_alarms"
+        ),
+        F.min(F.when(F.col("s") >= 20 * F.col("k"), F.col("event_id"))).alias(
+            "first_alarm_event"
+        ),
+    )
+
+
+_DEBOUNCE_GAP_S = 3600
+
+
+def t_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: drop every event that repeats the SAME
+    user's PREVIOUS event type within ``3600 s`` — the standard
+    double-fire/retry-noise cleaner run before sessionization or
+    billing (each kept row is the first of its burst; comparison is
+    against the previous RAW event, so a slow drizzle of repeats
+    collapses to one row per gap-hour).
+
+    Plan: one exchange on the user key (a single lag window), then a
+    row filter — at 100 TB this is the cheapest possible shape for an
+    order-dependent cleaner.
+    """
+    e = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    lagd = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "es",
+        F.lag("event_type").over(w).alias("pet"),
+        F.lag("es").over(w).alias("pes"),
+    )
+    return lagd.filter(
+        F.col("pet").isNull()
+        | (F.col("event_type") != F.col("pet"))
+        | (F.col("es") - F.col("pes") > _DEBOUNCE_GAP_S)
+    ).select("user_id", "event_id", "event_type", "es")
+
+
+def t_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``t_debounce_events``: the same debounce run
+    as a REAL Structured Streaming job over three event-time-sliced
+    micro-batches with ONE row of per-key state (the last raw event's
+    (es, type) — the minimum any debounce can carry), so bursts that
+    span batch boundaries are collapsed exactly like the batch plan.
+    The oracle is the batch twin aggregated per user: kept counts must
+    be identical however the stream was sliced.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        stream_debounce,
+    )
+
+    pin_confs(spark)
+    ev = _ev(spark, sf_dir).select("user_id", "es", "event_id", "event_type")
+    b = ev.agg(F.min("es").alias("mn"), F.max("es").alias("mx")).first()
+    mn, mx = int(b["mn"]), int(b["mx"])
+    root = tempfile.mkdtemp(prefix="acdp_deb_")
+    try:
+        stream_dir, sink, ckpt = (
+            os.path.join(root, d) for d in ("in", "out", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        for i in range(3):
+            sl = ev.where(
+                F.expr(
+                    f"least(2, CAST(((es - {mn}) * 3) div ({mx} - {mn} + 1) AS INT))"
+                    f" = {i}"
+                )
+            )
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, es long, event_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = stream_debounce(stream, sink, ckpt, gap_s=_DEBOUNCE_GAP_S)
+        assert q.awaitTermination(300), "debounce stream did not drain in 300s"
+        out = spark.read.parquet(sink)
+        return (
+            out.groupBy("user_id")
+            .agg(
+                F.sum("n_new").alias("n_events"),
+                F.sum("n_kept").alias("n_kept"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def w_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour DISTINCT active users per (event_type, hour) —
+    the sliding-window distinct count, EXACT. Distinct-over-sliding-
+    window has no direct window function (distinct doesn't decompose);
+    the scalable identity: a user active at hour ``a`` is "in window"
+    for report hours ``[a, a+23]``, so per (type, user) the active
+    hours merge into coverage intervals (gap-split at >23), each
+    interval emits ``+1`` at its start and ``−1`` past its end, and the
+    per-hour count is the running sum of deltas — never a per-window
+    recount, never a distinct over the window.
+
+    Plan: one exchange on (type, user) for the interval merge; the
+    prefix sum runs over the (type, hour) SUPPORT frame with the
+    two-level bucketed cumsum (per-row window partitioned by hour
+    bucket, offsets from the tiny bucket aggregate) — support
+    cardinality, not event cardinality, crosses it.
+    """
+    e = _ev(spark, sf_dir).select(
+        "event_type", "user_id", F.expr("es div 3600").alias("h")
+    )
+    ah = e.distinct()
+    wu = Window.partitionBy("event_type", "user_id").orderBy("h")
+    flagged = ah.select(
+        "event_type",
+        "user_id",
+        "h",
+        F.when(F.col("h") - F.lag("h").over(wu) <= 23, 0).otherwise(1).alias("brk"),
+    )
+    grp = flagged.withColumn(
+        "grp", F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = grp.groupBy("event_type", "user_id", "grp").agg(
+        F.min("h").alias("s"), (F.max("h") + 23).alias("en")
+    )
+    # both boundary deltas emit from ONE pass over the intervals (an
+    # in-row explode) — a unionAll of two iv.selects would recompute the
+    # whole interval-merge subtree per branch
+    deltas = iv.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("h"), F.lit(1).alias("d")),
+                F.struct((F.col("en") + 1).alias("h"), F.lit(-1).alias("d")),
+            )
+        ).alias("x"),
+    ).select("event_type", "x.h", "x.d")
+    rep = ah.select("event_type", "h").distinct()
+    perh = (
+        deltas.unionAll(rep.select("event_type", "h", F.lit(0).alias("d")))
+        .groupBy("event_type", "h")
+        .agg(F.sum("d").alias("d"))
+        .withColumn("bkt", F.expr("h div 256"))
+    )
+    wv = Window.partitionBy("event_type", "bkt").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = perh.select(
+        "event_type", "bkt", "h", F.sum("d").over(wv).alias("wd")
+    )
+    pb = perh.groupBy("event_type", "bkt").agg(F.sum("d").alias("bd"))
+    wo = Window.partitionBy("event_type").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = pb.select(
+        "event_type",
+        "bkt",
+        F.coalesce(F.sum("bd").over(wo), F.lit(0)).alias("od"),
+    )
+    cum = within.join(F.broadcast(off), ["event_type", "bkt"]).select(
+        "event_type", "h", (F.col("wd") + F.col("od")).alias("n_active_users")
+    )
+    return cum.join(rep, ["event_type", "h"]).select(
+        "event_type", F.col("h").alias("hour"), "n_active_users"
+    )
+
+
+def llm_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion stratified split: per language stratum, exactly
+    ``floor(0.8·n)`` documents go to train — the guarantee hash-mod
+    assignment (``llm_split_assign``) only approximates — selected by
+    deterministic hash priority, so the draw is stable across runs,
+    engines, and partitionings (re-running on the same corpus yields
+    the same manifest; growing a stratum only promotes, never demotes,
+    documents whose priority clears the new quota frontier... subject
+    to quota growth — the manifest is versioned per corpus snapshot).
+
+    Plan: stratum quotas come from a support-sized aggregate broadcast
+    back; the rank is one partitioned window per stratum (the honest
+    cost of exact quotas — strata sort independently, so the exchange
+    is on the stratum key, never global).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pri = docs.withColumn(
+        "pri",
+        hash60(F.concat_ws("||", F.lit("qsplit"), F.col("doc_id").cast("string"))),
+    )
+    quotas = docs.groupBy("lang").agg(
+        F.expr("count(*) * 8 div 10").alias("quota")
+    )
+    wl = Window.partitionBy("lang").orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+    ranked = pri.withColumn("rk", F.row_number().over(wl).cast("long"))
+    return ranked.join(F.broadcast(quotas), "lang").select(
+        "doc_id",
+        "lang",
+        "rk",
+        "quota",
+        F.when(F.col("rk") <= F.col("quota"), F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
+
+
+def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution per event type vs Benford's
+    law — the data-quality / fraud screen (fabricated or unit-mangled
+    value columns jump off the digit histogram). Expected shares are
+    the nine Benford constants in ppm (integer literals, no logs at
+    query time); observed shares are exact integer ppm.
+
+    Plan: one map-side-combined aggregate on (type, digit); the share
+    window crosses only the ≤ 9-row-per-type digit support. Zero joins.
+    """
+    e = _ev(spark, sf_dir).filter(F.col("cents") > 0)
+    g = e.select(
+        "event_type",
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"),
+    ).groupBy("event_type", "digit").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    benford = (
+        "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939"
+        " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947"
+        " WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END"
+    )
+    withtot = g.withColumn("tot", F.sum("n").over(wt))
+    return withtot.select(
+        "event_type",
+        "digit",
+        "n",
+        F.expr("n * 1000000 div tot").alias("share_ppm"),
+        F.expr(benford).alias("benford_ppm"),
+    ).withColumn("dev_ppm", F.col("share_ppm") - F.col("benford_ppm"))
+
+
+def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (rank-sum) test between the purchase and
+    click value distributions, in cleared-denominator integers:
+    ``2U = 2·#{(a,b): a>b} + #ties`` — computed from per-VALUE counts
+    and the cumulative count of the other sample strictly below each
+    value, so no pair is ever enumerated and no float rank appears.
+    The ppm normalization ``2U / (2·n_a·n_b)`` is the effect-size
+    (probability-of-superiority) estimate; int64-exact while
+    ``n_a·n_b < 4.6e18`` (~2e9 rows per arm — beyond that, lift the
+    two products into DECIMAL(38,0)).
+
+    Plan: one aggregate on the value support, then the same two-level
+    bucketed prefix sum as ``a_ks_two_sample`` (per-row window
+    partitioned by value bucket, offsets from the bucket aggregate) —
+    support cardinality crosses the windows, never event cardinality.
+    """
+    e = _ev(spark, sf_dir).filter(
+        F.col("cents").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    per_v = e.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("nb"),
+    ).withColumn("bkt", F.expr("cents div 4096"))
+    wv = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = per_v.select(
+        "bkt", "cents", "na", "nb", F.coalesce(F.sum("nb").over(wv), F.lit(0)).alias("wb")
+    )
+    pb = per_v.groupBy("bkt").agg(F.sum("nb").alias("bb"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = pb.select("bkt", F.coalesce(F.sum("bb").over(wo), F.lit(0)).alias("ob"))
+    contrib = within.join(F.broadcast(off), "bkt").select(
+        (2 * F.col("na") * (F.col("wb") + F.col("ob")) + F.col("na") * F.col("nb")).alias(
+            "c"
+        )
+    )
+    tot = e.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_b"),
+    )
+    return contrib.agg(F.sum("c").alias("u2")).crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "u2",
+        F.expr("u2 * 1000000 div (2 * n_a * n_b)").alias("superiority_ppm"),
+    )
+
+
+#: fixed retrieval query terms (present across the synthetic corpus)
+_BM25_TERMS = ["spark", "query", "join"]
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped multi-term retrieval scoring, global top-20: the
+    standard Robertson term saturation ``tf·(k1+1)/(tf + k1·(1−b +
+    b·dl/avgdl))`` with k1=1.2, b=0.75 in EXACT scaled-integer
+    arithmetic, and the log-free integer idf variant
+    ``(N−df+1)·10⁶ div (df+1)`` — both engines evaluate the identical
+    integer expressions, so scores (and therefore the top-k cut) are
+    reproducible to the bit. Bound: idf_ppm·sat_milli needs
+    ``N·10⁶·2200 < 2^63`` → N < ~4e9 docs per corpus shard.
+
+    Plan: tokenize once; the term filter collapses the explode to the
+    query terms BEFORE any shuffle; df (3 rows) and corpus stats (1
+    row) broadcast; the global top-20 is orderBy+limit —
+    TakeOrderedAndProject, per-partition partial top-k, no global sort.
+    """
+    from activecampaign_api_data_pipeline_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    dl = docs.select("doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.expr("sum(dl) div count(*)").alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfre = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfre), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.expr("(n_docs - df + 1) * 1000000 div (df + 1)").alias("idf_ppm"),
+            F.expr(
+                "(tf * 2200 * 1000) div"
+                " (tf * 1000 + (1200 * (250 + (750 * dl) div avgdl)) div 1000)"
+            ).alias("sat_milli"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("n_terms"),
+        F.sum(F.expr("idf_ppm * sat_milli div 1000")).alias("score_ppm"),
+    )
+    return per_doc.orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc()).limit(20)
+
+
+_H60Q = (
+    "CAST(concat('0x', substr(md5(concat_ws('||', 'qsplit',"
+    " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+_EV_SQL = """
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+"""
+
+STAGED_ORACLES: dict[str, str] = {
+    "w_cusum_drift": f"""
+WITH e AS ({_EV_SQL}),
+f AS (SELECT * FROM e WHERE cents IS NOT NULL),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) // count(*) AS k FROM f),
+p AS (
+  SELECT user_id, event_id, es, k,
+         CAST(sum(cents - k) OVER (PARTITION BY user_id ORDER BY es, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+  FROM f, tot
+),
+q AS (
+  SELECT user_id, event_id, k, p,
+         min(p) OVER w AS pmin, max(p) OVER w AS pmax
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (SELECT user_id, event_id, k, p - pmin AS s, pmax - p AS dd FROM q)
+SELECT user_id, count(*) AS n_events,
+       max(s) AS max_cusum, max(dd) AS max_drawdown,
+       CAST(sum(CASE WHEN s >= 20 * k THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       min(CASE WHEN s >= 20 * k THEN event_id END) AS first_alarm_event
+FROM s GROUP BY user_id
+""",
+    "t_debounce_events": f"""
+WITH e AS ({_EV_SQL}),
+l AS (
+  SELECT user_id, event_id, event_type, es,
+         lag(event_type) OVER w AS pet, lag(es) OVER w AS pes
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+)
+SELECT user_id, event_id, event_type, es
+FROM l WHERE pet IS NULL OR event_type <> pet OR es - pes > {_DEBOUNCE_GAP_S}
+""",
+    "t_stream_debounce": f"""
+WITH e AS ({_EV_SQL}),
+l AS (
+  SELECT user_id, event_id, event_type, es,
+         lag(event_type) OVER w AS pet, lag(es) OVER w AS pes
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN pet IS NULL OR event_type <> pet
+                      OR es - pes > {_DEBOUNCE_GAP_S}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM l GROUP BY user_id
+""",
+    "w_sliding_distinct": f"""
+WITH e AS ({_EV_SQL}),
+e2 AS (SELECT DISTINCT event_type, user_id, es // 3600 AS h FROM e),
+rep AS (SELECT DISTINCT event_type, es // 3600 AS h FROM e)
+SELECT r.event_type, r.h AS hour,
+       CAST(count(DISTINCT e2.user_id) AS BIGINT) AS n_active_users
+FROM rep r JOIN e2
+  ON e2.event_type = r.event_type AND e2.h BETWEEN r.h - 23 AND r.h
+GROUP BY r.event_type, r.h
+""",
+    "llm_quota_split": f"""
+WITH d AS (
+  SELECT doc_id, lang, {_H60Q} AS pri FROM documents
+),
+q AS (SELECT lang, count(*) * 8 // 10 AS quota FROM d GROUP BY lang),
+r AS (
+  SELECT doc_id, lang, pri,
+         row_number() OVER (PARTITION BY lang ORDER BY pri ASC, doc_id ASC) AS rk
+  FROM d
+)
+SELECT r.doc_id, r.lang, r.rk, q.quota,
+       CASE WHEN r.rk <= q.quota THEN 'train' ELSE 'holdout' END AS split
+FROM r JOIN q USING (lang)
+""",
+    "a_benford_digits": f"""
+WITH e AS ({_EV_SQL}),
+g AS (
+  SELECT event_type,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM e WHERE cents > 0
+  GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       n * 1000000 // CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_ppm,
+       CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END
+         AS benford_ppm,
+       n * 1000000 // CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+         - (CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                       WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                       WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END)
+         AS dev_ppm
+FROM g
+""",
+    "a_mann_whitney_u": f"""
+WITH e AS ({_EV_SQL}),
+f AS (
+  SELECT * FROM e
+  WHERE cents IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+per_v AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         cents // 4096 AS bkt
+  FROM f GROUP BY cents
+),
+w AS (
+  SELECT bkt, cents, na, nb,
+         COALESCE(CAST(sum(nb) OVER (PARTITION BY bkt ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS wb
+  FROM per_v
+),
+pb AS (SELECT bkt, CAST(sum(nb) AS BIGINT) AS bb FROM per_v GROUP BY bkt),
+o AS (
+  SELECT bkt,
+         COALESCE(CAST(sum(bb) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ob
+  FROM pb
+),
+c AS (
+  SELECT 2 * w.na * (w.wb + o.ob) + w.na * w.nb AS c
+  FROM w JOIN o USING (bkt)
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM f
+)
+SELECT n_a, n_b, CAST(sum(c) AS BIGINT) AS u2,
+       CAST(sum(c) AS BIGINT) * 1000000 // (2 * n_a * n_b) AS superiority_ppm
+FROM c, tot GROUP BY n_a, n_b
+""",
+    "text_bm25_topk": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) // count(*) AS avgdl, count(*) AS n_docs FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tfq
+  FROM toks WHERE tok IN ('spark', 'query', 'join')
+  GROUP BY doc_id, tok
+),
+dfre AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         (s.n_docs - d.df + 1) * 1000000 // (d.df + 1) AS idf_ppm,
+         (tf.tfq * 2200 * 1000) //
+           (tf.tfq * 1000 + (1200 * (250 + (750 * dl.dl) // s.avgdl)) // 1000)
+           AS sat_milli
+  FROM tf JOIN dl USING (doc_id), stats s
+  JOIN dfre d ON tf.tok = d.tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+         CAST(sum(idf_ppm * sat_milli // 1000) AS BIGINT) AS score_ppm
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_ppm
+FROM per_doc ORDER BY score_ppm DESC, doc_id ASC LIMIT 20
+""",
+}

@@ -248,3 +248,77 @@ def stream_pattern_match(stream: DataFrame, sink: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+DEB_OUT_SCHEMA = "user_id long, n_new long, n_kept long"
+DEB_STATE_SCHEMA = "les long, let string"
+
+
+def _make_debounce_update(gap_s: int):
+    def _update_debounce(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Cross-batch debounce kernel (streaming twin of
+        ``staged_r9.t_debounce_events``): state is ONE row — the key's
+        last RAW event's (es, event_type) — the minimum any debounce
+        can carry. Each batch's rows sort by event time, every row is
+        compared to its predecessor (the carried state for the first
+        row), and repeats of the same type within ``gap_s`` are
+        dropped. Comparison is against the previous RAW event exactly
+        like the batch lag plan, so kept counts are bit-identical
+        however the stream was sliced (requires event-time-ordered
+        batch delivery, the harness contract)."""
+        (user_id,) = key
+        last_es, last_et = state.get if state.exists else (None, None)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        rows = pd.concat(frames, ignore_index=True).sort_values(["es", "event_id"])
+        es = rows["es"].tolist()
+        et = rows["event_type"].tolist()
+        prev_es = [last_es] + es[:-1]
+        prev_et = [last_et] + et[:-1]
+        kept = sum(
+            1
+            for i in range(len(es))
+            if prev_et[i] is None
+            or et[i] != prev_et[i]
+            or es[i] - prev_es[i] > gap_s
+        )
+        state.update((int(es[-1]), str(et[-1])))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_new": len(es), "n_kept": kept}]
+        )
+
+    return _update_debounce
+
+
+def stream_debounce(stream: DataFrame, sink: str, checkpoint: str, gap_s: int = 3600):
+    """Continuous telemetry debounce: 1-row per-key state (last raw
+    (es, type)), Arrow-batched comparison, batch_id-partitioned
+    exactly-once sink. At 100 TB the state store holds one long and one
+    short string per key and each batch shuffles only its own rows on
+    the key — the cheapest stateful cleaner there is."""
+    from pyspark.sql import functions as F
+
+    scored = stream.groupBy("user_id").applyInPandasWithState(
+        _make_debounce_update(gap_s),
+        DEB_OUT_SCHEMA,
+        DEB_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(sink)
+
+    return (
+        scored.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -173,6 +173,17 @@ HEADLINE = [
     "llm_temporal_split",
     "a_survival_hazard",
     "k_profile_orders",
+    # r9-staged batch (typed-replica verified, pre-registry — resolved
+    # from staged_r9): CUSUM drift, debounce batch+streaming, sliding
+    # distinct, quota split, Benford, Mann-Whitney U, BM25 top-k
+    "w_cusum_drift",
+    "t_debounce_events",
+    "t_stream_debounce",
+    "w_sliding_distinct",
+    "llm_quota_split",
+    "a_benford_digits",
+    "a_mann_whitney_u",
+    "text_bm25_topk",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
@@ -199,11 +210,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
-    from activecampaign_api_data_pipeline_spark import staged_r8
+    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9
 
     for name in HEADLINE:
         # staged queries bench before they enter the registry
-        fn = REGISTRY.get(name) or getattr(staged_r8, name)
+        fn = REGISTRY.get(name) or getattr(staged_r8, name, None) or getattr(
+            staged_r9, name
+        )
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.time()

@@ -14,7 +14,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8
+from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8, staged_r9
 
 SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -22,6 +22,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 _TYPED = {
     **{n: (staged_r7, sql) for n, sql in staged_r7.PROMOTED_ORACLES.items()},
     **{n: (staged_r8, sql) for n, sql in staged_r8.STAGED_ORACLES.items()},
+    **{n: (staged_r9, sql) for n, sql in staged_r9.STAGED_ORACLES.items()},
 }
 
 

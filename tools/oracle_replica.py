@@ -101,12 +101,13 @@ def main() -> int:
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     # staged queries verify through the same gate before registration
-    from activecampaign_api_data_pipeline_spark import staged_r8
+    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9
 
-    for name in staged_r8.STAGED_ORACLES:
-        if name not in qs:
-            qs[name] = getattr(staged_r8, name)
-            os_[name] = staged_r8.STAGED_ORACLES[name]
+    for mod in (staged_r8, staged_r9):
+        for name in mod.STAGED_ORACLES:
+            if name not in qs:
+                qs[name] = getattr(mod, name)
+                os_[name] = mod.STAGED_ORACLES[name]
     failures = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
