@@ -27,6 +27,11 @@ Operator families the registry does not cover yet (8 queries):
   test in cleared-denominator integers over the value support
 - ``text_bm25_topk``: BM25-shaped multi-term retrieval scoring
   (integer idf/saturation variant), global top-k
+- ``q10_returned_revenue`` / ``q18_large_orders``: the TPC-H Q10/Q18
+  join-aggregate shapes (returned-revenue top-k; aggregate-then-join
+  HAVING rewrite)
+- ``sim_embedding_drift``: per-dimension embedding mean-shift monitor
+  in exact quantized integers (floor-quantized, one pass)
 """
 
 from __future__ import annotations
@@ -453,6 +458,119 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc()).limit(20)
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 1996 returned-item revenue per customer, global
+    top-20 — the classic "who should the support team call" fact-dims
+    join aggregate (reference analog: the deals-value-by-contact rollup,
+    `scripts/run_ac_extraction.py:1030+`, done joins-first at scale).
+
+    Plan: the returnflag + orderdate filters push to the two fact scans
+    (PushedFilters), nation broadcasts, revenue aggregates through the
+    DECIMAL discipline, and the top-20 cut orders by the EXACT decimal
+    before the display double cast — TakeOrderedAndProject, no global
+    sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("rev_dec"), F.count("*").alias("n_items"))
+    )
+    top = agg.orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc()).limit(20)
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n_items",
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total line
+    quantity exceeds 200 units, with their customer — the
+    aggregate-then-semi-join pattern (the HAVING subquery becomes a
+    pre-aggregated join side, never a correlated probe).
+
+    Plan: lineitem aggregates FIRST (map-side combine on l_orderkey),
+    the >200 filter shrinks the frame to the rare heavy orders, and only
+    the survivors join orders/customer — at 100 TB the join input is the
+    filtered aggregate, orders of magnitude below the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("tq"))
+        .filter(F.col("tq") > 200)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias(
+                "total_price"
+            ),
+            F.col("tq").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per-dimension mean shift
+    between two corpus arms (vec_id parity — in production, yesterday's
+    snapshot vs today's), in exact quantized integers: components
+    quantize to 1e-6 via ``floor(x·10⁶)`` (floor, NOT cast — Spark
+    truncates double→bigint, DuckDB rounds; floor is the one shape both
+    engines share), arm sums and means stay int64, and the report is
+    |mean_a − mean_b| per dimension — the drift alarm every
+    embedding-dependent pipeline (ANN index, semantic dedup, clustering)
+    should run before trusting a refreshed encoder.
+
+    Plan: ONE pass — posexplode is in-row, the aggregate is map-side
+    combinable on the 64-row dimension support; no joins, no floats
+    anywhere past the deterministic quantization.
+    """
+    em = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("arm"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "arm",
+        "dim",
+        F.expr("CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)").alias("q"),
+    )
+    g = em.groupBy("dim").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("q"))).alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("q"))).alias("sb"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    return g.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_a",
+        "n_b",
+        F.expr("sa div n_a").alias("mean_a_q"),
+        F.expr("sb div n_b").alias("mean_b_q"),
+        F.abs(F.expr("sa div n_a") - F.expr("sb div n_b")).alias("drift_q"),
+    )
+
+
 _H60Q = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'qsplit',"
     " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -598,6 +716,60 @@ tot AS (
 SELECT n_a, n_b, CAST(sum(c) AS BIGINT) AS u2,
        CAST(sum(c) AS BIGINT) * 1000000 // (2 * n_a * n_b) AS superiority_ppm
 FROM c, tot GROUP BY n_a, n_b
+""",
+    "q10_returned_revenue": """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS rev_dec,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(rev_dec AS DOUBLE) AS revenue, n_items
+FROM agg ORDER BY rev_dec DESC, c_custkey ASC LIMIT 20
+""",
+    "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       CAST(tq AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "sim_embedding_drift": """
+WITH q AS (
+  SELECT vec_id % 2 AS arm,
+         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+),
+g AS (
+  SELECT dim,
+         CAST(sum(CASE WHEN arm = 0 THEN q END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN arm = 1 THEN q END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM q GROUP BY dim
+)
+SELECT dim, n_a, n_b,
+       sa // n_a AS mean_a_q, sb // n_b AS mean_b_q,
+       abs(sa // n_a - sb // n_b) AS drift_q
+FROM g
 """,
     "text_bm25_topk": """
 WITH toks AS (

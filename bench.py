@@ -184,6 +184,9 @@ HEADLINE = [
     "a_benford_digits",
     "a_mann_whitney_u",
     "text_bm25_topk",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "sim_embedding_drift",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
