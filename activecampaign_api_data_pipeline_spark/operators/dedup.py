@@ -359,9 +359,9 @@ def neardup_canonical(
     shuffle of the (node, label) frame — tiny relative to the corpus, since
     only docs that appear in a pair participate. Convergence is detected
     with a single scalar count per round (bounded driver traffic). For
-    adversarially long chain graphs, swap the loop body for two-phase
-    large-star/small-star contraction (O(log n) rounds, same join/agg
-    primitives); the output contract is identical.
+    adversarially long chain graphs, use
+    :func:`largestar_smallstar_components` (O(log² n) rounds worst case,
+    same join/agg primitives); the output contract is identical.
 
     Returns ``(doc_id, canonical_id, is_kept)`` over ALL docs: docs in no
     pair are their own canonical (kept); within a component only the min
@@ -417,6 +417,109 @@ def neardup_canonical(
             F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
         )
         .withColumn("is_kept", (F.col(id_col) == F.col("canonical_id")).cast("int"))
+    )
+
+
+def largestar_smallstar_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — the O(log² n)-round worst-case algorithm (public:
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14), closing the adversarial-chain gap :func:`neardup_canonical`
+    documents: min-label propagation needs DIAMETER rounds, so a planted
+    chain of length d costs d shuffles; star contraction halves chain
+    length every alternation and converges in tens of rounds on graphs
+    min-label could never finish.
+
+    One alternation over the current edge multiset E (kept canonical:
+    ``u > v``, no self-loops, distinct):
+
+    - **large-star**: per node ``a``, every strictly-larger neighbor is
+      re-pointed at ``m(a) = min(Γ(a) ∪ {a})`` — long tails fold onto
+      local minima in parallel.
+    - **small-star**: per node ``u`` (edges oriented high→low), all of
+      ``Γ_≤(u) ∪ {u}`` re-points at the minimum neighbor — stars
+      flatten so the next large-star sees depth-1 trees.
+
+    Each phase is ONE groupBy on the node key plus one join of the edge
+    frame against the per-node minimum (support-sized, broadcastable);
+    the frame shrinks monotonically toward one (member, component-min)
+    row per non-root node. Rounds localCheckpoint (truncate the doubling
+    lineage); convergence is a two-scalar checksum (count + xxhash sum)
+    per round — bounded driver traffic, no collect of data.
+
+    Returns ``(node, label)`` for every node with degree ≥ 1, where
+    ``label`` is the component's minimum node id. Raises if the edge set
+    has not stabilized within ``max_iters`` alternations (loud, not
+    silently-wrong — at 2^30 nodes the bound is still generous).
+    """
+    e0 = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if not e0.take(1):
+        return e0.select(F.col("u").alias("node"), F.col("v").alias("label"))
+
+    def _checksum(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count("*").alias("n"),
+            # decimal accumulator: a plain BIGINT sum of 2^63-range hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    cur, sig = e0, _checksum(e0)
+    for _ in range(max_iters):
+        # large-star: symmetrize, point larger neighbors at the local min
+        sym = cur.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        lmin = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", F.col("a")).alias("m"))
+        )
+        lrg = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(lmin, "a")
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: per high node, fold every low neighbor (and the
+        # node itself) onto the minimum low neighbor
+        smin = lrg.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            lrg.join(smin, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(smin.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        nsig = _checksum(nxt)
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"largestar_smallstar_components did not converge in {max_iters} rounds"
+        )
+    # fixpoint: every edge is (member, component-min); roots label themselves
+    return (
+        cur.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .unionAll(cur.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .distinct()
     )
 
 

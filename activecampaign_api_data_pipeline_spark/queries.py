@@ -2144,7 +2144,9 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r9 load; slot 50 = j_rfm_scores, whose exact ranks moved to the
 # bucketed two-level form (operators/ranking.py) this round (rule 2,
 # touched-function — it displaced the fourth bonus entry,
-# a_bigram_condprob, which is r6-green and inside its cadence).
+# a_bigram_condprob, which is r6-green and inside its cadence; per
+# rule 4 the displaced entry was typed-replica verified at sf0.01 in
+# r8 — exact, 916 rows).
 #
 # CADENCE (rule-3, from the r6 note): with N registry entries and a
 # 50-slot window the best achievable driver re-check cadence is

@@ -32,6 +32,26 @@ Operator families the registry does not cover yet (8 queries):
   HAVING rewrite)
 - ``sim_embedding_drift``: per-dimension embedding mean-shift monitor
   in exact quantized integers (floor-quantized, one pass)
+
+Second batch (6 queries — the r7 verdict's frontier items plus three
+analytic families the registry lacked):
+
+- ``g_cc_chain``: connected components via large-star/small-star
+  contraction over a planted-chain-plus-bridges graph, oracle-checked
+  against the recursive-CTE transitive closure (the adversarial-chain
+  gap ``neardup_canonical`` documents, made real)
+- ``sim_recall_ivf``: recall-accounted ANN benchmarking — recall@10 of
+  the IVF-gated SQ8 search vs the exact brute SQ8 scan, per query, in
+  exact integers (both arms share the zero-epsilon SQ8 metric)
+- ``dedup_prefix_jaccard``: exact-threshold Jaccard pair join via
+  PPJoin-style rarity-prefix filtering — a LOSSLESS candidate cut, so
+  the oracle is the full quadratic all-pairs join and must match exactly
+- ``a_assoc_rules``: market-basket association rules (support /
+  confidence / lift in exact ppm integers), top-20 by lift
+- ``w_time_weighted_avg``: per-user time-weighted average of the held
+  value (piecewise-constant hold between events) in exact cents·seconds
+- ``a_simpson_diversity``: per-user event-type mix diversity — Simpson
+  index and Gini impurity, both exact-integer ppm (no logs, no floats)
 """
 
 from __future__ import annotations
@@ -571,6 +591,301 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over an ADVERSARIAL planted graph —
+    per-language doc-id chains (diameter = language size: the exact
+    topology where min-label propagation needs diameter rounds) plus
+    sparse cross-language bridges (every 17th doc bridges to the
+    extreme doc of its n_chars group) — solved with
+    :func:`operators.dedup.largestar_smallstar_components`, the
+    O(log² n)-round star-contraction algorithm. Output contract matches
+    ``dedup_cluster_canonical``: every doc, its component's min doc_id,
+    and whether it is the kept canonical.
+
+    The oracle is the recursive-CTE transitive closure — exact on any
+    graph shape, so a star-contraction bug (dropped bridge, premature
+    fixpoint) cannot hide behind the planted structure.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        largestar_smallstar_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wl = Window.partitionBy("lang").orderBy("doc_id")
+    ch = d.select(
+        F.lag("doc_id").over(wl).alias("src"), F.col("doc_id").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    br = (
+        d.filter(F.col("doc_id") % 17 == 0)
+        .groupBy("n_chars")
+        .agg(F.min("doc_id").alias("src"), F.max("doc_id").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    labels = largestar_smallstar_components(ch.unionByName(br))
+    return (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("is_kept", (F.col("doc_id") == F.col("component_id")).cast("int"))
+    )
+
+
+def sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-accounted ANN benchmarking (the r7 verdict's frontier
+    item): recall@10 of the IVF-gated SQ8 search (nprobe=1 — the
+    cheapest, lossiest probe setting) against the EXACT brute-force SQ8
+    scan, per query, as a first-class oracle-checked report. Both arms
+    rank by the same BIGINT SQ8 distance with the same (dist, id)
+    tie-break, so the top-10 SETS are bit-reproducible in DuckDB and
+    recall is an exact integer — the report a production ANN deployment
+    runs before turning down nprobe.
+
+    Plan: the exact arm is the codes-only brute scan (queries
+    broadcast); the IVF arm reuses the SAME cached codes + cell
+    assignment (one encode, one k-means per session); the recall join
+    keys on (query_id, neighbor_id) over two ≤ Q·k frames — report-card
+    sized, trivially broadcastable.
+    """
+    from activecampaign_api_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = SIM.sq8_topk(emb, k=10, max_query_id=32)
+    approx = SIM.sq8_ivf_topk(emb, n_centroids=8, k=10, max_query_id=32, nprobe=1)
+    hit = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("n_hits * 1000000 div n_exact").alias("recall_ppm"),
+        )
+    )
+
+
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold Jaccard pair join (J ≥ 0.5 over distinct word
+    3-gram shingles) via PPJoin-style PREFIX FILTERING — the lossless
+    scale path for exact similarity joins: order every doc's shingles by
+    global rarity (df asc, shingle asc), keep only the first
+    ``|s| − ⌈t·|s|⌉ + 1`` (= ``|s| div 2 + 1`` at t = 1/2) as the
+    probing prefix; two docs with J ≥ t MUST share a prefix token
+    (pigeonhole on the common order), so the postings join over prefix
+    tokens generates every qualifying pair — unlike the df-capped
+    ``dedup_ngram_jaccard`` heuristic, nothing can be missed, which is
+    why the oracle is the full quadratic all-pairs join and the match
+    must be EXACT. Verification uses integer cross-multiplication
+    (``2·|∩| ≥ |∪|``), no float thresholds.
+
+    Plan: df is one token-level aggregate; the prefix is an in-row
+    slice of the (df, shingle)-sorted array (no per-token window); the
+    candidate join shuffles prefix postings only (~half the tokens of
+    the rarest half of the order — at 100 TB this is the difference
+    between a feasible join and an all-pairs explosion); exact verify
+    joins the candidate ids back to the shingle arrays.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.dedup import _shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfc = ex.groupBy("s").agg(F.count("*").alias("df"))
+    prefix = (
+        ex.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("o")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(slice(o, 1, size(o) div 2 + 1), x -> x.s)")
+            ).alias("s"),
+        )
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            (F.size("sa") + F.size("sb")).cast("long").alias("szsum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("szsum") - F.col("inter")).alias("uni"),
+        )
+        .filter(2 * F.col("inter") >= F.col("uni"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "uni",
+        F.expr("inter * 1000000 div uni").alias("jacc_ppm"),
+    )
+
+
+def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    ordered part pair (antecedent → consequent) co-occurring in ≥ 2
+    orders, support count, confidence and lift in exact ppm integers
+    (lift > 10⁶ ⟺ positive association), top-20 by lift. Extends
+    ``j_copurchase_pairs`` from co-occurrence counting to the full rule
+    mining report (public Agrawal-Srikant semantics, support/confidence
+    framing).
+
+    Plan: baskets aggregate once (basket-bounded in-row pair expansion,
+    both directions — never a fact self-join); item frequencies and the
+    order census broadcast; top-20 is orderBy+limit
+    (TakeOrderedAndProject). Integer bound: ``n_both·N·10⁶ < 2^63``
+    caps N at ~9e8 baskets for min-support 2 — past that, lift lifts to
+    DECIMAL(38,0) (same expression, wider type).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    tot = sets.agg(F.count("*").alias("n_orders"))
+    items = sets.select(F.explode("ps").alias("item")).groupBy("item").agg(
+        F.count("*").alias("n_item")
+    )
+    up = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    both = up.unionAll(up.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    cnt = (
+        both.groupBy(F.col("pa").alias("ante"), F.col("pb").alias("cons"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    scored = (
+        cnt.join(items.select(F.col("item").alias("ante"), F.col("n_item").alias("n_a")), "ante")
+        .join(items.select(F.col("item").alias("cons"), F.col("n_item").alias("n_b")), "cons")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ante",
+            "cons",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("n_both * 1000000 div n_a").alias("conf_ppm"),
+            F.expr("n_both * n_orders * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(),
+        F.col("n_both").desc(),
+        F.col("ante").asc(),
+        F.col("cons").asc(),
+    ).limit(20)
+
+
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of the event value under
+    piecewise-constant hold (each value holds until the next event) —
+    the metric that de-biases irregular telemetry: an arithmetic mean
+    over-weights bursts, the TWA weights each reading by how long it was
+    in force. Exact integers end to end: cents·seconds numerator, the
+    observation span as denominator, integer division at the edge.
+
+    Plan: one exchange on the user key (a single lead window), then the
+    same-keyed aggregate reuses the exchange — the minimum for any
+    order-dependent per-key statistic.
+    """
+    e = _ev(spark, sf_dir).filter(F.col("cents").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    stepped = e.select(
+        "user_id",
+        "cents",
+        "es",
+        (F.lead("es").over(w) - F.col("es")).alias("hold_s"),
+    )
+    g = stepped.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("cents * hold_s")).alias("num"),
+        (F.max("es") - F.min("es")).alias("span_s"),
+    )
+    return g.filter(F.col("span_s") > 0).select(
+        "user_id",
+        "n_events",
+        "span_s",
+        "num",
+        F.expr("num div span_s").alias("twa_cents"),
+    )
+
+
+def a_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type mix diversity: Simpson's diversity index
+    ``1 − Σ nᵢ(nᵢ−1)/(N(N−1))`` (the probability two sampled events
+    differ in type, without replacement) and the Gini impurity
+    ``1 − Σ (nᵢ/N)²`` — the two POLYNOMIAL diversity measures, chosen
+    over Shannon entropy precisely because they need no logarithm: both
+    are exact-integer ppm in both engines (a float ln would make the
+    value hash engine-dependent).
+
+    Plan: two map-side-combinable aggregates sharing one exchange
+    hierarchy ((user, type) → user); zero joins, zero windows.
+    """
+    e = _ev(spark, sf_dir)
+    g = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    per = g.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(F.expr("n * (n - 1)")).alias("ss"),
+        F.sum(F.expr("n * n")).alias("gs"),
+    )
+    return per.filter(F.col("n_events") >= 2).select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (F.lit(1000000) - F.expr("ss * 1000000 div (n_events * (n_events - 1))")).alias(
+            "simpson_ppm"
+        ),
+        (F.lit(1000000) - F.expr("gs * 1000000 div (n_events * n_events)")).alias(
+            "gini_ppm"
+        ),
+    )
+
+
 _H60Q = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'qsplit',"
     " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -809,4 +1124,177 @@ per_doc AS (
 SELECT doc_id, n_terms, score_ppm
 FROM per_doc ORDER BY score_ppm DESC, doc_id ASC LIMIT 20
 """,
+    "g_cc_chain": """
+WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars FROM documents),
+ch AS (
+  SELECT u, v FROM (
+    SELECT lag(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS u,
+           doc_id AS v
+    FROM d
+  ) WHERE u IS NOT NULL
+),
+br AS (
+  SELECT min(doc_id) AS u, max(doc_id) AS v
+  FROM d WHERE doc_id % 17 = 0
+  GROUP BY n_chars HAVING min(doc_id) < max(doc_id)
+),
+pe AS (SELECT u, v FROM ch UNION SELECT u, v FROM br),
+edges AS (SELECT u, v FROM pe UNION SELECT v AS u, u AS v FROM pe),
+reach(n, r) AS (
+  SELECT u AS n, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS n, reach.r FROM edges e JOIN reach ON e.v = reach.n
+),
+canon AS (SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n)
+SELECT d.doc_id,
+       coalesce(c.component_id, d.doc_id) AS component_id,
+       CAST(coalesce(c.component_id, d.doc_id) = d.doc_id AS INTEGER) AS is_kept
+FROM d LEFT JOIN canon c USING (doc_id)
+""",
+    # both arms share the SQ8 encode + the deterministic-k-means CTEs the
+    # promoted sim_sq8_* twins already pin (oracles._ivf_assign_parts /
+    # staged_r7._SQ8_ENC_PARTS) — recall is then a set join of two exact
+    # integer top-10s
+    "sim_recall_ivf": None,  # composed below (needs the shared CTE helpers)
+    "dedup_prefix_jaccard": """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' '))
+         ) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+         CAST(len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, inter, uni, inter * 1000000 // uni AS jacc_ppm
+FROM p WHERE 2 * inter >= uni
+""",
+    "a_assoc_rules": """
+WITH sets AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+  FROM lineitem GROUP BY l_orderkey
+),
+tot AS (SELECT count(*) AS n_orders FROM sets),
+items AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item
+  FROM (SELECT unnest(ps) AS item FROM sets) GROUP BY item
+),
+up AS (
+  SELECT p1.item AS pa, p2.item AS pb
+  FROM (SELECT l_orderkey, unnest(ps) AS item FROM sets) p1
+  JOIN (SELECT l_orderkey, unnest(ps) AS item FROM sets) p2
+    ON p1.l_orderkey = p2.l_orderkey AND p1.item < p2.item
+),
+bidir AS (SELECT pa, pb FROM up UNION ALL SELECT pb AS pa, pa AS pb FROM up),
+cnt AS (
+  SELECT pa AS ante, pb AS cons, CAST(count(*) AS BIGINT) AS n_both
+  FROM bidir GROUP BY pa, pb HAVING count(*) >= 2
+),
+scored AS (
+  SELECT ante, cons, n_both, a.n_item AS n_a, b.n_item AS n_b,
+         n_both * 1000000 // a.n_item AS conf_ppm,
+         n_both * t.n_orders * 1000000 // (a.n_item * b.n_item) AS lift_ppm
+  FROM cnt
+  JOIN items a ON cnt.ante = a.item
+  JOIN items b ON cnt.cons = b.item
+  CROSS JOIN tot t
+)
+SELECT ante, cons, n_both, n_a, n_b, conf_ppm, lift_ppm
+FROM scored
+ORDER BY lift_ppm DESC, n_both DESC, ante ASC, cons ASC LIMIT 20
+""",
+    "w_time_weighted_avg": f"""
+WITH e AS ({_EV_SQL}),
+f AS (SELECT * FROM e WHERE cents IS NOT NULL),
+stepped AS (
+  SELECT user_id, cents, es,
+         lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id) - es AS hold_s
+  FROM f
+),
+g AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(cents * hold_s) AS BIGINT) AS num,
+         max(es) - min(es) AS span_s
+  FROM stepped GROUP BY user_id
+)
+SELECT user_id, n_events, span_s, num, num // span_s AS twa_cents
+FROM g WHERE span_s > 0
+""",
+    "a_simpson_diversity": f"""
+WITH e AS ({_EV_SQL}),
+g AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+per AS (
+  SELECT user_id,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         count(*) AS n_types,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS ss,
+         CAST(sum(n * n) AS BIGINT) AS gs
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       CAST(1000000 AS BIGINT) - ss * 1000000 // (n_events * (n_events - 1))
+         AS simpson_ppm,
+       CAST(1000000 AS BIGINT) - gs * 1000000 // (n_events * n_events) AS gini_ppm
+FROM per WHERE n_events >= 2
+""",
 }
+
+
+def _recall_ivf_sql(n_centroids: int = 8, k: int = 10, max_query_id: int = 32) -> str:
+    """Recall@k twin: the exact brute SQ8 arm and the IVF-gated arm
+    (nprobe=1: the query's own cell from ``af``) share the encode and
+    k-means CTEs, then LEFT JOIN their top-k sets per query."""
+    from activecampaign_api_data_pipeline_spark.oracles import _ivf_assign_parts
+    from activecampaign_api_data_pipeline_spark.staged_r7 import (
+        _SQ8_DIST,
+        _SQ8_ENC_PARTS,
+    )
+
+    parts = _ivf_assign_parts(n_centroids, n_iters=2) + _SQ8_ENC_PARTS + [
+        f"qx AS (SELECT vec_id AS query_id, code AS qcode FROM enc WHERE vec_id < {max_query_id})",
+        f"""xs AS (
+  SELECT query_id, en.vec_id AS neighbor_id, {_SQ8_DIST} AS qdist
+  FROM qx CROSS JOIN enc en WHERE en.vec_id <> query_id
+)""",
+        """xr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdist, neighbor_id) AS rk
+  FROM xs
+)""",
+        f"ex AS (SELECT query_id, neighbor_id FROM xr WHERE rk <= {k})",
+        f"qp AS (SELECT vec_id AS query_id, cell FROM af WHERE vec_id < {max_query_id})",
+        "aq AS (SELECT query_id, cell, qcode FROM qp JOIN qx USING (query_id))",
+        "corpus AS (SELECT enc.vec_id AS neighbor_id, code, cell FROM enc JOIN af ON enc.vec_id = af.vec_id)",
+        f"""as0 AS (
+  SELECT query_id, neighbor_id, {_SQ8_DIST} AS qdist
+  FROM aq JOIN corpus USING (cell) WHERE neighbor_id <> query_id
+)""",
+        """ar AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdist, neighbor_id) AS rk
+  FROM as0
+)""",
+        f"ax AS (SELECT query_id, neighbor_id FROM ar WHERE rk <= {k})",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT x.query_id,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // count(*) AS recall_ppm
+FROM ex x LEFT JOIN ax a USING (query_id, neighbor_id)
+GROUP BY x.query_id
+"""
+
+
+STAGED_ORACLES["sim_recall_ivf"] = _recall_ivf_sql()

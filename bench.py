@@ -187,6 +187,15 @@ HEADLINE = [
     "q10_returned_revenue",
     "q18_large_orders",
     "sim_embedding_drift",
+    # r9-staged second batch: star-contraction connected components, ANN
+    # recall report, lossless prefix-filtered Jaccard join, association
+    # rules, time-weighted average, Simpson/Gini diversity
+    "g_cc_chain",
+    "sim_recall_ivf",
+    "dedup_prefix_jaccard",
+    "a_assoc_rules",
+    "w_time_weighted_avg",
+    "a_simpson_diversity",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -143,6 +143,59 @@ def test_neardup_canonical_converges_under_iter_cap(spark):
     assert out.filter(F.col("is_kept") == 1).count() == 1
 
 
+def test_largestar_smallstar_matches_minlabel_on_chains(spark):
+    # the star-contraction CC must agree with min-label propagation on the
+    # adversarial topology it exists for: long chains + a cross bridge
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        largestar_smallstar_components,
+        neardup_canonical,
+    )
+
+    ch1 = spark.range(1, 200).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    ch2 = spark.range(301, 350).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    bridge = spark.createDataFrame([(150, 320)], "src long, dst long")
+    merged = {
+        r["node"]: r["label"]
+        for r in largestar_smallstar_components(
+            ch1.unionAll(ch2).unionAll(bridge)
+        ).collect()
+    }
+    assert len(merged) == 250 and set(merged.values()) == {0}
+    split = {
+        r["node"]: r["label"]
+        for r in largestar_smallstar_components(ch1.unionAll(ch2)).collect()
+    }
+    assert all(v == (0 if k < 200 else 300) for k, v in split.items())
+    # cross-check the full contract against min-label on a small graph
+    # (min-label needs diameter rounds, so keep it short here)
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)] + [(9, 10)], "doc_a long, doc_b long"
+    )
+    want = {
+        r["doc_id"]: r["canonical_id"] for r in neardup_canonical(docs, pairs).collect()
+    }
+    got = {
+        r["node"]: r["label"]
+        for r in largestar_smallstar_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert all(want[k] == v for k, v in got.items())
+
+
+def test_largestar_smallstar_empty_edges(spark):
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        largestar_smallstar_components,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = largestar_smallstar_components(empty)
+    assert out.columns == ["node", "label"] and out.count() == 0
+
+
 def test_incremental_minhash_store(spark, tmp_path):
     """Incremental near-dup against a persisted signature store: batch B
     vs stored batch A equals the batch operator on A∪B restricted to
