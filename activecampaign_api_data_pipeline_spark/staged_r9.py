@@ -52,6 +52,9 @@ analytic families the registry lacked):
   value (piecewise-constant hold between events) in exact cents·seconds
 - ``a_simpson_diversity``: per-user event-type mix diversity — Simpson
   index and Gini impurity, both exact-integer ppm (no logs, no floats)
+- ``a_funnel_windowed``: conversion funnel with 24 h conversion windows
+  and exact integer mean time-to-convert per stage (the expiring-funnel
+  semantics ``a_event_funnel``'s unconstrained ordering doesn't cover)
 """
 
 from __future__ import annotations
@@ -911,6 +914,104 @@ def a_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_W_S = 86400
+
+
+def a_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel WITH conversion windows: signup → first view
+    within 24 h of signup → first purchase within 24 h of that view —
+    the production funnel semantics (``a_event_funnel`` is the
+    unconstrained ordering variant; real funnels expire). Besides the
+    stage census and step conversion ppm, each stage reports the exact
+    integer mean time-to-convert — the latency number a growth team
+    actually tunes against.
+
+    Plan: identical shape to ``a_event_funnel`` — three stacked
+    min-windows over ONE exchange on the user key (the window upper
+    bounds are row-local conditionals, so the constraint costs
+    nothing), then a one-row global aggregate exploded into the 3-row
+    report.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    wu = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("es"))).over(wu)
+    )
+    staged = staged.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("es") > F.col("t1"))
+                & (F.col("es") <= F.col("t1") + _FUNNEL_W_S),
+                F.col("es"),
+            )
+        ).over(wu),
+    )
+    staged = staged.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("es") > F.col("t2"))
+                & (F.col("es") <= F.col("t2") + _FUNNEL_W_S),
+                F.col("es"),
+            )
+        ).over(wu),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("*").alias("n_all"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.sum(F.col("t2") - F.col("t1")).alias("sd2"),
+        F.sum(F.col("t3") - F.col("t2")).alias("sd3"),
+    )
+    null_l = F.lit(None).cast("long")
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("stage_no"),
+                    F.lit("signup").alias("stage"),
+                    F.col("n1").alias("n_users"),
+                    F.col("n_all").alias("prev"),
+                    null_l.alias("avg_delay_s"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("stage_no"),
+                    F.lit("view_within_1d").alias("stage"),
+                    F.col("n2").alias("n_users"),
+                    F.col("n1").alias("prev"),
+                    F.when(F.col("n2") > 0, F.expr("sd2 div n2")).alias("avg_delay_s"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("stage_no"),
+                    F.lit("purchase_within_1d").alias("stage"),
+                    F.col("n3").alias("n_users"),
+                    F.col("n2").alias("prev"),
+                    F.when(F.col("n3") > 0, F.expr("sd3 div n3")).alias("avg_delay_s"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return stages.select(
+        "stage_no",
+        "stage",
+        "n_users",
+        "prev",
+        F.when(F.col("prev") > 0, F.expr("n_users * 1000000 div prev")).alias(
+            "conv_ppm"
+        ),
+        "avg_delay_s",
+    )
+
+
 _H60Q = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'qsplit',"
     " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -1251,6 +1352,55 @@ g AS (
 )
 SELECT user_id, n_events, span_s, num, num // span_s AS twa_cents
 FROM g WHERE span_s > 0
+""",
+    "a_funnel_windowed": f"""
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN es END) AS t1
+  FROM e GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(es) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'view' AND es > t1 AND es <= t1 + {_FUNNEL_W_S}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(es) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND es > t2 AND es <= t2 + {_FUNNEL_W_S}
+  GROUP BY e.user_id
+),
+per_user AS (
+  SELECT s1.user_id, t1, t2, t3
+  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+),
+c AS (
+  SELECT count(*) AS n_all,
+         count(t1) AS n1, count(t2) AS n2, count(t3) AS n3,
+         CAST(sum(t2 - t1) AS BIGINT) AS sd2,
+         CAST(sum(t3 - t2) AS BIGINT) AS sd3
+  FROM per_user
+),
+st AS (
+  SELECT CAST(1 AS BIGINT) AS stage_no, 'signup' AS stage,
+         n1 AS n_users, n_all AS prev, CAST(NULL AS BIGINT) AS avg_delay_s
+  FROM c
+  UNION ALL
+  SELECT 2, 'view_within_1d', n2, n1,
+         CASE WHEN n2 > 0 THEN sd2 // n2 END
+  FROM c
+  UNION ALL
+  SELECT 3, 'purchase_within_1d', n3, n2,
+         CASE WHEN n3 > 0 THEN sd3 // n3 END
+  FROM c
+)
+SELECT stage_no, stage, n_users, prev,
+       CASE WHEN prev > 0 THEN n_users * 1000000 // prev END AS conv_ppm,
+       avg_delay_s
+FROM st
 """,
     "a_simpson_diversity": f"""
 WITH e AS ({_EV_SQL}),

@@ -196,12 +196,13 @@ HEADLINE = [
     "a_assoc_rules",
     "w_time_weighted_avg",
     "a_simpson_diversity",
+    "a_funnel_windowed",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
 # final stdout line so regressions stay attributable even when the full
 # per-query dict has to drop off that line to fit the driver's capture
-SCOPES = {"r1_23": 23, "r5_44": 44, "r6_60": 60, "r7_99": 99}
+SCOPES = {"r1_23": 23, "r5_44": 44, "r6_60": 60, "r7_99": 99, "r8_116": 116}
 
 
 def _median(xs: list[float]) -> float:
