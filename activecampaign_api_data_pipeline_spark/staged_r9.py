@@ -55,6 +55,10 @@ analytic families the registry lacked):
 - ``a_funnel_windowed``: conversion funnel with 24 h conversion windows
   and exact integer mean time-to-convert per stage (the expiring-funnel
   semantics ``a_event_funnel``'s unconstrained ordering doesn't cover)
+- ``k_text_index_roundtrip`` / ``k_text_index_append``: the persisted
+  inverted-index lifecycle (``operators/text_index`` — build / frozen-
+  stats append / postings-only BM25 search, the text sibling of the
+  SQ8/IVF-PQ index stores)
 """
 
 from __future__ import annotations
@@ -1012,6 +1016,71 @@ def a_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_text_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted-index lifecycle, build→search: tokenize and
+    count ONCE into parquet postings/doclen/stats artifacts
+    (``operators.text_index``, the text-modality sibling of the SQ8 /
+    IVF-PQ index stores), then answer the standard 3-term BM25 query by
+    scanning q postings lists + a broadcast stats row — never the
+    corpus. Results are bit-identical to the index-free
+    ``text_bm25_topk`` (BIGINT parquet round-trips are exact), so the
+    two queries SHARE an oracle: same report from a 10⁶× cheaper
+    steady-state plan.
+    """
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.text_index import (
+        bm25_search_index,
+        build_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="acdp_tix_")
+    try:
+        build_text_index(docs, root)
+        return bm25_search_index(spark, root, _BM25_TERMS, k=20).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def k_text_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted-index lifecycle, build→append→search: the
+    index builds over the base corpus (``doc_id % 3 != 0``), the rest
+    arrives later through ``append_text_index`` — O(batch) postings and
+    lengths, NO rescan — and the search sees every document with exact
+    tf/df while ``n_docs``/``avgdl`` stay FROZEN at the build values
+    (the SQ8 frozen-calibration contract: appends never silently
+    re-score the corpus; drift is an explicit rebuild). The oracle
+    recomputes exactly that split: live postings over all docs, stats
+    over the base only — so a frozen-stats bug (recomputed avgdl,
+    missed appended postings) hash-fails.
+    """
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.text_index import (
+        append_text_index,
+        bm25_search_index,
+        build_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    late = docs.filter(F.col("doc_id") % 3 == 0)
+    root = tempfile.mkdtemp(prefix="acdp_tixa_")
+    try:
+        build_text_index(base, root)
+        append_text_index(late, root)
+        return bm25_search_index(spark, root, _BM25_TERMS, k=20).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _H60Q = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'qsplit',"
     " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -1473,3 +1542,49 @@ GROUP BY x.query_id
 
 
 STAGED_ORACLES["sim_recall_ivf"] = _recall_ivf_sql()
+
+# the index round-trip is bit-identical to the index-free scorer, so the
+# two queries share one oracle (the parquet round-trip is exact)
+STAGED_ORACLES["k_text_index_roundtrip"] = STAGED_ORACLES["text_bm25_topk"]
+
+# append twin: postings/df over ALL docs, stats FROZEN over the base
+# corpus only — pins the frozen-normalization contract
+STAGED_ORACLES["k_text_index_append"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) // count(*) AS avgdl, count(*) AS n_docs
+  FROM dl WHERE doc_id % 3 <> 0
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tfq
+  FROM toks WHERE tok IN ('spark', 'query', 'join')
+  GROUP BY doc_id, tok
+),
+dfre AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         (s.n_docs - d.df + 1) * 1000000 // (d.df + 1) AS idf_ppm,
+         (tf.tfq * 2200 * 1000) //
+           (tf.tfq * 1000 + (1200 * (250 + (750 * dl.dl) // s.avgdl)) // 1000)
+           AS sat_milli
+  FROM tf JOIN dl USING (doc_id), stats s
+  JOIN dfre d ON tf.tok = d.tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+         CAST(sum(idf_ppm * sat_milli // 1000) AS BIGINT) AS score_ppm
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_ppm
+FROM per_doc ORDER BY score_ppm DESC, doc_id ASC LIMIT 20
+"""

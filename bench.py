@@ -197,6 +197,8 @@ HEADLINE = [
     "w_time_weighted_avg",
     "a_simpson_diversity",
     "a_funnel_windowed",
+    "k_text_index_roundtrip",
+    "k_text_index_append",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -297,6 +297,61 @@ def test_sq8_index_crash_marker_forces_rebuild(spark, tmp_path):
     assert ANN.load_sq8_params(spark, path).dim == 64
 
 
+def test_text_index_roundtrip_append_and_ensure(spark, tmp_path):
+    """Inverted-index store contract: search over the index equals the
+    index-free scorer; ensure() never rebuilds a complete index; appends
+    extend postings/doclen but leave stats byte-identical (frozen
+    normalization); a crash marker forces rebuild."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark import staged_r9
+    from activecampaign_api_data_pipeline_spark.operators import text_index as TIX
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    path = str(tmp_path / "tix")
+    TIX.ensure_text_index(docs, path)
+    from_index = TIX.bm25_search_index(spark, path, staged_r9._BM25_TERMS, k=20)
+    direct = staged_r9.text_bm25_topk(spark, sf)
+    assert from_index.exceptAll(direct).count() == 0
+    assert direct.exceptAll(from_index).count() == 0
+
+    before = sorted(os.listdir(f"{path}/postings"))
+    TIX.ensure_text_index(docs, path)
+    assert sorted(os.listdir(f"{path}/postings")) == before
+
+    stats_before = spark.read.parquet(f"{path}/stats").collect()
+    new = spark.createDataFrame(
+        [(9_000_000, "spark query join spark"), (9_000_001, "")],
+        "doc_id long, text string",
+    )
+    TIX.append_text_index(new, path)
+    assert spark.read.parquet(f"{path}/stats").collect() == stats_before
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("doc_id") == 9_000_000
+    )
+    assert {r["tok"]: r["tf"] for r in post.collect()} == {
+        "spark": 2, "query": 1, "join": 1,
+    }
+    # empty doc indexes as dl=0 with no postings
+    dl = spark.read.parquet(f"{path}/doclen").filter(F.col("doc_id") == 9_000_001)
+    assert dl.collect()[0]["dl"] == 0
+    # the appended doc matches every term and must now rank first
+    top = TIX.bm25_search_index(spark, path, staged_r9._BM25_TERMS, k=20)
+    assert top.first()["doc_id"] == 9_000_000
+
+    # crash marker forces rebuild
+    spark.createDataFrame(
+        [(_json.dumps({"_building_": True}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    TIX.ensure_text_index(docs, path)
+    assert TIX.load_text_params(spark, path).id_col == "doc_id"
+
+
 def test_winsorize_bounds_and_tails(spark):
     """Winsorized sum is bounded by the clamp window and both tails trim
     ~5% of rows (integer-rank thresholds can be off by at most the tie
