@@ -55,10 +55,12 @@ analytic families the registry lacked):
 - ``a_funnel_windowed``: conversion funnel with 24 h conversion windows
   and exact integer mean time-to-convert per stage (the expiring-funnel
   semantics ``a_event_funnel``'s unconstrained ordering doesn't cover)
-- ``k_text_index_roundtrip`` / ``k_text_index_append``: the persisted
-  inverted-index lifecycle (``operators/text_index`` — build / frozen-
-  stats append / postings-only BM25 search, the text sibling of the
-  SQ8/IVF-PQ index stores)
+- ``k_text_index_roundtrip`` / ``k_text_index_append`` /
+  ``t_stream_text_index``: the persisted inverted-index lifecycle
+  (``operators/text_index`` — build / frozen-stats append / postings-
+  only BM25 search, the text sibling of the SQ8/IVF-PQ index stores),
+  plus its Structured-Streaming ingest twin (build-on-first-batch,
+  exactly-once appends)
 """
 
 from __future__ import annotations
@@ -1081,6 +1083,61 @@ def k_text_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def t_stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the inverted-index lifecycle: documents arrive
+    as a REAL Structured Streaming job in three doc_id-sliced
+    micro-batches through ``stream_into_text_index`` — batch 0 BUILDS
+    (and freezes the BM25 normalization on its own docs), batches 1-2
+    append O(batch) postings under the exactly-once anti-join guard —
+    then the standard 3-term search runs over the grown index. The
+    oracle recomputes the same split in SQL (stats over the
+    ``doc_id % 3 = 0`` slice, live postings over everything), so a
+    wrong batch order, a double-applied replay, or a re-derived avgdl
+    all hash-fail.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.text_index import (
+        bm25_search_index,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_text_index,
+    )
+
+    pin_confs(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="acdp_tixs_")
+    try:
+        stream_dir, idx, ckpt = (
+            os.path.join(root, d) for d in ("in", "idx", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        for i in range(3):
+            sl = docs.where(F.col("doc_id") % 3 == i)
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = stream_into_text_index(stream, idx, ckpt)
+        assert q.awaitTermination(300), "text-index stream did not drain in 300s"
+        return bm25_search_index(spark, idx, _BM25_TERMS, k=20).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _H60Q = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'qsplit',"
     " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -1546,6 +1603,48 @@ STAGED_ORACLES["sim_recall_ivf"] = _recall_ivf_sql()
 # the index round-trip is bit-identical to the index-free scorer, so the
 # two queries share one oracle (the parquet round-trip is exact)
 STAGED_ORACLES["k_text_index_roundtrip"] = STAGED_ORACLES["text_bm25_topk"]
+
+# streaming twin: batch 0 (doc_id % 3 = 0) builds and freezes the
+# normalization; batches 1-2 append — same SQL shape, base = slice 0
+STAGED_ORACLES["t_stream_text_index"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) // count(*) AS avgdl, count(*) AS n_docs
+  FROM dl WHERE doc_id % 3 = 0
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tfq
+  FROM toks WHERE tok IN ('spark', 'query', 'join')
+  GROUP BY doc_id, tok
+),
+dfre AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         (s.n_docs - d.df + 1) * 1000000 // (d.df + 1) AS idf_ppm,
+         (tf.tfq * 2200 * 1000) //
+           (tf.tfq * 1000 + (1200 * (250 + (750 * dl.dl) // s.avgdl)) // 1000)
+           AS sat_milli
+  FROM tf JOIN dl USING (doc_id), stats s
+  JOIN dfre d ON tf.tok = d.tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+         CAST(sum(idf_ppm * sat_milli // 1000) AS BIGINT) AS score_ppm
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_ppm
+FROM per_doc ORDER BY score_ppm DESC, doc_id ASC LIMIT 20
+"""
 
 # append twin: postings/df over ALL docs, stats FROZEN over the base
 # corpus only — pins the frozen-normalization contract

@@ -811,6 +811,70 @@ def stream_into_sq8_index(
     return writer.start()
 
 
+def stream_into_text_index(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Continuous document ingest into the persisted inverted text index
+    — the :func:`stream_into_sq8_index` contract applied to the text
+    modality: the first micro-batch BUILDS at ``path``
+    (:func:`~...operators.text_index.build_text_index` — its docs define
+    the frozen ``n_docs``/``avgdl`` normalization), every later batch
+    appends postings + lengths against the frozen stats
+    (:func:`append_text_index` — O(batch), never a corpus rescan or a
+    silent re-score).
+
+    Exactly-once: appends are guarded by an anti-join against the ids
+    already in ``doclen`` (EVERY indexed doc has a doclen row, including
+    empty ones — postings would miss token-less docs), so a replayed
+    batch after a crash between append and checkpoint commit is a no-op.
+    ``compact_artifact`` bounds the one-file-set-per-batch growth on
+    both per-doc artifacts.
+
+    Normalization caveat (the text analogue of calibrate-then-add):
+    avgdl reflects the FIRST batch's length distribution; sustained
+    drift skews the BM25 length penalty — rebuild at a new path to
+    re-freeze, exactly like the SQ8 stats.
+    """
+    from activecampaign_api_data_pipeline_spark.operators import text_index as TIX
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # crashed-build self-heal: rebuild when the sidecar is absent OR
+        # fails to parse as valid params (the '_building_' marker
+        # build_text_index writes first); genuine IO errors propagate.
+        complete = False
+        if path_exists(spark, f"{path}/params.json"):
+            try:
+                TIX.load_text_params(spark, path)
+                complete = True
+            except (TypeError, ValueError, KeyError, IndexError):
+                complete = False
+        if not complete:
+            TIX.build_text_index(batch_df, path)
+            return
+        seen = spark.read.parquet(f"{path}/doclen").select(
+            F.col("doc_id").alias(id_col)
+        ).distinct()
+        fresh = batch_df.join(seen, id_col, "left_anti")
+        if not fresh.isEmpty():
+            TIX.append_text_index(fresh, path)
+        compact_artifact(spark, f"{path}/postings")
+        compact_artifact(spark, f"{path}/doclen")
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_running_totals(
     stream: DataFrame,
     sink: str,

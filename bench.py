@@ -199,6 +199,7 @@ HEADLINE = [
     "a_funnel_windowed",
     "k_text_index_roundtrip",
     "k_text_index_append",
+    "t_stream_text_index",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

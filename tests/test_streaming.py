@@ -906,6 +906,58 @@ def test_stream_importance_state(spark, tmp_path):
     assert state.select("batch_id").distinct().count() == 2
 
 
+def test_stream_into_text_index_builds_then_appends(spark, tmp_path):
+    """Inverted index through the streaming ingest: first batch builds
+    (and freezes n_docs/avgdl), later batches append postings/doclen;
+    artifacts bit-identical to manual build(b0)+append(b1)+append(b2);
+    replays are no-ops (anti-join on doclen ids)."""
+    import os
+
+    from activecampaign_api_data_pipeline_spark.operators import text_index as TIX
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_text_index,
+    )
+
+    docs = [(i, f"tok{i % 7} common tok{i % 5} word{i}") for i in range(60)]
+    schema = "doc_id long, text string"
+    batches = [docs[:25], docs[25:45], docs[45:]]
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    for bno, rows in enumerate(batches):
+        f = src / f"b{bno}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(f) + "_tmp")
+        os.rename(str(f) + "_tmp", str(f))
+        base = 1_600_000_000 + bno * 60
+        for p in (str(f),) + tuple(
+            os.path.join(str(f), x) for x in os.listdir(str(f))
+        ):
+            os.utime(p, (base, base))
+
+    streamed = str(tmp_path / "tix_stream")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = stream_into_text_index(stream, streamed, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    manual = str(tmp_path / "tix_manual")
+    TIX.build_text_index(spark.createDataFrame(batches[0], schema), manual)
+    for rows in batches[1:]:
+        TIX.append_text_index(spark.createDataFrame(rows, schema), manual)
+
+    for art in ("stats", "postings", "doclen"):
+        a = sorted(map(tuple, spark.read.parquet(f"{streamed}/{art}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{manual}/{art}").collect()))
+        assert a == b, f"{art} differs"
+
+    # replay guard: every id of batch 1 is already indexed -> anti-join empty
+    seen = spark.read.parquet(f"{streamed}/doclen").select("doc_id").distinct()
+    dup = spark.createDataFrame(batches[1], schema)
+    assert dup.join(seen, "doc_id", "left_anti").isEmpty()
+
+
 def test_stream_into_sq8_index_builds_then_appends(spark, tmp_path):
     """SQ8 codec through the streaming ingest: first batch calibrates +
     builds, later batches append against FROZEN stats; bit-identical to
