@@ -61,6 +61,11 @@ analytic families the registry lacked):
   only BM25 search, the text sibling of the SQ8/IVF-PQ index stores),
   plus its Structured-Streaming ingest twin (build-on-first-batch,
   exactly-once appends)
+- ``q7_nation_volume``: the TPC-H Q7 shape — nation joins the fact
+  chain TWICE under supplier/customer roles, per-year pair volumes
+- ``a_pivot_daily_types``: daily event-type PIVOT through Spark's
+  native ``groupBy().pivot(values=...)`` with a deterministic column
+  list (the BI wide-matrix export)
 """
 
 from __future__ import annotations
@@ -1138,6 +1143,98 @@ def t_stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue shipped between every
+    DISTINCT (supplier nation, customer nation) pair per ship year — the
+    two-copies-of-one-dimension join (nation joins the fact chain twice
+    under different roles) the registry's other TPC-H shapes don't
+    exercise.
+
+    Plan: the ship-date range pushes to the lineitem scan; supplier and
+    BOTH nation copies broadcast (hinted — genuinely small dims);
+    customer and orders join WITHOUT hints so Catalyst/AQE picks
+    broadcast at test scale but falls back to shuffle joins at 100 TB
+    (customer is ~15 % of orders in TPC-H — forcing a broadcast there
+    would OOM a real cluster); one exchange for the (supp_nation,
+    cust_nation, year) aggregate; revenue through the DECIMAL
+    discipline with the final display cast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            F.broadcast(nat.withColumnsRenamed({"n_nationkey": "sk", "n_name": "supp_nation"})),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(nat.withColumnsRenamed({"n_nationkey": "ck", "n_name": "cust_nation"})),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).alias("rev_dec"), F.count("*").alias("n_items"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("long").alias("l_year"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+#: fixed pivot columns — a deterministic schema is what makes PIVOT
+#: oracle-checkable (dynamic pivot would make the schema data-dependent)
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def a_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type PIVOT: one row per day, one count column per
+    event type plus the purchase cents total — the wide activity matrix
+    every BI export wants, through Spark's native
+    ``groupBy().pivot(values=...)`` (the explicit value list keeps the
+    schema deterministic AND skips the extra distinct-scan pass a
+    dynamic pivot pays; the oracle is the equivalent conditional
+    aggregation, which is also exactly what Catalyst lowers PIVOT to —
+    one exchange, map-side combinable).
+    """
+    e = _ev(spark, sf_dir).withColumn(
+        "d", F.date_format(F.to_timestamp(F.col("es")), "yyyy-MM-dd")
+    )
+    counted = (
+        e.groupBy("d")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [t for t in _PIVOT_TYPES])
+    )
+    wide = counted.select(
+        F.col("d").alias("day"),
+        *[F.col(t).alias(f"n_{t}") for t in _PIVOT_TYPES],
+    )
+    cents = e.filter(
+        (F.col("event_type") == "purchase") & F.col("cents").isNotNull()
+    ).groupBy("d").agg(F.sum("cents").alias("purchase_cents"))
+    return wide.join(cents, wide["day"] == cents["d"], "left").select(
+        "day",
+        *[f"n_{t}" for t in _PIVOT_TYPES],
+        F.coalesce("purchase_cents", F.lit(0)).alias("purchase_cents"),
+    )
+
+
 _H60Q = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'qsplit',"
     " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -1478,6 +1575,37 @@ g AS (
 )
 SELECT user_id, n_events, span_s, num, num // span_s AS twa_cents
 FROM g WHERE span_s > 0
+""",
+    "q7_nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+    "a_pivot_daily_types": f"""
+WITH e AS ({_EV_SQL}),
+d AS (SELECT strftime(to_timestamp(es), '%Y-%m-%d') AS day, event_type, cents FROM e)
+SELECT day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents END), 0) AS BIGINT)
+         AS purchase_cents
+FROM d GROUP BY day
 """,
     "a_funnel_windowed": f"""
 WITH e AS (

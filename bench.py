@@ -200,6 +200,8 @@ HEADLINE = [
     "k_text_index_roundtrip",
     "k_text_index_append",
     "t_stream_text_index",
+    "q7_nation_volume",
+    "a_pivot_daily_types",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
