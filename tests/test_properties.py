@@ -263,3 +263,43 @@ def test_winsorize_clamp_idempotent(spark, cents):
     w2 = w1.select(F.least(F.greatest(F.col("w"), F.col("lo")), F.col("hi")).alias("w2"), "w")
     rows = w2.collect()
     assert all(r["w"] == r["w2"] for r in rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_largestar_smallstar_matches_union_find(spark, edges):
+    """Star-contraction connected components agree with a pure-Python
+    union-find on arbitrary random graphs (self-loops and duplicate
+    edges included) — the adversarial coverage the planted-chain unit
+    test can't give."""
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        largestar_smallstar_components,
+    )
+
+    parent = list(range(20))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e if e[0] != e[1]}
+    want = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in largestar_smallstar_components(df).collect()
+    }
+    assert got == want
