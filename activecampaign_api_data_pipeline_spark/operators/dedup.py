@@ -523,6 +523,102 @@ def largestar_smallstar_components(
     )
 
 
+def build_cc_store(edges: DataFrame, path: str) -> None:
+    """Persist connected-component labels at ``path`` — the dedup-cluster
+    analogue of the ANN/text index stores: pair detectors run daily, but
+    components must be maintained INCREMENTALLY (re-clustering the full
+    corpus per batch is the one cost that grows with history, not with
+    the day's data). ``labels`` holds ``(node, label)`` with label = the
+    component's min node id, computed by
+    :func:`largestar_smallstar_components`; the ``params.json`` sidecar
+    follows the crash-safe ``_building_`` marker protocol."""
+    import json
+
+    spark = edges.sparkSession
+    spark.createDataFrame(
+        [(json.dumps({"_building_": True}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    labels = largestar_smallstar_components(edges)
+    labels.write.mode("overwrite").parquet(f"{path}/labels")
+    spark.createDataFrame(
+        [(json.dumps({"kind": "cc_labels"}),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+
+
+def append_cc_edges(new_edges: DataFrame, path: str) -> None:
+    """Ingest a NEW batch of edges into the persisted component store in
+    work proportional to the TOUCHED components, never the full graph:
+
+    1. CONTRACT the batch through the stored labels — each endpoint maps
+       to its component's label (unseen nodes stay raw), and edges
+       internal to one component vanish. The contracted graph has one
+       node per touched component/new node: batch-sized, not
+       corpus-sized.
+    2. Re-run star contraction on that contracted graph — merges that
+       CHAIN across this batch (edge A-B plus edge B-C fusing three old
+       components) resolve here, in O(log batch) rounds over batch-sized
+       frames.
+    3. Fold the resulting relabel map back: stored rows whose label was
+       remapped move to the merged component's new min (one scan of the
+       label table with a broadcast map-side join — the same
+       scan-codes-only cost shape as the ANN index probes), and unseen
+       nodes insert. The rewrite here is a plain overwrite; at 100 TB,
+       bucket ``labels`` by label and rewrite only source+destination
+       buckets (the ``TableStore`` dynamic-overwrite pattern) — the
+       contract stays O(touched).
+
+    Because every stored label is already its component's minimum, the
+    contracted min IS the merged component's global min — no second
+    fixpoint over the store is ever needed.
+    """
+    spark = new_edges.sparkSession
+    store = spark.read.parquet(f"{path}/labels")
+    e = new_edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    la = store.withColumnsRenamed({"node": "a", "label": "la"})
+    lb = store.withColumnsRenamed({"node": "b", "label": "lb"})
+    contracted = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("src"),
+            F.coalesce("lb", F.col("b")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    m = largestar_smallstar_components(contracted)
+    remap = m.filter(F.col("node") != F.col("label")).withColumnsRenamed(
+        {"node": "old", "label": "new"}
+    )
+    moved = (
+        store.join(F.broadcast(remap), store["label"] == remap["old"])
+        .select("node", F.col("new").alias("label"))
+    )
+    kept = store.join(
+        F.broadcast(remap), store["label"] == remap["old"], "left_anti"
+    )
+    batch_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    fresh = batch_nodes.join(store, "node", "left_anti")
+    fresh_labeled = (
+        fresh.join(m, "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+    )
+    updated = kept.unionByName(moved).unionByName(fresh_labeled).localCheckpoint(
+        eager=True
+    )
+    updated.write.mode("overwrite").parquet(f"{path}/labels")
+
+
+def read_cc_labels(spark, path: str) -> DataFrame:
+    """Current ``(node, label)`` component assignment from the store."""
+    return spark.read.parquet(f"{path}/labels")
+
+
 def cross_split_contamination(
     train: DataFrame,
     test: DataFrame,

@@ -2163,9 +2163,9 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last-green-r6 deadline moves to r10. The 34 remaining r9 slots go to
 # last-green-r6 entries (oldest-by-position first); the rest of the
 # r6-green set plus this round's window lead the r10 rotation. The
-# TWENTY-THREE staged_r9 queries (typed-exact at two SFs in r8) stage
+# TWENTY-FOUR staged_r9 queries (typed-exact at two SFs in r8) stage
 # through r9 under the same deferral unless slots remain; promoting
-# them in r10 takes N to 177 — cadence stays ceil(177/50)=4 rounds.
+# them in r10 takes N to 178 — cadence stays ceil(178/50)=4 rounds.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,

@@ -66,6 +66,11 @@ analytic families the registry lacked):
 - ``a_pivot_daily_types``: daily event-type PIVOT through Spark's
   native ``groupBy().pivot(values=...)`` with a deterministic column
   list (the BI wide-matrix export)
+- ``k_cc_store_roundtrip``: the INCREMENTAL connected-components store
+  (``dedup.build_cc_store`` / ``append_cc_edges`` — contract new edges
+  through stored labels, star-contract the batch-sized quotient, fold
+  the relabel map back; replay-idempotent), sharing ``g_cc_chain``'s
+  closure oracle
 """
 
 from __future__ import annotations
@@ -1235,6 +1240,64 @@ def a_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_cc_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components STORE lifecycle: the per-lang
+    chains build the persisted label store
+    (``operators.dedup.build_cc_store``), then the cross-language
+    bridges arrive as a later batch (``append_cc_edges`` — contract
+    through stored labels, star-contract the batch-sized quotient graph,
+    fold the relabel map back; never a full re-cluster), then a
+    REPLAYED slice of already-ingested edges proves idempotency. The
+    final report is the same (doc_id, component_id, is_kept) frame as
+    ``g_cc_chain``, so the two queries SHARE the recursive-CTE closure
+    oracle: an incremental-maintenance bug (dropped chained merge,
+    double-applied replay, non-min label) diverges from the one-shot
+    truth and hash-fails.
+    """
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        append_cc_edges,
+        build_cc_store,
+        read_cc_labels,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wl = Window.partitionBy("lang").orderBy("doc_id")
+    ch = d.select(
+        F.lag("doc_id").over(wl).alias("src"), F.col("doc_id").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    br = (
+        d.filter(F.col("doc_id") % 17 == 0)
+        .groupBy("n_chars")
+        .agg(F.min("doc_id").alias("src"), F.max("doc_id").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    root = tempfile.mkdtemp(prefix="acdp_ccs_")
+    try:
+        build_cc_store(ch, root)
+        append_cc_edges(br, root)
+        # replay: re-ingesting already-seen edges must be a no-op
+        append_cc_edges(ch.limit(50), root)
+        labels = read_cc_labels(spark, root)
+        return (
+            d.select("doc_id")
+            .join(labels, d["doc_id"] == labels["node"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("label", F.col("doc_id")).alias("component_id"),
+            )
+            .withColumn(
+                "is_kept", (F.col("doc_id") == F.col("component_id")).cast("int")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _H60Q = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'qsplit',"
     " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -1731,6 +1794,10 @@ STAGED_ORACLES["sim_recall_ivf"] = _recall_ivf_sql()
 # the index round-trip is bit-identical to the index-free scorer, so the
 # two queries share one oracle (the parquet round-trip is exact)
 STAGED_ORACLES["k_text_index_roundtrip"] = STAGED_ORACLES["text_bm25_topk"]
+
+# incremental store over the same final edge set as the one-shot query —
+# shared closure oracle pins build+append+replay against recomputed truth
+STAGED_ORACLES["k_cc_store_roundtrip"] = STAGED_ORACLES["g_cc_chain"]
 
 # streaming twin: batch 0 (doc_id % 3 = 0) builds and freezes the
 # normalization; batches 1-2 append — same SQL shape, base = slice 0

@@ -202,6 +202,7 @@ HEADLINE = [
     "t_stream_text_index",
     "q7_nation_volume",
     "a_pivot_daily_types",
+    "k_cc_store_roundtrip",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

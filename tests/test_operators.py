@@ -186,6 +186,48 @@ def test_largestar_smallstar_matches_minlabel_on_chains(spark):
     assert all(want[k] == v for k, v in got.items())
 
 
+def test_cc_store_incremental_equals_one_shot(spark, tmp_path):
+    """Incremental component maintenance must equal one-shot clustering
+    over the union of all batches — including the hard case where one
+    batch edge fuses components that were EACH formed by earlier merges,
+    a new node becomes the merged component's min, and a replayed batch
+    is a no-op."""
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        append_cc_edges,
+        build_cc_store,
+        largestar_smallstar_components,
+        read_cc_labels,
+    )
+
+    path = str(tmp_path / "ccs")
+    base = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (40, 41)], "src long, dst long"
+    )
+    build_cc_store(base, path)
+    # batch 1: fuse {10..12} with {20,21}; extend {30,31} with new node 5
+    # (5 < 30 — the NEW node must become that component's label)
+    b1 = spark.createDataFrame([(12, 20), (31, 5)], "src long, dst long")
+    append_cc_edges(b1, path)
+    got1 = {r["node"]: r["label"] for r in read_cc_labels(spark, path).collect()}
+    assert got1[20] == 10 and got1[21] == 10 and got1[12] == 10
+    assert got1[30] == 5 and got1[31] == 5 and got1[5] == 5
+    assert got1[40] == 40 and got1[41] == 40
+    # batch 2: one edge chains the two previously-merged components
+    b2 = spark.createDataFrame([(21, 30)], "src long, dst long")
+    append_cc_edges(b2, path)
+    # replay batch 1 — must change nothing
+    append_cc_edges(b1, path)
+    got = {r["node"]: r["label"] for r in read_cc_labels(spark, path).collect()}
+    want = {
+        r["node"]: r["label"]
+        for r in largestar_smallstar_components(
+            base.unionAll(b1).unionAll(b2)
+        ).collect()
+    }
+    assert got == want
+    assert got[10] == 5 and got[41] == 40
+
+
 def test_largestar_smallstar_empty_edges(spark):
     from activecampaign_api_data_pipeline_spark.operators.dedup import (
         largestar_smallstar_components,
