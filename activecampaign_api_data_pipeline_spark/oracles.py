@@ -2047,11 +2047,13 @@ SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset, n_users,
 FROM s
 """
 
-    # round-7 promotion: the staged_r7 batch keeps its oracles next to its
-    # implementations; merge them here so every REGISTRY entry resolves.
-    from activecampaign_api_data_pipeline_spark.staged_r7 import PROMOTED_ORACLES
+    # round-7/round-9 promotions: each staged batch keeps its oracles next
+    # to its implementations; merge them here so every REGISTRY entry
+    # resolves.
+    from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8
 
-    overlap = set(o) & set(PROMOTED_ORACLES)
-    assert not overlap, f"duplicate oracle keys: {overlap}"
-    o.update(PROMOTED_ORACLES)
+    for batch in (staged_r7.PROMOTED_ORACLES, staged_r8.PROMOTED_ORACLES):
+        overlap = set(o) & set(batch)
+        assert not overlap, f"duplicate oracle keys: {overlap}"
+        o.update(batch)
     return o

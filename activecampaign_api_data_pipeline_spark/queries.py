@@ -2130,42 +2130,45 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      displaced must be typed-replica green the round it is parked
 #      (tools/oracle_replica.py — stricter than the driver hash).
 #
-# r8 window (EXECUTED per the r7 pre-plan, adjusted for this round's
-# touches): slots 1-39 = ALL 39 last-green-r5 entries at their
-# ceil(138/50)=3-round cadence deadline (rule 3); slots 40-44 = the five
-# TableStore-path queries (k_scd2_history, k_gold_ckpt_asof,
-# k_dataset_diff, k_gold_asof, k2_medallion_snapshot) whose persist()
-# execution path gained the zero-survivor tombstone branch this round
-# (rule 2, touched-module); slots 45-46 = mm_video_neardup +
-# mm_audio_neardup, whose shared frame_dedup_pairs kernel was reworked
-# persist-scoped after the r7 driver run (rule 2, touched-function);
-# slots 47-49 = three oldest-by-position last-green-r6 entries
-# (a_vocab_topk, text_tfidf_topterms, a_sample_stratified) easing the
-# r9 load; slot 50 = j_rfm_scores, whose exact ranks moved to the
-# bucketed two-level form (operators/ranking.py) this round (rule 2,
-# touched-function — it displaced the fourth bonus entry,
-# a_bigram_condprob, which is r6-green and inside its cadence; per
-# rule 4 the displaced entry was typed-replica verified at sf0.01 in
-# r8 — exact, 916 rows).
-#
 # CADENCE (rule-3, from the r6 note): with N registry entries and a
 # 50-slot window the best achievable driver re-check cadence is
-# ceil(N/50) rounds — 3 at 138 entries. Rule 3 therefore reads "every
-# ceil(N/50) rounds" with rule 4's priority order (new > never-checked
-# > most-stale > touched) deciding who waits. Every entry parked past
-# 50 must be typed-replica green (tools/oracle_replica.py) in the round
-# it is parked; the staleness bound applies to DRIVER rows only.
+# ceil(N/50) rounds — 4 at the current 154 entries. Rule 3 therefore
+# reads "every ceil(N/50) rounds" with rule 4's priority order (new >
+# never-checked > most-stale > touched) deciding who waits. Every entry
+# parked past 50 must be typed-replica green (tools/oracle_replica.py)
+# in the round it is parked; the staleness bound applies to DRIVER rows
+# only.
 #
-# r9 WINDOW PRE-PLAN: promote the SIXTEEN staged_r8 queries (rule 1:
-# REGISTRY references + STAGED_ORACLES -> PROMOTED_ORACLES -> merged
-# into build_oracles, the staged_r7 mechanics verbatim) — N becomes
-# 154, so the cadence lengthens to ceil(154/50)=4 rounds and the
-# last-green-r6 deadline moves to r10. The 34 remaining r9 slots go to
-# last-green-r6 entries (oldest-by-position first); the rest of the
-# r6-green set plus this round's window lead the r10 rotation. The
-# TWENTY-FOUR staged_r9 queries (typed-exact at two SFs in r8) stage
-# through r9 under the same deferral unless slots remain; promoting
-# them in r10 takes N to 178 — cadence stays ceil(178/50)=4 rounds.
+# DRIVER-ROW LEDGER (r9 note): the driver never recorded a
+# CORRECTNESS_r08.json — the r8 eval did not run, so the r8 window
+# rotation (39 last-green-r5 entries + 11 touched/bonus slots, executed
+# as pre-planned and typed-replica certified 177/177 locally that
+# round) banked NO driver rows. Staleness accounting therefore still
+# reads from r5/r6/r7 rows: 39 entries last-green r5 (driver-row
+# deadline r9 at the 4-round cadence), 49 last-green r6 (deadline r10),
+# 50 last-green r7 (deadline r11).
+#
+# r9 window (EXECUTED): slots 1-16 = the SIXTEEN staged_r8 promotions
+# (rule 1: REGISTRY references + PROMOTED_ORACLES merged into
+# build_oracles, the staged_r7 mechanics verbatim; N: 138 -> 154,
+# cadence ceil(154/50)=4). Slots 17-50 = 34 of the 39 last-green-r5
+# entries at their rule-3 deadline, in prior registry order. The
+# deadline set exceeds the window by 5 (39+16=55), so per rule 4 five
+# r5-green entries whose operator surface is covered by an in-window
+# cousin are displaced — sim_ivf_nprobe2 (cousin sim_ivf_topk),
+# sim_ivfpq_residual + sim_ivfpq_from_index (cousin sim_ivfpq_topk),
+# sim_ann_index_nprobe1 (cousin sim_ann_index_append), llm_corpus_prep
+# (superset llm_corpus_pipeline) — each typed-replica verified at
+# sf0.01 this round (tools/oracle_replica.py, exact).
+#
+# r10 WINDOW PRE-PLAN: the 49 last-green-r6 entries hit their 4-round
+# deadline at r10 and fill slots 1-49 (oldest-by-position first); slot
+# 50 = the oldest r7-green entry plus any rule-2 touches. The
+# TWENTY-FOUR staged_r9 queries (typed-exact at two SFs since r8) stay
+# staged through r10 — promoting them at r11 (N -> 178, cadence still
+# ceil(178/50)=4) shares the r11 window with the r7-green deadline set
+# (24 new + the 5 r9-displaced r5-green entries + r7-green set); the
+# overflow parks under rule 4 with typed-replica cover as usual.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,
@@ -2209,8 +2212,44 @@ from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     w_holt_linear,
     w_share_of_total,
 )
+from activecampaign_api_data_pipeline_spark.staged_r8 import (  # noqa: E402
+    a_bucket_quantiles,
+    a_survival_hazard,
+    a_weighted_sample,
+    g_kcore,
+    k_cdc_merge,
+    k_cdc_store_roundtrip,
+    k_profile_orders,
+    llm_ngram_novelty,
+    llm_temporal_split,
+    t_stream_cdc,
+    t_stream_pattern,
+    text_bigram_familiarity,
+    text_dict_tag,
+    w_lag1_autocorr,
+    w_pattern_match,
+    w_rolling_median,
+)
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ---- slots 1-16: staged_r8 promotions (rule 1, new this round) ----
+    "w_pattern_match": w_pattern_match,
+    "t_stream_pattern": t_stream_pattern,
+    "k_cdc_merge": k_cdc_merge,
+    "k_cdc_store_roundtrip": k_cdc_store_roundtrip,
+    "t_stream_cdc": t_stream_cdc,
+    "a_weighted_sample": a_weighted_sample,
+    "llm_ngram_novelty": llm_ngram_novelty,
+    "w_rolling_median": w_rolling_median,
+    "a_bucket_quantiles": a_bucket_quantiles,
+    "w_lag1_autocorr": w_lag1_autocorr,
+    "text_bigram_familiarity": text_bigram_familiarity,
+    "g_kcore": g_kcore,
+    "text_dict_tag": text_dict_tag,
+    "llm_temporal_split": llm_temporal_split,
+    "a_survival_hazard": a_survival_hazard,
+    "k_profile_orders": k_profile_orders,
+    # ---- slots 17-50: last-green-r5 entries at their rule-3 deadline ----
     "t_stream_append": t_stream_append,
     "t_stream_window_hourly": t_stream_window_hourly,
     "t_sessionize": t_sessionize,
@@ -2233,12 +2272,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "t_window_hourly": t_window_hourly,
     "sim_ivf_topk": sim_ivf_topk,
-    "sim_ivf_nprobe2": sim_ivf_nprobe2,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
-    "sim_ivfpq_residual": sim_ivfpq_residual,
-    "sim_ivfpq_from_index": sim_ivfpq_from_index,
-    "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
     "sim_ann_index_append": sim_ann_index_append,
     "text_repetition": text_repetition,
     "llm_mixture_sample": llm_mixture_sample,
@@ -2248,8 +2283,17 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "llm_decontaminate": llm_decontaminate,
-    "llm_corpus_prep": llm_corpus_prep,
     "llm_corpus_pipeline": llm_corpus_pipeline,
+    # ---- past the 50-entry window: the five rule-4 displacements from
+    #      the r5-deadline set (each covered by an in-window cousin;
+    #      typed-replica verified at sf0.01 this round — see the
+    #      rotation note above) ----
+    "sim_ivf_nprobe2": sim_ivf_nprobe2,
+    "sim_ivfpq_residual": sim_ivfpq_residual,
+    "sim_ivfpq_from_index": sim_ivfpq_from_index,
+    "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
+    "llm_corpus_prep": llm_corpus_prep,
+    # ---- past the window: r6/r7-green, inside the 4-round cadence ----
     "k_scd2_history": k_scd2_history,
     "k_gold_ckpt_asof": k_gold_ckpt_asof,
     "k_dataset_diff": k_dataset_diff,

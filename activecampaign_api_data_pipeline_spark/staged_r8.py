@@ -1,19 +1,15 @@
-"""Queries STAGED for the round-8 driver window.
+"""Queries staged in round 8, PROMOTED to the registry in round 9.
 
-Same contract as ``staged_r7`` had before its promotion: the rotation
-policy (note above ``REGISTRY`` in ``queries.py``) requires every NEW
-registry entry to sit inside the driver's 50-query window the round it
-appears. The r7 window is saturated by the 40 staged_r7 promotions, so
-new work lands here — each query ships with a DuckDB oracle in
-``STAGED_ORACLES`` and is verified by the SAME typed Spark-vs-DuckDB
-compare the replica harness uses (``tests/test_staged_r7.py``
-parametrizes over this dict too). Round 9 promotes the batch (the r8
-window was owned by the 39 last-green-r5 entries at their cadence
-deadline plus this round's touched queries — see the rotation pre-plan
-above ``REGISTRY``) by referencing the functions from REGISTRY and
-merging the oracles into ``oracles.build_oracles``.
+Same mechanics as the ``staged_r7`` promotion: every name in
+``PROMOTED_ORACLES`` is now referenced from ``queries.py``'s REGISTRY
+(window head, per rotation rule 1) and its oracle is merged into
+``oracles.build_oracles``. The implementations stay in this module —
+REGISTRY imports them — so function history and the typed
+Spark-vs-DuckDB regression test (``tests/test_staged_r7.py``
+parametrizes over this dict) remain in one place. New pre-registry
+work goes in ``staged_r9`` and later.
 
-Operator families the registry does not cover yet (16 queries):
+Operator families this batch added (16 queries):
 - ``w_pattern_match`` / ``t_stream_pattern``: MATCH_RECOGNIZE-lite
   event-sequence CEP, batch + cross-batch streaming (2-row lookahead
   state catches boundary-spanning patterns exactly once)
@@ -42,7 +38,7 @@ from pyspark.sql import functions as F
 from activecampaign_api_data_pipeline_spark.functions.hashing import hash60, split_assign
 from activecampaign_api_data_pipeline_spark.sources.tables import load_table
 
-__all__ = ["STAGED_ORACLES"]
+__all__ = ["PROMOTED_ORACLES"]
 
 #: epoch-seconds events projection shared by the event queries (the
 #: second-truncation convention that keeps ordering engine-reproducible)
@@ -765,7 +761,7 @@ _H60 = (
     "CAST(concat('0x', substr(md5(concat_ws('||', 'ws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
 
-STAGED_ORACLES: dict[str, str] = {
+PROMOTED_ORACLES: dict[str, str] = {
     "k_profile_orders": """
 WITH w AS (
   SELECT

@@ -311,7 +311,7 @@ def test_registry_window_policy_invariants():
     unresolved = [
         n for n in HEADLINE
         if n not in names
-        and n not in staged_r8.STAGED_ORACLES
+        and n not in staged_r8.PROMOTED_ORACLES
         and n not in staged_r9.STAGED_ORACLES
     ]
     assert not unresolved, f"bench entries without query or staged impl: {unresolved}"

@@ -2,9 +2,10 @@
 the same compare the replica harness applies to registered queries
 (Arrow schema families + canonical sorted-row value hash), run in
 pytest so a staged query carries a hard signal before it ever enters
-the driver window. The r7 batch is PROMOTED (registered) as of round 7
-but keeps this typed regression coverage; new pre-registry work in
-staged_r8 is picked up by the same parametrization automatically."""
+the driver window. The r7 batch is PROMOTED (registered) as of round
+7 and the r8 batch as of round 9; both keep this typed regression
+coverage. New pre-registry work in staged_r9 and later is picked up by
+the same parametrization automatically."""
 
 import sys
 from pathlib import Path
@@ -21,7 +22,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 _TYPED = {
     **{n: (staged_r7, sql) for n, sql in staged_r7.PROMOTED_ORACLES.items()},
-    **{n: (staged_r8, sql) for n, sql in staged_r8.STAGED_ORACLES.items()},
+    **{n: (staged_r8, sql) for n, sql in staged_r8.PROMOTED_ORACLES.items()},
     **{n: (staged_r9, sql) for n, sql in staged_r9.STAGED_ORACLES.items()},
 }
 
@@ -116,17 +117,18 @@ def test_drift_report_spine_complete(spark):
 def test_promoted_registered_staged_disjoint():
     from activecampaign_api_data_pipeline_spark.queries import REGISTRY
 
-    # r7 promotion executed: every promoted query is registered, its
-    # REGISTRY entry IS the staged_r7 function, and its oracle resolves
-    missing = set(staged_r7.PROMOTED_ORACLES) - set(REGISTRY)
-    assert not missing, f"promoted queries not registered: {missing}"
-    for name in staged_r7.PROMOTED_ORACLES:
-        assert REGISTRY[name] is getattr(staged_r7, name)
+    # r7/r9 promotions executed: every promoted query is registered, its
+    # REGISTRY entry IS the staged-module function, and its oracle resolves
+    for mod in (staged_r7, staged_r8):
+        missing = set(mod.PROMOTED_ORACLES) - set(REGISTRY)
+        assert not missing, f"promoted queries not registered: {missing}"
+        for name in mod.PROMOTED_ORACLES:
+            assert REGISTRY[name] is getattr(mod, name)
     # pre-registry staging stays disjoint until its own promotion round
-    overlap = set(staged_r8.STAGED_ORACLES) & set(REGISTRY)
+    overlap = set(staged_r9.STAGED_ORACLES) & set(REGISTRY)
     assert not overlap, f"staged queries already registered: {overlap}"
-    for name in staged_r8.STAGED_ORACLES:
-        assert callable(getattr(staged_r8, name))
+    for name in staged_r9.STAGED_ORACLES:
+        assert callable(getattr(staged_r9, name))
 
 
 def test_sq8_codes_range_and_calibration(spark):
