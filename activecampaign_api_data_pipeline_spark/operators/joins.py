@@ -111,3 +111,73 @@ def range_join_bucketed(
         (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
     )
     return joined.drop("_bkt")
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_s: int,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join with a max-staleness tolerance: the latest
+    right row satisfying ``left_ts - tolerance_s <= right_ts <= left_ts``
+    (pandas ``merge_asof(tolerance=...)`` semantics; no reference-pipeline
+    analog — temporal-join extension family like :func:`asof_join`).
+
+    Same ONE shuffle+sort union formulation as :func:`asof_join` — linear
+    in |L|+|R| per key, never a theta join. The carried match struct
+    additionally holds the right timestamp, and a carry that is older
+    than the tolerance nulls out in a per-row projection AFTER the
+    window, so the staleness check costs nothing extra. Both timestamp
+    columns must be NUMERIC (epoch seconds) so the gap arithmetic is
+    exact; ``<right_ts><suffix>`` is returned alongside the matched
+    columns (NULL when no right row lies inside the tolerance window).
+    Right rows must be unique per ``(on, right_ts)`` — pre-reduce ties
+    deterministically upstream.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    lcols = left.columns
+    match_t = StructType(
+        [StructField("_rts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
+    tagged_r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
+        ).alias("_match"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+    )
+    tagged_l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(match_t).alias("_match"),
+        *[F.col(c) for c in lcols if c != on],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc_nulls_last(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_r.unionByName(tagged_l).select(
+        "*", F.last("_match", ignorenulls=True).over(w).alias("_m")
+    )
+    valid = F.col("_m").isNotNull() & (
+        (F.col("_ts") - F.col("_m").getField("_rts")) <= F.lit(tolerance_s)
+    )
+    out_cols = [F.col(on)] + [F.col(c) for c in lcols if c != on]
+    out_cols.append(
+        F.when(valid, F.col("_m").getField("_rts")).alias(f"{right_ts}{suffix}")
+    )
+    out_cols += [
+        F.when(valid, F.col("_m").getField(c)).alias(f"{c}{suffix}") for c in right_cols
+    ]
+    return carried.filter(F.col("_side") == 1).select(*out_cols)

@@ -1,0 +1,116 @@
+"""Z-order (Morton curve) data layout + min/max file-skipping manifest.
+
+At 100 TB the fastest scan is the one that never happens: cluster the
+table so each file covers a tight hyper-rectangle of the filter columns,
+record per-file min/max statistics in a manifest, and let point/range
+queries read only the files whose stats overlap the predicate — the
+Delta Lake ``OPTIMIZE ZORDER BY`` / Iceberg sort-order idea (public
+literature: Morton 1966; the multi-dimensional clustering sections of
+the Delta/Iceberg docs), built here from plain parquet + a manifest
+table, no table format required.
+
+Why Morton order: range-partitioning on ``(a, b)`` lexicographically
+makes files tight in ``a`` but spans the full ``b`` domain, so
+``b``-only predicates prune nothing. Interleaving the bits of both
+columns gives every file a bounded extent in BOTH dimensions — either
+predicate skips most files.
+
+No reference-pipeline analog (`run_ac_extraction.py` writes flat CSVs);
+lake-layout extension family alongside ``storage.save_bucketed``.
+
+Scale notes: the z-value is a pure JVM-side bit expression (no UDF);
+the write is one ``repartitionByRange`` (range boundaries come from
+Spark's reservoir sample, so file BOUNDARIES are not bit-stable across
+runs — query RESULTS are, which is what the oracle checks); the
+manifest is one tiny aggregate over ``input_file_name()`` and the
+pruning decision is a manifest scan, never a data scan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest"
+
+
+def morton_value(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns (a→even positions, b→odd) as one long — whole-stage-codegen
+    bit arithmetic, no Python. Columns wider than ``bits`` still
+    cluster correctly on their low bits; callers with wide domains
+    should pre-scale (e.g. divide out the unit) rather than raise
+    ``bits`` past 31."""
+    pieces = [
+        F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        for i in range(bits)
+    ] + [
+        F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for i in range(bits)
+    ]
+    return reduce(lambda x, y: x.bitwiseOR(y), pieces).alias("_zv")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered along the
+    Morton curve of ``(col_a, col_b)``, plus a ``_manifest`` table of
+    per-file min/max for both columns and a row count. One range
+    shuffle + one metadata-sized aggregate."""
+    zv = morton_value(F.col(col_a), F.col(col_b), bits)
+    (
+        df.withColumn("_zv", zv)
+        .repartitionByRange(n_files, F.col("_zv"))
+        .sortWithinPartitions("_zv")
+        .drop("_zv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(col_a).alias(f"min_{col_a}"),
+            F.max(col_a).alias(f"max_{col_a}"),
+            F.min(col_b).alias(f"min_{col_b}"),
+            F.max(col_b).alias(f"max_{col_b}"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST}")
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+) -> tuple[DataFrame, int, int]:
+    """Manifest-gated read: keep only files whose [min, max] envelope
+    overlaps EVERY requested ``col: (lo, hi)`` range, then hand the
+    survivors to the parquet reader (whose row-group stats prune
+    further). Returns ``(df, files_selected, files_total)``. The caller
+    still applies the exact predicate — manifests bound, they don't
+    filter. An empty survivor set returns an empty-but-typed frame."""
+    manifest = spark.read.parquet(f"{path}/{MANIFEST}").collect()
+    total = len(manifest)
+    keep = []
+    for row in manifest:
+        ok = all(
+            not (row[f"min_{c}"] > hi or row[f"max_{c}"] < lo)
+            for c, (lo, hi) in ranges.items()
+        )
+        if ok:
+            keep.append(row["file"])
+    full = spark.read.parquet(path)
+    if not keep:
+        return full.filter(F.lit(False)), 0, total
+    return spark.read.parquet(*keep), len(keep), total

@@ -175,3 +175,55 @@ def ensure_text_index(docs: DataFrame, path: str, **params) -> str:
         pass
     build_text_index(docs, path, **params)
     return path
+
+
+def compact_text_index(spark: SparkSession, path: str, files_per_artifact: int = 4) -> None:
+    """Segment-merge maintenance for an appended index: every
+    ``append_text_index`` call lands one file set per artifact, so a
+    year of ingest is thousands of tiny postings segments and every
+    search pays the open-file tax across ALL of them. Compaction
+    rewrites ``postings`` range-clustered and sorted by ``tok`` (a
+    q-term search then touches ~q files instead of every segment —
+    the Lucene segment-merge idea expressed as a parquet re-layout) and
+    ``doclen`` clustered by ``doc_id``. Pure layout: (term, doc) pairs
+    are unique across appends (the caller owns id uniqueness), so
+    content — and therefore every search result — is bit-identical
+    before and after; only file count and clustering change. ``stats``
+    and ``params.json`` are untouched (the frozen-normalization
+    contract).
+
+    Crash-safe via the same staging/rename discipline as
+    ``storage.compact_artifact`` (write ``__compacting``, rename live
+    aside, rename staging in, drop the old copy — single-writer
+    contract); that helper is not reused directly because it coalesces
+    blindly, and an index wants term-clustered output.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def P(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    for artifact, key in (("postings", "tok"), ("doclen", "doc_id")):
+        live = f"{path}/{artifact}"
+        staging, old = f"{live}__compacting", f"{live}__old"
+        fs = P(live).getFileSystem(hconf)
+        if not fs.exists(P(live)):
+            if fs.exists(P(staging)):  # crashed between the two renames
+                fs.rename(P(staging), P(live))
+            else:
+                continue
+        if fs.exists(P(old)):
+            fs.delete(P(old), True)
+        if fs.exists(P(staging)):
+            fs.delete(P(staging), True)
+        (
+            spark.read.parquet(live)
+            .repartitionByRange(files_per_artifact, F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        fs.rename(P(live), P(old))
+        fs.rename(P(staging), P(live))
+        fs.delete(P(old), True)

@@ -1,0 +1,511 @@
+"""Queries STAGED in round 9 for a later promotion round.
+
+Same contract as ``staged_r9``: each query ships with a DuckDB oracle
+in ``STAGED_ORACLES`` and is verified by the typed Spark-vs-DuckDB
+compare (``tests/test_staged_r7.py`` parametrizes over this dict) at
+two SFs before it ever enters the registry. Per the rotation pre-plan
+(comment above ``REGISTRY``), the r9 window is owned by the staged_r8
+promotions plus the r5-deadline set; this batch stages until slots
+open.
+
+Operator families the registry does not cover yet (8 queries):
+
+- ``q21_waiting_supplier`` / ``q19_disjunctive_revenue``: the two
+  hardest TPC-H join shapes still missing — Q21's correlated
+  EXISTS/NOT-EXISTS pair (expressed as semi+anti self-joins that all
+  hash on the SAME key, so one co-partitioning serves three legs) and
+  Q19's OR-of-conjuncts join predicate (the disjunctive-pushdown
+  benchmark shape)
+- ``j_asof_tolerance``: as-of join with a max-staleness tolerance
+  (pandas ``merge_asof(tolerance=...)``) — the union one-shuffle as-of
+  kernel extended with a carried right-timestamp and a post-window
+  staleness null-out (``operators/joins.asof_join_tolerance``)
+- ``w_interval_coverage``: union-of-intervals time coverage per user
+  (sweep-line as a running-max window; per-row clamped contribution,
+  so NO island sub-grouping shuffle is needed)
+- ``w_ols_trailing_slope``: rolling least-squares trend over the
+  trailing 8 events in exact int64 sufficient statistics (the
+  regression-slope analog of ``w_lag1_autocorr``)
+- ``a_active_streaks``: longest consecutive-active-day streak per user
+  (gaps-and-islands on the distinct-day calendar)
+- ``k_text_index_compact``: segment-merge maintenance for the
+  persisted inverted index — postings re-clustered by term through the
+  crash-safe staging/rename swap, bit-identical search before/after
+  (``operators/text_index.compact_text_index``)
+- ``k_zorder_skipping``: Z-order (Morton) data layout + min/max
+  manifest file skipping (``operators/layout``) — the
+  Delta/Iceberg OPTIMIZE-ZORDER idea as plain parquet + manifest;
+  the oracle checks the pruned read computes the exact same aggregate
+  as a full scan
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+__all__ = ["STAGED_ORACLES"]
+
+
+#: epoch-seconds events projection (the staged_r8/r9 convention)
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting orders): for each
+    finalized order, the lineitem rows whose supplier shipped LAST —
+    there EXISTS another supplier on the order, and NOT EXISTS another
+    supplier shipping strictly later. (Adapted to this schema's
+    columns: ``l_shipdate`` plays the receipt/commit-delay role.)
+
+    The correlated EXISTS pair becomes a left-semi + left-anti
+    self-join; all three lineitem legs and the orders join hash on the
+    SAME key (``l_orderkey``), so at scale one co-partitioning (or a
+    bucketed layout on orderkey) serves the whole chain with no
+    re-shuffle, and supplier/nation are broadcast. Reference parity:
+    the AC pipeline has no multi-way correlated-subquery shape at all
+    (SURVEY.md §2 gap family); public formulation per the TPC-H spec.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    has_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    last_shipper = has_other.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        last_shipper.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand/size/quantity
+    conjunct groups — the canonical disjunctive-join-predicate
+    benchmark. The part side broadcasts; the disjunction stays a
+    JVM-side join filter (each conjunct group still prunes via parquet
+    row-group stats on ``l_quantity``); revenue uses the repo's exact
+    decimal convention. Public formulation per the TPC-H spec."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    g1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(g1 | g2 | g3)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_ASOF_TOL_S = 3600
+
+
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's LATEST click within the
+    preceding hour — backward as-of with a staleness tolerance
+    (``operators/joins.asof_join_tolerance``): one shuffle+sort over
+    the union, never a theta join; a carry older than the tolerance
+    nulls out in the output projection. Clicks pre-reduce to one row
+    per (user, second) with the max event id, pinning tie order."""
+    from activecampaign_api_data_pipeline_spark.operators.joins import asof_join_tolerance
+
+    e = _ev(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "es"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "es")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join_tolerance(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="es",
+        right_ts="es",
+        right_cols=["click_id"],
+        tolerance_s=_ASOF_TOL_S,
+        suffix="_m",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "es",
+        F.col("click_id_m").alias("click_id"),
+        (F.col("es") - F.col("es_m")).alias("gap_s"),
+    )
+
+
+_HOLD_S = 1800
+
+
+def w_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user: every event opens a 30-min
+    presence interval; overlaps must not double-count. The sweep-line
+    is a running max of interval ends over one user-keyed window — each
+    row contributes ``max(0, end − max(start, running_end))`` seconds —
+    so coverage needs NO island sub-grouping and no second shuffle:
+    one exchange, one window, one map-side-combinable aggregate.
+    Block count falls out of the same window (a row opens a block iff
+    its start clears the running end)."""
+    e = _ev(spark, sf_dir).select("user_id", "event_id", "es")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    pme = F.max(F.col("es") + _HOLD_S).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = e.select(
+        "user_id",
+        F.when(pme.isNull(), F.lit(_HOLD_S))
+        .otherwise(
+            F.greatest(
+                F.lit(0), F.col("es") + _HOLD_S - F.greatest(F.col("es"), pme)
+            )
+        )
+        .alias("contrib"),
+        F.when(pme.isNull() | (F.col("es") > pme), 1).otherwise(0).alias("opens"),
+    )
+    return rows.groupBy("user_id").agg(
+        F.sum("contrib").alias("covered_s"),
+        F.sum("opens").alias("n_blocks"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_OLS_FRAME = 8
+
+
+def w_ols_trailing_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares trend: the OLS slope of value-cents against
+    time over each user's trailing 8 events, evaluated at the user's
+    last event — reported as the exact integer pair
+    ``(n·Σxy − Σx·Σy, n·Σx² − (Σx)²)`` so no engine ever divides.
+    ``x`` re-bases to the user's first event second (constant within the
+    partition, so frame sums stay small and exact in int64). All five
+    sufficient statistics come from ONE frame spec over one exchange."""
+    e = _ev(spark, sf_dir).filter(F.col("cents").isNotNull())
+    wp = Window.partitionBy("user_id")
+    x = (F.col("es") - F.min("es").over(wp)).alias("x")
+    base = e.select("user_id", "event_id", "es", "cents", x)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(-(_OLS_FRAME - 1), 0)
+    )
+    stats = base.select(
+        "user_id",
+        "event_id",
+        "es",
+        F.count("*").over(wf).alias("n"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("cents").over(wf).alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).over(wf).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
+    )
+    wl = Window.partitionBy("user_id").orderBy(F.col("es").desc(), F.col("event_id").desc())
+    last = stats.withColumn("rn", F.row_number().over(wl)).filter(F.col("rn") == 1)
+    return last.select(
+        "user_id",
+        F.col("n").alias("n_frame"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
+    ).filter((F.col("n_frame") >= 2) & (F.col("slope_den") != 0))
+
+
+def a_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands pattern on the distinct-day calendar
+    (``day − row_number`` is constant within a streak). Distinct days
+    per user are tiny (≤ corpus span), so the two aggregations after
+    the one window are cheap; everything hashes on user_id."""
+    e = _ev(spark, sf_dir)
+    days = e.select("user_id", F.expr("es div 86400").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = grp.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+#: the standard 3-term retrieval query shared with the staged_r9 index
+#: lifecycle queries
+_BM25_TERMS = ["spark", "query", "join"]
+
+
+def k_text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index lifecycle, build→append→COMPACT→search: after the
+    same base/late split as ``k_text_index_append``, segment-merge
+    maintenance (``compact_text_index``) rewrites postings clustered by
+    term through the crash-safe staging/rename swap. Compaction is pure
+    LAYOUT — (term, doc) pairs are unique across appends — so the
+    search is bit-identical to the uncompacted index and this query
+    SHARES the append oracle: a compaction that loses a segment,
+    duplicates one, or re-derives the frozen stats hash-fails."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.text_index import (
+        append_text_index,
+        bm25_search_index,
+        build_text_index,
+        compact_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    late = docs.filter(F.col("doc_id") % 3 == 0)
+    root = tempfile.mkdtemp(prefix="acdp_tixc_")
+    try:
+        build_text_index(base, root)
+        append_text_index(late.filter(F.col("doc_id") % 2 == 0), root)
+        append_text_index(late.filter(F.col("doc_id") % 2 != 0), root)
+        compact_text_index(spark, root, files_per_artifact=2)
+        return bm25_search_index(spark, root, _BM25_TERMS, k=20).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_Z_USERS = (10, 25)
+_Z_DAYS = (19730, 19736)
+
+
+def k_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout + manifest file skipping (``operators/layout``):
+    events written Morton-clustered on (user_id, day), then a
+    user-range × day-range aggregate reads ONLY the files whose
+    min/max envelope overlaps the predicate — the pruning decision is
+    a manifest scan, never a data scan. The oracle computes the same
+    aggregate from a full scan, so a manifest that wrongly drops a file
+    (or double-reads one) hash-fails; the pytest plan check asserts the
+    skip actually happens."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        pruned_read,
+        write_zordered,
+    )
+
+    e = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "es", "cents",
+        F.expr("es div 86400").alias("day"),
+    )
+    root = tempfile.mkdtemp(prefix="acdp_zord_")
+    try:
+        write_zordered(e, root, "user_id", "day", n_files=16, bits=12)
+        df, _, _ = pruned_read(
+            spark, root, {"user_id": _Z_USERS, "day": _Z_DAYS}
+        )
+        out = (
+            df.filter(
+                F.col("user_id").between(*_Z_USERS) & F.col("day").between(*_Z_DAYS)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents_sum"),
+                F.countDistinct("event_type").alias("n_types"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_EV_SQL = """
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+"""
+
+STAGED_ORACLES: dict[str, str] = {
+    "q21_waiting_supplier": """
+SELECT s_name, n_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    AND l3.l_shipdate > l1.l_shipdate
+)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""",
+    "q19_disjunctive_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    "j_asof_tolerance": f"""
+WITH e AS ({_EV_SQL}),
+p AS (SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, es, max(event_id) AS click_id
+  FROM e WHERE event_type = 'click' GROUP BY user_id, es
+),
+m AS (
+  SELECT p.event_id, c.click_id, p.es - c.es AS gap_s,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY c.es DESC) AS rk
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.es <= p.es AND c.es >= p.es - {_ASOF_TOL_S}
+)
+SELECT p.event_id, p.user_id, p.es, m.click_id, m.gap_s
+FROM p LEFT JOIN (SELECT event_id, click_id, gap_s FROM m WHERE rk = 1) m
+  USING (event_id)
+""",
+    "w_interval_coverage": f"""
+WITH e AS ({_EV_SQL}),
+s AS (
+  SELECT user_id, event_id, es,
+         max(es + {_HOLD_S}) OVER (PARTITION BY user_id ORDER BY es, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM e
+),
+r AS (
+  SELECT user_id,
+         CASE WHEN pme IS NULL THEN {_HOLD_S}
+              ELSE greatest(0, es + {_HOLD_S} - greatest(es, pme)) END AS contrib,
+         CASE WHEN pme IS NULL OR es > pme THEN 1 ELSE 0 END AS opens
+  FROM s
+)
+SELECT user_id, CAST(sum(contrib) AS BIGINT) AS covered_s,
+       CAST(sum(opens) AS BIGINT) AS n_blocks, count(*) AS n_events
+FROM r GROUP BY user_id
+""",
+    "w_ols_trailing_slope": f"""
+WITH e AS ({_EV_SQL}),
+f AS (SELECT * FROM e WHERE cents IS NOT NULL),
+b AS (
+  SELECT user_id, event_id, es, cents,
+         es - min(es) OVER (PARTITION BY user_id) AS x
+  FROM f
+),
+s AS (
+  SELECT user_id, event_id, es,
+         count(*) OVER w AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(cents) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * cents) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+               ROWS BETWEEN {_OLS_FRAME - 1} PRECEDING AND CURRENT ROW)
+),
+l AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY es DESC, event_id DESC) AS rn
+  FROM s
+)
+SELECT user_id, n AS n_frame,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den
+FROM l WHERE rn = 1 AND n >= 2 AND n * sxx - sx * sx <> 0
+""",
+    "a_active_streaks": f"""
+WITH e AS ({_EV_SQL}),
+d AS (SELECT DISTINCT user_id, es // 86400 AS day FROM e),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       max(len) AS longest_streak, count(*) AS n_streaks
+FROM s GROUP BY user_id
+""",
+    "k_zorder_skipping": f"""
+WITH e AS ({_EV_SQL})
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM e
+WHERE user_id BETWEEN {_Z_USERS[0]} AND {_Z_USERS[1]}
+  AND es // 86400 BETWEEN {_Z_DAYS[0]} AND {_Z_DAYS[1]}
+GROUP BY user_id
+""",
+}
+
+# compaction is pure layout: the compacted index answers the standard
+# query bit-identically to the append lifecycle, so the oracle is shared
+# (see k_text_index_append in staged_r9 for the frozen-stats derivation)
+from activecampaign_api_data_pipeline_spark import staged_r9 as _r9  # noqa: E402
+
+STAGED_ORACLES["k_text_index_compact"] = _r9.STAGED_ORACLES["k_text_index_append"]

@@ -203,6 +203,18 @@ HEADLINE = [
     "q7_nation_volume",
     "a_pivot_daily_types",
     "k_cc_store_roundtrip",
+    # r10-staged batch (typed-replica verified, pre-registry — resolved
+    # from staged_r10): TPC-H Q21/Q19 join shapes, tolerance as-of join,
+    # interval coverage, rolling OLS slope, day streaks, index
+    # compaction, z-order file skipping
+    "q21_waiting_supplier",
+    "q19_disjunctive_revenue",
+    "j_asof_tolerance",
+    "w_interval_coverage",
+    "w_ols_trailing_slope",
+    "a_active_streaks",
+    "k_text_index_compact",
+    "k_zorder_skipping",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
@@ -229,13 +241,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
-    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9
+    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9, staged_r10
 
     for name in HEADLINE:
         # staged queries bench before they enter the registry
         fn = REGISTRY.get(name) or getattr(staged_r8, name, None) or getattr(
-            staged_r9, name
-        )
+            staged_r9, name, None
+        ) or getattr(staged_r10, name)
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.time()

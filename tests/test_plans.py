@@ -306,13 +306,14 @@ def test_registry_window_policy_invariants():
     assert "ceil(N/50)" in open("SURVEY.md").read()
     # every bench entry resolves: registry first, else the staged
     # module (pre-registry queries bench under the same typed verification)
-    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9
+    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9, staged_r10
 
     unresolved = [
         n for n in HEADLINE
         if n not in names
         and n not in staged_r8.PROMOTED_ORACLES
         and n not in staged_r9.STAGED_ORACLES
+        and n not in staged_r10.STAGED_ORACLES
     ]
     assert not unresolved, f"bench entries without query or staged impl: {unresolved}"
     # r5 frozen 44-query bench prefix (BASELINE.md) — append-only

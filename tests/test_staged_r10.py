@@ -1,0 +1,221 @@
+"""Behavior + plan invariants for the r10-staged batch (typed
+Spark-vs-DuckDB value checks live in test_staged_r7's parametrization;
+these tests pin the SHAPES — pruning actually skips, compaction
+actually rewrites, the as-of tolerance actually nulls out — and the
+plan properties the 100 TB story depends on."""
+
+import glob
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark import staged_r10
+from activecampaign_api_data_pipeline_spark.operators.joins import asof_join_tolerance
+from activecampaign_api_data_pipeline_spark.operators.layout import (
+    pruned_read,
+    write_zordered,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name, sf=SF):
+    df = getattr(staged_r10, name)(spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- as-of tolerance kernel ----
+
+def test_asof_tolerance_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 5000), (2, 50)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 150, "b"), (3, 10, "c")], "k long, rts long, v string"
+    )
+    out = {
+        (r["k"], r["lts"]): (r["rts_m"], r["v_m"])
+        for r in asof_join_tolerance(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["v"], tolerance_s=100, suffix="_m",
+        ).collect()
+    }
+    assert out[(1, 100)] == (90, "a")      # inside tolerance, latest <=
+    assert out[(1, 200)] == (150, "b")     # picks newer of two matches
+    assert out[(1, 5000)] == (None, None)  # carry exists but is too stale
+    assert out[(2, 50)] == (None, None)    # key never matched
+    assert len(out) == 4                   # left join: every left row kept
+
+
+def test_asof_tolerance_inclusive_bounds(spark):
+    left = spark.createDataFrame([(1, 100), (1, 201)], "k long, lts long")
+    right = spark.createDataFrame([(1, 100, "x")], "k long, rts long, v string")
+    rows = {
+        r["lts"]: r["v_m"]
+        for r in asof_join_tolerance(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["v"], tolerance_s=100, suffix="_m",
+        ).collect()
+    }
+    assert rows[100] == "x"   # equal ts matches (right sorts first)
+    assert rows[201] is None  # gap 101 > tolerance 100: exclusive past it
+
+
+def test_asof_tolerance_single_exchange_no_join(spark):
+    p = _plan(spark, "j_asof_tolerance")
+    assert "Join" not in p  # union+window kernel, never a theta join
+    assert "EvalPython" not in p
+
+
+# ---- z-order layout + skipping ----
+
+def test_zorder_prunes_files_and_matches_full_scan(spark):
+    e = staged_r10._ev(spark, "/root/testdata/sf0.01").select(
+        "user_id", "event_id", "es", F.expr("es div 86400").alias("day")
+    )
+    root = tempfile.mkdtemp(prefix="zord_t_")
+    try:
+        write_zordered(e, root, "user_id", "day", n_files=16, bits=12)
+        n_parts = len(glob.glob(f"{root}/part-*.parquet"))
+        assert n_parts > 4  # enough files for skipping to mean something
+        df, nsel, ntot = pruned_read(spark, root, {"user_id": (10, 25)})
+        assert ntot == n_parts
+        assert 0 < nsel < ntot, f"no pruning: {nsel}/{ntot}"
+        pred = F.col("user_id").between(10, 25)
+        got = df.filter(pred).count()
+        want = spark.read.parquet(root).filter(pred).count()
+        assert got == want  # pruning never loses rows
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_zorder_empty_selection_typed(spark):
+    e = staged_r10._ev(spark, SF).select(
+        "user_id", "event_id", "es", F.expr("es div 86400").alias("day")
+    )
+    root = tempfile.mkdtemp(prefix="zord_e_")
+    try:
+        write_zordered(e, root, "user_id", "day", n_files=4, bits=12)
+        df, nsel, _ = pruned_read(spark, root, {"user_id": (10**9, 2 * 10**9)})
+        assert nsel == 0
+        assert df.count() == 0
+        assert set(df.columns) == {"user_id", "event_id", "es", "day"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- text index compaction ----
+
+def test_text_index_compact_layout_only(spark):
+    from activecampaign_api_data_pipeline_spark.operators.text_index import (
+        append_text_index,
+        bm25_search_index,
+        build_text_index,
+        compact_text_index,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="tixc_t_")
+    try:
+        build_text_index(docs.filter(F.col("doc_id") % 3 != 0), root)
+        for m in (0, 1):
+            append_text_index(
+                docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == m)),
+                root,
+            )
+        before = bm25_search_index(spark, root, ["spark", "query", "join"], k=20).collect()
+        files_before = len(glob.glob(f"{root}/postings/part-*.parquet"))
+        compact_text_index(spark, root, files_per_artifact=2)
+        files_after = len(glob.glob(f"{root}/postings/part-*.parquet"))
+        after = bm25_search_index(spark, root, ["spark", "query", "join"], k=20).collect()
+        assert files_after < files_before  # three write batches collapsed
+        assert files_after <= 2
+        assert after == before  # pure layout: search bit-identical
+        # stats stayed frozen (compaction never touches normalization)
+        assert spark.read.parquet(f"{root}/stats").count() == 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_text_index_compact_heals_crashed_swap(spark):
+    """A staging dir left by a crash mid-compaction is healed on the
+    next run (dangling staging dropped when live exists; swap completed
+    when live is missing)."""
+    import os
+
+    from activecampaign_api_data_pipeline_spark.operators.text_index import (
+        bm25_search_index,
+        build_text_index,
+        compact_text_index,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="tixh_t_")
+    try:
+        build_text_index(docs, root)
+        want = bm25_search_index(spark, root, ["spark", "query"], k=10).collect()
+        # crash window B: live renamed away, staging holds the full copy
+        os.rename(f"{root}/postings", f"{root}/postings__compacting")
+        compact_text_index(spark, root, files_per_artifact=2)
+        got = bm25_search_index(spark, root, ["spark", "query"], k=10).collect()
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- plan invariants ----
+
+def test_q21_all_legs_hash_on_orderkey(spark):
+    p = _plan(spark, "q21_waiting_supplier")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    # the EXISTS/NOT-EXISTS pair survives as semi+anti joins
+    assert "LeftSemi" in p and "LeftAnti" in p
+    # supplier/nation enrich without shuffling the fact side
+    assert "BroadcastHashJoin" in p
+
+
+def test_q19_broadcast_and_quantity_pushdown(spark):
+    p = _plan(spark, "q19_disjunctive_revenue")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    # the common l_quantity bound (1..30 across the disjuncts) reaches
+    # the lineitem scan as a pushed filter
+    assert "PushedFilters: [" in p and "l_quantity" in p.split("PushedFilters", 1)[1][:400]
+
+
+def test_interval_coverage_single_exchange(spark):
+    p = _plan(spark, "w_interval_coverage")
+    assert p.count("hashpartitioning") == 1  # window + agg share user_id
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_ols_slope_single_exchange(spark):
+    p = _plan(spark, "w_ols_trailing_slope")
+    assert p.count("hashpartitioning") == 1
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_active_streaks_one_key_shuffle_family(spark):
+    p = _plan(spark, "a_active_streaks")
+    assert "Join" not in p and "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+# ---- scale smoke: coverage operator is linear in events ----
+
+def test_interval_coverage_scale_smoke(spark):
+    import time
+
+    def run(sf):
+        t0 = time.time()
+        staged_r10.w_interval_coverage(spark, sf).count()
+        return time.time() - t0
+
+    run(SF)  # warm
+    t_small = run(SF)
+    t_big = run("/root/testdata/sf0.01")
+    # 10x the rows should cost well under 10x on local[4]
+    assert t_big < max(10 * t_small, 5.0), (t_small, t_big)

@@ -15,7 +15,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8, staged_r9
+from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8, staged_r9, staged_r10
 
 SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -24,6 +24,7 @@ _TYPED = {
     **{n: (staged_r7, sql) for n, sql in staged_r7.PROMOTED_ORACLES.items()},
     **{n: (staged_r8, sql) for n, sql in staged_r8.PROMOTED_ORACLES.items()},
     **{n: (staged_r9, sql) for n, sql in staged_r9.STAGED_ORACLES.items()},
+    **{n: (staged_r10, sql) for n, sql in staged_r10.STAGED_ORACLES.items()},
 }
 
 
@@ -125,10 +126,11 @@ def test_promoted_registered_staged_disjoint():
         for name in mod.PROMOTED_ORACLES:
             assert REGISTRY[name] is getattr(mod, name)
     # pre-registry staging stays disjoint until its own promotion round
-    overlap = set(staged_r9.STAGED_ORACLES) & set(REGISTRY)
-    assert not overlap, f"staged queries already registered: {overlap}"
-    for name in staged_r9.STAGED_ORACLES:
-        assert callable(getattr(staged_r9, name))
+    for smod in (staged_r9, staged_r10):
+        overlap = set(smod.STAGED_ORACLES) & set(REGISTRY)
+        assert not overlap, f"staged queries already registered: {overlap}"
+        for name in smod.STAGED_ORACLES:
+            assert callable(getattr(smod, name))
 
 
 def test_sq8_codes_range_and_calibration(spark):
