@@ -181,3 +181,57 @@ def asof_join_tolerance(
         F.when(valid, F.col("_m").getField(c)).alias(f"{c}{suffix}") for c in right_cols
     ]
     return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join: all pairs with
+    ``l_start < r_end AND r_start < l_end`` (half-open intervals), plus
+    an exact ``overlap_s`` column — the two-sided generalization of
+    :func:`range_join_bucketed`, still never a theta join.
+
+    Both sides explode into the coarse buckets they span; the join is an
+    equi-join on (key, bucket) with the exact overlap post-filter. A
+    pair whose overlap spans several buckets would match in each of
+    them, so the pair is emitted ONLY in the bucket that contains the
+    overlap's start (``greatest(l_start, r_start) div bucket``) — a
+    per-row predicate that dedups with zero extra shuffle (no
+    ``distinct``). Fan-out is span/bucket per row; pick ``bucket_seconds``
+    near the median interval length. Timestamps must be numeric (epoch
+    seconds).
+    """
+    b = F.lit(bucket_seconds)
+    lx = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col(l_start) / b).cast("long"),
+                ((F.col(l_end) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    rx = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col(r_start) / b).cast("long"),
+                ((F.col(r_end) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    ov_start = F.greatest(F.col(l_start), F.col(r_start))
+    ov_end = F.least(F.col(l_end), F.col(r_end))
+    joined = lx.join(rx, [on, "_bkt"]).filter(
+        (F.col(l_start) < F.col(r_end))
+        & (F.col(r_start) < F.col(l_end))
+        & ((ov_start / b).cast("long") == F.col("_bkt"))  # emit once
+    )
+    return joined.withColumn("overlap_s", ov_end - ov_start).drop("_bkt")

@@ -37,6 +37,21 @@ Operator families the registry does not cover yet (8 queries):
   Delta/Iceberg OPTIMIZE-ZORDER idea as plain parquet + manifest;
   the oracle checks the pruned read computes the exact same aggregate
   as a full scan
+
+Second batch (5 queries — TPC-H family completion + the two-sided
+interval join):
+
+- ``q4_priority_late`` / ``q14_promo_share`` / ``q16_supplier_variety``
+  / ``q22_idle_customers``: the remaining classic TPC-H shapes the
+  registry lacked — correlated-condition EXISTS semi join (Q4),
+  exact-ppm promotion share (Q14), distinct-supplier variety with an
+  excluded brand (Q16), aggregate-derived threshold + NOT EXISTS anti
+  join (Q22); with Q1/3/5/7/10/18/19/21 already present the engine now
+  covers eleven of the spec's query shapes end-to-end
+- ``j_interval_overlap``: interval × interval overlap join
+  (``operators/joins.interval_overlap_join``) — both sides bucketized,
+  pairs emitted exactly once via the overlap-start-bucket rule (no
+  distinct shuffle), exact overlap seconds rolled up per user
 """
 
 from __future__ import annotations
@@ -373,6 +388,180 @@ def k_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+
+# ---------------------------------------------------------------- batch 2
+
+def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders from one quarter
+    having at least one lineitem shipped more than 30 days after the
+    order date, counted per priority. The correlated EXISTS — its
+    predicate references BOTH sides — is a left-semi join whose
+    condition carries the date comparison; the quarter filter prunes
+    the orders scan at the parquet level. Public formulation per the
+    TPC-H spec (receipt/commit lag adapted to this schema's
+    ``l_shipdate`` vs ``o_orderdate``)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-04-01"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the PROMO share of one
+    month's revenue, reported in exact integer ppm — revenue units are
+    ``price·(1−discount)·10⁴`` (two decimal digits each side, so the
+    product is exact at scale 4), summed as int64 and divided once with
+    integer div. Part broadcasts; the month filter reaches the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-02-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit(1).cast("decimal(18,2)")
+    units = (
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (one - F.col("l_discount").cast("decimal(18,2)"))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("units")
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
+        units, (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    return j.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("units")).otherwise(0)).alias(
+            "promo_units"
+        ),
+        F.sum("units").alias("total_units"),
+        F.expr(
+            "sum(CASE WHEN is_promo THEN units ELSE 0 END) * 1000000"
+            " div sum(units)"
+        ).alias("promo_ppm"),
+    )
+
+
+_Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers from seven
+    nations with above-average positive balance and NO RECENT orders
+    (none on/after 2001-01-01) — an aggregate-derived threshold
+    (broadcast one row, exact integer floor-mean of cents) followed by
+    an anti join against the date-filtered orders, grouped per nation.
+    Public formulation per the TPC-H spec (nation keys stand in for the
+    schema's missing phone country codes; "no orders at all" adapted to
+    a recency cutoff because every synthetic customer has ordered)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    pos = cust.filter(F.col("cents") > 0).filter(
+        F.col("c_nationkey").isin(list(_Q22_NATIONS))
+    )
+    thr = pos.agg(F.expr("sum(cents) div count(*)").alias("thr"))
+    rich = pos.crossJoin(F.broadcast(thr)).filter(F.col("cents") > F.col("thr"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select("o_custkey")
+    )
+    idle = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.sum("cents").alias("totacctbal_cents"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers ship each surviving (brand, type, size) combination —
+    supplier diversity per product family, excluding one brand and
+    restricted to eight sizes (partsupp adapted to the lineitem
+    shipping graph). Distinct count per small group; the size in-list
+    and brand exclusion push to the part scan, part broadcasts."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#12")
+        .filter(F.col("p_size").isin([1, 5, 9, 13, 17, 21, 25, 29]))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(30)
+    )
+
+
+_PURCHASE_HOLD_S = 7200
+_CLICK_HOLD_S = 1800
+
+
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join
+    (``operators/joins.interval_overlap_join``): every purchase opens a
+    2-hour window, every click a 30-minute one; pairs of the same user
+    whose windows overlap are found through bucketed equi-joins (never
+    a theta join), each pair emitted exactly once via the
+    overlap-start-bucket rule, then rolled up per user with the exact
+    overlap seconds."""
+    from activecampaign_api_data_pipeline_spark.operators.joins import interval_overlap_join
+
+    e = _ev(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("es").alias("ps"),
+        (F.col("es") + _PURCHASE_HOLD_S).alias("pe"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("es").alias("cs"),
+        (F.col("es") + _CLICK_HOLD_S).alias("ce"),
+    )
+    pairs = interval_overlap_join(
+        purchases, clicks, on="user_id",
+        l_start="ps", l_end="pe", r_start="cs", r_end="ce",
+        bucket_seconds=3600,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("overlap_s").alias("overlap_total_s"),
+        F.countDistinct("purchase_id").alias("n_purchases_touched"),
+        F.countDistinct("click_id").alias("n_clicks_touched"),
+    )
+
+
 _EV_SQL = """
   SELECT user_id, event_id, event_type,
          CAST(floor(epoch(ts)) AS BIGINT) AS es,
@@ -509,3 +698,94 @@ GROUP BY user_id
 from activecampaign_api_data_pipeline_spark import staged_r9 as _r9  # noqa: E402
 
 STAGED_ORACLES["k_text_index_compact"] = _r9.STAGED_ORACLES["k_text_index_append"]
+
+
+STAGED_ORACLES["q4_priority_late"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+STAGED_ORACLES["q14_promo_share"] = """
+WITH j AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          * 10000 AS BIGINT) AS units,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1999-02-01 00:00:00'
+)
+SELECT CAST(sum(CASE WHEN is_promo THEN units ELSE 0 END) AS BIGINT) AS promo_units,
+       CAST(sum(units) AS BIGINT) AS total_units,
+       CAST(sum(CASE WHEN is_promo THEN units ELSE 0 END) AS BIGINT) * 1000000
+         // CAST(sum(units) AS BIGINT) AS promo_ppm
+FROM j
+"""
+
+STAGED_ORACLES["q22_idle_customers"] = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+pos AS (
+  SELECT * FROM c
+  WHERE cents > 0 AND c_nationkey IN {_Q22_NATIONS}
+),
+thr AS (SELECT CAST(sum(cents) AS BIGINT) // count(*) AS thr FROM pos),
+rich AS (SELECT pos.* FROM pos, thr WHERE cents > thr),
+idle AS (
+  SELECT * FROM rich r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = r.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  )
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+FROM idle GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+STAGED_ORACLES["q16_supplier_variety"] = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#12' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 30
+"""
+
+STAGED_ORACLES["j_interval_overlap"] = f"""
+WITH e AS ({_EV_SQL}),
+p AS (
+  SELECT user_id, event_id AS purchase_id, es AS ps,
+         es + {_PURCHASE_HOLD_S} AS pe
+  FROM e WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, es AS cs, es + {_CLICK_HOLD_S} AS ce
+  FROM e WHERE event_type = 'click'
+),
+pr AS (
+  SELECT p.user_id, p.purchase_id, c.click_id,
+         least(p.pe, c.ce) - greatest(p.ps, c.cs) AS overlap_s
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND p.ps < c.ce AND c.cs < p.pe
+)
+SELECT user_id, count(*) AS n_pairs,
+       CAST(sum(overlap_s) AS BIGINT) AS overlap_total_s,
+       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases_touched,
+       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks_touched
+FROM pr GROUP BY user_id
+"""

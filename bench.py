@@ -215,6 +215,13 @@ HEADLINE = [
     "a_active_streaks",
     "k_text_index_compact",
     "k_zorder_skipping",
+    # r10-staged second batch: TPC-H Q4/Q14/Q16/Q22 shapes, two-sided
+    # interval overlap join
+    "q4_priority_late",
+    "q14_promo_share",
+    "q16_supplier_variety",
+    "q22_idle_customers",
+    "j_interval_overlap",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -219,3 +219,66 @@ def test_interval_coverage_scale_smoke(spark):
     t_big = run("/root/testdata/sf0.01")
     # 10x the rows should cost well under 10x on local[4]
     assert t_big < max(10 * t_small, 5.0), (t_small, t_big)
+
+
+# ---- batch 2 plan invariants ----
+
+def test_q4_semi_join_with_correlated_date(spark):
+    p = _plan(spark, "q4_priority_late")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    # the quarter filter reaches the orders scan
+    assert "o_orderdate" in p.split("PushedFilters", 1)[1][:400]
+
+
+def test_q14_single_row_broadcast(spark):
+    p = _plan(spark, "q14_promo_share")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1][:400]
+
+
+def test_q22_anti_join_after_threshold(spark):
+    p = _plan(spark, "q22_idle_customers")
+    assert "LeftAnti" in p
+    assert "EvalPython" not in p
+    # the one-row threshold arrives broadcast, not shuffled
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q16_distinct_after_broadcast(spark):
+    p = _plan(spark, "q16_supplier_variety")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_interval_overlap_no_theta_join_no_distinct(spark):
+    p = _plan(spark, "j_interval_overlap")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    # the pair join is an equi-join on (user, bucket)
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_interval_overlap_emits_each_pair_once(spark):
+    from activecampaign_api_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    # one pair whose overlap spans 3 buckets must appear exactly once
+    left = spark.createDataFrame([(1, 0, 10000)], "k long, ls long, le long")
+    right = spark.createDataFrame([(1, 500, 9500)], "k long, rs long, re long")
+    out = interval_overlap_join(
+        left, right, on="k", l_start="ls", l_end="le",
+        r_start="rs", r_end="re", bucket_seconds=3600,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["overlap_s"] == 9000
+    # touching-but-not-overlapping intervals never pair
+    right2 = spark.createDataFrame([(1, 10000, 12000)], "k long, rs long, re long")
+    assert (
+        interval_overlap_join(
+            left, right2, on="k", l_start="ls", l_end="le",
+            r_start="rs", r_end="re", bucket_seconds=3600,
+        ).count()
+        == 0
+    )
