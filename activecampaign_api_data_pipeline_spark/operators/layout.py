@@ -89,28 +89,117 @@ def write_zordered(
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST}")
 
 
+def _norm(uri: str) -> str:
+    """Normalize a file URI for identity comparison: ``file:///x``,
+    ``file:/x`` and ``/x`` all denote the same local file."""
+    import re
+
+    return re.sub(r"^file:/+", "/", uri)
+
+
+def _data_files(spark: SparkSession, path: str) -> list[str]:
+    """The live part files of ``path`` (one listStatus; hidden ``_``
+    entries like the manifest are excluded, matching Spark's reader)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return [
+        st.getPath().toString()
+        for st in fs.listStatus(hpath)
+        if st.isFile() and st.getPath().getName().startswith("part-")
+    ]
+
+
 def pruned_read(
     spark: SparkSession,
     path: str,
     ranges: dict[str, tuple],
 ) -> tuple[DataFrame, int, int]:
-    """Manifest-gated read: keep only files whose [min, max] envelope
-    overlaps EVERY requested ``col: (lo, hi)`` range, then hand the
-    survivors to the parquet reader (whose row-group stats prune
-    further). Returns ``(df, files_selected, files_total)``. The caller
-    still applies the exact predicate — manifests bound, they don't
-    filter. An empty survivor set returns an empty-but-typed frame."""
-    manifest = spark.read.parquet(f"{path}/{MANIFEST}").collect()
-    total = len(manifest)
+    """Manifest-gated read: skip files whose [min, max] envelope misses
+    ANY requested ``col: (lo, hi)`` range, then hand the survivors to
+    the parquet reader (whose row-group stats prune further). Returns
+    ``(df, files_selected, files_total)``. The caller still applies the
+    exact predicate — manifests bound, they don't filter.
+
+    CORRECTNESS RULE for stale manifests: a data file ABSENT from the
+    manifest (appended after the last write_zordered/optimize) has no
+    stats, so it can never be skipped — it is always read. Skipping is
+    an optimization earned by stats; missing stats degrade to a full
+    read of that file, never to dropped rows. An empty survivor set
+    returns an empty-but-typed frame."""
+    stats = {
+        _norm(r["file"]): r
+        for r in spark.read.parquet(f"{path}/{MANIFEST}").collect()
+    }
+    files = _data_files(spark, path)
+    total = len(files)
     keep = []
-    for row in manifest:
+    for f in files:
+        row = stats.get(_norm(f))
+        if row is None:  # unmanifested append: must scan
+            keep.append(f)
+            continue
         ok = all(
             not (row[f"min_{c}"] > hi or row[f"max_{c}"] < lo)
             for c, (lo, hi) in ranges.items()
         )
         if ok:
-            keep.append(row["file"])
-    full = spark.read.parquet(path)
+            keep.append(f)
     if not keep:
-        return full.filter(F.lit(False)), 0, total
+        return spark.read.parquet(path).filter(F.lit(False)), 0, total
     return spark.read.parquet(*keep), len(keep), total
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Re-cluster a table that has taken unclustered appends — the
+    ``OPTIMIZE ZORDER`` maintenance step: read the live files (clustered
+    base + appended stragglers), rewrite the whole set Morton-ordered
+    through the crash-safe staging/rename swap (the
+    ``compact_text_index`` discipline), then rebuild the manifest so
+    every file is skippable again. Single-writer contract; a reader
+    racing the swap can observe a brief path-not-found and should
+    retry — never duplicate or partial rows."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def P(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = P(path).getFileSystem(hconf)
+    staging, old = f"{path}__optimizing", f"{path}__old"
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    if fs.exists(P(staging)):
+        fs.delete(P(staging), True)
+    zv = morton_value(F.col(col_a), F.col(col_b), bits)
+    (
+        spark.read.parquet(path)
+        .withColumn("_zv", zv)
+        .repartitionByRange(n_files, F.col("_zv"))
+        .sortWithinPartitions("_zv")
+        .drop("_zv")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    fs.rename(P(path), P(old))
+    fs.rename(P(staging), P(path))
+    fs.delete(P(old), True)
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(col_a).alias(f"min_{col_a}"),
+            F.max(col_a).alias(f"max_{col_a}"),
+            F.min(col_b).alias(f"min_{col_b}"),
+            F.max(col_b).alias(f"max_{col_b}"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST}")

@@ -341,3 +341,47 @@ def image_ahash_bands(decoded: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "bands"])
 
     return decoded.mapInPandas(_hash, "media_id long, bands array<long>")
+
+
+def scene_segments(frames: DataFrame, levels: int = 16) -> DataFrame:
+    """Scene segmentation over sampled frames: quantize each frame to a
+    coarse visual level (decode stub: the first payload byte bucketed to
+    ``levels`` — a real build swaps in a perceptual frame feature), cut
+    a boundary wherever consecutive frames change level, and report the
+    per-video scene census (count, longest run, exact mean length in
+    ppm). The shot-boundary-detection shape (public formulation:
+    threshold-on-frame-difference, e.g. PySceneDetect's content
+    detector) reduced to windows: after the Arrow frame fan-out
+    everything is JVM-side — one exchange on media_id shared by the lag
+    boundary, the running scene id and both aggregations."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    lvl = (F.ascii(F.col("frame").cast("string")) / (256 // levels)).cast("int")
+    b = frames.select(
+        "media_id",
+        "frame_idx",
+        lvl.alias("lvl"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        F.when(
+            F.lag("lvl").over(w).isNull() | (F.col("lvl") != F.lag("lvl").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    scenes = b.select(
+        "media_id",
+        F.sum("boundary")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("scene_id"),
+    )
+    per_scene = scenes.groupBy("media_id", "scene_id").agg(F.count("*").alias("len"))
+    return per_scene.groupBy("media_id").agg(
+        F.sum("len").alias("n_frames"),
+        F.count("*").alias("n_scenes"),
+        F.max("len").alias("longest_scene"),
+        F.expr("sum(len) * 1000000 div count(*)").alias("mean_scene_len_ppm"),
+    )

@@ -789,3 +789,244 @@ SELECT user_id, count(*) AS n_pairs,
        CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks_touched
 FROM pr GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------- batch 3
+
+def mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot/scene segmentation per video
+    (``operators/multimodal.scene_segments``): frames sampled through
+    the Arrow fan-out (codec stubbed, offsets real — the
+    ``mm_frame_sample`` kernel), then boundary detection, scene runs
+    and the census all ride ONE JVM-side window exchange on media_id.
+    The oracle recomputes the byte-slice frames and the same quantized
+    first-byte level in SQL, so a wrong slice boundary, a dropped
+    frame, or an off-by-one in the run split all hash-fail."""
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        scene_segments,
+    )
+    from activecampaign_api_data_pipeline_spark.queries import _media_from_docs
+
+    media = _media_from_docs(spark, sf_dir, "video")
+    frames = sample_frames(media, every_ms=500)
+    return scene_segments(frames, levels=16)
+
+
+def k_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order lifecycle, write→append→OPTIMIZE→skip: the base
+    two-thirds of events lands Morton-clustered, the final third
+    arrives as a plain unclustered append (NO manifest entry — the
+    pruned read must treat stats-less files as unskippable, so nothing
+    is lost while the layout is stale), then ``optimize_zorder``
+    re-clusters the whole set through the crash-safe swap and rebuilds
+    the manifest. The post-optimize aggregate is the same full-corpus
+    report as ``k_zorder_skipping`` and SHARES its oracle: an optimize
+    that drops the appended rows, double-counts a file, or rebuilds a
+    wrong manifest hash-fails."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        optimize_zorder,
+        pruned_read,
+        write_zordered,
+    )
+
+    e = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "es", "cents",
+        F.expr("es div 86400").alias("day"),
+    )
+    root = tempfile.mkdtemp(prefix="acdp_zopt_")
+    try:
+        write_zordered(
+            e.filter(F.col("event_id") % 3 != 0), root, "user_id", "day",
+            n_files=16, bits=12,
+        )
+        e.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(root)
+        optimize_zorder(spark, root, "user_id", "day", n_files=16, bits=12)
+        df, _, _ = pruned_read(spark, root, {"user_id": _Z_USERS, "day": _Z_DAYS})
+        out = (
+            df.filter(
+                F.col("user_id").between(*_Z_USERS) & F.col("day").between(*_Z_DAYS)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents_sum"),
+                F.countDistinct("event_type").alias("n_types"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def g_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (3 unrolled iterations, damping 0.85,
+    restart mass pinned to a seed set — parts with ``key % 20 == 0``)
+    over the co-purchase graph: the recommendation/expansion primitive
+    where relevance flows FROM the seeds instead of uniformly. Same
+    exact-integer micro-unit arithmetic and edge/degree reuse as
+    ``g_pagerank_fixed`` (one localCheckpoint feeds every iteration;
+    each round is one join + one dst aggregation); non-seed nodes renew
+    ONLY through inflow, so mass provably concentrates near the seeds.
+    Public formulation: Page et al. 1999 §6 personalized vector."""
+    from activecampaign_api_data_pipeline_spark.sources.tables import (
+        ensure_min_parallelism,
+    )
+
+    li = ensure_min_parallelism(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    edges = (
+        pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .union(pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    seed = (F.col("node") % 20 == 0).cast("long")
+    rank = deg.select(
+        F.col("src").alias("node"),
+        (seed * F.lit(1000000)).cast("long").alias("pr"),
+    )
+    for _ in range(3):
+        per_node = rank.join(deg, rank["node"] == deg["src"]).select(
+            "node", F.expr("pr div outdeg").alias("contrib")
+        )
+        inflow = (
+            edges.join(per_node, edges["src"] == per_node["node"])
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        rank = (
+            rank.select("node")
+            .join(inflow, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    seed * F.lit(150000)
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).cast("long").alias("pr"),
+            )
+        )
+    top = rank.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank_no"), "node", "pr"
+    )
+
+
+STAGED_ORACLES["k_zorder_compact"] = STAGED_ORACLES["k_zorder_skipping"]
+
+STAGED_ORACLES["mm_video_scenes"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS len,
+         (n_chars * 10) // 500 AS n_frames
+  FROM documents
+),
+w AS (
+  SELECT media_id, text, len // greatest(n_frames, 1) AS fb, n_frames
+  FROM m WHERE n_frames > 0
+),
+f AS (
+  SELECT media_id, idx,
+         ascii(substr(text, CAST(idx * fb + 1 AS INTEGER), 1)) // 16 AS lvl
+  FROM w CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, CAST(n_frames - 1 AS INTEGER))) AS idx
+  ) i
+),
+b AS (
+  SELECT media_id, idx,
+         CASE WHEN lag(lvl) OVER w2 IS NULL OR lvl <> lag(lvl) OVER w2
+              THEN 1 ELSE 0 END AS boundary
+  FROM f WINDOW w2 AS (PARTITION BY media_id ORDER BY idx)
+),
+s AS (
+  SELECT media_id,
+         CAST(sum(boundary) OVER (PARTITION BY media_id ORDER BY idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS scene_id
+  FROM b
+),
+sc AS (SELECT media_id, scene_id, count(*) AS len FROM s GROUP BY 1, 2)
+SELECT media_id,
+       CAST(sum(len) AS BIGINT) AS n_frames,
+       count(*) AS n_scenes,
+       max(len) AS longest_scene,
+       CAST(sum(len) AS BIGINT) * 1000000 // count(*) AS mean_scene_len_ppm
+FROM sc GROUP BY media_id
+"""
+
+STAGED_ORACLES["g_ppr_seeded"] = """
+WITH pairs0 AS (
+  SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT part_a AS src, part_b AS dst FROM pairs0
+  UNION
+  SELECT part_b AS src, part_a AS dst FROM pairs0
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT src AS node,
+         CAST(CASE WHEN src % 20 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+  FROM deg
+),
+c1 AS (
+  SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT b.node,
+         CAST(CASE WHEN b.node % 20 = 0 THEN 150000 ELSE 0 END
+              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM r0 b LEFT JOIN c1 c ON b.node = c.dst
+),
+c2 AS (
+  SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT b.node,
+         CAST(CASE WHEN b.node % 20 = 0 THEN 150000 ELSE 0 END
+              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM r1 b LEFT JOIN c2 c ON b.node = c.dst
+),
+c3 AS (
+  SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT b.node,
+         CAST(CASE WHEN b.node % 20 = 0 THEN 150000 ELSE 0 END
+              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM r2 b LEFT JOIN c3 c ON b.node = c.dst
+),
+top AS (SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank_no,
+       node, pr
+FROM top
+"""

@@ -222,6 +222,11 @@ HEADLINE = [
     "q16_supplier_variety",
     "q22_idle_customers",
     "j_interval_overlap",
+    # r10-staged third batch: OPTIMIZE ZORDER lifecycle, video scene
+    # segmentation, seeded personalized PageRank
+    "k_zorder_compact",
+    "mm_video_scenes",
+    "g_ppr_seeded",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

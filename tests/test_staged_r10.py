@@ -282,3 +282,142 @@ def test_interval_overlap_emits_each_pair_once(spark):
         ).count()
         == 0
     )
+
+
+# ---- batch 3: OPTIMIZE ZORDER lifecycle, scene segmentation, seeded PPR ----
+
+def test_pruned_read_never_skips_unmanifested_file(spark):
+    # a file appended AFTER the manifest was written has no stats; the
+    # pruned read must always scan it — skipping is earned by stats,
+    # missing stats degrade to a read, never to dropped rows
+    e = staged_r10._ev(spark, SF).select(
+        "user_id", "event_id", "es", F.expr("es div 86400").alias("day")
+    )
+    root = tempfile.mkdtemp(prefix="zord_u_")
+    try:
+        write_zordered(e, root, "user_id", "day", n_files=4, bits=12)
+        # the append carries user_ids far outside every manifest envelope
+        spark.range(5).select(
+            (F.col("id") + 10**9).alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.lit(0).cast("long").alias("es"),
+            F.lit(0).cast("long").alias("day"),
+        ).write.mode("append").parquet(root)
+        df, nsel, ntot = pruned_read(spark, root, {"user_id": (10**9, 2 * 10**9)})
+        # every manifested file is skippable, the stray append is not
+        assert nsel >= 1
+        assert nsel < ntot
+        assert df.filter(F.col("user_id") >= 10**9).count() == 5
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_optimize_zorder_restores_skipping_without_losing_rows(spark):
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        optimize_zorder,
+    )
+
+    e = staged_r10._ev(spark, "/root/testdata/sf0.01").select(
+        "user_id", "event_id", "es", F.expr("es div 86400").alias("day")
+    )
+    root = tempfile.mkdtemp(prefix="zord_o_")
+    try:
+        write_zordered(
+            e.filter(F.col("event_id") % 3 != 0), root, "user_id", "day",
+            n_files=16, bits=12,
+        )
+        e.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(root)
+        want = spark.read.parquet(root).count()
+        # stale layout: the appends are unskippable, so selection is loose
+        _, nsel_before, ntot_before = pruned_read(spark, root, {"user_id": (10, 25)})
+        optimize_zorder(spark, root, "user_id", "day", n_files=16, bits=12)
+        assert spark.read.parquet(root).count() == want  # nothing lost
+        df, nsel, ntot = pruned_read(spark, root, {"user_id": (10, 25)})
+        assert 0 < nsel < ntot  # skipping works again post-optimize
+        got = df.filter(F.col("user_id").between(10, 25)).count()
+        assert got == spark.read.parquet(root).filter(
+            F.col("user_id").between(10, 25)
+        ).count()
+        # no leftover staging/old dirs after the swap
+        assert not glob.glob(f"{root}__*")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_optimize_zorder_clears_stale_staging(spark):
+    # a crashed previous optimize leaves __optimizing/__old dirs; the
+    # next run must clear them and still converge
+    import os
+
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        optimize_zorder,
+    )
+
+    e = staged_r10._ev(spark, SF).select(
+        "user_id", "event_id", "es", F.expr("es div 86400").alias("day")
+    )
+    root = tempfile.mkdtemp(prefix="zord_c_")
+    try:
+        write_zordered(e, root, "user_id", "day", n_files=4, bits=12)
+        want = spark.read.parquet(root).count()
+        os.makedirs(f"{root}__optimizing/junk", exist_ok=True)
+        os.makedirs(f"{root}__old/junk", exist_ok=True)
+        optimize_zorder(spark, root, "user_id", "day", n_files=4, bits=12)
+        assert spark.read.parquet(root).count() == want
+        assert not glob.glob(f"{root}__*")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_scene_segments_run_semantics(spark):
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import (
+        scene_segments,
+    )
+
+    # levels from first byte // 16: 'A'(65)→4, 'Q'(81)→5 — the frame
+    # sequence AAQQA has 3 scenes of lengths 2,2,1
+    rows = [
+        (1, i, bytearray(ch.encode())) for i, ch in enumerate("AAQQA")
+    ]
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx long, frame binary"
+    )
+    out = scene_segments(frames, levels=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_frames"] == 5
+    assert r["n_scenes"] == 3
+    assert r["longest_scene"] == 2
+    assert r["mean_scene_len_ppm"] == 5 * 1000000 // 3
+
+
+def test_video_scenes_single_window_exchange(spark):
+    p = _plan(spark, "mm_video_scenes")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p  # frame fan-out is Arrow, rest is JVM
+    # boundary lag, running scene id and the censuses share ONE exchange
+    # on media_id: count the hashpartitioning exchanges mentioning it
+    import re
+
+    ex = re.findall(r"Exchange hashpartitioning\(media_id", p)
+    assert len(ex) <= 2, f"scene census should reuse the media_id exchange:\n{p}"
+
+
+def test_ppr_seeds_hold_restart_mass(spark):
+    # a 2-node chain seeded at node 0: node 20 (non-seed) renews only
+    # through inflow; node 0 keeps its 150k restart floor every round
+    out = {
+        r["node"]: r["pr"]
+        for r in staged_r10.g_ppr_seeded(spark, SF).collect()
+    }
+    assert out  # top-20 nonempty
+    # every returned node with key%20==0 has pr >= the restart floor
+    for node, pr in out.items():
+        if node % 20 == 0:
+            assert pr >= 150000
+
+
+def test_ppr_plan_no_cartesian_no_python(spark):
+    p = _plan(spark, "g_ppr_seeded")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
