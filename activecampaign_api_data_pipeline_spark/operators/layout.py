@@ -203,3 +203,100 @@ def optimize_zorder(
         )
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST}")
+
+
+BLOOM_MANIFEST = "_bloom"
+
+
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> Column:
+    """The ``k_hashes`` bloom bit positions of ``key`` as an int array —
+    pure JVM xxhash64 with per-hash seeds, so the build job and the
+    probe job compute identical positions by construction."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)).cast("int")
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def write_bloom_indexed(
+    df: DataFrame,
+    path: str,
+    key: str,
+    layout_col: str,
+    n_files: int = 16,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> None:
+    """Write ``df`` range-clustered on ``layout_col`` plus a per-file
+    BLOOM index over ``key`` — the Delta Lake bloom-filter-index idea
+    (public: Bloom 1970; Delta's index docs) for point lookups on a
+    HIGH-CARDINALITY key the layout does NOT cluster: min/max stats on
+    ``key`` are useless when every file spans the key domain, but each
+    file only CONTAINS a small key subset, which a bloom captures.
+
+    The index is stored sparse (sorted distinct set-bit positions per
+    file) — fine while files hold ≲ ``m_bits/k`` distinct keys; a 100 TB
+    build packs the same positions into ``m_bits/64`` longs per file and
+    sizes ``m_bits`` off the expected distinct count (~10 bits/key for
+    ~1% false positives). Build cost: one distinct-positions aggregate
+    per file, metadata-sized output."""
+    (
+        df.repartitionByRange(n_files, F.col(layout_col))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    idx = (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.explode(_bloom_positions(F.col(key), m_bits, k_hashes)).alias("pos"),
+        )
+        .groupBy("file")
+        .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+    )
+    idx.coalesce(1).write.mode("overwrite").parquet(f"{path}/{BLOOM_MANIFEST}")
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    values: list[int],
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> tuple[DataFrame, int, int]:
+    """Point-lookup read through the bloom index: keep a file iff its
+    bloom CONTAINS every bit position of at least one probe value (a
+    false positive only adds a file read; a bloom can never miss a key
+    it indexed). Same stale-layout rule as :func:`pruned_read`: a data
+    file absent from the index has no bloom and is always read. Returns
+    ``(df, files_selected, files_total)``; the caller still applies the
+    exact predicate."""
+    probe = spark.createDataFrame([(int(v),) for v in values], f"{key} long")
+    want = [
+        set(r["p"])
+        for r in probe.select(
+            _bloom_positions(F.col(key), m_bits, k_hashes).alias("p")
+        ).collect()
+    ]
+    blooms = {
+        _norm(r["file"]): set(r["bits"])
+        for r in spark.read.parquet(f"{path}/{BLOOM_MANIFEST}").collect()
+    }
+    files = _data_files(spark, path)
+    keep = [
+        f
+        for f in files
+        if _norm(f) not in blooms  # unindexed append: must scan
+        or any(w <= blooms[_norm(f)] for w in want)
+    ]
+    if not keep:
+        return (
+            spark.read.parquet(path).filter(F.lit(False)),
+            0,
+            len(files),
+        )
+    return spark.read.parquet(*keep), len(keep), len(files)

@@ -52,6 +52,30 @@ interval join):
   (``operators/joins.interval_overlap_join``) — both sides bucketized,
   pairs emitted exactly once via the overlap-start-bucket rule (no
   distinct shuffle), exact overlap seconds rolled up per user
+
+Third batch (3 queries — layout maintenance + multimodal + graph):
+
+- ``k_zorder_compact``: the OPTIMIZE ZORDER lifecycle — clustered base,
+  unclustered append (stats-less files are unskippable, never dropped),
+  crash-safe re-cluster, skipping restored
+- ``mm_video_scenes``: shot/scene segmentation over Arrow-sampled
+  frames (``operators/multimodal.scene_segments``)
+- ``g_ppr_seeded``: personalized PageRank, restart mass pinned to a
+  seed set, exact integer micro-units
+
+Fourth batch (4 queries — streaming joins + bloom index + windows):
+
+- ``t_stream_interval_join``: REAL stream-stream inner join with
+  watermark-bounded state on both sides
+  (``streaming/joins.stream_interval_join``) — the last Structured
+  Streaming join mode the surface lacked
+- ``k_bloom_point_lookup``: per-file bloom index for point lookups on
+  a key the layout does not cluster
+  (``operators/layout.write_bloom_indexed``)
+- ``w_ewma_cents``: alpha=1/2 EWMA truncated to K=8 terms, scaled
+  2^K so it stays BIGINT-exact across engines
+- ``j_nearest_event``: two-sided nearest-click-per-purchase as ONE
+  sorted window (the merge formulation — no candidate-pair join)
 """
 
 from __future__ import annotations
@@ -1029,4 +1053,292 @@ top AS (SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20)
 SELECT CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank_no,
        node, pr
 FROM top
+"""
+
+
+# ---------------------------------------------------------------- batch 4
+
+_EWMA_K = 8
+
+
+def w_ewma_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer EWMA snapshot per user: the exponentially weighted
+    value of the last K=8 events, newest weighted 2^(K-1) down to 2^0
+    for the oldest — the alpha=1/2 EWMA truncated to a K-term window
+    and scaled by 2^K so it stays BIGINT-exact (float EWMAs are not
+    cross-engine reproducible; this one is). One window exchange on
+    user_id: rank events newest-first, keep rd <= K, weight by
+    2^(K-rd), sum. The monitoring primitive (recency-weighted spend)
+    with none of the floating-point drift."""
+    e = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("es").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "user_id", "cents", F.row_number().over(w).alias("rd")
+    ).filter(F.col("rd") <= _EWMA_K)
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("cents") * F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_K} - rd)")
+            ).alias("ewma_scaled"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def j_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided nearest-neighbor join in event time, WITHOUT a join:
+    for every purchase, the nearest click by the same user — before or
+    after, whichever is closer (ties go to the earlier click). Both
+    directions ride ONE sorted window on user_id (`last(click) ignore
+    nulls` looking back, `first(click) ignore nulls` looking forward
+    over the interleaved event stream) — the merge formulation of the
+    nearest-join that never materializes candidate pairs, so it scales
+    with the event count, not purchases x clicks. Reports per-user
+    attribution distance stats in exact integers."""
+    e = _ev(spark, sf_dir).select("user_id", "event_id", "event_type", "es")
+    ck = F.when(F.col("event_type") == "click", F.col("es"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    near = (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "es",
+            F.last(ck, ignorenulls=True).over(wb).alias("prev_click"),
+            F.first(ck, ignorenulls=True).over(wf).alias("next_click"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "es",
+            F.when(
+                F.col("prev_click").isNull(), F.col("next_click") - F.col("es")
+            )
+            .when(F.col("next_click").isNull(), F.col("es") - F.col("prev_click"))
+            .otherwise(
+                F.least(
+                    F.col("es") - F.col("prev_click"),
+                    F.col("next_click") - F.col("es"),
+                )
+            )
+            .alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        near.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum("gap_s").alias("gap_sum_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STAGED_ORACLES["w_ewma_cents"] = f"""
+WITH e AS ({_EV_SQL}),
+r AS (
+  SELECT user_id, cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY es DESC, event_id DESC) AS rd
+  FROM e
+)
+SELECT user_id,
+       CAST(sum(cents * (1 << ({_EWMA_K} - rd))) AS BIGINT) AS ewma_scaled,
+       count(*) AS n_terms
+FROM r WHERE rd <= {_EWMA_K}
+GROUP BY user_id ORDER BY user_id
+"""
+
+STAGED_ORACLES["j_nearest_event"] = f"""
+WITH e AS ({_EV_SQL}),
+n AS (
+  SELECT user_id, event_id, event_type, es,
+         max(CASE WHEN event_type = 'click' THEN es END)
+           OVER (PARTITION BY user_id ORDER BY es, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_click,
+         min(CASE WHEN event_type = 'click' THEN es END)
+           OVER (PARTITION BY user_id ORDER BY es, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_click
+  FROM e
+),
+p AS (
+  SELECT user_id, event_id, es,
+         CASE
+           WHEN prev_click IS NULL THEN next_click - es
+           WHEN next_click IS NULL THEN es - prev_click
+           ELSE least(es - prev_click, next_click - es)
+         END AS gap_s
+  FROM n WHERE event_type = 'purchase'
+)
+SELECT user_id, count(*) AS n_purchases,
+       min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s,
+       CAST(sum(gap_s) AS BIGINT) AS gap_sum_s
+FROM p WHERE gap_s IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+_BLOOM_USERS = (7, 42, 99)
+
+
+def k_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup (``operators/layout.write_bloom_indexed``):
+    events land range-clustered on TIME (the natural ingest order), so
+    min/max stats can't prune a USER point query — every file spans the
+    user domain. The per-file bloom over user_id can: only files that
+    (probably) contain a probe user are read; a false positive costs a
+    file read, a miss is impossible by construction. The aggregate over
+    the three probe users shares its oracle with the plain full-scan
+    filter, so a bloom that drops a file hash-fails."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        bloom_pruned_read,
+        write_bloom_indexed,
+    )
+
+    e = _ev(spark, sf_dir).select("user_id", "event_id", "event_type", "es", "cents")
+    root = tempfile.mkdtemp(prefix="acdp_bloom_")
+    try:
+        write_bloom_indexed(e, root, key="user_id", layout_col="es", n_files=16)
+        df, _, _ = bloom_pruned_read(spark, root, "user_id", list(_BLOOM_USERS))
+        out = (
+            df.filter(F.col("user_id").isin(list(_BLOOM_USERS)))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents_sum"),
+                F.countDistinct("event_type").alias("n_types"),
+                F.min("es").alias("first_es"),
+                F.max("es").alias("last_es"),
+            )
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STAGED_ORACLES["k_bloom_point_lookup"] = f"""
+WITH e AS ({_EV_SQL})
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       min(es) AS first_es, max(es) AS last_es
+FROM e WHERE user_id IN {_BLOOM_USERS}
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+_SSJOIN_WINDOW_S = 3600
+
+
+def t_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join (``streaming/joins.stream_interval_join``):
+    purchases and clicks arrive as two live file streams sliced into
+    three ascending event-time micro-batches; every purchase joins the
+    same user's clicks in the trailing hour with watermark-bounded state
+    on BOTH sides. The oracle is the batch interval join — however the
+    two streams interleave, the emitted pair set must be identical
+    (inner join + event-time constraint + in-order slices = exact)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    pin_confs(spark)
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "event_type", "es")
+    b = ev.agg(F.min("es").alias("mn"), F.max("es").alias("mx")).first()
+    mn, mx = int(b["mn"]), int(b["mx"])
+    root = tempfile.mkdtemp(prefix="acdp_ssj_")
+    try:
+        stream_dir, sink, ckpt = (
+            os.path.join(root, d) for d in ("in", "out", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        for i in range(3):
+            sl = ev.where(
+                F.expr(
+                    f"least(2, CAST(((es - {mn}) * 3) div ({mx} - {mn} + 1) AS INT))"
+                    f" = {i}"
+                )
+            )
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string, es long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = stream_interval_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+            sink,
+            ckpt,
+            window_s=_SSJOIN_WINDOW_S,
+        )
+        assert q.awaitTermination(300), "stream-stream join did not drain in 300s"
+        out = spark.read.parquet(sink)
+        res = (
+            out.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.countDistinct("purchase_id").alias("n_purchases"),
+                F.countDistinct("click_id").alias("n_clicks"),
+                F.sum("gap_s").alias("gap_sum_s"),
+            )
+            .orderBy("user_id")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STAGED_ORACLES["t_stream_interval_join"] = f"""
+WITH e AS ({_EV_SQL}),
+p AS (SELECT user_id, event_id AS purchase_id, es AS pes
+      FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, es AS ces
+      FROM e WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.user_id, purchase_id, click_id, pes - ces AS gap_s
+  FROM p JOIN c ON p.user_id = c.user_id
+    AND c.ces BETWEEN p.pes - {_SSJOIN_WINDOW_S} AND p.pes
+)
+SELECT user_id, count(*) AS n_pairs,
+       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+       CAST(sum(gap_s) AS BIGINT) AS gap_sum_s
+FROM pairs GROUP BY user_id ORDER BY user_id
 """

@@ -227,6 +227,13 @@ HEADLINE = [
     "k_zorder_compact",
     "mm_video_scenes",
     "g_ppr_seeded",
+    # r10-staged fourth batch: exact-integer EWMA, joinless two-sided
+    # nearest-event, bloom-index point lookup, watermarked stream-stream
+    # interval join
+    "w_ewma_cents",
+    "j_nearest_event",
+    "k_bloom_point_lookup",
+    "t_stream_interval_join",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -421,3 +421,103 @@ def test_ppr_plan_no_cartesian_no_python(spark):
     p = _plan(spark, "g_ppr_seeded")
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+# ---- batch 4: EWMA, nearest-event merge join, bloom index, stream-stream ----
+
+def test_ewma_single_exchange_no_join(spark):
+    p = _plan(spark, "w_ewma_cents")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1
+
+
+def test_nearest_event_is_joinless_merge(spark):
+    # the two-sided nearest neighbor must ride the sorted window, never
+    # materialize purchase x click candidate pairs
+    p = _plan(spark, "j_nearest_event")
+    assert "Join" not in p, f"nearest-event should be joinless:\n{p}"
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_bloom_index_never_misses_and_prunes(spark):
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        bloom_pruned_read,
+        write_bloom_indexed,
+    )
+
+    e = staged_r10._ev(spark, "/root/testdata/sf0.01").select(
+        "user_id", "event_id", "es", "cents"
+    )
+    root = tempfile.mkdtemp(prefix="bloom_t_")
+    try:
+        write_bloom_indexed(e, root, key="user_id", layout_col="es", n_files=16)
+        # completeness: for every probe, the pruned read returns exactly
+        # the full-scan rows (a bloom can never miss an indexed key)
+        df, nsel, ntot = bloom_pruned_read(spark, root, "user_id", [7])
+        want = spark.read.parquet(root).filter(F.col("user_id") == 7).count()
+        assert df.filter(F.col("user_id") == 7).count() == want
+        # pruning: one user's events live in far fewer than all files
+        assert 0 < nsel < ntot, f"no bloom pruning: {nsel}/{ntot}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bloom_unindexed_append_always_read(spark):
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        bloom_pruned_read,
+        write_bloom_indexed,
+    )
+
+    e = staged_r10._ev(spark, SF).select("user_id", "event_id", "es", "cents")
+    root = tempfile.mkdtemp(prefix="bloom_u_")
+    try:
+        write_bloom_indexed(e, root, key="user_id", layout_col="es", n_files=4)
+        spark.range(3).select(
+            (F.col("id") + 10**9).alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.lit(0).cast("long").alias("es"),
+            F.lit(5).cast("long").alias("cents"),
+        ).write.mode("append").parquet(root)
+        # the probe key lives ONLY in the unindexed append — it must
+        # still be found (missing bloom degrades to a read, never a skip)
+        df, nsel, ntot = bloom_pruned_read(spark, root, "user_id", [10**9])
+        assert df.filter(F.col("user_id") == 10**9).count() == 1
+        assert nsel >= 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_interval_join_empty_window_side(spark):
+    # a purchase stream with NO clicks in range drains cleanly to an
+    # empty (but schema-stable) sink
+    import os
+
+    from activecampaign_api_data_pipeline_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    root = tempfile.mkdtemp(prefix="ssj_e_")
+    try:
+        pdir, cdir = os.path.join(root, "p"), os.path.join(root, "c")
+        spark.createDataFrame(
+            [(1, 100, 50000)], "user_id long, event_id long, es long"
+        ).coalesce(1).write.parquet(pdir)
+        spark.createDataFrame(
+            [(1, 200, 1000)], "user_id long, event_id long, es long"
+        ).coalesce(1).write.parquet(cdir)  # 49000s before: out of window
+        sch = "user_id long, event_id long, es long"
+        q = stream_interval_join(
+            spark.readStream.schema(sch).parquet(pdir),
+            spark.readStream.schema(sch).parquet(cdir),
+            os.path.join(root, "out"),
+            os.path.join(root, "ckpt"),
+            window_s=3600,
+        )
+        assert q.awaitTermination(120)
+        out = spark.read.parquet(os.path.join(root, "out"))
+        assert out.count() == 0
+        assert set(out.columns) == {"user_id", "purchase_id", "click_id", "gap_s"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
