@@ -1342,3 +1342,155 @@ SELECT user_id, count(*) AS n_pairs,
        CAST(sum(gap_s) AS BIGINT) AS gap_sum_s
 FROM pairs GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------- batch 5
+
+_QUANTILES = (50, 90, 99)
+
+
+def a_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p50/p90/p99 of cents per event_type)
+    with NO global sort: the quantile is pinned rank-based — the
+    smallest value whose cumulative count reaches ceil(q·N/100) — and
+    the cumulative counts come from the same two-level prefix sum as
+    ``a_ks_two_sample`` (per-row window partitioned by (group, value
+    bucket); only the tiny per-bucket aggregate crosses a per-group
+    ordered window), so support cardinality, never event cardinality,
+    is what any single task sees. The exact alternative to
+    approx_percentile when the answer has to be reproducible."""
+    e = _ev(spark, sf_dir).select("event_type", "cents")
+    per_v = (
+        e.groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("bkt", F.expr("cents div 4096"))
+    )
+    wv = (
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per_v.select(
+        "event_type", "cents", "bkt", F.sum("cnt").over(wv).alias("w")
+    )
+    pb = per_v.groupBy("event_type", "bkt").agg(F.sum("cnt").alias("b"))
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = pb.select(
+        "event_type", "bkt", F.coalesce(F.sum("b").over(wo), F.lit(0)).alias("o")
+    )
+    cum = within.join(F.broadcast(off), ["event_type", "bkt"]).select(
+        "event_type", "cents", (F.col("w") + F.col("o")).alias("cum")
+    )
+    tot = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    j = cum.join(F.broadcast(tot), "event_type")
+    aggs = [F.max("n").alias("n")]
+    for q in _QUANTILES:
+        # ceil(n*q/100) in pure integer arithmetic — no float boundary
+        rank = F.expr(f"(n * {q} + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("cents"))).alias(f"p{q}")
+        )
+    return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Gini coefficient of spend per event_type — revenue
+    concentration (the Lorenz-curve statistic) with zero floats. The
+    rank-weighted sum Σ i·x₍ᵢ₎ is computed CLOSED-FORM over duplicates:
+    a value v occupying ranks (c+1..c+k) (c = cumulative count of
+    smaller values, from the same two-level prefix sum) contributes
+    v·k·(2c+k+1)/2, so no per-row global rank — and therefore no
+    single-task sort — ever exists. Gini_ppm = (2·S1 − (N+1)·S0)·den⁻¹
+    with den = (N·S0) div 10⁶, every term BIGINT-bounded and the
+    rounding rule pinned identically in both engines."""
+    e = _ev(spark, sf_dir).select(
+        "event_type", F.abs("cents").alias("v")
+    )
+    per_v = (
+        e.groupBy("event_type", "v")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("bkt", F.expr("v div 4096"))
+    )
+    wv = (
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = per_v.select(
+        "event_type", "v", "cnt", "bkt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("w"),
+    )
+    pb = per_v.groupBy("event_type", "bkt").agg(F.sum("cnt").alias("b"))
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = pb.select(
+        "event_type", "bkt", F.coalesce(F.sum("b").over(wo), F.lit(0)).alias("o")
+    )
+    # c = # strictly-smaller values; 2*S1 = sum v*cnt*(2c+cnt+1)
+    ranked = within.join(F.broadcast(off), ["event_type", "bkt"]).select(
+        "event_type", "v", "cnt", (F.col("w") + F.col("o")).alias("c")
+    )
+    stats = ranked.groupBy("event_type").agg(
+        F.sum(
+            F.col("v") * F.col("cnt") * (2 * F.col("c") + F.col("cnt") + 1)
+        ).alias("two_s1"),
+        F.sum(F.col("v") * F.col("cnt")).alias("s0"),
+        F.sum("cnt").alias("n"),
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        F.col("s0").alias("cents_total"),
+        F.expr("(two_s1 - (n + 1) * s0) div ((n * s0) div 1000000)")
+        .alias("gini_ppm"),
+    ).orderBy("event_type")
+
+
+STAGED_ORACLES["a_exact_quantiles"] = f"""
+WITH e AS ({_EV_SQL}),
+cum AS (
+  SELECT event_type, cents,
+         sum(count(*)) OVER (PARTITION BY event_type ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(count(*)) OVER (PARTITION BY event_type) AS n
+  FROM e GROUP BY event_type, cents
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       {", ".join(
+           f"min(CASE WHEN cum >= (n * {q} + 99) // 100 THEN cents END) AS p{q}"
+           for q in _QUANTILES
+       )}
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+STAGED_ORACLES["a_gini_concentration"] = f"""
+WITH e AS ({_EV_SQL}),
+per_v AS (
+  SELECT event_type, abs(cents) AS v, count(*) AS cnt
+  FROM e GROUP BY event_type, abs(cents)
+),
+r AS (
+  SELECT event_type, v, cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM per_v
+),
+s AS (
+  SELECT event_type,
+         CAST(sum(v * cnt * (2 * c + cnt + 1)) AS BIGINT) AS two_s1,
+         CAST(sum(v * cnt) AS BIGINT) AS s0,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n, s0 AS cents_total,
+       (two_s1 - (n + 1) * s0) // ((n * s0) // 1000000) AS gini_ppm
+FROM s ORDER BY event_type
+"""

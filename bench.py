@@ -234,6 +234,10 @@ HEADLINE = [
     "j_nearest_event",
     "k_bloom_point_lookup",
     "t_stream_interval_join",
+    # r10-staged fifth batch: exact rank-based percentiles and integer
+    # Gini, both on the two-level bucketed prefix sum (no global sort)
+    "a_exact_quantiles",
+    "a_gini_concentration",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
