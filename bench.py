@@ -238,6 +238,10 @@ HEADLINE = [
     # Gini, both on the two-level bucketed prefix sum (no global sort)
     "a_exact_quantiles",
     "a_gini_concentration",
+    # r10-staged sixth batch: association-rules lift and streaming exact
+    # dedup via dropDuplicatesWithinWatermark
+    "a_basket_lift",
+    "t_stream_exact_dedup",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
