@@ -1680,3 +1680,102 @@ SELECT event_type, count(*) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM e GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------- batch 7
+
+_HIVE_DAYS = (19732, 19735)
+
+
+def k_hive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style directory partitioning + partition PRUNING — the third
+    file-skipping mechanism next to the z-order manifest and the bloom
+    index, and the only one Spark applies from metadata alone: events
+    land under ``day=<n>/`` directories, a day-range filter never lists
+    (let alone reads) the other directories, and the plan carries it as
+    ``PartitionFilters``, not ``PushedFilters``. Per-day census over the
+    pruned window; shares the exact aggregate with the full-scan oracle,
+    so a dropped or double-listed partition hash-fails."""
+    import shutil
+    import tempfile
+
+    e = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "cents",
+        F.expr("es div 86400").alias("day"),
+    )
+    root = tempfile.mkdtemp(prefix="acdp_hive_")
+    try:
+        e.write.mode("overwrite").partitionBy("day").parquet(root)
+        lo, hi = _HIVE_DAYS
+        out = (
+            spark.read.parquet(root)
+            .filter(F.col("day").between(lo, hi))
+            # partition-dir values are inferred int32; the oracle's
+            # es//86400 is int64
+            .withColumn("day", F.col("day").cast("long"))
+            .groupBy("day")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents_sum"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .orderBy("day")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def k_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing table: the base load writes events
+    WITHOUT the cents column, a later batch arrives WITH it, and the
+    merged read (``mergeSchema``) serves one unified schema where
+    pre-evolution rows carry NULL — additive evolution, the only kind a
+    100 TB append-only lake can afford (rewrites are off the table).
+    The census separates pre/post-evolution rows per type; the oracle
+    recomputes both populations straight from events, so a reader that
+    drops old files, misorders columns, or zero-fills instead of
+    null-filling hash-fails."""
+    import shutil
+    import tempfile
+
+    e = _ev(spark, sf_dir).select("user_id", "event_id", "event_type", "es", "cents")
+    root = tempfile.mkdtemp(prefix="acdp_evo_")
+    try:
+        e.filter(F.col("event_id") % 3 != 0).drop("cents").write.mode(
+            "overwrite"
+        ).parquet(root)
+        e.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(root)
+        merged = spark.read.option("mergeSchema", "true").parquet(root)
+        out = (
+            merged.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count("cents").alias("n_with_cents"),
+                F.sum("cents").alias("cents_sum"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STAGED_ORACLES["k_hive_partition_prune"] = f"""
+WITH e AS ({_EV_SQL})
+SELECT es // 86400 AS day, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e WHERE es // 86400 BETWEEN {_HIVE_DAYS[0]} AND {_HIVE_DAYS[1]}
+GROUP BY 1 ORDER BY 1
+"""
+
+STAGED_ORACLES["k_schema_evolution"] = f"""
+WITH e AS ({_EV_SQL})
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN event_id % 3 = 0 AND cents IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_cents,
+       CAST(sum(CASE WHEN event_id % 3 = 0 THEN cents END) AS BIGINT)
+         AS cents_sum
+FROM e GROUP BY event_type ORDER BY event_type
+"""

@@ -242,6 +242,10 @@ HEADLINE = [
     # dedup via dropDuplicatesWithinWatermark
     "a_basket_lift",
     "t_stream_exact_dedup",
+    # r10-staged seventh batch: hive partition pruning and additive
+    # schema evolution (mergeSchema)
+    "k_hive_partition_prune",
+    "k_schema_evolution",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

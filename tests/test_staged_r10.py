@@ -629,3 +629,50 @@ def test_stream_dedup_drops_replay_exactly(spark):
     assert rows
     for r in rows:
         assert r["n_events"] == r["n_distinct"], "replayed duplicate survived"
+
+
+# ---- batch 7: partition pruning + schema evolution ----
+
+def test_hive_prune_uses_partition_filters(spark):
+    # the day range must appear as PartitionFilters (metadata-only
+    # pruning), and the pruned scan must touch <= the window's file set
+    import tempfile as _tf
+
+    e = staged_r10._ev(spark, SF).select(
+        "user_id", "event_id", "cents", F.expr("es div 86400").alias("day")
+    )
+    root = _tf.mkdtemp(prefix="hive_t_")
+    try:
+        e.write.mode("overwrite").partitionBy("day").parquet(root)
+        lo, hi = staged_r10._HIVE_DAYS
+        df = spark.read.parquet(root).filter(F.col("day").between(lo, hi))
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in p
+        seg = p.split("PartitionFilters", 1)[1][:300]
+        assert "day" in seg
+        # pruning is real: selected partitions < total partitions
+        total = len(glob.glob(f"{root}/day=*"))
+        assert total > (hi - lo + 1)
+        assert df.select("day").distinct().count() <= (hi - lo + 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_schema_evolution_nulls_not_zeros(spark):
+    import tempfile as _tf
+
+    e = staged_r10._ev(spark, SF).select("user_id", "event_id", "cents")
+    root = _tf.mkdtemp(prefix="evo_t_")
+    try:
+        e.filter(F.col("event_id") % 3 != 0).drop("cents").write.mode(
+            "overwrite"
+        ).parquet(root)
+        e.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(root)
+        m = spark.read.option("mergeSchema", "true").parquet(root)
+        assert set(m.columns) == {"user_id", "event_id", "cents"}
+        old = m.filter(F.col("event_id") % 3 != 0)
+        # pre-evolution rows are NULL-filled, never zero-filled
+        assert old.filter(F.col("cents").isNotNull()).count() == 0
+        assert old.count() == e.filter(F.col("event_id") % 3 != 0).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
