@@ -1498,103 +1498,6 @@ FROM s ORDER BY event_type
 
 # ---------------------------------------------------------------- batch 6
 
-_LIFT_MIN_PAIRS = 2
-
-
-def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Association rules over co-purchase baskets (support / confidence
-    / lift in exact ppm — Agrawal & Srikant 1994, the a-priori counting
-    step): unordered part pairs from each order's basket via the same
-    sorted-set explode as the graph queries (never a lineitem self-join
-    at pair granularity), per-part counts broadcast back onto the pair
-    table, integer-div ppm so both engines agree bit-for-bit. Reports
-    the top-20 pairs by lift among those with >= _LIFT_MIN_PAIRS
-    co-occurrences — min-support pruning BEFORE the per-part join, the
-    a-priori trick that keeps the candidate set sparse at scale."""
-    from activecampaign_api_data_pipeline_spark.sources.tables import (
-        ensure_min_parallelism,
-    )
-
-    li = ensure_min_parallelism(
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ).dropDuplicates(["l_orderkey", "l_partkey"])
-    n_orders = li.select("l_orderkey").distinct().count()
-    sets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = sets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.part_a", "p.part_b")
-    pair_n = (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= _LIFT_MIN_PAIRS)
-    )
-    part_n = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
-    scored = (
-        pair_n.join(
-            F.broadcast(part_n.withColumnRenamed("l_partkey", "part_a")
-                        .withColumnRenamed("n_part", "n_a")),
-            "part_a",
-        )
-        .join(
-            F.broadcast(part_n.withColumnRenamed("l_partkey", "part_b")
-                        .withColumnRenamed("n_part", "n_b")),
-            "part_b",
-        )
-        .select(
-            "part_a",
-            "part_b",
-            "n_ab",
-            F.expr(f"n_ab * 1000000 div {n_orders}").alias("support_ppm"),
-            F.expr("n_ab * 1000000 div n_a").alias("conf_a_to_b_ppm"),
-            F.expr(f"(n_ab * {n_orders} * 1000000) div (n_a * n_b)").alias("lift_ppm"),
-        )
-    )
-    return scored.orderBy(
-        F.col("lift_ppm").desc(),
-        F.col("n_ab").desc(),
-        F.col("part_a").asc(),
-        F.col("part_b").asc(),
-    ).limit(20)
-
-
-STAGED_ORACLES["a_basket_lift"] = f"""
-WITH li AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
-pairs AS (
-  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= {_LIFT_MIN_PAIRS}
-),
-part_n AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1)
-SELECT part_a, part_b, n_ab,
-       n_ab * 1000000 // n.n AS support_ppm,
-       n_ab * 1000000 // pa.n_part AS conf_a_to_b_ppm,
-       (n_ab * n.n * 1000000) // (pa.n_part * pb.n_part) AS lift_ppm
-FROM pairs
-JOIN part_n pa ON pa.l_partkey = part_a
-JOIN part_n pb ON pb.l_partkey = part_b
-CROSS JOIN n_orders n
-ORDER BY lift_ppm DESC, n_ab DESC, part_a ASC, part_b ASC
-LIMIT 20
-"""
-
-
 def t_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup via Spark's own
     ``dropDuplicatesWithinWatermark`` — the built-in the custom

@@ -238,9 +238,8 @@ HEADLINE = [
     # Gini, both on the two-level bucketed prefix sum (no global sort)
     "a_exact_quantiles",
     "a_gini_concentration",
-    # r10-staged sixth batch: association-rules lift and streaming exact
-    # dedup via dropDuplicatesWithinWatermark
-    "a_basket_lift",
+    # r10-staged sixth batch: streaming exact dedup via
+    # dropDuplicatesWithinWatermark
     "t_stream_exact_dedup",
     # r10-staged seventh batch: hive partition pruning and additive
     # schema evolution (mergeSchema)

@@ -600,27 +600,7 @@ def test_gini_closed_form_matches_definition():
         assert (two_s1 - (n + 1) * s0) // ((n * s0) // 1000000) == brute(xs)
 
 
-# ---- batch 6: association rules + streaming exact dedup ----
-
-def test_basket_lift_no_pair_self_join(spark):
-    # pairs come from the sorted-set explode, never a lineitem x
-    # lineitem self-join at pair granularity; per-part counts broadcast
-    p = _plan(spark, "a_basket_lift")
-    assert "CartesianProduct" not in p and "EvalPython" not in p
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
-
-
-def test_basket_lift_scores_are_consistent(spark):
-    rows = staged_r10.a_basket_lift(spark, SF).collect()
-    assert rows
-    for r in rows:
-        # lift > 1e6 (positive association) implies conf > overall rate;
-        # support can never exceed confidence
-        assert r["support_ppm"] <= r["conf_a_to_b_ppm"]
-        assert r["n_ab"] >= 2
-        assert r["part_a"] < r["part_b"]
-
+# ---- batch 6: streaming exact dedup ----
 
 def test_stream_dedup_drops_replay_exactly(spark):
     # the streaming census must equal the batch distinct even though
