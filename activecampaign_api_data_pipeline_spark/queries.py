@@ -2122,7 +2122,7 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      window for a fresh driver row.
 #   3. Every entry needs a green driver row at least every ceil(N/50)
 #      rounds (N = registry size; the best achievable cadence with a
-#      50-slot window — 3 rounds at the current 138 entries): an entry
+#      50-slot window — 4 rounds at the current 154 entries): an entry
 #      at its cadence deadline MUST be inside the window that round.
 #      Untouched entries greener than the deadline may sit past 50.
 #   4. When the hard set exceeds 50, prefer (in order): new > never-checked
@@ -2169,6 +2169,14 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ceil(178/50)=4) shares the r11 window with the r7-green deadline set
 # (24 new + the 5 r9-displaced r5-green entries + r7-green set); the
 # overflow parks under rule 4 with typed-replica cover as usual.
+#
+# The TWENTY-FIVE staged_r10 queries (seven batches, typed-exact at two
+# SFs in r9) promote at r12 (N -> 203, cadence ceil(203/50)=5) unless
+# superseded variants are trimmed first to hold N <= 200; whichever
+# branch executes must update this comment, SURVEY §8 and the policy
+# test's formula text in the same commit. Until promotion they bench
+# and smoke like registry entries and re-verify typed-exact each round
+# via the test_staged_r7 parametrization.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,

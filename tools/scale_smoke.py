@@ -160,7 +160,7 @@ def main() -> None:
         build_dataset(k, dst)
         print(f"# built {dst} in {time.time() - t0:.1f}s", file=sys.stderr)
 
-    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9
+    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9, staged_r10
     from activecampaign_api_data_pipeline_spark.queries import REGISTRY
     from activecampaign_api_data_pipeline_spark.session import get_spark
 
@@ -171,8 +171,11 @@ def main() -> None:
     results = []
     for name in only:
         # staged queries are smoke-eligible before they enter the registry
-        fn = REGISTRY.get(name) or getattr(staged_r8, name, None) or getattr(
-            staged_r9, name
+        fn = (
+            REGISTRY.get(name)
+            or getattr(staged_r8, name, None)
+            or getattr(staged_r9, name, None)
+            or getattr(staged_r10, name)
         )
         t0 = time.time()
         fn(spark, SRC).write.format("noop").mode("overwrite").save()
