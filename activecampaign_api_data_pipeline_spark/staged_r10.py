@@ -63,19 +63,23 @@ Third batch (3 queries — layout maintenance + multimodal + graph):
 - ``g_ppr_seeded``: personalized PageRank, restart mass pinned to a
   seed set, exact integer micro-units
 
-Fourth batch (4 queries — streaming joins + bloom index + windows):
+Fourth batch (2 queries — bloom index + nearest-neighbor window; three
+drafts were DROPPED as duplicates of existing registry entries — the
+stream-stream interval join, the watermarked streaming dedup and the
+per-key EWMA already exist there; always grep the registry before
+staging):
 
-- ``t_stream_interval_join``: REAL stream-stream inner join with
-  watermark-bounded state on both sides
-  (``streaming/joins.stream_interval_join``) — the last Structured
-  Streaming join mode the surface lacked
 - ``k_bloom_point_lookup``: per-file bloom index for point lookups on
   a key the layout does not cluster
   (``operators/layout.write_bloom_indexed``)
-- ``w_ewma_cents``: alpha=1/2 EWMA truncated to K=8 terms, scaled
-  2^K so it stays BIGINT-exact across engines
 - ``j_nearest_event``: two-sided nearest-click-per-purchase as ONE
   sorted window (the merge formulation — no candidate-pair join)
+
+Fifth and seventh batches: exact rank-based percentiles + integer Gini
+on the two-level bucketed prefix sum (the scale-safe exact siblings of
+``a_percentiles``/``a_bucket_quantiles``); hive partition pruning;
+additive schema evolution (mergeSchema, pinning the behavior
+``storage.py`` relies on for payload drift).
 """
 
 from __future__ import annotations
@@ -1058,37 +1062,6 @@ FROM top
 
 # ---------------------------------------------------------------- batch 4
 
-_EWMA_K = 8
-
-
-def w_ewma_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-integer EWMA snapshot per user: the exponentially weighted
-    value of the last K=8 events, newest weighted 2^(K-1) down to 2^0
-    for the oldest — the alpha=1/2 EWMA truncated to a K-term window
-    and scaled by 2^K so it stays BIGINT-exact (float EWMAs are not
-    cross-engine reproducible; this one is). One window exchange on
-    user_id: rank events newest-first, keep rd <= K, weight by
-    2^(K-rd), sum. The monitoring primitive (recency-weighted spend)
-    with none of the floating-point drift."""
-    e = _ev(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("es").desc(), F.col("event_id").desc()
-    )
-    r = e.select(
-        "user_id", "cents", F.row_number().over(w).alias("rd")
-    ).filter(F.col("rd") <= _EWMA_K)
-    return (
-        r.groupBy("user_id")
-        .agg(
-            F.sum(
-                F.col("cents") * F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_K} - rd)")
-            ).alias("ewma_scaled"),
-            F.count("*").alias("n_terms"),
-        )
-        .orderBy("user_id")
-    )
-
-
 def j_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided nearest-neighbor join in event time, WITHOUT a join:
     for every purchase, the nearest click by the same user — before or
@@ -1150,21 +1123,6 @@ def j_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
 
-
-STAGED_ORACLES["w_ewma_cents"] = f"""
-WITH e AS ({_EV_SQL}),
-r AS (
-  SELECT user_id, cents,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY es DESC, event_id DESC) AS rd
-  FROM e
-)
-SELECT user_id,
-       CAST(sum(cents * (1 << ({_EWMA_K} - rd))) AS BIGINT) AS ewma_scaled,
-       count(*) AS n_terms
-FROM r WHERE rd <= {_EWMA_K}
-GROUP BY user_id ORDER BY user_id
-"""
 
 STAGED_ORACLES["j_nearest_event"] = f"""
 WITH e AS ({_EV_SQL}),
@@ -1247,100 +1205,6 @@ SELECT user_id, count(*) AS n_events,
        min(es) AS first_es, max(es) AS last_es
 FROM e WHERE user_id IN {_BLOOM_USERS}
 GROUP BY user_id ORDER BY user_id
-"""
-
-
-_SSJOIN_WINDOW_S = 3600
-
-
-def t_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL stream-stream join (``streaming/joins.stream_interval_join``):
-    purchases and clicks arrive as two live file streams sliced into
-    three ascending event-time micro-batches; every purchase joins the
-    same user's clicks in the trailing hour with watermark-bounded state
-    on BOTH sides. The oracle is the batch interval join — however the
-    two streams interleave, the emitted pair set must be identical
-    (inner join + event-time constraint + in-order slices = exact)."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
-    from activecampaign_api_data_pipeline_spark.streaming.joins import (
-        stream_interval_join,
-    )
-
-    pin_confs(spark)
-    ev = _ev(spark, sf_dir).select("user_id", "event_id", "event_type", "es")
-    b = ev.agg(F.min("es").alias("mn"), F.max("es").alias("mx")).first()
-    mn, mx = int(b["mn"]), int(b["mx"])
-    root = tempfile.mkdtemp(prefix="acdp_ssj_")
-    try:
-        stream_dir, sink, ckpt = (
-            os.path.join(root, d) for d in ("in", "out", "ckpt")
-        )
-        os.makedirs(stream_dir)
-        for i in range(3):
-            sl = ev.where(
-                F.expr(
-                    f"least(2, CAST(((es - {mn}) * 3) div ({mx} - {mn} + 1) AS INT))"
-                    f" = {i}"
-                )
-            )
-            tmp = os.path.join(root, f"slice{i}")
-            sl.coalesce(1).write.parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
-        stream = (
-            spark.readStream.schema(
-                "user_id long, event_id long, event_type string, es long"
-            )
-            .option("maxFilesPerTrigger", "1")
-            .parquet(stream_dir)
-        )
-        q = stream_interval_join(
-            stream.filter(F.col("event_type") == "purchase"),
-            stream.filter(F.col("event_type") == "click"),
-            sink,
-            ckpt,
-            window_s=_SSJOIN_WINDOW_S,
-        )
-        assert q.awaitTermination(300), "stream-stream join did not drain in 300s"
-        out = spark.read.parquet(sink)
-        res = (
-            out.groupBy("user_id")
-            .agg(
-                F.count("*").alias("n_pairs"),
-                F.countDistinct("purchase_id").alias("n_purchases"),
-                F.countDistinct("click_id").alias("n_clicks"),
-                F.sum("gap_s").alias("gap_sum_s"),
-            )
-            .orderBy("user_id")
-        )
-        return res.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-
-
-STAGED_ORACLES["t_stream_interval_join"] = f"""
-WITH e AS ({_EV_SQL}),
-p AS (SELECT user_id, event_id AS purchase_id, es AS pes
-      FROM e WHERE event_type = 'purchase'),
-c AS (SELECT user_id, event_id AS click_id, es AS ces
-      FROM e WHERE event_type = 'click'),
-pairs AS (
-  SELECT p.user_id, purchase_id, click_id, pes - ces AS gap_s
-  FROM p JOIN c ON p.user_id = c.user_id
-    AND c.ces BETWEEN p.pes - {_SSJOIN_WINDOW_S} AND p.pes
-)
-SELECT user_id, count(*) AS n_pairs,
-       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
-       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
-       CAST(sum(gap_s) AS BIGINT) AS gap_sum_s
-FROM pairs GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -1493,95 +1357,6 @@ s AS (
 SELECT event_type, n, s0 AS cents_total,
        (two_s1 - (n + 1) * s0) // ((n * s0) // 1000000) AS gini_ppm
 FROM s ORDER BY event_type
-"""
-
-
-# ---------------------------------------------------------------- batch 6
-
-def t_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exactly-once dedup via Spark's own
-    ``dropDuplicatesWithinWatermark`` — the built-in the custom
-    incremental stores deliberately bypass: events arrive twice (a full
-    copy re-sent one slice later, the classic at-least-once replay), the
-    operator keeps ONE row per event_id while holding only a watermark
-    window of keys in state (unbounded-key dedup without unbounded
-    state). The oracle is the batch distinct — replay must be invisible
-    in the per-type census however the slices interleave."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
-
-    pin_confs(spark)
-    ev = _ev(spark, sf_dir).select("user_id", "event_id", "event_type", "es")
-    b = ev.agg(F.min("es").alias("mn"), F.max("es").alias("mx")).first()
-    mn, mx = int(b["mn"]), int(b["mx"])
-    root = tempfile.mkdtemp(prefix="acdp_sdd_")
-    try:
-        stream_dir, sink, ckpt = (
-            os.path.join(root, d) for d in ("in", "out", "ckpt")
-        )
-        os.makedirs(stream_dir)
-        seq = 0
-        for i in range(3):
-            sl = ev.where(
-                F.expr(
-                    f"least(2, CAST(((es - {mn}) * 3) div ({mx} - {mn} + 1) AS INT))"
-                    f" = {i}"
-                )
-            )
-            for tag, frame in (("a", sl), ("b", sl)):  # replayed copy
-                tmp = os.path.join(root, f"slice{i}{tag}")
-                frame.coalesce(1).write.parquet(tmp)
-                part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-                dst = os.path.join(stream_dir, f"{seq:03d}.parquet")
-                shutil.move(part, dst)
-                os.utime(dst, (1_700_000_000 + seq * 60,) * 2)
-                seq += 1
-        stream = (
-            spark.readStream.schema(
-                "user_id long, event_id long, event_type string, es long"
-            )
-            .option("maxFilesPerTrigger", "1")
-            .parquet(stream_dir)
-        )
-        deduped = (
-            stream.withColumn("ts", F.timestamp_seconds("es"))
-            .withWatermark("ts", "2 days")
-            .dropDuplicatesWithinWatermark(["event_id"])
-            .drop("ts")
-        )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        assert q.awaitTermination(300), "dedup stream did not drain in 300s"
-        out = spark.read.parquet(sink)
-        res = (
-            out.groupBy("event_type")
-            .agg(
-                F.count("*").alias("n_events"),
-                F.countDistinct("event_id").alias("n_distinct"),
-                F.countDistinct("user_id").alias("n_users"),
-            )
-            .orderBy("event_type")
-        )
-        return res.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-
-
-STAGED_ORACLES["t_stream_exact_dedup"] = f"""
-WITH e AS ({_EV_SQL})
-SELECT event_type, count(*) AS n_events,
-       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM e GROUP BY event_type ORDER BY event_type
 """
 
 

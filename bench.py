@@ -227,20 +227,17 @@ HEADLINE = [
     "k_zorder_compact",
     "mm_video_scenes",
     "g_ppr_seeded",
-    # r10-staged fourth batch: exact-integer EWMA, joinless two-sided
-    # nearest-event, bloom-index point lookup, watermarked stream-stream
-    # interval join
-    "w_ewma_cents",
+    # r10-staged fourth batch: joinless two-sided nearest-event and
+    # bloom-index point lookup; plus two REGISTRY streaming queries that
+    # had no bench row yet (stream-stream interval join, watermark dedup)
     "j_nearest_event",
     "k_bloom_point_lookup",
     "t_stream_interval_join",
+    "t_stream_dedup",
     # r10-staged fifth batch: exact rank-based percentiles and integer
     # Gini, both on the two-level bucketed prefix sum (no global sort)
     "a_exact_quantiles",
     "a_gini_concentration",
-    # r10-staged sixth batch: streaming exact dedup via
-    # dropDuplicatesWithinWatermark
-    "t_stream_exact_dedup",
     # r10-staged seventh batch: hive partition pruning and additive
     # schema evolution (mergeSchema)
     "k_hive_partition_prune",

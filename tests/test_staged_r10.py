@@ -423,15 +423,7 @@ def test_ppr_plan_no_cartesian_no_python(spark):
     assert "EvalPython" not in p
 
 
-# ---- batch 4: EWMA, nearest-event merge join, bloom index, stream-stream ----
-
-def test_ewma_single_exchange_no_join(spark):
-    p = _plan(spark, "w_ewma_cents")
-    assert "CartesianProduct" not in p and "EvalPython" not in p
-    import re
-
-    assert len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1
-
+# ---- batch 4: nearest-event merge join, bloom index ----
 
 def test_nearest_event_is_joinless_merge(spark):
     # the two-sided nearest neighbor must ride the sorted window, never
@@ -485,40 +477,6 @@ def test_bloom_unindexed_append_always_read(spark):
         df, nsel, ntot = bloom_pruned_read(spark, root, "user_id", [10**9])
         assert df.filter(F.col("user_id") == 10**9).count() == 1
         assert nsel >= 1
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-
-
-def test_stream_interval_join_empty_window_side(spark):
-    # a purchase stream with NO clicks in range drains cleanly to an
-    # empty (but schema-stable) sink
-    import os
-
-    from activecampaign_api_data_pipeline_spark.streaming.joins import (
-        stream_interval_join,
-    )
-
-    root = tempfile.mkdtemp(prefix="ssj_e_")
-    try:
-        pdir, cdir = os.path.join(root, "p"), os.path.join(root, "c")
-        spark.createDataFrame(
-            [(1, 100, 50000)], "user_id long, event_id long, es long"
-        ).coalesce(1).write.parquet(pdir)
-        spark.createDataFrame(
-            [(1, 200, 1000)], "user_id long, event_id long, es long"
-        ).coalesce(1).write.parquet(cdir)  # 49000s before: out of window
-        sch = "user_id long, event_id long, es long"
-        q = stream_interval_join(
-            spark.readStream.schema(sch).parquet(pdir),
-            spark.readStream.schema(sch).parquet(cdir),
-            os.path.join(root, "out"),
-            os.path.join(root, "ckpt"),
-            window_s=3600,
-        )
-        assert q.awaitTermination(120)
-        out = spark.read.parquet(os.path.join(root, "out"))
-        assert out.count() == 0
-        assert set(out.columns) == {"user_id", "purchase_id", "click_id", "gap_s"}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -598,17 +556,6 @@ def test_gini_closed_form_matches_definition():
             c += k
         n, s0 = len(xs), sum(xs)
         assert (two_s1 - (n + 1) * s0) // ((n * s0) // 1000000) == brute(xs)
-
-
-# ---- batch 6: streaming exact dedup ----
-
-def test_stream_dedup_drops_replay_exactly(spark):
-    # the streaming census must equal the batch distinct even though
-    # every slice was delivered twice
-    rows = staged_r10.t_stream_exact_dedup(spark, SF).collect()
-    assert rows
-    for r in rows:
-        assert r["n_events"] == r["n_distinct"], "replayed duplicate survived"
 
 
 # ---- batch 7: partition pruning + schema evolution ----
