@@ -2170,13 +2170,11 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (24 new + the 5 r9-displaced r5-green entries + r7-green set); the
 # overflow parks under rule 4 with typed-replica cover as usual.
 #
-# The TWENTY-FIVE staged_r10 queries (seven batches, typed-exact at two
-# SFs in r9) promote at r12 (N -> 203, cadence ceil(203/50)=5) unless
-# superseded variants are trimmed first to hold N <= 200; whichever
-# branch executes must update this comment, SURVEY §8 and the policy
-# test's formula text in the same commit. Until promotion they bench
-# and smoke like registry entries and re-verify typed-exact each round
-# via the test_staged_r7 parametrization.
+# The TWENTY-TWO staged_r10 queries (typed-exact at two SFs in r9;
+# three further drafts were dropped as duplicates of registry entries)
+# promote at r12 (N -> 200, cadence ceil(200/50)=4 — unchanged). Until
+# promotion they bench and smoke like registry entries and re-verify
+# typed-exact each round via the test_staged_r7 parametrization.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,

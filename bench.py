@@ -247,7 +247,7 @@ HEADLINE = [
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
 # final stdout line so regressions stay attributable even when the full
 # per-query dict has to drop off that line to fit the driver's capture
-SCOPES = {"r1_23": 23, "r5_44": 44, "r6_60": 60, "r7_99": 99, "r8_116": 116}
+SCOPES = {"r1_23": 23, "r5_44": 44, "r6_60": 60, "r7_99": 99, "r8_116": 116, "r9_140": 140}
 
 
 def _median(xs: list[float]) -> float:
