@@ -280,6 +280,14 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
+            # release dead localCheckpoint blocks between reps (untimed): a
+            # driver GC lets ContextCleaner reap RDDs nothing references
+            # anymore — the graph queries checkpoint fresh edge frames every
+            # rep, and 164 queries of survivors inflated later pagerank reps
+            # ~2x (r9 spread: 4.9/11.0/10.0 in-session vs 4.6-5.3 isolated).
+            # Session-cached ANN/index frames keep live references and are
+            # untouched — the warm-index design stands.
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(_median(runs), 3)
         spread[name] = {"min": min(runs), "max": max(runs), "runs": runs}
 
