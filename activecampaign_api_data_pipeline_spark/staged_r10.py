@@ -1457,3 +1457,232 @@ SELECT event_type, count(*) AS n_events,
          AS cents_sum
 FROM e GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------- batch 8
+
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    customers to a filtered orders set (one priority class excluded —
+    standing in for the spec's comment-pattern exclusion), count orders
+    per customer INCLUDING the zero-order customers the left join
+    preserves, then histogram the counts. The two-level aggregate whose
+    first groupBy is the big shuffle and whose second runs on the tiny
+    count support. Public formulation per the TPC-H spec."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    shipping quarter, then the supplier(s) achieving the MAX — the
+    aggregate-derived-threshold join done with one broadcast of a
+    single-row max (the spec's CREATE VIEW folded inline). Exact
+    integer cents; ties all surface, ordered by key."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01"))
+            & (F.col("l_shipdate") < F.lit("2000-04-01"))
+        )
+        .select(
+            "l_suppkey",
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev"),
+        )
+    )
+    # decimal sums are exact in both engines; truncate to cents ONCE at
+    # the end (a per-row bigint cast would truncate in a different place
+    # than the oracle's sum-then-cast)
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.floor(F.sum("rev") * 100).cast("bigint").alias("total_rev_c")
+    )
+    mx = per_supp.agg(F.max("total_rev_c").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_c") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c")
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    brand whose quantity is below 20% of that PART's average quantity —
+    the correlated scalar subquery decorrelated into a per-part
+    aggregate joined back (integer form: 5*quantity < sum/count per
+    part, cross-multiplied so no fractional average exists). Returns
+    the exact total cents div 7 ("average yearly" in the spec's
+    framing) plus the qualifying row count."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    branded = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = branded.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sq"), F.count("*").alias("nq")
+    )
+    j = branded.join(
+        F.broadcast(per_part.withColumnRenamed("l_partkey", "pk")),
+        F.col("l_partkey") == F.col("pk"),
+    ).filter(F.col("qty") * 5 * F.col("nq") < F.col("sq"))
+    return j.agg(
+        F.expr("CAST(sum(price_c) div 7 AS BIGINT)").alias("avg_yearly_c"),
+        F.count("*").alias("n_small"),
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within one region's
+    customers, the share of order revenue shipped by suppliers of ONE
+    nation, per order year — exact ppm (numerator and denominator both
+    integer cents; the spec's sum(case)/sum decimal division pinned to
+    integer div). Supplier and customer nation maps broadcast; the
+    revenue fact shuffles once on orderkey for the orders join."""
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region_nations = nat.filter(F.col("n_regionkey") == 1).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(region_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.floor(
+                F.sum(F.when(F.col("s_nationkey") == 5, F.col("rev")).otherwise(zero))
+                * 100
+            ).cast("bigint").alias("nation_rev_c"),
+            F.floor(F.sum("rev") * 100).cast("bigint").alias("total_rev_c"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_c",
+            "total_rev_c",
+            F.expr("nation_rev_c * 1000000 div total_rev_c").alias("share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+STAGED_ORACLES["q13_custdist"] = """
+WITH pc AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+FROM pc GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+STAGED_ORACLES["q15_top_supplier"] = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              * 100) AS BIGINT) AS total_rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_c
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev_c = (SELECT max(total_rev_c) FROM r)
+ORDER BY s_suppkey
+"""
+
+STAGED_ORACLES["q17_small_quantity"] = """
+WITH b AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+),
+pp AS (SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sq, count(*) AS nq
+       FROM b GROUP BY 1)
+SELECT CAST(sum(price_c) // 7 AS BIGINT) AS avg_yearly_c,
+       count(*) AS n_small
+FROM b JOIN pp ON l_partkey = pk
+WHERE qty * 5 * nq < sq
+"""
+
+STAGED_ORACLES["q8_market_share"] = """
+WITH rn AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 1),
+c AS (SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM rn)),
+o AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year
+  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM c)
+),
+l AS (
+  SELECT l_orderkey, s_nationkey,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS rev
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+),
+g AS (
+  SELECT o_year,
+         CAST(floor(sum(CASE WHEN s_nationkey = 5 THEN rev
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) * 100) AS BIGINT)
+           AS nation_rev_c,
+         CAST(floor(sum(rev) * 100) AS BIGINT) AS total_rev_c
+  FROM l JOIN o ON l_orderkey = o_orderkey
+  GROUP BY o_year
+)
+SELECT o_year, nation_rev_c, total_rev_c,
+       nation_rev_c * 1000000 // total_rev_c AS share_ppm
+FROM g ORDER BY o_year
+"""

@@ -242,6 +242,11 @@ HEADLINE = [
     # schema evolution (mergeSchema)
     "k_hive_partition_prune",
     "k_schema_evolution",
+    # r10-staged eighth batch: TPC-H Q13/Q15/Q17/Q8 shapes
+    "q13_custdist",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q8_market_share",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

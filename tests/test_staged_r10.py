@@ -603,3 +603,39 @@ def test_schema_evolution_nulls_not_zeros(spark):
         assert old.count() == e.filter(F.col("event_id") % 3 != 0).count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- batch 8: TPC-H Q13/Q15/Q17/Q8 shapes ----
+
+def test_q13_left_join_preserves_zero_order_customers(spark):
+    p = _plan(spark, "q13_custdist")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "LeftOuter" in p  # zero-order customers must survive
+    # the distribution aggregate runs on the tiny count support
+    rows = staged_r10.q13_custdist(spark, SF).collect()
+    assert sum(r["custdist"] for r in rows) == 150  # every customer counted
+
+
+def test_q15_single_row_max_broadcast(spark):
+    p = _plan(spark, "q15_top_supplier")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1][:400]
+
+
+def test_q17_decorrelated_avg_stays_broadcast(spark):
+    p = _plan(spark, "q17_small_quantity")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    # integer cross-multiplication: no fractional average in the plan
+    assert "avg(" not in p
+
+
+def test_q8_share_is_integer_ppm(spark):
+    p = _plan(spark, "q8_market_share")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # supplier + semi-join sides
+    rows = staged_r10.q8_market_share(spark, SF).collect()
+    for r in rows:
+        assert 0 <= r["share_ppm"] <= 1_000_000
+        assert r["nation_rev_c"] <= r["total_rev_c"]
