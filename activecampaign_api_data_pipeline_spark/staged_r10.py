@@ -1686,3 +1686,105 @@ SELECT o_year, nation_rev_c, total_rev_c,
        nation_rev_c * 1000000 // total_rev_c AS share_ppm
 FROM g ORDER BY o_year
 """
+
+
+_SILENCE_RMS = 0.351
+
+
+def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-segment detection per audio track — the voice-activity /
+    trim-silence primitive (public formulation: energy-threshold VAD,
+    e.g. the WebRTC VAD's energy gate): 25 ms RMS windows from the
+    Arrow PCM kernel (decode stubbed, windowing real — the
+    ``mm_audio_energy`` stack), a window is silent when its 6dp-rounded
+    RMS sits under the threshold, and consecutive silent windows fuse
+    into segments via gaps-and-islands (widx minus silent-rank — one
+    media_id exchange shared with the census). Reports per-track window
+    and segment counts plus the longest silence."""
+    from activecampaign_api_data_pipeline_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+    from activecampaign_api_data_pipeline_spark.queries import _media_from_docs
+
+    media = _media_from_docs(spark, sf_dir, "audio")
+    # materialize the flags once: the census and the segment branch both
+    # consume them, and without the checkpoint the Arrow PCM kernel runs
+    # twice (2x decode cost — the mm_audio_neardup r7 lesson)
+    en = (
+        audio_window_energy(media, window_ms=25)
+        .select(
+            "media_id",
+            "window_idx",
+            (F.round("rms", 6) < F.lit(_SILENCE_RMS)).alias("silent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("media_id").orderBy("window_idx")
+    runs = en.withColumn(
+        "srank",
+        F.sum(F.when(F.col("silent"), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("grp", F.col("window_idx") - F.col("srank"))
+    seg = (
+        runs.filter(F.col("silent"))
+        .groupBy("media_id", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    census = en.groupBy("media_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("silent"), 1).otherwise(0)).alias("n_silent"),
+    )
+    segc = seg.groupBy("media_id").agg(
+        F.count("*").alias("n_segments"), F.max("run_len").alias("longest_run")
+    )
+    return (
+        census.join(segc, "media_id", "left")
+        .select(
+            "media_id",
+            "n_windows",
+            "n_silent",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
+        )
+        .orderBy("media_id")
+    )
+
+
+STAGED_ORACLES["mm_audio_silence"] = f"""
+WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+w AS (SELECT media_id, text, n // 200 AS n_win FROM m WHERE n // 200 >= 1),
+i AS (SELECT media_id, text, unnest(generate_series(0, n_win - 1)) AS widx FROM w),
+s AS (SELECT media_id, widx, text, unnest(generate_series(1, 200)) AS k FROM i),
+v AS (SELECT media_id, widx,
+             (ord(substr(text, CAST(widx * 200 + k AS INTEGER), 1)) - 128.0) / 128.0 AS x
+      FROM s),
+e AS (SELECT media_id, widx,
+             round(sqrt(avg(x * x)), 6) < {_SILENCE_RMS} AS silent
+      FROM v GROUP BY media_id, widx),
+r AS (
+  SELECT media_id, widx, silent,
+         widx - sum(CASE WHEN silent THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY media_id ORDER BY widx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM e
+),
+seg AS (
+  SELECT media_id, grp, count(*) AS run_len
+  FROM r WHERE silent GROUP BY media_id, grp
+),
+census AS (
+  SELECT media_id, count(*) AS n_windows,
+         CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+  FROM e GROUP BY media_id
+),
+segc AS (
+  SELECT media_id, count(*) AS n_segments, max(run_len) AS longest_run
+  FROM seg GROUP BY media_id
+)
+SELECT c.media_id, c.n_windows, c.n_silent,
+       CAST(coalesce(s2.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(s2.longest_run, 0) AS BIGINT) AS longest_run
+FROM census c LEFT JOIN segc s2 ON c.media_id = s2.media_id
+ORDER BY c.media_id
+"""

@@ -247,6 +247,8 @@ HEADLINE = [
     "q15_top_supplier",
     "q17_small_quantity",
     "q8_market_share",
+    # r10-staged ninth batch: energy-gate silence segmentation (VAD)
+    "mm_audio_silence",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

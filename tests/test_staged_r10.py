@@ -639,3 +639,27 @@ def test_q8_share_is_integer_ppm(spark):
     for r in rows:
         assert 0 <= r["share_ppm"] <= 1_000_000
         assert r["nation_rev_c"] <= r["total_rev_c"]
+
+
+# ---- batch 9: audio silence segmentation ----
+
+def test_audio_silence_shares_one_media_exchange(spark):
+    p = _plan(spark, "mm_audio_silence")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p  # only the Arrow PCM kernel
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(media_id", p)) <= 2
+
+
+def test_audio_silence_runs_fuse_consecutive_windows(spark):
+    rows = staged_r10.mm_audio_silence(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_silent"] <= r["n_windows"]
+        assert r["n_segments"] <= r["n_silent"]
+        assert r["longest_run"] <= r["n_silent"]
+        if r["n_silent"]:
+            assert r["n_segments"] >= 1
+        else:
+            assert r["n_segments"] == 0 and r["longest_run"] == 0
