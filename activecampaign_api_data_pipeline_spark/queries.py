@@ -2170,16 +2170,18 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (24 new + the 5 r9-displaced r5-green entries + r7-green set); the
 # overflow parks under rule 4 with typed-replica cover as usual.
 #
-# The TWENTY-SIX staged_r10 queries (typed-exact at two SFs in r9;
-# three further drafts were dropped as duplicates of registry entries)
-# promote at r12. Naive N would be 178+26=204 (cadence 5); trimming the
-# four superseded registry variants the r7 verdict already named
-# (sim_ivf_nprobe2, sim_ivfpq_residual, sim_ann_index_nprobe1,
-# llm_corpus_prep — each subsumed by an in-registry cousin, each
-# typed-replica-covered when displaced in r9) lands N=200 and keeps the
-# ceil(N/50)=4 cadence; execute the trim in the same commit as the
-# promotion. Until then the staged queries bench and smoke like
-# registry entries and re-verify typed-exact each round via the
+# The staged_r10 batch (TWENTY-EIGHT queries at r9 close, typed-exact
+# at two SFs on landing; three drafts were dropped as duplicates of
+# registry entries) promotes at r12. Naive N = 178+28 = 206 (cadence
+# ceil(206/50)=5); trimming the four superseded registry variants the
+# r7 verdict named (sim_ivf_nprobe2, sim_ivfpq_residual,
+# sim_ann_index_nprobe1, llm_corpus_prep — each subsumed by an
+# in-registry cousin, each typed-replica-covered when displaced in r9)
+# lands N=202, still cadence 5 — either accept the 5-round cadence or
+# find two more subsumed variants to reach 200; whichever branch
+# executes must update this comment, SURVEY §8 and the policy test in
+# the same commit. Until promotion the staged queries bench and smoke
+# like registry entries and re-verify typed-exact each round via the
 # test_staged_r7 parametrization.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402

@@ -1788,3 +1788,110 @@ SELECT c.media_id, c.n_windows, c.n_silent,
 FROM census c LEFT JOIN segc s2 ON c.media_id = s2.media_id
 ORDER BY c.media_id
 """
+
+
+def t_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation on a REAL stream — the
+    dynamic-gap session windows only Structured Streaming state can
+    merge across micro-batches (the batch twin ``t_sessionize`` runs
+    the SAME ``session_rollup`` operator with a no-op watermark).
+    Events arrive as three ascending event-time slices plus a sentinel
+    row 4 h past the corpus (a fake key, filtered after the drain) that
+    advances the watermark past every real session's end — append mode
+    only emits a session once the watermark proves no future event can
+    extend it. The oracle is the batch gaps-and-islands sessionization:
+    however the stream is sliced, the emitted session set must be
+    identical."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        session_rollup,
+    )
+
+    pin_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    b = ev.select(
+        F.unix_timestamp(F.min("ts")).alias("mn"),
+        F.unix_timestamp(F.max("ts")).alias("mx"),
+    ).first()
+    mn, mx = int(b["mn"]), int(b["mx"])
+    root = tempfile.mkdtemp(prefix="acdp_ssw_")
+    try:
+        stream_dir, sink, ckpt = (
+            os.path.join(root, d) for d in ("in", "out", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        slices = [
+            ev.where(
+                F.expr(
+                    f"least(2, CAST(((unix_timestamp(ts) - {mn}) * 3)"
+                    f" div ({mx} - {mn} + 1) AS INT)) = {i}"
+                )
+            )
+            for i in range(3)
+        ]
+        # sentinel: one fake-key row far past the corpus so the final
+        # watermark closes (and append-emits) every real session
+        slices.append(
+            spark.range(1).select(
+                F.lit(-1).cast("long").alias("user_id"),
+                F.timestamp_seconds(F.lit(mx + 4 * 3600)).alias("ts"),
+            )
+        )
+        for i, sl in enumerate(slices):
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        sessions = session_rollup(
+            stream, ts_col="ts", gap="30 minutes", key_col="user_id"
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "session stream did not drain in 300s"
+        out = spark.read.parquet(sink).filter(F.col("user_id") != -1)
+        return (
+            out.select("user_id", "session_start", "session_end", "n_events")
+            .orderBy("user_id", "session_start")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STAGED_ORACLES["t_stream_sessions"] = """
+WITH l AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""

@@ -249,6 +249,8 @@ HEADLINE = [
     "q8_market_share",
     # r10-staged ninth batch: energy-gate silence segmentation (VAD)
     "mm_audio_silence",
+    # r10-staged tenth batch: native session_window streaming twin
+    "t_stream_sessions",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -663,3 +663,26 @@ def test_audio_silence_runs_fuse_consecutive_windows(spark):
             assert r["n_segments"] >= 1
         else:
             assert r["n_segments"] == 0 and r["longest_run"] == 0
+
+
+# ---- batch 10: native session_window streaming twin ----
+
+def test_stream_sessions_match_batch_twin(spark):
+    # identical rows to the batch t_sessionize operator output: the
+    # watermark-closed streaming sessions ARE the batch sessions
+    from activecampaign_api_data_pipeline_spark.queries import t_sessionize
+
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in t_sessionize(spark, SF).collect()
+    }
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in staged_r10.t_stream_sessions(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_stream_sessions_sentinel_filtered(spark):
+    rows = staged_r10.t_stream_sessions(spark, SF).collect()
+    assert rows and all(r["user_id"] != -1 for r in rows)
