@@ -2170,14 +2170,14 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (24 new + the 5 r9-displaced r5-green entries + r7-green set); the
 # overflow parks under rule 4 with typed-replica cover as usual.
 #
-# The staged_r10 batch (TWENTY-EIGHT queries at r9 close, typed-exact
+# The staged_r10 batch (THIRTY queries at r9 close, typed-exact
 # at two SFs on landing; three drafts were dropped as duplicates of
-# registry entries) promotes at r12. Naive N = 178+28 = 206 (cadence
-# ceil(206/50)=5); trimming the four superseded registry variants the
+# registry entries) promotes at r12. Naive N = 178+30 = 208 (cadence
+# ceil(208/50)=5); trimming the four superseded registry variants the
 # r7 verdict named (sim_ivf_nprobe2, sim_ivfpq_residual,
 # sim_ann_index_nprobe1, llm_corpus_prep — each subsumed by an
 # in-registry cousin, each typed-replica-covered when displaced in r9)
-# lands N=202, still cadence 5 — either accept the 5-round cadence or
+# lands N=204, still cadence 5 — either accept the 5-round cadence or
 # find two more subsumed variants to reach 200; whichever branch
 # executes must update this comment, SURVEY §8 and the policy test in
 # the same commit. Until promotion the staged queries bench and smoke

@@ -1790,7 +1790,9 @@ ORDER BY c.media_id
 """
 
 
-def t_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_stream_sessions(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3
+) -> DataFrame:
     """Native ``session_window`` aggregation on a REAL stream — the
     dynamic-gap session windows only Structured Streaming state can
     merge across micro-batches (the batch twin ``t_sessionize`` runs
@@ -1828,11 +1830,11 @@ def t_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         slices = [
             ev.where(
                 F.expr(
-                    f"least(2, CAST(((unix_timestamp(ts) - {mn}) * 3)"
-                    f" div ({mx} - {mn} + 1) AS INT)) = {i}"
+                    f"least({n_slices - 1}, CAST(((unix_timestamp(ts) - {mn})"
+                    f" * {n_slices}) div ({mx} - {mn} + 1) AS INT)) = {i}"
                 )
             )
-            for i in range(3)
+            for i in range(n_slices)
         ]
         # sentinel: one fake-key row far past the corpus so the final
         # watermark closes (and append-emits) every real session
@@ -1894,4 +1896,61 @@ SELECT user_id,
        count(*) AS n_events
 FROM s GROUP BY user_id, sid
 ORDER BY user_id, session_start
+"""
+
+
+def k_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime sibling of
+    ``k_hive_partition_prune``: the pruning predicate is not a literal
+    the reader can see but the key set of a FILTERED dimension, only
+    known once the dim is evaluated. Spark broadcasts the dim, reuses
+    the broadcast as a partition-filter subquery on the day-partitioned
+    fact (``PartitionFilters: [dynamicpruning#...]``) and never lists
+    the losing day directories — the mechanism that makes
+    dim-filtered scans of a 100 TB date-partitioned fact affordable.
+    Census per surviving day; oracle recomputes from raw events."""
+    import shutil
+    import tempfile
+
+    e = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "cents", F.expr("es div 86400").alias("day")
+    )
+    root = tempfile.mkdtemp(prefix="acdp_dpp_")
+    try:
+        e.write.mode("overwrite").partitionBy("day").parquet(root)
+        fact = spark.read.parquet(root)
+        # the dim: Mondays only (dayofweek is a function of day, but the
+        # reader cannot know that — the filter must flow through the join)
+        dim = (
+            fact.select("day")
+            .distinct()
+            .filter(F.dayofweek(F.expr("date_add(DATE '1970-01-01', CAST(day AS INT))")) == 2)
+        )
+        out = (
+            fact.join(F.broadcast(dim), "day")
+            .groupBy("day")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents_sum"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .withColumn("day", F.col("day").cast("long"))
+            .orderBy("day")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STAGED_ORACLES["k_dpp_join"] = f"""
+WITH e AS ({_EV_SQL}),
+d AS (
+  SELECT es // 86400 AS day, user_id, event_id, cents FROM e
+)
+SELECT day, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM d
+WHERE dayofweek(DATE '1970-01-01' + CAST(day AS INTEGER)) = 1
+GROUP BY day ORDER BY day
 """

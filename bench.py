@@ -249,8 +249,10 @@ HEADLINE = [
     "q8_market_share",
     # r10-staged ninth batch: energy-gate silence segmentation (VAD)
     "mm_audio_silence",
-    # r10-staged tenth batch: native session_window streaming twin
+    # r10-staged tenth batch: native session_window streaming twin,
+    # dynamic partition pruning
     "t_stream_sessions",
+    "k_dpp_join",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

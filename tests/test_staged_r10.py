@@ -686,3 +686,49 @@ def test_stream_sessions_match_batch_twin(spark):
 def test_stream_sessions_sentinel_filtered(spark):
     rows = staged_r10.t_stream_sessions(spark, SF).collect()
     assert rows and all(r["user_id"] != -1 for r in rows)
+
+
+def test_stream_sessions_invariant_under_slicing(spark):
+    # the emitted session set must not depend on how the stream was cut
+    # into micro-batches: 1 slice (pure batch-through-stream) and 5
+    # slices (finer than the bench shape) both equal the 3-slice run
+    base = {
+        tuple(r) for r in staged_r10.t_stream_sessions(spark, SF).collect()
+    }
+    for n in (1, 5):
+        got = {
+            tuple(r)
+            for r in staged_r10.t_stream_sessions(spark, SF, n_slices=n).collect()
+        }
+        assert got == base, f"session set changed at n_slices={n}"
+
+
+def test_dpp_join_prunes_at_runtime(spark):
+    # the partition filter must be the DYNAMIC subquery (dim-derived),
+    # not a literal — and the join side broadcasts
+    import tempfile as _tf
+
+    e = staged_r10._ev(spark, SF).select(
+        "user_id", "event_id", "cents", F.expr("es div 86400").alias("day")
+    )
+    root = _tf.mkdtemp(prefix="dpp_t_")
+    try:
+        e.write.mode("overwrite").partitionBy("day").parquet(root)
+        fact = spark.read.parquet(root)
+        dim = (
+            fact.select("day").distinct()
+            .filter(
+                F.dayofweek(
+                    F.expr("date_add(DATE '1970-01-01', CAST(day AS INT))")
+                ) == 2
+            )
+        )
+        p = (
+            fact.join(F.broadcast(dim), "day")
+            .groupBy("day").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "dynamicpruning" in p
+        assert "BroadcastHashJoin" in p
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
