@@ -303,3 +303,110 @@ def test_largestar_smallstar_matches_union_find(spark, edges):
         for r in largestar_smallstar_components(df).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 500), st.integers(1, 200)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 500), st.integers(1, 200)),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(16, 128),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, lrows, rrows, bucket):
+    """For ANY interval sets and ANY bucket width, the bucketized join
+    emits exactly the brute-force overlapping pairs, each once, with the
+    exact overlap length (the emit-once start-bucket rule's invariant)."""
+    from activecampaign_api_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, s, s + d) for k, s, d in lrows], "k long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [(k, s, s + d) for k, s, d in rrows], "k long, rs long, re long"
+    )
+    got = sorted(
+        (r["k"], r["ls"], r["le"], r["rs"], r["re"], r["overlap_s"])
+        for r in interval_overlap_join(
+            left, right, on="k", l_start="ls", l_end="le",
+            r_start="rs", r_end="re", bucket_seconds=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (k, s, s + d, s2, s2 + d2, min(s + d, s2 + d2) - max(s, s2))
+        for k, s, d in lrows
+        for k2, s2, d2 in rrows
+        if k == k2 and max(s, s2) < min(s + d, s2 + d2)
+    )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 50), st.integers(0, 1000)), min_size=5, max_size=40),
+    st.tuples(st.integers(0, 50), st.integers(0, 50)),
+)
+def test_zorder_pruned_read_never_loses_rows(spark, rows, rng):
+    """For ANY data and ANY query box, manifest pruning + the exact
+    predicate equals the full-scan filter (skipping is lossless)."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        pruned_read,
+        write_zordered,
+    )
+
+    lo, hi = min(rng), max(rng)
+    df = spark.createDataFrame(
+        [(a, b, i) for i, (a, b) in enumerate(rows)], "a long, b long, i long"
+    )
+    root = tempfile.mkdtemp(prefix="zprop_")
+    try:
+        write_zordered(df, root, "a", "b", n_files=4, bits=8)
+        pr, _, _ = pruned_read(spark, root, {"a": (lo, hi)})
+        got = sorted(r["i"] for r in pr.filter(F.col("a").between(lo, hi)).collect())
+        want = sorted(i for i, (a, b) in enumerate(rows) if lo <= a <= hi)
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=3, max_size=40),
+    st.lists(st.integers(0, 30), min_size=1, max_size=4),
+)
+def test_bloom_pruned_read_complete_for_any_probe(spark, keys, probes):
+    """A bloom can false-positive but never miss: for ANY key layout and
+    ANY probe set, the pruned read contains every probe-key row."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        bloom_pruned_read,
+        write_bloom_indexed,
+    )
+
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k long, i long"
+    )
+    root = tempfile.mkdtemp(prefix="bprop_")
+    try:
+        write_bloom_indexed(df, root, key="k", layout_col="i", n_files=3)
+        pr, _, _ = bloom_pruned_read(spark, root, "k", probes)
+        got = sorted(
+            r["i"] for r in pr.filter(F.col("k").isin(probes)).collect()
+        )
+        want = sorted(i for i, k in enumerate(keys) if k in set(probes))
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
