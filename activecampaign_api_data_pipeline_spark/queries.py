@@ -2170,14 +2170,14 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (24 new + the 5 r9-displaced r5-green entries + r7-green set); the
 # overflow parks under rule 4 with typed-replica cover as usual.
 #
-# The staged_r10 batch (THIRTY queries at r9 close, typed-exact
+# The staged_r10 batch (THIRTY-ONE queries at r9 close, typed-exact
 # at two SFs on landing; three drafts were dropped as duplicates of
-# registry entries) promotes at r12. Naive N = 178+30 = 208 (cadence
-# ceil(208/50)=5); trimming the four superseded registry variants the
+# registry entries) promotes at r12. Naive N = 178+31 = 209 (cadence
+# ceil(209/50)=5); trimming the four superseded registry variants the
 # r7 verdict named (sim_ivf_nprobe2, sim_ivfpq_residual,
 # sim_ann_index_nprobe1, llm_corpus_prep — each subsumed by an
 # in-registry cousin, each typed-replica-covered when displaced in r9)
-# lands N=204, still cadence 5 — either accept the 5-round cadence or
+# lands N=205, still cadence 5 — either accept the 5-round cadence or
 # find two more subsumed variants to reach 200 (q_semi_join and
 # q_anti_join become candidates once Q4/Q22 promote: the TPC-H shapes
 # strictly subsume them). TRIM CONSTRAINT: three candidates sit in

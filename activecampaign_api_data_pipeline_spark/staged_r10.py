@@ -1954,3 +1954,52 @@ FROM d
 WHERE dayofweek(DATE '1970-01-01' + CAST(day AS INTEGER)) = 1
 GROUP BY day ORDER BY day
 """
+
+
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistics: the global adjacent-symbol pair
+    counts that drive a BPE merge step (Sennrich et al. 2016 — each
+    merge picks the corpus-wide most frequent pair; this query IS that
+    argmax table for the character alphabet). Words explode to
+    character bigrams JVM-side (``transform`` over a ``sequence`` — no
+    Python), every occurrence counts (BPE is frequency-weighted, not
+    distinct-weighted), top-20 by count with full deterministic
+    tiebreak. One map-side-combinable aggregate: the 100 TB shape is a
+    shuffle of pair-count partials, never of text."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+STAGED_ORACLES["text_bpe_pairs"] = """
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+  FROM documents
+),
+ww AS (SELECT w FROM w WHERE length(w) >= 2),
+p AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM ww CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, CAST(length(w) - 1 AS INTEGER))) AS i
+  ) s
+)
+SELECT pair, count(*) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""

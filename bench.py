@@ -253,6 +253,8 @@ HEADLINE = [
     # dynamic partition pruning
     "t_stream_sessions",
     "k_dpp_join",
+    # r10-staged eleventh batch: BPE merge-step pair statistics
+    "text_bpe_pairs",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -732,3 +732,15 @@ def test_dpp_join_prunes_at_runtime(spark):
         assert "BroadcastHashJoin" in p
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bpe_pairs_stay_jvm_side(spark):
+    p = _plan(spark, "text_bpe_pairs")
+    assert "EvalPython" not in p and "MapInPandas" not in p  # pure JVM
+    assert "CartesianProduct" not in p
+    rows = staged_r10.text_bpe_pairs(spark, SF).collect()
+    assert len(rows) == 20
+    assert all(len(r["pair"]) == 2 for r in rows)
+    # frequency-weighted: counts strictly positive, sorted desc
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True) and ns[-1] > 0
