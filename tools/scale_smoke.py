@@ -185,8 +185,21 @@ def main() -> None:
         out.write.format("noop").mode("overwrite").save()
         big = time.time() - t0
         # documents copies carry 2x the tokens (interleave) -> shingle-bound
-        # work scales with 2k, everything else with k
-        bound = 2 * k if name.startswith(("dedup_", "llm_", "text_")) else k
+        # work scales with 2k, everything else with k. Document-bound
+        # lifecycle/streaming queries don't share the prefix, so they are
+        # classified explicitly (the r9 k_block_store row was first read
+        # against the wrong k-bound).
+        DOC_BOUND = {
+            "k_block_store_roundtrip", "k_text_index_roundtrip",
+            "k_text_index_append", "k_text_index_compact",
+            "t_stream_text_index", "mm_video_scenes", "mm_audio_silence",
+            "mm_video_neardup", "mm_audio_neardup", "mm_image_phash_neardup",
+        }
+        bound = (
+            2 * k
+            if name.startswith(("dedup_", "llm_", "text_")) or name in DOC_BOUND
+            else k
+        )
         rec = {
             "query": name,
             "k": k,
