@@ -207,8 +207,17 @@ def interval_overlap_join(
     ``distinct``). Fan-out is span/bucket per row; pick ``bucket_seconds``
     near the median interval length. Timestamps must be numeric (epoch
     seconds).
+
+    Degenerate intervals (``start >= end`` — empty or reversed) are
+    DROPPED before the explode: a reversed interval would otherwise pass
+    the overlap filter and emit a pair with negative ``overlap_s``, and
+    ``F.sequence`` would silently generate a descending bucket list for
+    it. Half-open semantics make an empty interval overlap nothing, so
+    the drop is the correct answer, not a lossy shortcut.
     """
     b = F.lit(bucket_seconds)
+    left = left.filter(F.col(l_start) < F.col(l_end))
+    right = right.filter(F.col(r_start) < F.col(r_end))
     lx = left.withColumn(
         "_bkt",
         F.explode(

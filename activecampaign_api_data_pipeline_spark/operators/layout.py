@@ -74,7 +74,12 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
-    spark = df.sparkSession
+    _write_manifest(df.sparkSession, path, col_a, col_b)
+
+
+def _write_manifest(spark: SparkSession, path: str, col_a: str, col_b: str) -> None:
+    """(Re)build the per-file min/max skipping manifest from the live
+    files — one metadata-sized aggregate over ``input_file_name()``."""
     manifest = (
         spark.read.parquet(path)
         .groupBy(F.input_file_name().alias("file"))
@@ -139,8 +144,12 @@ def pruned_read(
         if row is None:  # unmanifested append: must scan
             keep.append(f)
             continue
+        # NULL stats (a file all-NULL in a pruned column) are unskippable:
+        # missing stats degrade to a read, never to a skip.
         ok = all(
-            not (row[f"min_{c}"] > hi or row[f"max_{c}"] < lo)
+            row[f"min_{c}"] is None
+            or row[f"max_{c}"] is None
+            or not (row[f"min_{c}"] > hi or row[f"max_{c}"] < lo)
             for c, (lo, hi) in ranges.items()
         )
         if ok:
@@ -165,7 +174,16 @@ def optimize_zorder(
     ``compact_text_index`` discipline), then rebuild the manifest so
     every file is skippable again. Single-writer contract; a reader
     racing the swap can observe a brief path-not-found and should
-    retry — never duplicate or partial rows."""
+    retry — never duplicate or partial rows.
+
+    Crash recovery (the ``compact_text_index`` branch, checked BEFORE any
+    delete): a crash between ``rename(path→old)`` and
+    ``rename(staging→path)`` leaves the live path missing with a
+    COMPLETE staging copy (staging is only ever renamed in after its
+    write finished) — rename it back in and rebuild its manifest (the
+    crashed run died before writing one), then clear the stale ``__old``.
+    Without this branch a re-run would delete both surviving copies and
+    destroy the table."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
 
@@ -174,6 +192,14 @@ def optimize_zorder(
 
     fs = P(path).getFileSystem(hconf)
     staging, old = f"{path}__optimizing", f"{path}__old"
+    if not fs.exists(P(path)):
+        if fs.exists(P(staging)):
+            fs.rename(P(staging), P(path))
+            _write_manifest(spark, path, col_a, col_b)
+        else:
+            raise FileNotFoundError(
+                f"optimize_zorder: no live table at {path} and no staging copy"
+            )
     if fs.exists(P(old)):
         fs.delete(P(old), True)
     if fs.exists(P(staging)):
@@ -191,18 +217,7 @@ def optimize_zorder(
     fs.rename(P(path), P(old))
     fs.rename(P(staging), P(path))
     fs.delete(P(old), True)
-    manifest = (
-        spark.read.parquet(path)
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(
-            F.min(col_a).alias(f"min_{col_a}"),
-            F.max(col_a).alias(f"max_{col_a}"),
-            F.min(col_b).alias(f"min_{col_b}"),
-            F.max(col_b).alias(f"max_{col_b}"),
-            F.count("*").alias("n_rows"),
-        )
-    )
-    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST}")
+    _write_manifest(spark, path, col_a, col_b)
 
 
 BLOOM_MANIFEST = "_bloom"
@@ -210,11 +225,14 @@ BLOOM_MANIFEST = "_bloom"
 
 def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> Column:
     """The ``k_hashes`` bloom bit positions of ``key`` as an int array —
-    pure JVM xxhash64 with per-hash seeds, so the build job and the
-    probe job compute identical positions by construction."""
+    pure JVM xxhash64 with per-hash seeds. The key is cast to long HERE,
+    on both the build and the probe path, because xxhash64 hashes an
+    int and a long to different values: an int-typed data column probed
+    with a long-typed literal would silently skip files that contain
+    the key (dropped rows), not just mis-prune."""
     return F.array(
         *[
-            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)).cast("int")
+            F.pmod(F.xxhash64(key.cast("long"), F.lit(i)), F.lit(m_bits)).cast("int")
             for i in range(k_hashes)
         ]
     )

@@ -744,3 +744,116 @@ def test_bpe_pairs_stay_jvm_side(spark):
     # frequency-weighted: counts strictly positive, sorted desc
     ns = [r["n"] for r in rows]
     assert ns == sorted(ns, reverse=True) and ns[-1] > 0
+
+
+# ---- r10 advice fixes: crash recovery, NULL stats, bloom key typing,
+#      degenerate intervals ----
+
+def test_optimize_zorder_recovers_mid_swap_crash(spark):
+    # crash between rename(path->old) and rename(staging->path): live is
+    # missing, staging holds the complete new copy, __old holds the
+    # previous one. A re-run must RESTORE the table (rename staging back
+    # in + rebuild the manifest), never delete both survivors.
+    import os
+
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        optimize_zorder,
+    )
+
+    e = staged_r10._ev(spark, SF).select(
+        "user_id", "event_id", "es", F.expr("es div 86400").alias("day")
+    )
+    root = tempfile.mkdtemp(prefix="zord_r_")
+    shutil.rmtree(root)
+    try:
+        write_zordered(e, root, "user_id", "day", n_files=4, bits=12)
+        want = spark.read.parquet(root).count()
+        # simulate the crashed run: a complete clustered staging copy
+        # (no manifest inside — the crashed run died before writing one)
+        shutil.copytree(root, f"{root}__optimizing")
+        shutil.rmtree(f"{root}__optimizing/_manifest")
+        os.rename(root, f"{root}__old")
+        optimize_zorder(spark, root, "user_id", "day", n_files=4, bits=12)
+        assert spark.read.parquet(root).count() == want  # table survived
+        df, nsel, ntot = pruned_read(spark, root, {"user_id": (10, 25)})
+        assert 0 < nsel <= ntot  # manifest rebuilt, pruning consistent
+        assert not glob.glob(f"{root}__*")  # stale dirs cleared
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(f"{root}__optimizing", ignore_errors=True)
+        shutil.rmtree(f"{root}__old", ignore_errors=True)
+
+
+def test_optimize_zorder_missing_table_raises(spark):
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        optimize_zorder,
+    )
+
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="zord_m_")
+    shutil.rmtree(root)
+    with pytest.raises(FileNotFoundError):
+        optimize_zorder(spark, root, "a", "b")
+
+
+def test_pruned_read_null_stats_unskippable(spark):
+    # a file whose rows are all NULL in a pruned column has NULL
+    # manifest stats; the pruned read must keep it (missing stats
+    # degrade to a read), not raise TypeError on None > hi
+    e = staged_r10._ev(spark, SF).select(
+        "user_id",
+        "event_id",
+        F.lit(None).cast("long").alias("day"),
+    )
+    root = tempfile.mkdtemp(prefix="zord_n_")
+    try:
+        write_zordered(e, root, "user_id", "day", n_files=4, bits=12)
+        df, nsel, ntot = pruned_read(spark, root, {"day": (0, 10)})
+        assert nsel == ntot  # every all-NULL file is unskippable
+        assert df.count() == spark.read.parquet(root).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bloom_index_int_typed_key_never_dropped(spark):
+    # the data key column is INT (narrower than the long-typed probe);
+    # build and probe must hash identically or files containing the key
+    # are silently skipped = dropped rows
+    from activecampaign_api_data_pipeline_spark.operators.layout import (
+        bloom_pruned_read,
+        write_bloom_indexed,
+    )
+
+    e = staged_r10._ev(spark, SF).select(
+        F.col("user_id").cast("int").alias("uid_i"), "event_id", "es"
+    )
+    root = tempfile.mkdtemp(prefix="bloom_i_")
+    try:
+        write_bloom_indexed(e, root, key="uid_i", layout_col="es", n_files=4)
+        df, nsel, ntot = bloom_pruned_read(spark, root, "uid_i", [7])
+        want = spark.read.parquet(root).filter(F.col("uid_i") == 7).count()
+        assert want > 0  # probe key exists in the data
+        assert df.filter(F.col("uid_i") == 7).count() == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_interval_overlap_drops_degenerate_intervals(spark):
+    from activecampaign_api_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    # reversed and empty intervals overlap nothing under half-open
+    # semantics — they must drop, not emit negative overlap_s
+    left = spark.createDataFrame(
+        [(1, 10000, 0), (1, 500, 500), (1, 100, 900)],
+        "k long, ls long, le long",
+    )
+    right = spark.createDataFrame([(1, 0, 10000)], "k long, rs long, re long")
+    out = interval_overlap_join(
+        left, right, on="k", l_start="ls", l_end="le",
+        r_start="rs", r_end="re", bucket_seconds=3600,
+    ).collect()
+    assert len(out) == 1  # only the forward non-empty interval pairs
+    assert out[0]["ls"] == 100 and out[0]["overlap_s"] == 800
