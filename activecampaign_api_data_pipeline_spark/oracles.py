@@ -2056,4 +2056,18 @@ FROM s
         overlap = set(o) & set(batch)
         assert not overlap, f"duplicate oracle keys: {overlap}"
         o.update(batch)
+    # r10 trim: retired parameter variants leave the driver contract but
+    # keep their oracles for replica re-verification (queries.RETIRED has
+    # the matching functions; bench's frozen prefixes still time them)
+    RETIRED_ORACLES.clear()
+    RETIRED_ORACLES.update({k: o.pop(k) for k in _RETIRED_KEYS})
     return o
+
+
+_RETIRED_KEYS = (
+    "sim_ivf_nprobe2",
+    "sim_ivfpq_residual",
+    "sim_ann_index_nprobe1",
+    "llm_corpus_prep",
+)
+RETIRED_ORACLES: dict[str, str] = {}

@@ -756,7 +756,7 @@ def t_stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
     return spark.table(name)
 
 
@@ -835,7 +835,7 @@ def t_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
     return spark.read.parquet(sink).filter(F.col("event_type") != "__sentinel__")
 
 
@@ -904,7 +904,7 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
     out = spark.read.parquet(sink)
     return out.select(
         "event_id", "user_id", "event_type",
@@ -969,7 +969,7 @@ def t_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
     out = spark.read.parquet(sink)
     return out.select(
         "user_id",
@@ -1043,7 +1043,7 @@ def t_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
     out = spark.read.parquet(sink)
     w = Window.partitionBy("user_id").orderBy(F.col("_bid").desc())
     return (
@@ -2122,7 +2122,7 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      window for a fresh driver row.
 #   3. Every entry needs a green driver row at least every ceil(N/50)
 #      rounds (N = registry size; the best achievable cadence with a
-#      50-slot window — 4 rounds at the current 154 entries): an entry
+#      50-slot window — 3 rounds at the current 150 entries): an entry
 #      at its cadence deadline MUST be inside the window that round.
 #      Untouched entries greener than the deadline may sit past 50.
 #   4. When the hard set exceeds 50, prefer (in order): new > never-checked
@@ -2132,71 +2132,81 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # CADENCE (rule-3, from the r6 note): with N registry entries and a
 # 50-slot window the best achievable driver re-check cadence is
-# ceil(N/50) rounds — 4 at the current 154 entries. Rule 3 therefore
+# ceil(N/50) rounds — 3 at the current 150 entries (4 again after the
+# r11 promotion takes N to 174; existing deadlines keep their
+# already-ledgered rounds — a trim never retroactively tightens a
+# deadline). Rule 3 therefore
 # reads "every ceil(N/50) rounds" with rule 4's priority order (new >
 # never-checked > most-stale > touched) deciding who waits. Every entry
 # parked past 50 must be typed-replica green (tools/oracle_replica.py)
 # in the round it is parked; the staleness bound applies to DRIVER rows
 # only.
 #
-# DRIVER-ROW LEDGER (r9 note): the driver never recorded a
-# CORRECTNESS_r08.json — the r8 eval did not run, so the r8 window
-# rotation (39 last-green-r5 entries + 11 touched/bonus slots, executed
-# as pre-planned and typed-replica certified 177/177 locally that
-# round) banked NO driver rows. Staleness accounting therefore still
-# reads from r5/r6/r7 rows: 39 entries last-green r5 (driver-row
-# deadline r9 at the 4-round cadence), 49 last-green r6 (deadline r10),
-# 50 last-green r7 (deadline r11).
+# DRIVER-ROW LEDGER (r10 note): the r8 driver eval never ran (no
+# CORRECTNESS_r08.json), so staleness accounting reads from the
+# r5/r6/r7/r9 rows. Entering r10: 49 entries last-green r6 (deadline
+# r10), 50 last-green r7 (deadline r11), 50 last-green r9 (deadline
+# r13), plus the r9 rule-4 displacements last-green r5.
 #
-# r9 window (EXECUTED): slots 1-16 = the SIXTEEN staged_r8 promotions
-# (rule 1: REGISTRY references + PROMOTED_ORACLES merged into
-# build_oracles, the staged_r7 mechanics verbatim; N: 138 -> 154,
-# cadence ceil(154/50)=4). Slots 17-50 = 34 of the 39 last-green-r5
-# entries at their rule-3 deadline, in prior registry order. The
-# deadline set exceeds the window by 5 (39+16=55), so per rule 4 five
-# r5-green entries whose operator surface is covered by an in-window
-# cousin are displaced — sim_ivf_nprobe2 (cousin sim_ivf_topk),
-# sim_ivfpq_residual + sim_ivfpq_from_index (cousin sim_ivfpq_topk),
-# sim_ann_index_nprobe1 (cousin sim_ann_index_append), llm_corpus_prep
-# (superset llm_corpus_pipeline) — each typed-replica verified at
-# sf0.01 this round (tools/oracle_replica.py, exact).
+# r9 window (EXECUTED, 50/50 green): slots 1-16 the staged_r8
+# promotions, slots 17-50 the r5-deadline set; five r5-green entries
+# displaced under rule 4 with typed-replica cover.
 #
-# RULE-2 TOUCH LEDGER (r9): k_block_store_roundtrip's query function
-# changed late in r9 (size-gated broadcast_new replaces the forced
-# micro-batch hint; oracle and results unchanged — join strategy only).
-# The r9 window was already owned by the staged_r8 promotions + the
-# r5-deadline set, so per rule 4 the touched entry parks with
-# typed-replica cover (tools/oracle_replica.py sf0.01: OK, this
-# session) and takes a driver slot at its r10-window deadline.
+# r10 TRIM (EXECUTED — the branch the r9 ledger left open): the four
+# superseded parameter variants (sim_ivf_nprobe2, sim_ivfpq_residual,
+# sim_ann_index_nprobe1, llm_corpus_prep) leave REGISTRY for the
+# RETIRED map below — each subsumed by an in-registry cousin on the
+# same kernel, each typed-replica exact at displacement (r9) and at
+# retirement (r10). N: 154 -> 150, cadence ceil(150/50) = 3 this
+# round; frozen bench prefixes keep timing them via bench.py's
+# RETIRED resolution, and oracles.RETIRED_ORACLES keeps them
+# replica-verifiable. This also clears four of the five overdue
+# r5-green displacements from the ledger.
 #
-# r10 WINDOW PRE-PLAN: the 49 last-green-r6 entries hit their 4-round
-# deadline at r10 and fill slots 1-49 (oldest-by-position first); slot
-# 50 = the oldest r7-green entry plus any rule-2 touches. The
-# TWENTY-FOUR staged_r9 queries (typed-exact at two SFs since r8) stay
-# staged through r10 — promoting them at r11 (N -> 178, cadence still
-# ceil(178/50)=4) shares the r11 window with the r7-green deadline set
-# (24 new + the 5 r9-displaced r5-green entries + r7-green set); the
-# overflow parks under rule 4 with typed-replica cover as usual.
+# r10 window (EXECUTED): slots 1-49 = the 49 last-green-r6 entries at
+# their rule-3 deadline, in prior registry order. Slot 50 =
+# k_block_store_roundtrip (rule-2 touched in r9 — size-gated
+# broadcast — at the driver slot the r9 ledger reserved for it).
+# sim_ivfpq_from_index (last-green r5, the one surviving r9
+# displacement) stays parked one more round under rule 4 with fresh
+# typed-replica cover at sf0.01 this session; its r11 slot is
+# reserved below.
 #
-# The staged_r10 batch (THIRTY-ONE queries at r9 close, typed-exact
-# at two SFs on landing; three drafts were dropped as duplicates of
-# registry entries) promotes at r12. Naive N = 178+31 = 209 (cadence
-# ceil(209/50)=5); trimming the four superseded registry variants the
-# r7 verdict named (sim_ivf_nprobe2, sim_ivfpq_residual,
-# sim_ann_index_nprobe1, llm_corpus_prep — each subsumed by an
-# in-registry cousin, each typed-replica-covered when displaced in r9)
-# lands N=205, still cadence 5 — either accept the 5-round cadence or
-# find two more subsumed variants to reach 200 (q_semi_join and
-# q_anti_join become candidates once Q4/Q22 promote: the TPC-H shapes
-# strictly subsume them). TRIM CONSTRAINT: three candidates sit in
-# FROZEN bench prefixes (llm_corpus_prep r2, sim_ann_index_nprobe1 r4,
-# q_semi/anti_join r2), so a trim removes them from REGISTRY/oracles
-# (shrinking driver N) while bench.py keeps resolving them through a
-# small RETIRED map to the still-importable functions — the frozen
-# prefix keeps timing them. Whichever branch executes must update this
-# comment, SURVEY §8 and the policy test in the same commit. Until promotion the staged queries bench and smoke
-# like registry entries and re-verify typed-exact each round via the
-# test_staged_r7 parametrization.
+# RULE-2 TOUCH LEDGER (r10): the five registered streaming queries
+# (t_stream_window_hourly, t_stream_append, t_stream_dedup,
+# t_stream_interval_join, t_stream_topn) gained the loud-failure
+# `assert q.awaitTermination(300)` (r9 verdict item 3 — a stalled
+# stream must raise, not silently read a partial sink). Results are
+# unchanged by construction (the call was already made; only the
+# ignored boolean is now checked); all five are typed-replica exact
+# at sf0.01 this session. The r10 window is owned by the r6-deadline
+# set, so per rule 4 they park: the three r7-green ones
+# (t_stream_dedup, t_stream_interval_join, t_stream_topn) are inside
+# the r11 deadline window anyway; the two r9-green ones ride their
+# r13 cadence with the replica row as the touch cover.
+#
+# r11 WINDOW PRE-PLAN: the TWENTY-FOUR staged_r9 queries promote
+# (rule 1: REGISTRY head + PROMOTED_ORACLES merged into build_oracles,
+# the staged_r7/staged_r8 mechanics verbatim; N: 150 -> 174, cadence
+# ceil(174/50) = 4) and fill slots 1-24. Slot 25 =
+# sim_ivfpq_from_index (r5-green, the oldest row in the ledger).
+# Slots 26-50 = the first 25 of the 49 r7-green entries (deadline
+# r11), in registry order — the tail order below IS the slot order.
+# The remaining 24 r7-green entries displace under rule 4 (cousin
+# coverage is irrelevant at deadline — they simply overflow) and MUST
+# carry typed-replica rows that round, then own the r12 window
+# alongside the staged_r10 promotions.
+#
+# The staged_r10 batch (THIRTY-ONE queries, typed-exact at two SFs
+# since landing) promotes at r12: N = 174 + 31 = 205, cadence
+# ceil(205/50) = 5. The r12 window = 31 promotions + the 24 r7-green
+# overflow = 55 > 50, so five of the overflow park again with replica
+# cover and take r13 slots. Accepting cadence 5 at N=205 is the
+# decided branch (the alternative — trimming five more entries to
+# reach 200 — has only two clean candidates, q_semi_join/q_anti_join
+# once Q4/Q22 promote, and would still leave 203); the r12 commit
+# must restate this arithmetic here, in SURVEY SS8 and in the policy
+# test together.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,
@@ -2260,130 +2270,15 @@ from activecampaign_api_data_pipeline_spark.staged_r8 import (  # noqa: E402
 )
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- slots 1-16: staged_r8 promotions (rule 1, new this round) ----
-    "w_pattern_match": w_pattern_match,
-    "t_stream_pattern": t_stream_pattern,
-    "k_cdc_merge": k_cdc_merge,
-    "k_cdc_store_roundtrip": k_cdc_store_roundtrip,
-    "t_stream_cdc": t_stream_cdc,
-    "a_weighted_sample": a_weighted_sample,
-    "llm_ngram_novelty": llm_ngram_novelty,
-    "w_rolling_median": w_rolling_median,
-    "a_bucket_quantiles": a_bucket_quantiles,
-    "w_lag1_autocorr": w_lag1_autocorr,
-    "text_bigram_familiarity": text_bigram_familiarity,
-    "g_kcore": g_kcore,
-    "text_dict_tag": text_dict_tag,
-    "llm_temporal_split": llm_temporal_split,
-    "a_survival_hazard": a_survival_hazard,
-    "k_profile_orders": k_profile_orders,
-    # ---- slots 17-50: last-green-r5 entries at their rule-3 deadline ----
-    "t_stream_append": t_stream_append,
-    "t_stream_window_hourly": t_stream_window_hourly,
-    "t_sessionize": t_sessionize,
-    "q1_pricing_summary": q1_pricing_summary,
-    "w2_top3_per_user": w2_top3_per_user,
-    "w3_earliest3_per_user": w3_earliest3_per_user,
-    "a_count_distinct": a_count_distinct,
-    "a_percentiles": a_percentiles,
-    "a_rollup_revenue": a_rollup_revenue,
-    "j3_left_join_coalesce": j3_left_join_coalesce,
-    "j5_chained_lookup": j5_chained_lookup,
-    "u3_set_ops_users": u3_set_ops_users,
-    "p3_id_from_url": p3_id_from_url,
-    "p8_sentinel_cleanup": p8_sentinel_cleanup,
-    "f6_json_extraction": f6_json_extraction,
-    "p9_event_id_synth": p9_event_id_synth,
-    "u_unpivot_events": u_unpivot_events,
-    "q_correlated_decorrelation": q_correlated_decorrelation,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_revenue_by_nation": q5_revenue_by_nation,
-    "t_window_hourly": t_window_hourly,
-    "sim_ivf_topk": sim_ivf_topk,
-    "sim_pq_topk": sim_pq_topk,
-    "sim_ivfpq_topk": sim_ivfpq_topk,
-    "sim_ann_index_append": sim_ann_index_append,
-    "text_repetition": text_repetition,
-    "llm_mixture_sample": llm_mixture_sample,
-    "w_scd2_intervals": w_scd2_intervals,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_cluster_canonical": dedup_cluster_canonical,
-    "llm_decontaminate": llm_decontaminate,
-    "llm_corpus_pipeline": llm_corpus_pipeline,
-    # ---- past the 50-entry window: the five rule-4 displacements from
-    #      the r5-deadline set (each covered by an in-window cousin;
-    #      typed-replica verified at sf0.01 this round — see the
-    #      rotation note above) ----
-    "sim_ivf_nprobe2": sim_ivf_nprobe2,
-    "sim_ivfpq_residual": sim_ivfpq_residual,
-    "sim_ivfpq_from_index": sim_ivfpq_from_index,
-    "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
-    "llm_corpus_prep": llm_corpus_prep,
-    # ---- past the window: r6/r7-green, inside the 4-round cadence ----
-    "k_scd2_history": k_scd2_history,
+    # ---- slots 1-49: last-green-r6 entries at their rule-3 deadline ----
     "k_gold_ckpt_asof": k_gold_ckpt_asof,
     "k_dataset_diff": k_dataset_diff,
     "k_gold_asof": k_gold_asof,
     "k2_medallion_snapshot": k2_medallion_snapshot,
-    "mm_video_neardup": mm_video_neardup,
-    "mm_audio_neardup": mm_audio_neardup,
     "a_vocab_topk": a_vocab_topk,
     "text_tfidf_topterms": text_tfidf_topterms,
     "a_sample_stratified": a_sample_stratified,
-    "j_rfm_scores": j_rfm_scores,
-    # ---- past the 50-entry window
-    #      (displaced bonus slot) ----
     "a_bigram_condprob": a_bigram_condprob,
-    # ---- past the 50-entry window (see cadence note above):
-    #      r6/r7-green, typed-replica green locally ----
-    "w_running_analytics": w_running_analytics,
-    "sim_ann_index_refine": sim_ann_index_refine,
-    "t_incremental_replay": t_incremental_replay,
-    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
-    "a_event_funnel": a_event_funnel,
-    "k_block_store_roundtrip": k_block_store_roundtrip,
-    "llm_importance_state_roundtrip": llm_importance_state_roundtrip,
-    "a_grouping_sets": a_grouping_sets,
-    "w_event_transitions": w_event_transitions,
-    "p_pii_scrub": p_pii_scrub,
-    "a_zscore_outliers": a_zscore_outliers,
-    "k_drift_report": k_drift_report,
-    "j_copurchase_pairs": j_copurchase_pairs,
-    "t_event_gaps": t_event_gaps,
-    "text_normalize": text_normalize,
-    "a_winsorize": a_winsorize,
-    "sim_sq8_topk": sim_sq8_topk,
-    "sim_sq8_ivf_topk": sim_sq8_ivf_topk,
-    "sim_sq8_from_index": sim_sq8_from_index,
-    "t_stream_enrich": t_stream_enrich,
-    "t_stream_state_totals": t_stream_state_totals,
-    "t_session_occupancy": t_session_occupancy,
-    "j_attribution_last_touch": j_attribution_last_touch,
-    "q_salted_count_distinct": q_salted_count_distinct,
-    "q_salted_join_enrich": q_salted_join_enrich,
-    "g_pagerank_fixed": g_pagerank_fixed,
-    "j_fuzzy_block_match": j_fuzzy_block_match,
-    "a_exact_median_mad": a_exact_median_mad,
-    "w_ewma_per_key": w_ewma_per_key,
-    "a_cms_heavy_hitters": a_cms_heavy_hitters,
-    "j_bloom_prefilter_join": j_bloom_prefilter_join,
-    "g_triangle_count": g_triangle_count,
-    "w_anomaly_trailing_z": w_anomaly_trailing_z,
-    "a_kmv_setops": a_kmv_setops,
-    "p_json_props": p_json_props,
-    "w_share_of_total": w_share_of_total,
-    "w_cumulative_uniques": w_cumulative_uniques,
-    "a_value_histogram": a_value_histogram,
-    "a_ks_two_sample": a_ks_two_sample,
-    "w_holt_linear": w_holt_linear,
-    "t_stream_anomaly": t_stream_anomaly,
-    "mm_image_phash_neardup": mm_image_phash_neardup,
-    "sim_semantic_dedup": sim_semantic_dedup,
-    "t_stream_dedup": t_stream_dedup,
-    "t_stream_interval_join": t_stream_interval_join,
-    "t_stream_topn": t_stream_topn,
     "llm_mixture_temperature": llm_mixture_temperature,
     "llm_token_budget_sample": llm_token_budget_sample,
     "llm_decontam_store": llm_decontam_store,
@@ -2425,4 +2320,136 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnowing": text_winnowing,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_curation_pipeline": llm_curation_pipeline,
+    # ---- slot 50: rule-2 touched in r9 (size-gated broadcast), at its
+    #      ledgered r10 deadline ----
+    "k_block_store_roundtrip": k_block_store_roundtrip,
+    # ---- past the window: the one surviving r9 rule-4 displacement
+    #      (last driver-green r5; typed-replica exact at sf0.01 again
+    #      this round; r11 slot reserved — see the pre-plan above) ----
+    "sim_ivfpq_from_index": sim_ivfpq_from_index,
+    # ---- past the window: r7-green, deadline r11 (rule 4: the five
+    #      streaming entries touched this round by the awaitTermination
+    #      assert are typed-replica exact at sf0.01 this session) ----
+    "k_scd2_history": k_scd2_history,
+    "mm_video_neardup": mm_video_neardup,
+    "mm_audio_neardup": mm_audio_neardup,
+    "j_rfm_scores": j_rfm_scores,
+    "w_running_analytics": w_running_analytics,
+    "sim_ann_index_refine": sim_ann_index_refine,
+    "t_incremental_replay": t_incremental_replay,
+    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
+    "a_event_funnel": a_event_funnel,
+    "llm_importance_state_roundtrip": llm_importance_state_roundtrip,
+    "a_grouping_sets": a_grouping_sets,
+    "w_event_transitions": w_event_transitions,
+    "p_pii_scrub": p_pii_scrub,
+    "a_zscore_outliers": a_zscore_outliers,
+    "k_drift_report": k_drift_report,
+    "j_copurchase_pairs": j_copurchase_pairs,
+    "t_event_gaps": t_event_gaps,
+    "text_normalize": text_normalize,
+    "a_winsorize": a_winsorize,
+    "sim_sq8_topk": sim_sq8_topk,
+    "sim_sq8_ivf_topk": sim_sq8_ivf_topk,
+    "sim_sq8_from_index": sim_sq8_from_index,
+    "t_stream_enrich": t_stream_enrich,
+    "t_stream_state_totals": t_stream_state_totals,
+    "t_session_occupancy": t_session_occupancy,
+    "j_attribution_last_touch": j_attribution_last_touch,
+    "q_salted_count_distinct": q_salted_count_distinct,
+    "q_salted_join_enrich": q_salted_join_enrich,
+    "g_pagerank_fixed": g_pagerank_fixed,
+    "j_fuzzy_block_match": j_fuzzy_block_match,
+    "a_exact_median_mad": a_exact_median_mad,
+    "w_ewma_per_key": w_ewma_per_key,
+    "a_cms_heavy_hitters": a_cms_heavy_hitters,
+    "j_bloom_prefilter_join": j_bloom_prefilter_join,
+    "g_triangle_count": g_triangle_count,
+    "w_anomaly_trailing_z": w_anomaly_trailing_z,
+    "a_kmv_setops": a_kmv_setops,
+    "p_json_props": p_json_props,
+    "w_share_of_total": w_share_of_total,
+    "w_cumulative_uniques": w_cumulative_uniques,
+    "a_value_histogram": a_value_histogram,
+    "a_ks_two_sample": a_ks_two_sample,
+    "w_holt_linear": w_holt_linear,
+    "t_stream_anomaly": t_stream_anomaly,
+    "mm_image_phash_neardup": mm_image_phash_neardup,
+    "sim_semantic_dedup": sim_semantic_dedup,
+    "t_stream_dedup": t_stream_dedup,
+    "t_stream_interval_join": t_stream_interval_join,
+    "t_stream_topn": t_stream_topn,
+    # ---- past the window: r9-green, deadline r13 ----
+    "w_pattern_match": w_pattern_match,
+    "t_stream_pattern": t_stream_pattern,
+    "k_cdc_merge": k_cdc_merge,
+    "k_cdc_store_roundtrip": k_cdc_store_roundtrip,
+    "t_stream_cdc": t_stream_cdc,
+    "a_weighted_sample": a_weighted_sample,
+    "llm_ngram_novelty": llm_ngram_novelty,
+    "w_rolling_median": w_rolling_median,
+    "a_bucket_quantiles": a_bucket_quantiles,
+    "w_lag1_autocorr": w_lag1_autocorr,
+    "text_bigram_familiarity": text_bigram_familiarity,
+    "g_kcore": g_kcore,
+    "text_dict_tag": text_dict_tag,
+    "llm_temporal_split": llm_temporal_split,
+    "a_survival_hazard": a_survival_hazard,
+    "k_profile_orders": k_profile_orders,
+    "t_stream_append": t_stream_append,
+    "t_stream_window_hourly": t_stream_window_hourly,
+    "t_sessionize": t_sessionize,
+    "q1_pricing_summary": q1_pricing_summary,
+    "w2_top3_per_user": w2_top3_per_user,
+    "w3_earliest3_per_user": w3_earliest3_per_user,
+    "a_count_distinct": a_count_distinct,
+    "a_percentiles": a_percentiles,
+    "a_rollup_revenue": a_rollup_revenue,
+    "j3_left_join_coalesce": j3_left_join_coalesce,
+    "j5_chained_lookup": j5_chained_lookup,
+    "u3_set_ops_users": u3_set_ops_users,
+    "p3_id_from_url": p3_id_from_url,
+    "p8_sentinel_cleanup": p8_sentinel_cleanup,
+    "f6_json_extraction": f6_json_extraction,
+    "p9_event_id_synth": p9_event_id_synth,
+    "u_unpivot_events": u_unpivot_events,
+    "q_correlated_decorrelation": q_correlated_decorrelation,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "t_window_hourly": t_window_hourly,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_ann_index_append": sim_ann_index_append,
+    "text_repetition": text_repetition,
+    "llm_mixture_sample": llm_mixture_sample,
+    "w_scd2_intervals": w_scd2_intervals,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
+    "llm_decontaminate": llm_decontaminate,
+    "llm_corpus_pipeline": llm_corpus_pipeline,
+}
+
+# RETIRED registry entries (r10 trim — the branch the r9 ledger left
+# open, executed): each is a parameter variant strictly subsumed by an
+# in-registry cousin that exercises the same operator code path —
+# sim_ivf_nprobe2 (cousin sim_ivf_topk, same ivf_topk kernel),
+# sim_ivfpq_residual (cousin sim_ivfpq_topk, same residual-PQ kernel),
+# sim_ann_index_nprobe1 (cousin sim_ann_index_append, same persisted
+# index), llm_corpus_prep (strict subset of llm_corpus_pipeline). Each
+# was typed-replica exact at sf0.01 when displaced in r9 and again at
+# retirement. They leave REGISTRY (shrinking driver N to keep the
+# ceil(N/50) cadence at 4 through the r11 promotion) but stay
+# importable HERE because three sit in FROZEN bench prefixes
+# (llm_corpus_prep r2, sim_ann_index_nprobe1 r4) — bench.py resolves
+# them through this map so the frozen prefixes keep timing the same
+# code, and their oracles live on in oracles.RETIRED_ORACLES for
+# replica re-verification.
+RETIRED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sim_ivf_nprobe2": sim_ivf_nprobe2,
+    "sim_ivfpq_residual": sim_ivfpq_residual,
+    "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
+    "llm_corpus_prep": llm_corpus_prep,
 }

@@ -4,13 +4,15 @@ asserted against the executed plans at sf0.001."""
 
 import pytest
 
-from activecampaign_api_data_pipeline_spark.queries import REGISTRY
+from activecampaign_api_data_pipeline_spark.queries import REGISTRY, RETIRED
 
 SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name):
-    df = REGISTRY[name](spark, SF)
+    # RETIRED entries (r10 trim) keep their plan invariants — frozen
+    # bench prefixes still execute them
+    df = (REGISTRY.get(name) or RETIRED[name])(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -307,15 +309,26 @@ def test_registry_window_policy_invariants():
     # every bench entry resolves: registry first, else the staged
     # module (pre-registry queries bench under the same typed verification)
     from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9, staged_r10
+    from activecampaign_api_data_pipeline_spark.queries import RETIRED
 
     unresolved = [
         n for n in HEADLINE
         if n not in names
+        and n not in RETIRED
         and n not in staged_r8.PROMOTED_ORACLES
         and n not in staged_r9.STAGED_ORACLES
         and n not in staged_r10.STAGED_ORACLES
     ]
     assert not unresolved, f"bench entries without query or staged impl: {unresolved}"
+    # r10 trim invariants: retired entries are OUT of the driver contract
+    # but keep their functions + oracles for frozen-prefix bench rows and
+    # replica re-verification
+    from activecampaign_api_data_pipeline_spark import oracles as om
+
+    assert not set(RETIRED) & set(names), "retired entries must leave REGISTRY"
+    om_built = E.oracle_sql()  # ensures build_oracles ran
+    assert set(om.RETIRED_ORACLES) == set(RETIRED)
+    assert not set(om.RETIRED_ORACLES) & set(om_built)
     # r5 frozen 44-query bench prefix (BASELINE.md) — append-only
     r5_prefix = [
         "flagship_chatter", "q1_pricing_summary", "q3_shipping_priority",

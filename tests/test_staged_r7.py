@@ -27,6 +27,14 @@ _TYPED = {
     **{n: (staged_r10, sql) for n, sql in staged_r10.STAGED_ORACLES.items()},
 }
 
+# RETIRED registry entries (r10 trim) left the driver contract but the
+# frozen bench prefixes still execute them — keep the typed gate here
+from activecampaign_api_data_pipeline_spark import oracles as _oracles  # noqa: E402
+from activecampaign_api_data_pipeline_spark import queries as _queries  # noqa: E402
+
+_oracles.build_oracles()  # populates RETIRED_ORACLES
+_TYPED.update({n: (_queries, sql) for n, sql in _oracles.RETIRED_ORACLES.items()})
+
 
 @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
 @pytest.mark.parametrize("name", sorted(_TYPED))

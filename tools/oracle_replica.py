@@ -108,6 +108,15 @@ def main() -> int:
             if name not in qs:
                 qs[name] = getattr(mod, name)
                 os_[name] = mod.STAGED_ORACLES[name]
+    # retired entries (r10 trim) stay replica-verifiable after leaving
+    # the driver contract — frozen bench prefixes still run their code
+    from activecampaign_api_data_pipeline_spark import oracles as _om
+    from activecampaign_api_data_pipeline_spark.queries import RETIRED
+
+    for name, fn in RETIRED.items():
+        if name not in qs:
+            qs[name] = fn
+            os_[name] = _om.RETIRED_ORACLES[name]
     failures = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

@@ -57,8 +57,10 @@ def main() -> None:
     print("|---|---|---|---|---|---|---|---|---|")
     # staged (pre-registry) bench entries are censused in their own
     # section below — the main table stays registry-only
-    for name in [n for n in HEADLINE if n in REGISTRY]:
-        df = REGISTRY[name](spark, sf_dir)
+    from activecampaign_api_data_pipeline_spark.queries import RETIRED
+
+    for name in [n for n in HEADLINE if n in REGISTRY or n in RETIRED]:
+        df = (REGISTRY.get(name) or RETIRED[name])(spark, sf_dir)
         c = census(df._jdf.queryExecution().executedPlan().toString())
         print(
             f"| {name} | {c['hash_shuffles']} | {c['rr_widen']} | {c['broadcasts']} |"

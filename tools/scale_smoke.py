@@ -161,7 +161,7 @@ def main() -> None:
         print(f"# built {dst} in {time.time() - t0:.1f}s", file=sys.stderr)
 
     from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9, staged_r10
-    from activecampaign_api_data_pipeline_spark.queries import REGISTRY
+    from activecampaign_api_data_pipeline_spark.queries import REGISTRY, RETIRED
     from activecampaign_api_data_pipeline_spark.session import get_spark
 
     spark = get_spark("acdp-scale-smoke")
@@ -173,6 +173,7 @@ def main() -> None:
         # staged queries are smoke-eligible before they enter the registry
         fn = (
             REGISTRY.get(name)
+            or RETIRED.get(name)
             or getattr(staged_r8, name, None)
             or getattr(staged_r9, name, None)
             or getattr(staged_r10, name)
