@@ -168,6 +168,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(f"{dst}/nation.parquet").count()  # warmup
 
+    # Persisted-index queries ensure() a disk artifact keyed by sf_dir:
+    # the sf0.1 index usually survives from earlier sessions (warm
+    # search) while the scale dir builds cold on first touch, so a
+    # single-run ratio conflates one-time build cost with scale (the r9
+    # matrix read 13.4x for sim_ivfpq_from_index when the warm search
+    # was 2.1x). For these, run each side TWICE: run 1 pays (or reuses)
+    # the build, run 2 is the steady-state search — cost_ratio compares
+    # warm-to-warm, and the cold seconds are reported alongside so build
+    # scaling stays visible. Everything else is single-run as before
+    # (in-session caches are cold on both sides of a fresh process —
+    # already symmetric).
+    PERSISTED_INDEX = {
+        "sim_ivfpq_from_index", "sim_ann_index_nprobe1",
+        "sim_ann_index_append", "sim_ann_index_refine",
+        "sim_sq8_from_index", "llm_decontam_store",
+    }
+
+    def run(fn, sf):
+        t0 = time.time()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     results = []
     for name in only:
         # staged queries are smoke-eligible before they enter the registry
@@ -178,13 +200,11 @@ def main() -> None:
             or getattr(staged_r9, name, None)
             or getattr(staged_r10, name)
         )
-        t0 = time.time()
-        fn(spark, SRC).write.format("noop").mode("overwrite").save()
-        base = time.time() - t0
-        t0 = time.time()
-        out = fn(spark, dst)
-        out.write.format("noop").mode("overwrite").save()
-        big = time.time() - t0
+        warm_twice = name in PERSISTED_INDEX
+        base_cold = run(fn, SRC)
+        base = run(fn, SRC) if warm_twice else base_cold
+        big_cold = run(fn, dst)
+        big = run(fn, dst) if warm_twice else big_cold
         # documents copies carry 2x the tokens (interleave) -> shingle-bound
         # work scales with 2k, everything else with k. Document-bound
         # lifecycle/streaming queries don't share the prefix, so they are
@@ -209,6 +229,10 @@ def main() -> None:
             "cost_ratio": round(big / base, 2) if base > 0 else None,
             "linear_bound": bound,
         }
+        if warm_twice:
+            rec["sec_sf0.1_cold"] = round(base_cold, 2)
+            rec["sec_scaled_cold"] = round(big_cold, 2)
+            rec["warm_measured"] = True
         results.append(rec)
         print(json.dumps(rec), flush=True)
     worst = max(results, key=lambda r: r["cost_ratio"] or 0)
