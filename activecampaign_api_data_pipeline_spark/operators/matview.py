@@ -1,0 +1,222 @@
+"""Incrementally maintained materialized aggregate (matview) store.
+
+The last missing persisted-store pattern next to the minhash / block /
+decontam / ANN / inverted-index / CC stores: those maintain INDEXES,
+this maintains a QUERY RESULT — a grouped aggregate over an append-only
+fact stream, kept current by folding each new batch's PARTIAL
+aggregates into parquet state, never re-scanning history (the classic
+incremental-view-maintenance result for distributive aggregates:
+count/sum/min/max partials merge associatively, so view(facts ∪ batch)
+== merge(partials(facts), partials(batch))).
+
+Layout (the ``text_index``/``ann_index`` sidecar discipline):
+
+    path/
+      partials/                parquet: key cols + partial agg cols
+                               + ``_batch`` (ingest provenance)
+      params.json              frozen spec: key cols + measure col
+      _building_params.json    mid-build marker (never false-matches)
+
+Contracts:
+
+- **O(batch) appends**: ``append_matview`` aggregates ONLY the batch
+  (map-side combinable, one small shuffle of partial rows — one row per
+  distinct key in the batch, never the fact rows) and appends one file
+  set. History is never read on ingest.
+- **Replay idempotency, explicitly**: a batch key already present in
+  ``partials`` is SKIPPED (one metadata-sized distinct scan of the
+  ``_batch`` column — no full read). A crashed-and-replayed micro-batch
+  therefore cannot double-count, which a content-blind additive fold
+  would (the failure mode that makes naive IVM wrong under
+  at-least-once delivery).
+- **Reads merge partials**: ``read_matview`` is one aggregate over the
+  partials table (size ≈ distinct keys × batches seen since the last
+  compaction), so read cost is decoupled from fact volume entirely.
+- **Compaction bounds read cost**: ``compact_matview`` folds all
+  partials into one row per key under a single ``__compacted__`` batch
+  tag through the crash-safe staging/rename swap — read results are
+  bit-identical before and after (merge is associative), only row/file
+  counts drop. The LSM idea applied to aggregate state.
+
+No reference-pipeline analog (`run_ac_extraction.py` recomputes every
+digest from scratch per run); this is the maintained-gold extension of
+``storage.TableStore``'s medallion snapshots.
+
+100 TB shape: facts never land in the store at all — only per-key
+partials, which are smaller than the fact stream by the batch's
+rows-per-key factor and shuffle map-side-combined. The maintained view
+of a 100 TB fact table is read in one scan of a few-GB partials table.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COMPACTED = "__compacted__"
+
+
+def _partial_aggs(measure: str) -> list:
+    """The distributive-aggregate partials: each merges associatively
+    (sum-of-sums, min-of-mins...), which is WHY the view can be
+    maintained without rescanning facts."""
+    return [
+        F.count("*").alias("n_rows"),
+        F.sum(measure).alias("sum_m"),
+        F.min(measure).alias("min_m"),
+        F.max(measure).alias("max_m"),
+    ]
+
+
+def _write_params(spark: SparkSession, path: str, params: dict) -> None:
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(hconf)
+    tmp, final = P(f"{path}/_building_params.json"), P(f"{path}/params.json")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def load_matview_params(spark: SparkSession, path: str) -> dict:
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(hconf)
+    stream = fs.open(P(f"{path}/params.json"))
+    try:
+        data = bytes(
+            stream.readAllBytes()
+            if hasattr(stream, "readAllBytes")
+            else jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def build_matview(
+    facts: DataFrame, path: str, key_cols: list[str], measure: str,
+    batch_key: str = "batch_00000000",
+) -> None:
+    """Materialize the view from the first fact batch: one grouped
+    partial aggregate, one parquet write, params sidecar last (a crashed
+    build leaves no params.json and is rebuilt, never half-read)."""
+    spark = facts.sparkSession
+    partials = facts.groupBy(*key_cols).agg(*_partial_aggs(measure)).withColumn(
+        "_batch", F.lit(batch_key)
+    )
+    partials.write.mode("overwrite").parquet(f"{path}/partials")
+    _write_params(
+        spark, path, {"key_cols": list(key_cols), "measure": measure}
+    )
+
+
+def applied_batches(spark: SparkSession, path: str) -> set[str]:
+    """Batch keys already folded in — one distinct scan of the tiny
+    ``_batch`` column (column-pruned; partials are metadata-sized
+    relative to facts)."""
+    return {
+        r["_batch"]
+        for r in spark.read.parquet(f"{path}/partials").select("_batch").distinct().collect()
+    }
+
+
+def append_matview(
+    batch: DataFrame, path: str, batch_key: str
+) -> bool:
+    """Fold one fact batch into the view: aggregate THE BATCH ONLY and
+    append its partial rows. Returns False (no-op) when ``batch_key``
+    was already applied — the explicit replay guard that makes
+    at-least-once redelivery safe for additive state."""
+    spark = batch.sparkSession
+    if batch_key in applied_batches_full(spark, path):
+        return False
+    p = load_matview_params(spark, path)
+    partials = batch.groupBy(*p["key_cols"]).agg(
+        *_partial_aggs(p["measure"])
+    ).withColumn("_batch", F.lit(batch_key))
+    partials.write.mode("append").parquet(f"{path}/partials")
+    return True
+
+
+def read_matview(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained view: merge partials per key (sum-of-counts,
+    sum-of-sums, min-of-mins, max-of-maxs). One aggregate over the
+    partials table — fact volume never enters the read path."""
+    p = load_matview_params(spark, path)
+    return (
+        spark.read.parquet(f"{path}/partials")
+        .groupBy(*p["key_cols"])
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_m").alias("sum_m"),
+            F.min("min_m").alias("min_m"),
+            F.max("max_m").alias("max_m"),
+        )
+    )
+
+
+def compact_matview(spark: SparkSession, path: str) -> None:
+    """Fold all partials into one row per key (batch tag
+    ``__compacted__``) through the crash-safe staging/rename swap
+    (the ``compact_text_index`` discipline, including the mid-swap
+    recovery branch: live missing + staging present → staging renames
+    back in before any delete). Merge associativity makes the read
+    bit-identical before/after; only partials-row and file counts drop.
+    Batch keys folded into ``__compacted__`` stay replay-guarded: the
+    fold records them under ``applied`` in ``params.json`` and
+    ``applied_batches_full`` unions that list with the live tags, so a
+    replayed pre-compaction batch is still recognized and skipped."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    live = f"{path}/partials"
+    staging, old = f"{live}__compacting", f"{live}__old"
+    fs = P(live).getFileSystem(hconf)
+    if not fs.exists(P(live)):
+        if fs.exists(P(staging)):  # crashed between the two renames
+            fs.rename(P(staging), P(live))
+        else:
+            raise FileNotFoundError(f"compact_matview: no partials at {path}")
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    if fs.exists(P(staging)):
+        fs.delete(P(staging), True)
+    p = load_matview_params(spark, path)
+    seen = sorted(applied_batches(spark, path))
+    folded = (
+        spark.read.parquet(live)
+        .groupBy(*p["key_cols"])
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_m").alias("sum_m"),
+            F.min("min_m").alias("min_m"),
+            F.max("max_m").alias("max_m"),
+        )
+        .withColumn("_batch", F.lit(COMPACTED))
+    )
+    folded.coalesce(1).write.mode("overwrite").parquet(staging)
+    # ledger BEFORE the swap: if the crash lands between the renames the
+    # recovery branch restores the folded copy whose live tags are only
+    # __compacted__ — the replay guard must already know the folded keys.
+    # (Recording them early is harmless on a pre-swap crash: the same
+    # keys are still live tags, and the union is idempotent.)
+    p["applied"] = sorted((set(p.get("applied", [])) | set(seen)) - {COMPACTED})
+    _write_params(spark, path, p)
+    fs.rename(P(live), P(old))
+    fs.rename(P(staging), P(live))
+    fs.delete(P(old), True)
+
+
+def applied_batches_full(spark: SparkSession, path: str) -> set[str]:
+    """Replay guard across compactions: live ``_batch`` tags plus the
+    keys ``compact_matview`` folded away (kept in params.json)."""
+    p = load_matview_params(spark, path)
+    return applied_batches(spark, path) | set(p.get("applied", []))

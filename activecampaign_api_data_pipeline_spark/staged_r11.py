@@ -1,0 +1,317 @@
+"""Queries STAGED in round 10 for the r12+ promotion rounds.
+
+Same contract as ``staged_r9``/``staged_r10``: each query ships with a
+DuckDB oracle in ``STAGED_ORACLES`` and is verified by the typed
+Spark-vs-DuckDB compare (``tests/test_staged_r7.py`` parametrizes over
+this dict) at two SFs before it ever enters the registry. Per the
+rotation pre-plan (comment above ``REGISTRY``), the r10 window is owned
+by the r6-deadline set and the r11 window by the staged_r9 promotions +
+the r7-deadline set; this batch stages until slots open (r13 at the
+earliest — it still benches, smokes and censuses like a registry entry
+from day one).
+
+Two frontier families (the r9 verdict's items 6 and 7), five queries:
+
+- ``text_bpe_train``: the ITERATIVE BPE tokenizer trainer
+  (``operators/bpe.py`` — Sennrich et al. 2016). ``text_bpe_pairs``
+  (staged_r10) computes one merge-step's argmax table; this runs the
+  K-round loop on the word-frequency table: per round one
+  map-side-combinable pair aggregate, one single-row driver collect
+  (bounded scalar), one map-only double-spaced ``replace`` rewrite.
+  The oracle replays the identical loop as K stacked CTE levels
+  (argmax with the same count-desc/lexicographic tiebreak, the same
+  plain-``replace`` greedy merge), so a wrong tiebreak, an overlap
+  mishandling, or a drifted merge order all hash-fail.
+- ``text_bpe_tokenize``: tokenize-with-learned-merges — apply the
+  trained merge history in order (one map-only expression chain, no
+  shuffle) and report the resulting frequency-weighted top-20 subword
+  vocabulary; the oracle extends the trainer CTE chain through the
+  final state.
+- ``k_matview_roundtrip`` / ``k_matview_compact`` /
+  ``t_stream_matview``: incrementally maintained materialized
+  aggregate (``operators/matview.py``) — the last missing persisted
+  store pattern (maintained QUERY RESULTS, not indexes): per-customer
+  revenue rollup maintained from order batches as distributive-
+  aggregate partials (O(batch) appends, reads merge partials and never
+  see fact volume, compaction folds partials crash-safely, replays are
+  batch-key-guarded — content hashing cannot save a double-applied
+  SUM). All three share the one-shot GROUP BY oracle over the full
+  orders table: the incremental==batch twin contract the CC/minhash/
+  text-index stores already honor, now for aggregate state. The
+  streaming twin drives the same operators through a real
+  ``foreachBatch`` job (``streaming/incremental.stream_into_matview``).
+
+No reference-pipeline analog for either family
+(`scripts/run_ac_extraction.py` recomputes all digests per run and has
+no tokenizer); both are 100 TB-pipeline extensions in the LLM-data
+lane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+_BPE_MERGES = 4
+
+
+def _word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activecampaign_api_data_pipeline_spark.operators.bpe import bpe_word_table
+
+    return bpe_word_table(
+        load_table(spark, sf_dir, "documents").select("text")
+    )
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn ``_BPE_MERGES`` merges over the corpus word table and
+    return the merge history — the artifact a tokenizer ships. The
+    merge list itself IS the result (K rows), assembled on the driver
+    from K bounded argmax collects; all heavy lifting (pair aggregates,
+    rewrites) stays distributed (see ``operators/bpe.py``)."""
+    from activecampaign_api_data_pipeline_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(_word_table(spark, sf_dir), _BPE_MERGES)
+    return spark.createDataFrame(
+        [(m["step"], m["lhs"], m["rhs"], m["merged"], m["n"]) for m in merges],
+        "step int, lhs string, rhs string, merged string, n long",
+    )
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge history corpus-wide and report the
+    frequency-weighted top-20 subword vocabulary — the apply path a
+    tokenizer runs over every document at scale (map-only replace
+    chain + one explode-aggregate; text shuffles as SYMBOLS, post-merge,
+    never raw)."""
+    from activecampaign_api_data_pipeline_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    words = _word_table(spark, sf_dir)
+    merges, _ = bpe_train(words, _BPE_MERGES)
+    toks = bpe_apply(words, merges).select(
+        "cnt", F.explode("tokens").alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def _order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+def _matview_result(spark: SparkSession, path: str) -> DataFrame:
+    from activecampaign_api_data_pipeline_spark.operators.matview import read_matview
+
+    return read_matview(spark, path).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("n_rows").alias("n_orders"),
+        F.col("sum_m").alias("revenue_cents"),
+        F.col("min_m").alias("min_cents"),
+        F.col("max_m").alias("max_cents"),
+    )
+
+
+def k_matview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matview lifecycle: build from the first order batch, fold two
+    more batches in (O(batch) partial appends), REPLAY batch 1 (the
+    batch-key guard must no-op — an additive store that re-applied it
+    would double-count and hash-fail against the one-shot oracle), then
+    read the maintained view. The oracle is the plain GROUP BY over the
+    full orders table: incremental == batch, the store-twin contract."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        append_matview,
+        build_matview,
+    )
+
+    facts = _order_facts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="acdp_mv_")
+    try:
+        b = [facts.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+        build_matview(b[0], root, ["o_custkey"], "cents", batch_key="batch_0")
+        assert append_matview(b[1], root, "batch_1")
+        assert append_matview(b[2], root, "batch_2")
+        assert not append_matview(b[1], root, "batch_1")  # replay no-ops
+        return _matview_result(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def k_matview_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matview compaction semantics: fold partials mid-lifecycle, then
+    keep appending AND replay a pre-compaction batch — the replay guard
+    must survive the fold (the ``applied`` ledger in params.json; live
+    ``_batch`` tags alone would forget batch 1 and double-count). Read
+    results are bit-identical to the uncompacted store by merge
+    associativity, so the same one-shot oracle pins both."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        append_matview,
+        build_matview,
+        compact_matview,
+    )
+
+    facts = _order_facts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="acdp_mvc_")
+    try:
+        b = [facts.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+        build_matview(b[0], root, ["o_custkey"], "cents", batch_key="batch_0")
+        assert append_matview(b[1], root, "batch_1")
+        compact_matview(spark, root)
+        assert not append_matview(b[1], root, "batch_1")  # guard survives
+        assert append_matview(b[2], root, "batch_2")
+        return _matview_result(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def t_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: order batches arrive as a REAL Structured
+    Streaming job in three file micro-batches through
+    ``stream_into_matview`` — batch 0 builds, batches 1-2 fold partials
+    under the batch-key replay guard. The read after drain must equal
+    the one-shot aggregate regardless of how the files sliced into
+    micro-batches (merge associativity — the same slicing-invariance
+    argument as ``t_stream_sessions``)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_matview,
+    )
+
+    pin_confs(spark)
+    facts = _order_facts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="acdp_mvs_")
+    try:
+        stream_dir, view, ckpt = (
+            os.path.join(root, d) for d in ("in", "view", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        for i in range(3):
+            sl = facts.where(F.col("o_orderkey") % 3 == i)
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema("o_custkey long, o_orderkey long, cents long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = stream_into_matview(
+            stream, view, ckpt, key_cols=["o_custkey"], measure="cents"
+        )
+        assert q.awaitTermination(300), "matview stream did not drain in 300s"
+        return _matview_result(spark, view).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- oracles
+
+_MATVIEW_SQL = """
+WITH f AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       min(cents) AS min_cents,
+       max(cents) AS max_cents
+FROM f
+GROUP BY o_custkey
+"""
+
+
+def _bpe_ctes(k: int) -> str:
+    """The trainer loop as SQL: level i computes pair counts over state
+    w{i-1}, picks the argmax with the trainer's exact tiebreak, and
+    rewrites via the same double-spaced plain replace."""
+    parts = [
+        """w AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents
+),
+wf AS (
+  SELECT word, count(*) AS cnt FROM w WHERE length(word) >= 2 GROUP BY word
+),
+w0 AS (
+  SELECT word, cnt,
+         ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+  FROM wf
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT t[j] AS lhs, t[j + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, string_split(trim(s), '  ') AS t FROM w{i - 1}) x
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(t) - 1)) AS j
+  ) u
+  GROUP BY 1, 2
+),
+m{i} AS (
+  SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, c AS n
+  FROM p{i} ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
+),
+w{i} AS (
+  SELECT word, cnt,
+         replace(s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                    ' ' || m.lhs || m.rhs || ' ') AS s
+  FROM w{i - 1}, m{i} m
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(k: int) -> str:
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{i}" for i in range(1, k + 1))
+    return f"WITH {_bpe_ctes(k)}\nSELECT step, lhs, rhs, merged, n\nFROM ({union})\nORDER BY step"
+
+
+def _bpe_tokenize_sql(k: int) -> str:
+    return f"""WITH {_bpe_ctes(k)},
+tk AS (
+  SELECT cnt, unnest(string_split(trim(s), '  ')) AS token FROM w{k}
+)
+SELECT token, CAST(sum(cnt) AS BIGINT) AS n
+FROM tk GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20"""
+
+
+STAGED_ORACLES: dict[str, str] = {
+    "text_bpe_train": _bpe_train_sql(_BPE_MERGES),
+    "text_bpe_tokenize": _bpe_tokenize_sql(_BPE_MERGES),
+    "k_matview_roundtrip": _MATVIEW_SQL,
+    "k_matview_compact": _MATVIEW_SQL,
+    "t_stream_matview": _MATVIEW_SQL,
+}

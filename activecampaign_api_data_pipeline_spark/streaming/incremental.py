@@ -875,6 +875,59 @@ def stream_into_text_index(
     return writer.start()
 
 
+def stream_into_matview(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    measure: str,
+    trigger_available_now: bool = True,
+):
+    """Continuously maintained materialized aggregate — the
+    :func:`stream_into_text_index` contract applied to QUERY RESULTS
+    instead of indexes (``operators/matview.py``): the first micro-batch
+    BUILDS the view from its own partial aggregates; every later batch
+    folds in O(batch) partials, never rescanning history.
+
+    Exactly-once: the view's replay guard is the BATCH KEY — Structured
+    Streaming replays a failed micro-batch under the same ``batch_id``,
+    ``append_matview`` sees the key in its applied set (live ``_batch``
+    tags ∪ the compaction ledger) and no-ops. This is the guard additive
+    state needs: content-hash dedup cannot save a double-applied SUM.
+
+    Crashed-build self-heal mirrors the text-index sink: a build that
+    died before the params sidecar landed leaves no parseable
+    ``params.json`` and the next batch rebuilds.
+    """
+    from activecampaign_api_data_pipeline_spark.operators import matview as MV
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_key = f"batch_{batch_id:08d}"
+        complete = False
+        if path_exists(spark, f"{path}/params.json"):
+            try:
+                MV.load_matview_params(spark, path)
+                complete = True
+            except (TypeError, ValueError, KeyError, IndexError):
+                complete = False
+        if not complete:
+            MV.build_matview(
+                batch_df, path, key_cols, measure, batch_key=batch_key
+            )
+            return
+        MV.append_matview(batch_df, path, batch_key)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_running_totals(
     stream: DataFrame,
     sink: str,

@@ -255,6 +255,15 @@ HEADLINE = [
     "k_dpp_join",
     # r10-staged eleventh batch: BPE merge-step pair statistics
     "text_bpe_pairs",
+    # r11-staged batch (typed-replica verified, pre-registry — resolved
+    # from staged_r11): iterative BPE trainer + tokenize-with-merges,
+    # incrementally maintained materialized aggregate (batch lifecycle,
+    # compaction, streaming twin)
+    "text_bpe_train",
+    "text_bpe_tokenize",
+    "k_matview_roundtrip",
+    "k_matview_compact",
+    "t_stream_matview",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
@@ -281,7 +290,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
-    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9, staged_r10
+    from activecampaign_api_data_pipeline_spark import (
+        staged_r8,
+        staged_r9,
+        staged_r10,
+        staged_r11,
+    )
 
     for name in HEADLINE:
         # staged queries bench before they enter the registry
@@ -289,7 +303,9 @@ def main() -> None:
         # frozen prefixes — keep timing the same still-importable code
         fn = REGISTRY.get(name) or RETIRED.get(name) or getattr(
             staged_r8, name, None
-        ) or getattr(staged_r9, name, None) or getattr(staged_r10, name)
+        ) or getattr(staged_r9, name, None) or getattr(
+            staged_r10, name, None
+        ) or getattr(staged_r11, name)
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.time()

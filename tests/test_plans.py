@@ -308,7 +308,12 @@ def test_registry_window_policy_invariants():
     assert "ceil(N/50)" in open("SURVEY.md").read()
     # every bench entry resolves: registry first, else the staged
     # module (pre-registry queries bench under the same typed verification)
-    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9, staged_r10
+    from activecampaign_api_data_pipeline_spark import (
+        staged_r8,
+        staged_r9,
+        staged_r10,
+        staged_r11,
+    )
     from activecampaign_api_data_pipeline_spark.queries import RETIRED
 
     unresolved = [
@@ -318,6 +323,7 @@ def test_registry_window_policy_invariants():
         and n not in staged_r8.PROMOTED_ORACLES
         and n not in staged_r9.STAGED_ORACLES
         and n not in staged_r10.STAGED_ORACLES
+        and n not in staged_r11.STAGED_ORACLES
     ]
     assert not unresolved, f"bench entries without query or staged impl: {unresolved}"
     # r10 trim invariants: retired entries are OUT of the driver contract

@@ -1,0 +1,261 @@
+"""Behavior + plan invariants for the r11-staged batch (typed
+Spark-vs-DuckDB value checks live in test_staged_r7's parametrization;
+these pin the SHAPES — BPE's greedy merge semantics, the matview's
+O(batch) appends / replay guard / crash-safe compaction — and the plan
+properties the 100 TB story depends on."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark import staged_r11
+from activecampaign_api_data_pipeline_spark.operators.bpe import (
+    bpe_apply,
+    bpe_train,
+    bpe_word_table,
+)
+from activecampaign_api_data_pipeline_spark.operators.matview import (
+    append_matview,
+    applied_batches_full,
+    build_matview,
+    compact_matview,
+    read_matview,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name, sf=SF):
+    df = getattr(staged_r11, name)(spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- BPE trainer kernel ----
+
+def test_bpe_greedy_overlap_and_merge_order(spark):
+    # 'aaab' x3, 'ab' x2: round 1 counts (a,a)=6, (a,b)=5 -> merge aa
+    # (greedy left-to-right: 'aaab' -> [aa, a, b], NOT [a, aa, b]);
+    # round 2 counts (aa,a)=3, (a,b)=5 -> merge ab -> 'aaab'=[aa, ab]
+    words = spark.createDataFrame(
+        [("aaab", 3), ("ab", 2)], "word string, cnt long"
+    )
+    merges, state = bpe_train(words, 2)
+    assert [(m["lhs"], m["rhs"], m["n"]) for m in merges] == [
+        ("a", "a", 6),
+        ("a", "b", 5),
+    ]
+    toks = {
+        r["word"]: r["tokens"]
+        for r in bpe_apply(words, merges).collect()
+    }
+    assert toks["aaab"] == ["aa", "ab"]
+    assert toks["ab"] == ["ab"]
+
+
+def test_bpe_tiebreak_is_lexicographic(spark):
+    # equal counts: ('ba':1, 'ac':1) pairs (b,a)=1 and (a,c)=1 -> the
+    # lexicographically smallest (lhs, rhs) wins, deterministic in both
+    # engines
+    words = spark.createDataFrame(
+        [("ba", 1), ("ac", 1)], "word string, cnt long"
+    )
+    merges, _ = bpe_train(words, 1)
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "c")
+
+
+def test_bpe_multichar_symbols_merge_cleanly(spark):
+    # after merging (l,l), the pair (ll, o) must be countable and
+    # mergeable — multi-char symbols ride the same spaced representation
+    words = spark.createDataFrame([("llllo", 4)], "word string, cnt long")
+    merges, _ = bpe_train(words, 2)
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("l", "l")
+    m2 = (merges[1]["lhs"], merges[1]["rhs"])
+    assert m2 == ("ll", "ll")  # (ll,ll)=4 beats (ll,o)=4 lexicographically
+    toks = bpe_apply(words, merges).collect()[0]["tokens"]
+    assert toks == ["llll", "o"]
+
+
+def test_bpe_no_cross_word_or_cross_symbol_false_merge(spark):
+    # pattern ' a  b ' must not match inside 'xa b' tokens: word 'xab'
+    # merged on (a,b) keeps its x intact and separate
+    words = spark.createDataFrame(
+        [("ab", 5), ("xab", 1)], "word string, cnt long"
+    )
+    merges, _ = bpe_train(words, 1)
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "b")
+    toks = {
+        r["word"]: r["tokens"] for r in bpe_apply(words, merges).collect()
+    }
+    assert toks["xab"] == ["x", "ab"]
+
+
+def test_bpe_train_plan_no_python_no_cartesian(spark):
+    # each round's pair aggregate is pure JVM; the final merges frame is
+    # driver-assembled (K rows), so census the AGGREGATE plan itself
+    words = bpe_word_table(
+        staged_r11.load_table(spark, SF, "documents").select("text")
+    )
+    from activecampaign_api_data_pipeline_spark.operators.bpe import (
+        _pair_counts,
+        _spaced,
+    )
+
+    state = words.withColumn("s", _spaced("word"))
+    p = _pair_counts(state)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p or "HashAggregate" in p  # map-side combine
+
+
+def test_bpe_tokenize_weighted_vocab_conserves_tokens(spark):
+    # total weighted token count after K merges == total char count
+    # minus one char per merge occurrence; cheaper invariant: the
+    # weighted vocab total equals the total symbol count of the final
+    # state — no token invented or dropped by the apply path
+    words = bpe_word_table(
+        staged_r11.load_table(spark, SF, "documents").select("text")
+    )
+    merges, state = bpe_train(words, 2)
+    applied = bpe_apply(words, merges)
+    total_apply = applied.select(
+        F.sum(F.size("tokens") * F.col("cnt"))
+    ).first()[0]
+    total_state = state.select(
+        F.sum((F.size(F.split(F.trim("s"), "  "))) * F.col("cnt"))
+    ).first()[0]
+    assert total_apply == total_state > 0
+
+
+# ---- matview store ----
+
+def _facts(spark):
+    return spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 50), (2, 12, 30)],
+        "k long, oid long, cents long",
+    )
+
+
+def test_matview_replay_guard_and_values(spark):
+    root = tempfile.mkdtemp(prefix="mv_t_")
+    try:
+        f = _facts(spark)
+        build_matview(f.where("oid = 10"), root, ["k"], "cents", batch_key="b0")
+        assert append_matview(f.where("oid > 10"), root, "b1")
+        assert not append_matview(f.where("oid > 10"), root, "b1")  # replay
+        got = {r["k"]: (r["n_rows"], r["sum_m"], r["min_m"], r["max_m"])
+               for r in read_matview(spark, root).collect()}
+        assert got == {1: (2, 150, 50, 100), 2: (1, 30, 30, 30)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_matview_append_is_o_batch(spark):
+    # an append writes ONLY the batch's partial rows: partials row count
+    # grows by (distinct keys in batch), not by history size
+    root = tempfile.mkdtemp(prefix="mv_ob_")
+    try:
+        f = _facts(spark)
+        build_matview(f, root, ["k"], "cents", batch_key="b0")
+        n0 = spark.read.parquet(f"{root}/partials").count()
+        append_matview(f.where("k = 1"), root, "b1")
+        n1 = spark.read.parquet(f"{root}/partials").count()
+        assert n0 == 2 and n1 == 3  # one new partial row (key 1 only)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_matview_compact_preserves_read_and_guard(spark):
+    root = tempfile.mkdtemp(prefix="mv_c_")
+    try:
+        f = _facts(spark)
+        build_matview(f.where("oid = 10"), root, ["k"], "cents", batch_key="b0")
+        append_matview(f.where("oid = 11"), root, "b1")
+        before = sorted(map(tuple, read_matview(spark, root).collect()))
+        compact_matview(spark, root)
+        after = sorted(map(tuple, read_matview(spark, root).collect()))
+        assert before == after  # merge associativity: bit-identical read
+        # partials folded to one row per key
+        assert spark.read.parquet(f"{root}/partials").count() == 1
+        # the guard survives the fold through the params ledger
+        assert {"b0", "b1"} <= applied_batches_full(spark, root)
+        assert not append_matview(f.where("oid = 11"), root, "b1")
+        # and a genuinely new batch still lands
+        assert append_matview(f.where("oid = 12"), root, "b2")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_matview_compact_recovers_mid_swap_crash(spark):
+    # crash between rename(live->old) and rename(staging->live): the
+    # re-run must restore the folded copy, never delete both survivors
+    root = tempfile.mkdtemp(prefix="mv_r_")
+    try:
+        f = _facts(spark)
+        build_matview(f, root, ["k"], "cents", batch_key="b0")
+        append_matview(f.where("k = 2"), root, "b1")
+        want = sorted(map(tuple, read_matview(spark, root).collect()))
+        live = f"{root}/partials"
+        # simulate: a completed staging fold + live renamed aside
+        compacted = spark.read.parquet(live).groupBy("k").agg(
+            F.sum("n_rows").alias("n_rows"), F.sum("sum_m").alias("sum_m"),
+            F.min("min_m").alias("min_m"), F.max("max_m").alias("max_m"),
+        ).withColumn("_batch", F.lit("__compacted__"))
+        compacted.write.parquet(f"{live}__compacting")
+        os.rename(live, f"{live}__old")
+        compact_matview(spark, root)
+        got = sorted(map(tuple, read_matview(spark, root).collect()))
+        assert got == want
+        assert not glob.glob(f"{live}__*")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_matview_slicing_invariant(spark):
+    # 1-slice and 3-slice micro-batchings must produce the identical
+    # view (merge associativity is what makes the streaming twin safe
+    # under any trigger boundary)
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_matview,
+    )
+
+    facts = staged_r11._order_facts(spark, SF)
+
+    def run(n_slices):
+        root = tempfile.mkdtemp(prefix="mv_s_")
+        try:
+            sd, view, ckpt = (os.path.join(root, d) for d in ("in", "v", "c"))
+            os.makedirs(sd)
+            for i in range(n_slices):
+                sl = facts.where(F.col("o_orderkey") % n_slices == i)
+                tmp = os.path.join(root, f"s{i}")
+                sl.coalesce(1).write.parquet(tmp)
+                part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+                dst = os.path.join(sd, f"{i:03d}.parquet")
+                shutil.move(part, dst)
+                os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+            stream = (
+                spark.readStream.schema(
+                    "o_custkey long, o_orderkey long, cents long"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(sd)
+            )
+            q = stream_into_matview(
+                stream, view, ckpt, key_cols=["o_custkey"], measure="cents"
+            )
+            assert q.awaitTermination(300)
+            return sorted(map(tuple, read_matview(spark, view).collect()))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    assert run(1) == run(3)
+
+
+def test_matview_queries_plan_clean(spark):
+    for name in ("k_matview_roundtrip", "t_stream_matview"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p
+        assert "EvalPython" not in p

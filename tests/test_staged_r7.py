@@ -15,7 +15,13 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8, staged_r9, staged_r10
+from activecampaign_api_data_pipeline_spark import (
+    staged_r7,
+    staged_r8,
+    staged_r9,
+    staged_r10,
+    staged_r11,
+)
 
 SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -25,6 +31,7 @@ _TYPED = {
     **{n: (staged_r8, sql) for n, sql in staged_r8.PROMOTED_ORACLES.items()},
     **{n: (staged_r9, sql) for n, sql in staged_r9.STAGED_ORACLES.items()},
     **{n: (staged_r10, sql) for n, sql in staged_r10.STAGED_ORACLES.items()},
+    **{n: (staged_r11, sql) for n, sql in staged_r11.STAGED_ORACLES.items()},
 }
 
 # RETIRED registry entries (r10 trim) left the driver contract but the
@@ -134,7 +141,7 @@ def test_promoted_registered_staged_disjoint():
         for name in mod.PROMOTED_ORACLES:
             assert REGISTRY[name] is getattr(mod, name)
     # pre-registry staging stays disjoint until its own promotion round
-    for smod in (staged_r9, staged_r10):
+    for smod in (staged_r9, staged_r10, staged_r11):
         overlap = set(smod.STAGED_ORACLES) & set(REGISTRY)
         assert not overlap, f"staged queries already registered: {overlap}"
         for name in smod.STAGED_ORACLES:

@@ -160,7 +160,12 @@ def main() -> None:
         build_dataset(k, dst)
         print(f"# built {dst} in {time.time() - t0:.1f}s", file=sys.stderr)
 
-    from activecampaign_api_data_pipeline_spark import staged_r8, staged_r9, staged_r10
+    from activecampaign_api_data_pipeline_spark import (
+        staged_r8,
+        staged_r9,
+        staged_r10,
+        staged_r11,
+    )
     from activecampaign_api_data_pipeline_spark.queries import REGISTRY, RETIRED
     from activecampaign_api_data_pipeline_spark.session import get_spark
 
@@ -198,7 +203,8 @@ def main() -> None:
             or RETIRED.get(name)
             or getattr(staged_r8, name, None)
             or getattr(staged_r9, name, None)
-            or getattr(staged_r10, name)
+            or getattr(staged_r10, name, None)
+            or getattr(staged_r11, name)
         )
         warm_twice = name in PERSISTED_INDEX
         base_cold = run(fn, SRC)
