@@ -232,6 +232,201 @@ def t_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def k_matview_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-enriched maintained view: per-NATION revenue rollup kept
+    current from order batches — the IVM-with-dimensions shape (each
+    batch broadcast-joins the small customer→nation dims BEFORE its
+    partials fold, so the maintained key is an attribute the fact rows
+    don't even carry). O(batch + dim-broadcast) per append; the same
+    one-shot join+GROUP BY oracle pins incremental == batch. Dim rows
+    are treated as static for the view's lifetime (the TTL-cache
+    assumption of the reference's dims, S6) — a dim change means a view
+    rebuild, exactly like the frozen-stats contract of the SQ8/text
+    indexes."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        append_matview,
+        build_matview,
+        read_matview,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"]).select(
+            "c_custkey", "n_name"
+        )
+    )
+    facts = _order_facts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="acdp_mvd_")
+    try:
+
+        def batch(i: int) -> DataFrame:
+            return (
+                facts.where(F.col("o_orderkey") % 3 == i)
+                .join(dim, facts["o_custkey"] == dim["c_custkey"], "inner")
+                .select("n_name", "cents")
+            )
+
+        build_matview(batch(0), root, ["n_name"], "cents", batch_key="batch_0")
+        assert append_matview(batch(1), root, "batch_1")
+        assert append_matview(batch(2), root, "batch_2")
+        assert not append_matview(batch(1), root, "batch_1")
+        return (
+            read_matview(spark, root)
+            .select(
+                F.col("n_name").alias("nation"),
+                F.col("n_rows").alias("n_orders"),
+                F.col("sum_m").alias("revenue_cents"),
+                F.col("min_m").alias("min_cents"),
+                F.col("max_m").alias("max_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def t_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, oracle-checked: every
+    purchase pairs with the clicks in its preceding hour, and a purchase
+    with NO such click emits ONCE with NULL click columns — but only
+    after the join watermark proves no future match can arrive (the
+    semantics the registry's inner join, ``t_stream_interval_join``,
+    does not exercise: outer emission is watermark-DRIVEN, not instant).
+
+    Mechanics: both sides watermark at (corpus span + margin) so no real
+    state ever evicts mid-stream (every true pair is found regardless of
+    micro-batch boundaries); a final sentinel micro-batch carries one
+    far-future row PER SIDE (outer state flushes at the JOIN watermark =
+    min of both sides' — one-sided sentinels leave it pinned), pushing
+    the watermark past every real purchase's match window so all
+    unmatched-left verdicts finalize before the drain. Spark then emits
+    them in the trailing no-data micro-batch. Sentinels filter from the
+    sink by id sign. The oracle is the plain batch LEFT JOIN — a
+    premature eviction (dropped pair), a double outer emission, or an
+    unflushed verdict all diverge."""
+    import os
+    import tempfile
+    import uuid
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    pin_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    span_s = int((b["hi"] - b["lo"]).total_seconds())
+    delay_s = span_s + 7200
+    sent_ts = b["hi"].timestamp() + delay_s + 7200
+    root = tempfile.mkdtemp(prefix="acdp_sloj_")
+    import glob
+    import shutil
+
+    try:
+        stream_dir, sink, ckpt = (
+            os.path.join(root, d) for d in ("in", "out", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        ev.coalesce(1).write.parquet(os.path.join(root, "b0"))
+        shutil.move(
+            glob.glob(os.path.join(root, "b0", "part-*.parquet"))[0],
+            os.path.join(stream_dir, "000.parquet"),
+        )
+        os.utime(os.path.join(stream_dir, "000.parquet"), (1_700_000_000,) * 2)
+        sent = spark.createDataFrame(
+            [(-1, -1, "purchase"), (-2, -1, "click")],
+            "event_id long, user_id long, event_type string",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.lit(sent_ts).cast("timestamp").alias("ts"),
+        )
+        sent.coalesce(1).write.parquet(os.path.join(root, "b1"))
+        shutil.move(
+            glob.glob(os.path.join(root, "b1", "part-*.parquet"))[0],
+            os.path.join(stream_dir, "001.parquet"),
+        )
+        os.utime(os.path.join(stream_dir, "001.parquet"), (1_700_000_060,) * 2)
+        schema = spark.read.parquet(stream_dir).schema
+
+        def _side(event_type: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(stream_dir)
+                .filter(F.col("event_type") == event_type)
+                .drop("event_type")
+            )
+
+        joined = stream_interval_join(
+            _side("purchase"),
+            _side("click"),
+            key="user_id",
+            lookback="1 hour",
+            watermark=f"{delay_s} seconds",
+            how="leftOuter",
+        )
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .queryName(f"stream_loj_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+        out = spark.read.parquet(sink).filter(F.col("event_id") > 0)
+        return out.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("r_event_id").alias("click_id"),
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one tight
+    range-filtered scan-aggregate — no join at all. The value is the
+    PLAN: all three predicates (ship-date year, discount band, quantity
+    cap) must push to the parquet scan so row groups outside the year
+    never decompress; revenue in the repo's exact decimal convention
+    (the discount band compares in DECIMAL on both engines — comparing
+    raw doubles against 0.05/0.07 literals would be representation-
+    dependent). Public formulation per the TPC-H spec, adapted to the
+    columns this corpus carries."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    d = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & d.between(F.lit("0.05").cast("decimal(18,2)"), F.lit("0.07").cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * d)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _MATVIEW_SQL = """
@@ -308,10 +503,54 @@ ORDER BY n DESC, token ASC
 LIMIT 20"""
 
 
+_MATVIEW_DIM_SQL = """
+WITH f AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+j AS (
+  SELECT n.n_name, f.cents
+  FROM f
+  JOIN customer c ON c.c_custkey = f.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT n_name AS nation,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       min(cents) AS min_cents,
+       max(cents) AS max_cents
+FROM j
+GROUP BY n_name
+"""
+
 STAGED_ORACLES: dict[str, str] = {
     "text_bpe_train": _bpe_train_sql(_BPE_MERGES),
     "text_bpe_tokenize": _bpe_tokenize_sql(_BPE_MERGES),
     "k_matview_roundtrip": _MATVIEW_SQL,
     "k_matview_compact": _MATVIEW_SQL,
     "t_stream_matview": _MATVIEW_SQL,
+    "k_matview_dim_roundtrip": _MATVIEW_DIM_SQL,
+    "t_stream_left_join": """
+SELECT l.user_id,
+       l.event_id AS purchase_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       r.event_id AS click_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+""",
+    "q6_forecast_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN
+      CAST('0.05' AS DECIMAL(18,2)) AND CAST('0.07' AS DECIMAL(18,2))
+  AND l_quantity < 24
+""",
 }

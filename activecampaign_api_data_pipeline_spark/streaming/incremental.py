@@ -133,9 +133,10 @@ def stream_interval_join(
     right_ts: str = "ts",
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded to an event-time interval:
-    right rows with ``right_ts`` in ``[left_ts - lookback, left_ts]``.
+    """Stream-stream join bounded to an event-time interval: right rows
+    with ``right_ts`` in ``[left_ts - lookback, left_ts]``.
 
     The §2.8 capability the reference cannot express (it joins only full
     static frames): e.g. attribute each purchase to the clicks that
@@ -146,6 +147,16 @@ def stream_interval_join(
     emitted with an ``r_`` prefix. Works identically on batch frames
     (watermarks are no-ops there), which is how the test pins
     stream == batch.
+
+    ``how="leftOuter"`` adds watermark-driven NULL emission: an
+    unmatched left row is held in state until the join watermark passes
+    the end of its match window (``left_ts + lookback``-ish per Spark's
+    state-eviction math) and only THEN emits with NULL right columns —
+    the streaming-correct "no match ever" verdict, as opposed to a
+    batch outer join's instant one. Callers that need every outer row
+    flushed before the query stops must push the watermark past the
+    corpus (the sentinel-row pattern — see
+    ``staged_r11.t_stream_left_join``).
     """
     overlaps = [c for c in right.columns if c in left.columns and c != key]
     r = right
@@ -159,7 +170,7 @@ def stream_interval_join(
         & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
         & (F.col(rts) <= F.col(left_ts))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])
 
 
 def stream_dedup(

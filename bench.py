@@ -264,6 +264,11 @@ HEADLINE = [
     "k_matview_roundtrip",
     "k_matview_compact",
     "t_stream_matview",
+    # r11-staged second batch: dim-enriched maintained view, stream-stream
+    # LEFT OUTER interval join (watermark-driven NULL emission), TPC-H Q6
+    "k_matview_dim_roundtrip",
+    "t_stream_left_join",
+    "q6_forecast_revenue",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -259,3 +259,71 @@ def test_matview_queries_plan_clean(spark):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p
         assert "EvalPython" not in p
+
+
+# ---- second batch: dim matview, stream-stream left outer, Q6 ----
+
+def test_q6_all_predicates_pushed(spark):
+    # no join; all three predicate columns reach the scan (the plan
+    # toString truncates the PushedFilters list, so assert the prefix
+    # and the column-pruned ReadSchema — exactly the 4 needed columns)
+    p = _plan(spark, "q6_forecast_revenue")
+    assert "Join" not in p
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount),"
+        " IsNotNull(l_quantity)" in p
+    )
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in p
+    )
+
+
+def test_stream_left_join_outer_rows_match_batch(spark):
+    # the streaming left-outer result must contain BOTH verdict kinds and
+    # exactly match the batch left join (the typed oracle pins values;
+    # this pins the outer rows actually flushed before the drain)
+    out = staged_r11.t_stream_left_join(spark, SF)
+    n_outer = out.filter(F.col("click_id").isNull()).count()
+    n_inner = out.filter(F.col("click_id").isNotNull()).count()
+    assert n_outer > 0 and n_inner > 0
+    ev = staged_r11.load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    p = ev.filter("event_type = 'purchase'")
+    c = (
+        ev.filter("event_type = 'click'")
+        .withColumnRenamed("user_id", "c_uid")
+        .withColumnRenamed("ts", "c_ts")
+    )
+    joined = p.join(
+        c,
+        (p["user_id"] == c["c_uid"])
+        & (c["c_ts"] >= p["ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (c["c_ts"] <= p["ts"]),
+        "leftOuter",
+    )
+    assert joined.count() == n_outer + n_inner
+
+
+def test_matview_dim_broadcasts(spark):
+    # the per-batch dim enrich must be a broadcast join (the dims are
+    # small by contract); fold partials only afterwards
+    facts = staged_r11._order_facts(spark, SF)
+    cust = staged_r11.load_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = staged_r11.load_table(spark, SF, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dim = F.broadcast(
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"]).select(
+            "c_custkey", "n_name"
+        )
+    )
+    enriched = facts.join(
+        dim, facts["o_custkey"] == dim["c_custkey"], "inner"
+    ).select("n_name", "cents")
+    p = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
