@@ -13,8 +13,11 @@ Prints one JSON line per batch plus a summary line appended by the caller
 to SCALE_SMOKE.json.
 
 Usage: python tools/smoke_incremental_ingest.py [n_batches] [rows_per_batch] [mode]
-mode: "minhash" (default) or "blocks" (incremental passage dedup — same
-flat-per-ingest contract: the store is scanned columnar, never shuffled).
+mode: "minhash" (default), "blocks" (incremental passage dedup — same
+flat-per-ingest contract: the store is scanned columnar, never shuffled),
+or "matview" (maintained aggregate — per-ingest cost must be flat because
+an append aggregates ONLY the batch; the store is touched once for the
+metadata-sized applied-batches guard scan).
 """
 
 from __future__ import annotations
@@ -35,8 +38,10 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
     mode = sys.argv[3] if len(sys.argv) > 3 else "minhash"
-    if mode not in ("minhash", "blocks"):
-        raise SystemExit(f"unknown mode {mode!r}: expected 'minhash' or 'blocks'")
+    if mode not in ("minhash", "blocks", "matview"):
+        raise SystemExit(
+            f"unknown mode {mode!r}: expected 'minhash', 'blocks' or 'matview'"
+        )
 
     from pyspark.sql import functions as F
 
@@ -47,12 +52,25 @@ def main() -> None:
         incremental_minhash_pairs,
         minhash_store_append,
     )
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        append_matview,
+        build_matview,
+    )
     from activecampaign_api_data_pipeline_spark.session import get_spark
     from activecampaign_api_data_pipeline_spark.sources.tables import load_table
 
     spark = get_spark("smoke-incremental-ingest")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = load_table(spark, SRC, "documents").select("doc_id", "text")
+    if mode == "matview":
+        docs = load_table(spark, SRC, "events").select(
+            F.col("event_id").alias("doc_id"),
+            "user_id",
+            (F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    else:
+        docs = load_table(spark, SRC, "documents").select("doc_id", "text")
     # deterministic equal batches by id order — localCheckpoint each so the
     # timed loop measures ingest, not re-reading/slicing the corpus
     total = docs.count()
@@ -72,7 +90,7 @@ def main() -> None:
     ]
 
     root = tempfile.mkdtemp(prefix="acdp_incr_smoke_")
-    path = f"{root}/sigstore" if mode == "minhash" else f"{root}/blockstore"
+    path = f"{root}/{mode}store"
     times, pair_counts = [], []
     try:
         for b, batch in enumerate(slices):
@@ -80,6 +98,15 @@ def main() -> None:
             if mode == "minhash":
                 n_pairs = incremental_minhash_pairs(batch, path, threshold=0.5).count()
                 minhash_store_append(batch, path)
+            elif mode == "matview":
+                if b == 0:
+                    build_matview(
+                        batch, path, ["user_id"], "cents", batch_key="batch_0"
+                    )
+                    n_pairs = 0
+                else:
+                    append_matview(batch, path, f"batch_{b}")
+                    n_pairs = 0
             else:
                 # the streaming-sink shape: one explode+window per batch,
                 # shared by the clean and the append
