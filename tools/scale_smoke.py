@@ -154,7 +154,18 @@ def build_dataset(k: int, dst: str) -> None:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:] or DEFAULT_QUERIES
-    dst = f"/tmp/acdp_scale_sf{k}"
+    # the cache dir is keyed by K AND the scaled-table set: a K=100
+    # events-only dataset reused for an orders-bound query would time
+    # base-scale orders and report a vacuous sub-linear ratio (the
+    # stale-cache trap caught in r10 with the matview family)
+    tables = os.environ.get(
+        "SPARK_GRAFT_SCALE_TABLES",
+        "events,customer,orders,lineitem,documents,embeddings",
+    )
+    suffix = "" if "," in tables and len(tables.split(",")) == 6 else (
+        "_" + "-".join(sorted(t for t in tables.split(",") if t))
+    )
+    dst = f"/tmp/acdp_scale_sf{k}{suffix}"
     if not os.path.exists(f"{dst}/embeddings.parquet"):
         t0 = time.time()
         build_dataset(k, dst)
@@ -239,6 +250,10 @@ def main() -> None:
             rec["sec_sf0.1_cold"] = round(base_cold, 2)
             rec["sec_scaled_cold"] = round(big_cold, 2)
             rec["warm_measured"] = True
+        if suffix:
+            # restricted replication: a query reading an unscaled table
+            # here reports a vacuous ratio — the row must say what scaled
+            rec["scaled_tables"] = tables
         results.append(rec)
         print(json.dumps(rec), flush=True)
     worst = max(results, key=lambda r: r["cost_ratio"] or 0)
