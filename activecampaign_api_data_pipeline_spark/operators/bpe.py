@@ -74,9 +74,18 @@ def _spaced(word) -> F.Column:
 
 def _pair_counts(state: DataFrame) -> DataFrame:
     """Adjacent-pair counts weighted by word frequency — the argmax
-    input for one merge round. Pure JVM (transform/sequence/explode)."""
+    input for one merge round. Pure JVM (transform/sequence/explode).
+
+    Words fully merged to ONE symbol are filtered BEFORE the pair
+    expansion: they contribute no pairs, and Spark's ``sequence(1, 0)``
+    generates a DESCENDING ``[1, 0]`` (unlike DuckDB's empty list), so
+    an unguarded transform would index past the array — a crash that
+    only appears once the merge count is high enough to collapse some
+    word entirely (caught at K=16 on the real corpus; K=4 never gets
+    there)."""
     return (
         state.withColumn("t", F.split(F.trim(F.col("s")), "  "))
+        .filter(F.size("t") >= 2)
         .select(
             "cnt",
             F.explode(

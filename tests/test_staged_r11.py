@@ -327,3 +327,19 @@ def test_matview_dim_broadcasts(spark):
     p = enriched._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bpe_train_survives_fully_merged_words(spark):
+    # a word that collapses to ONE symbol must stop contributing pairs
+    # instead of crashing the next round's expansion (Spark's
+    # sequence(1,0) is DESCENDING [1,0], not empty — the K=16 corpus bug)
+    words = spark.createDataFrame(
+        [("ab", 10), ("cd", 1), ("ce", 1)], "word string, cnt long"
+    )
+    merges, state = bpe_train(words, 3)
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "b")
+    # round 2 still works with 'ab' fully merged; (c,d)/(c,e) tie -> (c,d)
+    assert (merges[1]["lhs"], merges[1]["rhs"]) == ("c", "d")
+    assert (merges[2]["lhs"], merges[2]["rhs"]) == ("c", "e")
+    toks = {r["word"]: r["tokens"] for r in bpe_apply(words, merges).collect()}
+    assert toks["ab"] == ["ab"]
