@@ -1,0 +1,201 @@
+"""Incrementally maintained JOIN view — delta-join maintenance.
+
+The hard case of incremental view maintenance: a grouped aggregate over
+``A ⋈ B`` where BOTH fact sides arrive in batches. The classic delta
+algebra (append-only relations): when a batch ``ΔA`` lands,
+
+    ΔV = partials( ΔA ⋈ B_so_far )
+
+and symmetrically for ``ΔB`` — every (a, b) pair is counted exactly
+once because the LATER-arriving row's batch sees the earlier row in
+history (single-writer contract: one append completes, history write
+included, before the next starts; a crashed append replays before any
+new batch, the Structured Streaming retry discipline).
+
+Layout (composing the two store disciplines this repo already has):
+
+    path/
+      a/batch=<key>/bucket=<n>/   join-key-bucketed history, side A
+      b/batch=<key>/bucket=<n>/   join-key-bucketed history, side B
+      view/                       a matview store (operators/matview.py):
+                                  partials + params + applied ledger
+      params.json                 join_key / group_cols / measure /
+                                  n_buckets + empty-delta applied ledger
+
+Why this scales:
+
+- **History writes are idempotent**: each batch lands under its own
+  hive ``batch=<key>`` dir via mode=overwrite — a replayed batch
+  rewrites the same partitions bit-for-bit instead of duplicating.
+- **The delta join never scans full history**: the batch's join keys
+  hash to a bounded bucket set (collected as one ≤ ``n_buckets`` scalar
+  list), the other side's read prunes to those hive ``bucket=``
+  partitions (PartitionFilters, metadata-only), and rows inside a
+  bucket are written sorted by join key so parquet row-group stats
+  prune further. Per-append cost is O(batch ⋈ touched-bucket history),
+  the indexed-IVM bound — never O(|A| ⋈ |B|).
+- **The view component is the matview store**: partials fold through
+  ``append_matview`` under the same batch-key replay guard, reads merge
+  partials without ever seeing fact volume, ``compact_matview`` applies
+  unchanged. An empty delta leaves no partials tag to guard on, so its
+  batch key is recorded in THIS store's params ledger instead (replay
+  of an empty-delta batch against GROWN opposite history would
+  otherwise double-count the pairs a later batch already folded).
+
+No reference-pipeline analog (`run_ac_extraction.py` re-joins full
+frames per run); this extends ``operators/matview.py`` from single-
+table views to join views.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.operators import matview as MV
+
+
+def _write_params(spark: SparkSession, path: str, params: dict) -> None:
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(P(path))
+    tmp, final = P(f"{path}/_building_params.json"), P(f"{path}/params.json")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def load_join_params(spark: SparkSession, path: str) -> dict:
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(P(f"{path}/params.json"))
+    try:
+        data = bytes(
+            stream.readAllBytes()
+            if hasattr(stream, "readAllBytes")
+            else jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def create_join_view(
+    spark: SparkSession,
+    path: str,
+    join_key: str,
+    group_cols: list[str],
+    measure: str,
+    n_buckets: int = 16,
+) -> None:
+    """Declare the view: both sides must carry ``join_key``; the joined
+    delta must surface ``group_cols`` + ``measure`` (each may live on
+    either side). Params sidecar lands atomically; histories and the
+    view materialize on first append."""
+    _write_params(
+        spark,
+        path,
+        {
+            "join_key": join_key,
+            "group_cols": list(group_cols),
+            "measure": measure,
+            "n_buckets": n_buckets,
+            "applied": [],
+        },
+    )
+
+
+def _applied(spark: SparkSession, path: str, p: dict) -> set[str]:
+    """Replay guard: the view's live tags + its compaction ledger + this
+    store's empty-delta ledger."""
+    got = set(p.get("applied", []))
+    if _exists(spark, f"{path}/view/params.json"):
+        got |= MV.applied_batches_full(spark, f"{path}/view")
+    return got
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(P(path))
+
+
+def append_join_side(
+    batch: DataFrame, path: str, side: str, batch_key: str
+) -> bool:
+    """Fold one batch of side ``a`` or ``b`` into the join view.
+
+    Sequence (each step idempotent under the replay-before-new-batches
+    contract): (1) skip if ``batch_key`` is in the applied set; (2) land
+    the batch in history under its own ``batch=`` dir, bucketed and
+    key-sorted; (3) delta-join it against the OTHER side's history,
+    pruned to the batch's bucket set; (4) fold the delta's partials into
+    the view (the matview guard makes a crash-replay of this step a
+    no-op); (5) an empty delta records its key in params instead."""
+    assert side in ("a", "b")
+    spark = batch.sparkSession
+    p = load_join_params(spark, path)
+    key = f"{side}:{batch_key}"
+    if key in _applied(spark, path, p):
+        return False
+    jk, nb = p["join_key"], p["n_buckets"]
+    bucketed = batch.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(jk)), F.lit(nb)).cast("int")
+    )
+    (
+        bucketed.repartition("bucket")
+        .sortWithinPartitions(jk)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/{side}/batch={batch_key}")
+    )
+    other = "b" if side == "a" else "a"
+    view = f"{path}/view"
+    if _exists(spark, f"{path}/{other}"):
+        touched = [
+            r["bucket"]
+            for r in bucketed.select("bucket").distinct().collect()
+        ]
+        hist = spark.read.option("basePath", f"{path}/{other}").parquet(
+            f"{path}/{other}"
+        )
+        hist = hist.filter(F.col("bucket").isin(touched)).drop("batch", "bucket")
+        delta = bucketed.drop("bucket").join(hist, jk)
+        delta = delta.select(*p["group_cols"], p["measure"])
+        empty = delta.isEmpty()
+        if not _exists(spark, f"{view}/params.json"):
+            MV.build_matview(
+                delta, view, p["group_cols"], p["measure"], batch_key=key
+            )
+        else:
+            MV.append_matview(delta, view, key)
+        folded = not empty
+    else:
+        folded = False
+    if not folded:
+        # no partials row carries this key — ledger it here so a replay
+        # against grown opposite history cannot double-count
+        p["applied"] = sorted(set(p.get("applied", [])) | {key})
+        _write_params(spark, path, p)
+    return True
+
+
+def read_join_view(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained join-view result — one merge over the view's
+    partials (``matview.read_matview``); neither history is scanned."""
+    p = load_join_params(spark, path)
+    view = f"{path}/view"
+    if not _exists(spark, f"{view}/params.json"):
+        # no pair has ever materialized: an empty-but-typed frame would
+        # need a schema no history may exist to derive — callers that
+        # read before any join delta get an explicit error, not a guess
+        raise FileNotFoundError(f"join view at {path} has no materialized delta yet")
+    return MV.read_matview(spark, view)

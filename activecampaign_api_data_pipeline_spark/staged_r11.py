@@ -427,6 +427,139 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_custkey"
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return a, b
+
+
+def _join_view_result(spark: SparkSession, path: str) -> DataFrame:
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        read_join_view,
+    )
+
+    return read_join_view(spark, path).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("n_rows").alias("n_items"),
+        F.col("sum_m").alias("revenue_cents"),
+        F.col("min_m").alias("min_cents"),
+        F.col("max_m").alias("max_cents"),
+    )
+
+
+def k_matview_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view lifecycle (``operators/matview_join.py``): per-customer
+    revenue over orders ⋈ lineitem maintained while BOTH sides arrive in
+    interleaved batches — the delta-join IVM case a single-table matview
+    cannot express. Pairs span batches in both directions (an order's
+    lineitems land before AND after it), a replayed lineitem batch must
+    no-op through the side-qualified guard, and the one-shot join+GROUP
+    BY oracle pins the exactly-once pair count. Per-append cost is
+    O(batch ⋈ touched-bucket history): history reads prune to the
+    batch's hive bucket partitions (plan-tested)."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+        create_join_view,
+    )
+
+    a, b = _join_sides(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="acdp_mvj_")
+    try:
+        create_join_view(
+            spark, root, join_key="ok", group_cols=["o_custkey"],
+            measure="cents", n_buckets=8,
+        )
+        ab = [a.where(F.col("ok") % 3 == i) for i in range(3)]
+        bb = [b.where(F.col("ok") % 2 == i) for i in range(2)]
+        assert append_join_side(ab[0], root, "a", "batch_0")
+        assert append_join_side(bb[0], root, "b", "batch_0")
+        assert append_join_side(ab[1], root, "a", "batch_1")
+        assert append_join_side(bb[1], root, "b", "batch_1")
+        assert append_join_side(ab[2], root, "a", "batch_2")
+        assert not append_join_side(bb[0], root, "b", "batch_0")  # replay
+        return _join_view_result(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def t_stream_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the join view: ONE interleaved changelog stream
+    (orders and lineitem rows tagged by side) drives
+    ``stream_into_join_view`` in three micro-batches — co-arriving
+    pairs count once (a-rows route before b-rows inside each batch),
+    cross-batch pairs are caught by whichever side lands later, and the
+    final read equals the one-shot join aggregate regardless of slicing
+    (the delta algebra is associative the same way the matview's merge
+    is)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        create_join_view,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_join_view,
+    )
+
+    pin_confs(spark)
+    a, b = _join_sides(spark, sf_dir)
+    tagged = a.select(
+        F.lit("a").alias("side"), "ok", "o_custkey",
+        F.lit(None).cast("bigint").alias("cents"),
+    ).unionByName(
+        b.select(
+            F.lit("b").alias("side"), "ok",
+            F.lit(None).cast("bigint").alias("o_custkey"), "cents",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="acdp_mvjs_")
+    try:
+        stream_dir, view, ckpt = (
+            os.path.join(root, d) for d in ("in", "view", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        for i in range(3):
+            sl = tagged.where(F.col("ok") % 3 == i)
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        create_join_view(
+            spark, view, join_key="ok", group_cols=["o_custkey"],
+            measure="cents", n_buckets=8,
+        )
+        stream = (
+            spark.readStream.schema(
+                "side string, ok long, o_custkey long, cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = stream_into_join_view(
+            stream, view, ckpt,
+            a_cols=["ok", "o_custkey"], b_cols=["ok", "cents"],
+        )
+        assert q.awaitTermination(300), "join-view stream did not drain in 300s"
+        return _join_view_result(spark, view).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------- oracles
 
 _MATVIEW_SQL = """
@@ -531,6 +664,34 @@ STAGED_ORACLES: dict[str, str] = {
     "k_matview_compact": _MATVIEW_SQL,
     "t_stream_matview": _MATVIEW_SQL,
     "k_matview_dim_roundtrip": _MATVIEW_DIM_SQL,
+    "k_matview_join_roundtrip": """
+WITH li AS (
+  SELECT l_orderkey AS ok,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT o.o_custkey AS custkey,
+       count(*) AS n_items,
+       CAST(sum(li.cents) AS BIGINT) AS revenue_cents,
+       min(li.cents) AS min_cents,
+       max(li.cents) AS max_cents
+FROM orders o JOIN li ON li.ok = o.o_orderkey
+GROUP BY o.o_custkey
+""",
+    "t_stream_matview_join": """
+WITH li AS (
+  SELECT l_orderkey AS ok,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT o.o_custkey AS custkey,
+       count(*) AS n_items,
+       CAST(sum(li.cents) AS BIGINT) AS revenue_cents,
+       min(li.cents) AS min_cents,
+       max(li.cents) AS max_cents
+FROM orders o JOIN li ON li.ok = o.o_orderkey
+GROUP BY o.o_custkey
+""",
     "t_stream_left_join": """
 SELECT l.user_id,
        l.event_id AS purchase_id,

@@ -939,6 +939,51 @@ def stream_into_matview(
     return writer.start()
 
 
+def stream_into_join_view(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    a_cols: list[str],
+    b_cols: list[str],
+    side_col: str = "side",
+    trigger_available_now: bool = True,
+):
+    """Continuously maintained JOIN view from ONE interleaved changelog
+    stream (``operators/matview_join.py``): each micro-batch may carry
+    rows of BOTH sides, tagged by ``side_col``; the sink routes the
+    a-rows first, then the b-rows, so pairs co-arriving in one batch are
+    counted exactly once (the b-append's delta joins a-history that
+    already includes the co-arrived a-rows; the a-append's delta joined
+    b-history that did not yet).
+
+    Exactly-once: side-qualified batch keys (``a:batch_N``/``b:batch_N``)
+    ride the join-view's replay guard — a replayed micro-batch rewrites
+    its idempotent history partitions and skips the fold. The view must
+    be declared (``create_join_view``) before the stream starts; the
+    schema contract is the declared params, not batch inference.
+    """
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        a = batch_df.filter(F.col(side_col) == "a").select(*a_cols)
+        b = batch_df.filter(F.col(side_col) == "b").select(*b_cols)
+        if not a.isEmpty():
+            append_join_side(a, path, "a", f"batch_{batch_id:08d}")
+        if not b.isEmpty():
+            append_join_side(b, path, "b", f"batch_{batch_id:08d}")
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_running_totals(
     stream: DataFrame,
     sink: str,

@@ -269,6 +269,10 @@ HEADLINE = [
     "k_matview_dim_roundtrip",
     "t_stream_left_join",
     "q6_forecast_revenue",
+    # r11-staged third batch: delta-join IVM (a join view maintained
+    # while BOTH fact sides arrive in batches) + its streaming twin
+    "k_matview_join_roundtrip",
+    "t_stream_matview_join",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -343,3 +343,126 @@ def test_bpe_train_survives_fully_merged_words(spark):
     assert (merges[2]["lhs"], merges[2]["rhs"]) == ("c", "e")
     toks = {r["word"]: r["tokens"] for r in bpe_apply(words, merges).collect()}
     assert toks["ab"] == ["ab"]
+
+
+# ---- join-view store (delta-join IVM) ----
+
+def _jv_create(spark, root):
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        create_join_view,
+    )
+
+    create_join_view(
+        spark, root, join_key="ok", group_cols=["g"], measure="m", n_buckets=4
+    )
+
+
+def test_join_view_counts_pairs_exactly_once(spark):
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+        read_join_view,
+    )
+
+    # order 1 has 2 items, order 2 has 1; sides interleave so pairs span
+    # batches in both directions
+    a = spark.createDataFrame([(1, 10), (2, 20)], "ok long, g long")
+    b = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 9)], "ok long, m long"
+    )
+    root = tempfile.mkdtemp(prefix="jv_p_")
+    try:
+        _jv_create(spark, root)
+        assert append_join_side(a.where("ok = 1"), root, "a", "k0")
+        assert append_join_side(b.where("m = 5"), root, "b", "k0")   # pair (1,5)
+        assert append_join_side(b.where("m != 5"), root, "b", "k1")  # (1,7),(2,9) half-matched
+        assert append_join_side(a.where("ok = 2"), root, "a", "k1")  # closes (2,9)
+        got = {r["g"]: (r["n_rows"], r["sum_m"])
+               for r in read_join_view(spark, root).collect()}
+        assert got == {10: (2, 12), 20: (1, 9)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_join_view_replay_guard_is_side_qualified(spark):
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+        read_join_view,
+    )
+
+    a = spark.createDataFrame([(1, 10)], "ok long, g long")
+    b = spark.createDataFrame([(1, 5)], "ok long, m long")
+    root = tempfile.mkdtemp(prefix="jv_r_")
+    try:
+        _jv_create(spark, root)
+        assert append_join_side(a, root, "a", "k0")
+        assert append_join_side(b, root, "b", "k0")  # same key, other side: distinct
+        assert not append_join_side(b, root, "b", "k0")  # true replay no-ops
+        assert not append_join_side(a, root, "a", "k0")
+        got = read_join_view(spark, root).collect()
+        assert [(r["g"], r["n_rows"], r["sum_m"]) for r in got] == [(10, 1, 5)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_join_view_empty_delta_replay_cannot_double_count(spark):
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+        read_join_view,
+    )
+
+    # b lands FIRST (empty delta: no a history yet) -> its key goes to the
+    # params ledger; after a lands (folding the pair), a replay of the
+    # same b batch against the now-grown a history must NOT re-fold
+    a = spark.createDataFrame([(1, 10)], "ok long, g long")
+    b = spark.createDataFrame([(1, 5)], "ok long, m long")
+    root = tempfile.mkdtemp(prefix="jv_e_")
+    try:
+        _jv_create(spark, root)
+        assert append_join_side(b, root, "b", "k0")  # empty delta
+        assert append_join_side(a, root, "a", "k0")  # folds the pair
+        assert not append_join_side(b, root, "b", "k0")  # MUST no-op
+        got = read_join_view(spark, root).collect()
+        assert [(r["g"], r["n_rows"], r["sum_m"]) for r in got] == [(10, 1, 5)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_join_view_history_read_prunes_buckets(spark):
+    # the delta join must read only the batch's bucket partitions of the
+    # other side's history: PartitionFilters on `bucket`, not a full scan
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+    )
+
+    a, b = staged_r11._join_sides(spark, SF)
+    root = tempfile.mkdtemp(prefix="jv_b_")
+    try:
+        _jv_create_wide(spark, root)
+        append_join_side(a, root, "a", "k0")
+        # build the pruned-history read the append performs and census it
+        bucketed = b.limit(50).withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("ok")), F.lit(16)).cast("int")
+        )
+        touched = [r["bucket"] for r in bucketed.select("bucket").distinct().collect()]
+        hist = (
+            spark.read.option("basePath", f"{root}/a").parquet(f"{root}/a")
+            .filter(F.col("bucket").isin(touched))
+        )
+        p = hist._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [bucket" in p.replace("#", " ").replace(
+            "bucket", "bucket", 1
+        ) or "PartitionFilters" in p
+        assert "bucket" in p.split("PartitionFilters")[1][:120]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _jv_create_wide(spark, root):
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        create_join_view,
+    )
+
+    create_join_view(
+        spark, root, join_key="ok", group_cols=["o_custkey"],
+        measure="cents", n_buckets=16,
+    )
