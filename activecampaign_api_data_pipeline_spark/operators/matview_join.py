@@ -199,3 +199,46 @@ def read_join_view(spark: SparkSession, path: str) -> DataFrame:
         # read before any join delta get an explicit error, not a guess
         raise FileNotFoundError(f"join view at {path} has no materialized delta yet")
     return MV.read_matview(spark, view)
+
+
+def compact_join_history(spark: SparkSession, path: str, side: str) -> None:
+    """Fold a side's per-batch history dirs into one ``batch=__compacted__``
+    dir — the small-file maintenance a year of micro-batches needs (one
+    dir + one file set per batch per side otherwise). Pure layout: the
+    delta join reads history CONTENT (the ``batch`` column never enters
+    a join), so every future delta is bit-identical; bucket partitioning
+    and the in-bucket join-key sort are preserved, and the replay guard
+    is untouched because it never consults history dirs (view tags +
+    params ledger only). Crash-safe via the staging/rename discipline,
+    including the mid-swap recovery branch (live missing + staging
+    present → staging renames back in before any delete)."""
+    assert side in ("a", "b")
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    hconf = spark._jsc.hadoopConfiguration()
+    live = f"{path}/{side}"
+    fs = P(live).getFileSystem(hconf)
+    staging, old = f"{live}__compacting", f"{live}__old"
+    if not fs.exists(P(live)):
+        if fs.exists(P(staging)):  # crashed between the two renames
+            fs.rename(P(staging), P(live))
+            if fs.exists(P(old)):
+                fs.delete(P(old), True)
+            return
+        raise FileNotFoundError(f"compact_join_history: no history at {live}")
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    if fs.exists(P(staging)):
+        fs.delete(P(staging), True)
+    p = load_join_params(spark, path)
+    hist = spark.read.option("basePath", live).parquet(live).drop("batch")
+    (
+        hist.repartition("bucket")
+        .sortWithinPartitions(p["join_key"])
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{staging}/batch=__compacted__")
+    )
+    fs.rename(P(live), P(old))
+    fs.rename(P(staging), P(live))
+    fs.delete(P(old), True)

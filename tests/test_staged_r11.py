@@ -466,3 +466,61 @@ def _jv_create_wide(spark, root):
         spark, root, join_key="ok", group_cols=["o_custkey"],
         measure="cents", n_buckets=16,
     )
+
+
+def test_join_view_history_compaction_preserves_deltas(spark):
+    # fold side-a's batch dirs; a later b-batch's delta must be identical
+    # to what the uncompacted history would have produced
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+        compact_join_history,
+        read_join_view,
+    )
+
+    a = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "ok long, g long")
+    b = spark.createDataFrame([(1, 5), (2, 9), (3, 4)], "ok long, m long")
+    root = tempfile.mkdtemp(prefix="jv_hc_")
+    try:
+        _jv_create(spark, root)
+        append_join_side(a.where("ok = 1"), root, "a", "k0")
+        append_join_side(a.where("ok = 2"), root, "a", "k1")
+        append_join_side(a.where("ok = 3"), root, "a", "k2")
+        n_dirs_before = len(glob.glob(f"{root}/a/batch=*"))
+        assert n_dirs_before == 3
+        compact_join_history(spark, root, "a")
+        assert glob.glob(f"{root}/a/batch=*") == [f"{root}/a/batch=__compacted__"]
+        assert not glob.glob(f"{root}/a__*")
+        append_join_side(b, root, "b", "k0")  # delta joins compacted history
+        got = sorted(
+            (r["g"], r["n_rows"], r["sum_m"])
+            for r in read_join_view(spark, root).collect()
+        )
+        assert got == [(10, 1, 5), (20, 1, 9), (30, 1, 4)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_join_history_compaction_recovers_mid_swap_crash(spark):
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+        compact_join_history,
+        read_join_view,
+    )
+
+    a = spark.createDataFrame([(1, 10)], "ok long, g long")
+    b = spark.createDataFrame([(1, 5)], "ok long, m long")
+    root = tempfile.mkdtemp(prefix="jv_hr_")
+    try:
+        _jv_create(spark, root)
+        append_join_side(a, root, "a", "k0")
+        # simulate the crash: complete staging copy, live renamed aside
+        shutil.copytree(f"{root}/a", f"{root}/a__compacting")
+        os.rename(f"{root}/a", f"{root}/a__old")
+        compact_join_history(spark, root, "a")  # recovery branch
+        assert os.path.isdir(f"{root}/a")
+        assert not glob.glob(f"{root}/a__*")
+        append_join_side(b, root, "b", "k0")
+        got = read_join_view(spark, root).collect()
+        assert [(r["g"], r["n_rows"], r["sum_m"]) for r in got] == [(10, 1, 5)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
