@@ -10,7 +10,8 @@ the r7-deadline set; this batch stages until slots open (r13 at the
 earliest — it still benches, smokes and censuses like a registry entry
 from day one).
 
-Two frontier families (the r9 verdict's items 6 and 7), five queries:
+Three frontier families (the r9 verdict's items 6 and 7 plus the
+delta-join extension), TEN queries:
 
 - ``text_bpe_train``: the ITERATIVE BPE tokenizer trainer
   (``operators/bpe.py`` — Sennrich et al. 2016). ``text_bpe_pairs``
@@ -41,9 +42,22 @@ Two frontier families (the r9 verdict's items 6 and 7), five queries:
   streaming twin drives the same operators through a real
   ``foreachBatch`` job (``streaming/incremental.stream_into_matview``).
 
-No reference-pipeline analog for either family
+Second batch: ``k_matview_dim_roundtrip`` (IVM with broadcast
+dimensions — the maintained key lives on the dim, not the facts),
+``t_stream_left_join`` (stream-stream LEFT OUTER interval join:
+watermark-DRIVEN NULL emission, sentinel-flushed — the verdict kind the
+registry's inner join cannot express), and ``q6_forecast_revenue``
+(TPC-H Q6, completing the shapes expressible on this schema —
+Q2/Q9/Q11/Q12/Q20 need partsupp/shipmode columns the corpus lacks).
+
+Third batch: ``k_matview_join_roundtrip`` / ``t_stream_matview_join`` —
+delta-join IVM (``operators/matview_join.py``): a join view maintained
+while BOTH fact sides arrive in batches, with bucket-pruned history
+reads, side-qualified replay guards, and crash-safe history compaction.
+
+No reference-pipeline analog for any of these families
 (`scripts/run_ac_extraction.py` recomputes all digests per run and has
-no tokenizer); both are 100 TB-pipeline extensions in the LLM-data
+no tokenizer); all are 100 TB-pipeline extensions in the LLM-data
 lane.
 """
 
