@@ -146,6 +146,13 @@ def append_join_side(
     key = f"{side}:{batch_key}"
     if key in _applied(spark, path, p):
         return False
+    if batch.isEmpty():
+        # ledger the key and write NO history dir: an empty batch=
+        # directory has no parquet footers and would break every later
+        # history read with UNABLE_TO_INFER_SCHEMA (hypothesis-caught)
+        p["applied"] = sorted(set(p.get("applied", [])) | {key})
+        _write_params(spark, path, p)
+        return True
     jk, nb = p["join_key"], p["n_buckets"]
     bucketed = batch.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(jk)), F.lit(nb)).cast("int")

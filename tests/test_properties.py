@@ -410,3 +410,183 @@ def test_bloom_pruned_read_complete_for_any_probe(spark, keys, probes):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- r11 kernels: BPE vs a pure-Python reference, matview / join-view
+#      vs one-shot aggregates under ANY batching + replays ----
+
+def _ref_bpe(word_counts: dict, k: int):
+    """Reference BPE trainer (greedy left-to-right merge, count-desc +
+    lexicographic tiebreak) — plain Python, the semantics oracle."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(k):
+        pc = {}
+        for w, toks in syms.items():
+            for i in range(len(toks) - 1):
+                pair = (toks[i], toks[i + 1])
+                pc[pair] = pc.get(pair, 0) + word_counts[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, toks in syms.items():
+            out, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == best[0]
+                    and toks[i + 1] == best[1]
+                ):
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=2, max_size=6),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 4),
+)
+def test_bpe_trainer_matches_python_reference(spark, word_counts, k):
+    from activecampaign_api_data_pipeline_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    words = spark.createDataFrame(
+        list(word_counts.items()), "word string, cnt long"
+    )
+    merges, _ = bpe_train(words, k)
+    ref_merges, ref_syms = _ref_bpe(word_counts, k)
+    assert [(m["lhs"], m["rhs"]) for m in merges] == ref_merges
+    got = {
+        r["word"]: r["tokens"] for r in bpe_apply(words, merges).collect()
+    }
+    assert got == ref_syms
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 4),
+    st.integers(0, 3),
+)
+def test_matview_equals_oneshot_under_any_batching_and_replay(
+    spark, facts, n_batches, replay_idx
+):
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        append_matview,
+        build_matview,
+        read_matview,
+    )
+
+    df = spark.createDataFrame(
+        [(k, i, m) for i, (k, m) in enumerate(facts)], "k long, i long, m long"
+    )
+    root = tempfile.mkdtemp(prefix="mv_hyp_")
+    try:
+        build_matview(
+            df.where(F.col("i") % n_batches == 0), root, ["k"], "m",
+            batch_key="b0",
+        )
+        for b in range(1, n_batches):
+            append_matview(df.where(F.col("i") % n_batches == b), root, f"b{b}")
+        # replaying any already-applied batch must change nothing
+        append_matview(
+            df.where(F.col("i") % n_batches == replay_idx % n_batches),
+            root,
+            f"b{replay_idx % n_batches}",
+        )
+        got = {
+            r["k"]: (r["n_rows"], r["sum_m"], r["min_m"], r["max_m"])
+            for r in read_matview(spark, root).collect()
+        }
+        exp = {}
+        for k, m in facts:
+            n, s, lo, hi = exp.get(k, (0, 0, None, None))
+            exp[k] = (
+                n + 1,
+                s + m,
+                m if lo is None else min(lo, m),
+                m if hi is None else max(hi, m),
+            )
+        assert got == exp
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 3)), max_size=10),
+    st.lists(st.tuples(st.integers(0, 4), st.integers(-20, 20)), max_size=10),
+    st.randoms(use_true_random=False),
+)
+def test_join_view_equals_oneshot_under_any_interleave(spark, a_rows, b_rows, rng):
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+        create_join_view,
+        read_join_view,
+    )
+
+    a = spark.createDataFrame(
+        [(ok, g, i) for i, (ok, g) in enumerate(a_rows)], "ok long, g long, i long"
+    )
+    b = spark.createDataFrame(
+        [(ok, m, i) for i, (ok, m) in enumerate(b_rows)], "ok long, m long, i long"
+    )
+    # two batches per side, interleaved in a hypothesis-chosen order,
+    # with one randomly chosen replay appended at the end
+    sched = [("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+    rng.shuffle(sched)
+    sched.append(sched[rng.randrange(4)])  # replay
+    root = tempfile.mkdtemp(prefix="jv_hyp_")
+    try:
+        create_join_view(
+            spark, root, join_key="ok", group_cols=["g"], measure="m",
+            n_buckets=4,
+        )
+        for side, idx in sched:
+            src = a if side == "a" else b
+            batch = src.where(F.col("i") % 2 == idx).drop("i")
+            append_join_side(batch, root, side, f"k{idx}")
+        exp = {}
+        for ok_a, g in a_rows:
+            for ok_b, m in b_rows:
+                if ok_a == ok_b:
+                    n, s, lo, hi = exp.get(g, (0, 0, None, None))
+                    exp[g] = (
+                        n + 1,
+                        s + m,
+                        m if lo is None else min(lo, m),
+                        m if hi is None else max(hi, m),
+                    )
+        try:
+            got = {
+                r["g"]: (r["n_rows"], r["sum_m"], r["min_m"], r["max_m"])
+                for r in read_join_view(spark, root).collect()
+            }
+        except FileNotFoundError:
+            got = {}  # no delta ever materialized: no pairs possible
+        assert got == exp
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
