@@ -526,18 +526,14 @@ def test_join_history_compaction_recovers_mid_swap_crash(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def test_bpe_encode_is_map_only_and_order_preserving(spark):
-    # the encode plan must be shuffle-free (text never leaves the row)
+def test_bpe_encode_is_map_only_and_consistent(spark):
+    # the encode plan (trainer already ran; this is the per-doc chain)
+    # must be shuffle-free and Python-free: text never leaves the row
     p = _plan(spark, "text_bpe_encode")
-    tail = p.split("Exchange")  # the trainer ran before the plan; encode itself:
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
-    # order preservation: a planted two-word doc encodes in word order
-    from activecampaign_api_data_pipeline_spark.operators.bpe import bpe_train
-
-    words = spark.createDataFrame([("ab", 5), ("cd", 1)], "word string, cnt long")
-    merges, _ = bpe_train(words, 1)  # merges (a,b)
+    assert "Exchange" not in p, f"encode chain must be map-only:\n{p}"
     out = staged_r11.text_bpe_encode(spark, SF)
     assert out.columns == ["doc_id", "n_tokens", "tokens"]
     row = out.orderBy("doc_id").first()
-    assert row["n_tokens"] == len(row["tokens"])
+    assert row["n_tokens"] == len(row["tokens"]) > 0
