@@ -275,6 +275,14 @@ HEADLINE = [
     "t_stream_matview_join",
     # r11-staged fourth batch: order-preserving per-document BPE encoding
     "text_bpe_encode",
+    # r11-staged fifth batch: TPC-H shape completion — the five spec
+    # queries adapted to this schema (no partsupp/shipmode columns);
+    # with these all 22 TPC-H shapes are benched
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q20_promotion_parts",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

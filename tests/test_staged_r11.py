@@ -537,3 +537,64 @@ def test_bpe_encode_is_map_only_and_consistent(spark):
     assert out.columns == ["doc_id", "n_tokens", "tokens"]
     row = out.orderBy("doc_id").first()
     assert row["n_tokens"] == len(row["tokens"]) > 0
+
+
+# ---- batch 5: TPC-H shape completion (Q2/Q9/Q11/Q12/Q20 adapted) ----
+
+def test_q2_broadcasts_dims_and_picks_one_supplier_per_part(spark):
+    p = _plan(spark, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # part + supplier dims
+    rows = staged_r11.q2_min_cost_supplier(spark, SF).collect()
+    assert rows
+    parts = [r["partkey"] for r in rows]
+    assert len(parts) == len(set(parts))  # correlated-min: one row/part
+    assert all(r["cost_milli"] > 0 for r in rows)
+
+
+def test_q9_five_way_join_shape(spark):
+    p = _plan(spark, "q9_product_profit")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # part + supplier/nation
+    rows = staged_r11.q9_product_profit(spark, SF).collect()
+    assert rows
+    keys = [(r["n_name"], r["o_year"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert keys == sorted(keys)  # deterministic order
+
+
+def test_q11_scalar_subquery_is_single_row_broadcast(spark):
+    # the global-total scalar joins back as a 1-row broadcast nested
+    # loop — NOT a CartesianProduct — and every surviving share clears
+    # the integer cross-multiplied threshold
+    p = _plan(spark, "q11_important_parts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    df = staged_r11.q11_important_parts(spark, SF)
+    rows = df.collect()
+    assert rows
+    vals = [r["value_cents"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_q12_case_pivot_partitions_every_late_line(spark):
+    p = _plan(spark, "q12_priority_shipping")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    # the two-year window must reach the lineitem parquet scan
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:400]
+    rows = staged_r11.q12_priority_shipping(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["high_line_count"] >= 0 and r["low_line_count"] >= 0
+        assert r["high_line_count"] + r["low_line_count"] > 0
+
+
+def test_q20_nested_agg_semi_join_yields_supplier_subset(spark):
+    p = _plan(spark, "q20_promotion_parts")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "LeftSemi" in p  # qualifying suppliers gate the dim, not a join
+    rows = staged_r11.q20_promotion_parts(spark, SF).collect()
+    n_supp = staged_r11.load_table(spark, SF, "supplier").count()
+    assert 0 < len(rows) <= n_supp
+    keys = [r["s_suppkey"] for r in rows]
+    assert keys == sorted(keys) and len(keys) == len(set(keys))
