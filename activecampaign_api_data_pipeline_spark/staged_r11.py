@@ -10,9 +10,9 @@ the r7-deadline set; this batch stages until slots open (r13 at the
 earliest — it still benches, smokes and censuses like a registry entry
 from day one).
 
-Three frontier families (the r9 verdict's items 6 and 7 plus the
-delta-join extension) plus the TPC-H shape completion, SIXTEEN
-queries:
+Four frontier families (the r9 verdict's items 6 and 7, the
+delta-join extension, the HLL sketch store) plus the TPC-H shape
+completion, NINETEEN queries:
 
 - ``text_bpe_train``: the ITERATIVE BPE tokenizer trainer
   (``operators/bpe.py`` — Sennrich et al. 2016). ``text_bpe_pairs``
@@ -70,6 +70,16 @@ lateness from shipdate-vs-orderdate. With these, all 22 TPC-H query
 SHAPES run on this engine (the other 17 are in the registry or
 staged_r10). Integer-cents / integer-div throughout so both engines
 agree exactly.
+
+Sixth batch — the HLL sketch store (``k_hll_store_roundtrip``,
+``k_hll_compact``, ``t_stream_hll``; ``operators/hll_store.py``):
+incrementally maintained APPROXIMATE DISTINCT counts, the one
+aggregate the matview family cannot maintain (COUNT DISTINCT is not
+distributive). Register-max merge gives O(batch) appends with fixed
+sketch state per key; the oracle pins the exact counts plus a
+within-5%-bound boolean on the estimate (DuckDB cannot replay
+DataSketches registers — the boolean puts the sketch inside the value
+hash anyway).
 
 No reference-pipeline analog for any of these families
 (`scripts/run_ac_extraction.py` recomputes all digests per run and has
@@ -748,6 +758,162 @@ def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sixth batch: the HLL sketch store — incrementally maintained APPROXIMATE
+# DISTINCT counts (operators/hll_store.py), the one aggregate the matview
+# family cannot maintain (COUNT DISTINCT is not distributive; exact
+# maintenance would hold state ∝ cardinality per group). Oracle strategy:
+# DuckDB cannot replay DataSketches registers, so the paired frame returns
+# the EXACT per-group distinct count (computed Spark-side, oracle-matched
+# against DuckDB's COUNT(DISTINCT)) plus an `est_ok` boolean that the
+# sketch estimate landed within the conservative 5% bound — a drifted or
+# broken sketch flips est_ok to false and hash-fails the driver compare.
+# ---------------------------------------------------------------------------
+
+
+def _hll_order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey"
+    )
+
+
+def _hll_result(spark: SparkSession, root: str, facts: DataFrame) -> DataFrame:
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        read_hll_view,
+    )
+
+    est = read_hll_view(spark, root)
+    key = est.columns[0]
+    exact = facts.groupBy(key).agg(
+        F.countDistinct(facts.columns[1]).alias("n_exact")
+    )
+    return (
+        exact.join(F.broadcast(est), key)
+        .select(
+            key,
+            "n_exact",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_exact")) * 20
+                <= F.col("n_exact")
+            ).alias("est_ok"),
+        )
+        .orderBy(key)
+    )
+
+
+def k_hll_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL store lifecycle: build the per-priority distinct-customer
+    sketch view from the first order batch, fold two more in (O(batch)
+    sketch partials), REPLAY batch 1 (the batch-key guard no-ops), read
+    the maintained estimates. The returned frame pairs the EXACT
+    distinct count (oracle-matched) with the within-5%-bound boolean —
+    the sketch path is verified by est_ok flipping the value hash, the
+    exact path bit-for-bit by DuckDB's COUNT(DISTINCT)."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        append_hll_view,
+        build_hll_view,
+    )
+
+    facts = _hll_order_facts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="acdp_hll_")
+    try:
+        b = [facts.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+        build_hll_view(
+            b[0], root, ["o_orderpriority"], "o_custkey", batch_key="batch_0"
+        )
+        assert append_hll_view(b[1], root, "batch_1")
+        assert append_hll_view(b[2], root, "batch_2")
+        assert not append_hll_view(b[1], root, "batch_1")  # replay no-ops
+        return _hll_result(spark, root, facts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def k_hll_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL store compaction semantics: fold mid-lifecycle, replay a
+    pre-compaction batch (the ``applied`` ledger must survive the
+    fold), keep appending, read. Compaction stores the union-folded
+    sketch binary, so estimates are bit-identical to the uncompacted
+    store — the same oracle pins both (and pytest pins the pre/post
+    equality directly)."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        append_hll_view,
+        build_hll_view,
+        compact_hll_view,
+    )
+
+    facts = _hll_order_facts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="acdp_hllc_")
+    try:
+        b = [facts.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+        build_hll_view(
+            b[0], root, ["o_orderpriority"], "o_custkey", batch_key="batch_0"
+        )
+        assert append_hll_view(b[1], root, "batch_1")
+        compact_hll_view(spark, root)
+        assert not append_hll_view(b[1], root, "batch_1")  # guard survives
+        assert append_hll_view(b[2], root, "batch_2")
+        return _hll_result(spark, root, facts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def t_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: event batches arrive as a REAL Structured
+    Streaming job in three file micro-batches through
+    ``stream_into_hll_view`` — batch 0 builds the per-event-type
+    distinct-user sketch view, batches 1-2 fold O(batch) sketch
+    partials under the batch-id replay guard. Register-max merge makes
+    the drained state the sketch of the union regardless of slicing
+    (>= 2 batches — the measured slicing-invariance contract)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_hll_view,
+    )
+
+    pin_confs(spark)
+    facts = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    root = tempfile.mkdtemp(prefix="acdp_hlls_")
+    try:
+        stream_dir, view, ckpt = (
+            os.path.join(root, d) for d in ("in", "view", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        for i in range(3):
+            sl = facts.where(F.col("event_id") % 3 == i)
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema("event_type string, user_id long, event_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = stream_into_hll_view(
+            stream, view, ckpt, ["event_type"], "user_id"
+        )
+        assert q.awaitTermination(300), "hll stream did not drain in 300s"
+        return _hll_result(spark, view, facts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _join_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     a = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), "o_custkey"
@@ -1169,5 +1335,21 @@ FROM supplier
 SEMI JOIN qual ON s_suppkey = l_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 ORDER BY s_suppkey
+""",
+    # HLL store family: DuckDB cannot replay DataSketches registers, so
+    # the oracle pins the EXACT distinct counts (the Spark frame computes
+    # them exactly too) and asserts the sketch landed inside the 5% bound
+    # via est_ok — a drifted estimate flips the boolean and hash-fails.
+    "k_hll_store_roundtrip": """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, TRUE AS est_ok
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "k_hll_compact": """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, TRUE AS est_ok
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "t_stream_hll": """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS est_ok
+FROM events GROUP BY event_type ORDER BY event_type
 """,
 }

@@ -939,6 +939,55 @@ def stream_into_matview(
     return writer.start()
 
 
+def stream_into_hll_view(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    col: str,
+    lg_k: int = 12,
+    trigger_available_now: bool = True,
+):
+    """Continuously maintained approximate-distinct view — the
+    :func:`stream_into_matview` contract with HLL sketch partials
+    (``operators/hll_store.py``): the first micro-batch builds, every
+    later batch folds an O(batch) per-key sketch in; register-max merge
+    makes the folded state exactly the sketch of the union.
+
+    Exactly-once: the ``batch_id`` replay guard, same as the matview
+    sink — max-merge registers are idempotent anyway, but the guard
+    keeps the ``applied`` ledger truthful for compaction. Crashed-build
+    self-heal: no parseable params.json == next batch rebuilds."""
+    from activecampaign_api_data_pipeline_spark.operators import hll_store as HS
+    from activecampaign_api_data_pipeline_spark.operators import matview as MV
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_key = f"batch_{batch_id:08d}"
+        complete = False
+        if path_exists(spark, f"{path}/params.json"):
+            try:
+                MV.load_matview_params(spark, path)
+                complete = True
+            except (TypeError, ValueError, KeyError, IndexError):
+                complete = False
+        if not complete:
+            HS.build_hll_view(
+                batch_df, path, key_cols, col, lg_k=lg_k, batch_key=batch_key
+            )
+            return
+        HS.append_hll_view(batch_df, path, batch_key)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_into_join_view(
     stream: DataFrame,
     path: str,

@@ -283,6 +283,12 @@ HEADLINE = [
     "q11_important_parts",
     "q12_priority_shipping",
     "q20_promotion_parts",
+    # r11-staged sixth batch: HLL sketch store — incrementally
+    # maintained approximate-distinct counts (build/append/replay,
+    # estimate-preserving compaction, streaming twin)
+    "k_hll_store_roundtrip",
+    "k_hll_compact",
+    "t_stream_hll",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -598,3 +598,135 @@ def test_q20_nested_agg_semi_join_yields_supplier_subset(spark):
     assert 0 < len(rows) <= n_supp
     keys = [r["s_suppkey"] for r in rows]
     assert keys == sorted(keys) and len(keys) == len(set(keys))
+
+
+# ---- batch 6: HLL sketch store (maintained approximate distinct) ----
+
+def _hll_tiny(spark):
+    rows = [("g1", i % 7) for i in range(40)] + [("g2", i) for i in range(25)]
+    return spark.createDataFrame(rows, "grp string, uid long")
+
+
+def test_hll_store_lifecycle_and_replay_guard(spark):
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        append_hll_view,
+        build_hll_view,
+        read_hll_view,
+    )
+
+    df = _hll_tiny(spark)
+    root = tempfile.mkdtemp(prefix="hll_t_")
+    try:
+        build_hll_view(df.filter("uid % 2 = 0"), root, ["grp"], "uid",
+                       batch_key="b0")
+        assert append_hll_view(df.filter("uid % 2 = 1"), root, "b1")
+        assert not append_hll_view(df.filter("uid % 2 = 1"), root, "b1")
+        got = {r["grp"]: r["n_distinct_est"] for r in read_hll_view(spark, root).collect()}
+        # tiny cardinalities estimate exactly (sparse mode)
+        assert got == {"g1": 7, "g2": 25}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_hll_store_estimates_are_slicing_invariant(spark):
+    # >= 2-batch ingests of the same facts must read identically no
+    # matter how the facts sliced into batches (register-max merge;
+    # the HIP-vs-composite caveat only separates 1-batch stores)
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        append_hll_view,
+        build_hll_view,
+        read_hll_view,
+    )
+
+    facts = staged_r11._hll_order_facts(spark, SF)
+
+    def ingest(n):
+        root = tempfile.mkdtemp(prefix=f"hll_s{n}_")
+        b = [facts.where(F.col("o_orderkey") % n == i) for i in range(n)]
+        build_hll_view(b[0], root, ["o_orderpriority"], "o_custkey",
+                       batch_key="batch_0")
+        for i in range(1, n):
+            append_hll_view(b[i], root, f"batch_{i}")
+        got = {
+            r["o_orderpriority"]: r["n_distinct_est"]
+            for r in read_hll_view(spark, root).collect()
+        }
+        shutil.rmtree(root, ignore_errors=True)
+        return got
+
+    assert ingest(3) == ingest(5)
+
+
+def test_hll_compaction_preserves_estimates_and_guard(spark):
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        append_hll_view,
+        build_hll_view,
+        compact_hll_view,
+        read_hll_view,
+    )
+
+    df = _hll_tiny(spark)
+    root = tempfile.mkdtemp(prefix="hll_c_")
+    try:
+        build_hll_view(df.filter("uid % 3 = 0"), root, ["grp"], "uid",
+                       batch_key="b0")
+        append_hll_view(df.filter("uid % 3 = 1"), root, "b1")
+        append_hll_view(df.filter("uid % 3 = 2"), root, "b2")
+        pre = sorted(map(tuple, read_hll_view(spark, root).collect()))
+        n_pre = spark.read.parquet(f"{root}/partials").count()
+        compact_hll_view(spark, root)
+        post = sorted(map(tuple, read_hll_view(spark, root).collect()))
+        n_post = spark.read.parquet(f"{root}/partials").count()
+        assert pre == post           # estimate-preserving fold
+        assert n_post < n_pre        # one row per key remains
+        assert n_post == 2
+        # folded batch keys stay replay-guarded via the params ledger
+        assert not append_hll_view(df.filter("uid % 3 = 1"), root, "b1")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_hll_compaction_recovers_mid_swap_crash(spark):
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        append_hll_view,
+        build_hll_view,
+        compact_hll_view,
+        read_hll_view,
+    )
+
+    df = _hll_tiny(spark)
+    root = tempfile.mkdtemp(prefix="hll_r_")
+    try:
+        build_hll_view(df, root, ["grp"], "uid", batch_key="b0")
+        append_hll_view(df.filter("uid < 5"), root, "b1")
+        live = f"{root}/partials"
+        # simulate the crash: complete staging copy, live renamed aside
+        shutil.copytree(live, f"{live}__compacting")
+        os.rename(live, f"{live}__old")
+        compact_hll_view(spark, root)  # recovery branch, then re-fold
+        assert os.path.isdir(live)
+        assert not glob.glob(f"{live}__*")
+        got = {r["grp"]: r["n_distinct_est"] for r in read_hll_view(spark, root).collect()}
+        assert got == {"g1": 7, "g2": 25}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_hll_read_is_one_jvm_aggregate(spark):
+    # the read path must be a single aggregate over partials — no
+    # Python, no join, fact volume decoupled
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        build_hll_view,
+        read_hll_view,
+    )
+
+    df = _hll_tiny(spark)
+    root = tempfile.mkdtemp(prefix="hll_p_")
+    try:
+        build_hll_view(df, root, ["grp"], "uid", batch_key="b0")
+        p = read_hll_view(spark, root)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in p and "CartesianProduct" not in p
+        assert "Join" not in p
+        assert p.count("Exchange hashpartitioning") == 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
