@@ -590,3 +590,59 @@ def test_join_view_equals_oneshot_under_any_interleave(spark, a_rows, b_rows, rn
         assert got == exp
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 400)),
+        min_size=1, max_size=60,
+    ),
+    st.integers(2, 4),
+    st.integers(2, 5),
+)
+def test_hll_store_exact_small_and_slicing_invariant(
+    spark, facts, n_batches, alt_batches
+):
+    """Two HLL-store properties under ANY fact multiset and ANY >= 2-way
+    batching: (1) at small cardinality the sketch is in sparse mode and
+    the maintained estimate is EXACTLY the distinct count; (2) estimates
+    are slicing-invariant — any two >= 2-batch ingest histories of the
+    same facts read identically (register-max merge; the HIP estimator
+    only survives in 1-batch stores)."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        append_hll_view,
+        build_hll_view,
+        read_hll_view,
+    )
+
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(facts)], "k long, i long, v long"
+    )
+
+    def ingest(n):
+        root = tempfile.mkdtemp(prefix="hll_hyp_")
+        build_hll_view(
+            df.where(F.col("i") % n == 0), root, ["k"], "v", batch_key="b0"
+        )
+        for b in range(1, n):
+            append_hll_view(df.where(F.col("i") % n == b), root, f"b{b}")
+        # replay guard: re-folding an applied batch changes nothing
+        assert not append_hll_view(df.where(F.col("i") % n == 0), root, "b0")
+        got = {
+            r["k"]: r["n_distinct_est"]
+            for r in read_hll_view(spark, root).collect()
+        }
+        shutil.rmtree(root, ignore_errors=True)
+        return got
+
+    got = ingest(n_batches)
+    exact = {}
+    for k, v in facts:
+        exact.setdefault(k, set()).add(v)
+    assert got == {k: len(vs) for k, vs in exact.items()}
+    if alt_batches != n_batches:
+        assert ingest(alt_batches) == got

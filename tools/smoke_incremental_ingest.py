@@ -15,9 +15,10 @@ to SCALE_SMOKE.json.
 Usage: python tools/smoke_incremental_ingest.py [n_batches] [rows_per_batch] [mode]
 mode: "minhash" (default), "blocks" (incremental passage dedup — same
 flat-per-ingest contract: the store is scanned columnar, never shuffled),
-or "matview" (maintained aggregate — per-ingest cost must be flat because
+"matview" (maintained aggregate — per-ingest cost must be flat because
 an append aggregates ONLY the batch; the store is touched once for the
-metadata-sized applied-batches guard scan).
+metadata-sized applied-batches guard scan), or "hll" (maintained
+approximate-distinct — same flat contract with sketch partials).
 """
 
 from __future__ import annotations
@@ -38,9 +39,9 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
     mode = sys.argv[3] if len(sys.argv) > 3 else "minhash"
-    if mode not in ("minhash", "blocks", "matview"):
+    if mode not in ("minhash", "blocks", "matview", "hll"):
         raise SystemExit(
-            f"unknown mode {mode!r}: expected 'minhash', 'blocks' or 'matview'"
+            f"unknown mode {mode!r}: expected 'minhash', 'blocks', 'matview' or 'hll'"
         )
 
     from pyspark.sql import functions as F
@@ -52,6 +53,10 @@ def main() -> None:
         incremental_minhash_pairs,
         minhash_store_append,
     )
+    from activecampaign_api_data_pipeline_spark.operators.hll_store import (
+        append_hll_view,
+        build_hll_view,
+    )
     from activecampaign_api_data_pipeline_spark.operators.matview import (
         append_matview,
         build_matview,
@@ -61,7 +66,7 @@ def main() -> None:
 
     spark = get_spark("smoke-incremental-ingest")
     spark.sparkContext.setLogLevel("ERROR")
-    if mode == "matview":
+    if mode in ("matview", "hll"):
         docs = load_table(spark, SRC, "events").select(
             F.col("event_id").alias("doc_id"),
             "user_id",
@@ -106,6 +111,15 @@ def main() -> None:
                     n_pairs = 0
                 else:
                     append_matview(batch, path, f"batch_{b}")
+                    n_pairs = 0
+            elif mode == "hll":
+                if b == 0:
+                    build_hll_view(
+                        batch, path, ["user_id"], "cents", batch_key="batch_0"
+                    )
+                    n_pairs = 0
+                else:
+                    append_hll_view(batch, path, f"batch_{b}")
                     n_pairs = 0
             else:
                 # the streaming-sink shape: one explode+window per batch,
