@@ -12,7 +12,7 @@ from day one).
 
 Four frontier families (the r9 verdict's items 6 and 7, the
 delta-join extension, the HLL sketch store) plus the TPC-H shape
-completion, NINETEEN queries:
+completion and the storage-format roundtrips, TWENTY-ONE queries:
 
 - ``text_bpe_train``: the ITERATIVE BPE tokenizer trainer
   (``operators/bpe.py`` — Sennrich et al. 2016). ``text_bpe_pairs``
@@ -80,6 +80,12 @@ sketch state per key; the oracle pins the exact counts plus a
 within-5%-bound boolean on the estimate (DuckDB cannot replay
 DataSketches registers — the boolean puts the sketch inside the value
 hash anyway).
+
+Seventh batch — storage-format roundtrips (``k_orc_roundtrip``,
+``k_jsonl_roundtrip``): ORC with partition-directory pruning +
+predicate pushdown, and JSON-lines through an explicit schema (no
+inference scan), both aggregated back against the parquet-view oracle
+so format fidelity is what the hash asserts.
 
 No reference-pipeline analog for any of these families
 (`scripts/run_ac_extraction.py` recomputes all digests per run and has
@@ -914,6 +920,107 @@ def t_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Seventh batch: storage-format roundtrips. The engine's lake surface so far
+# is parquet (+ CSV/JSON state sinks from the reference parity set); these
+# two prove the OTHER columnar/row formats Spark ships natively behave under
+# the same discipline — partitioned writes, partition-directory pruning, and
+# predicate pushdown into the scan — so a corpus landed as ORC or JSONL
+# drops into every operator unchanged. Oracles run the same aggregate over
+# the pre-registered parquet views: format fidelity IS the assertion (a
+# lossy write, a truncated read, or a tz-shifted timestamp hash-fails).
+# ---------------------------------------------------------------------------
+
+
+def k_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source roundtrip under the lake discipline: write orders
+    partitioned by priority as ORC, read back through a partition filter
+    (directory pruning — non-matching partitions never open) plus a
+    value predicate (ORC row-group pushdown), aggregate per customer
+    bucket. The oracle computes the same aggregate from the parquet
+    view, so any roundtrip loss or pushdown-induced row drop mismatches.
+    Money stays integer cents; ORC stores them as plain longs."""
+    import shutil
+    import tempfile
+
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="acdp_orc_")
+    try:
+        t = f"{root}/orders_orc"
+        facts.write.partitionBy("o_orderpriority").orc(t)
+        back = (
+            spark.read.orc(t)
+            .filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("cents") > 1_000_000)
+            )
+        )
+        return (
+            back.groupBy((F.col("o_custkey") % 10).alias("cust_bucket"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+                F.max("o_orderkey").alias("max_orderkey"),
+            )
+            .orderBy("cust_bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def k_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source roundtrip: events leave as JSONL (the
+    interchange format training corpora actually arrive in), come back
+    through an EXPLICIT schema (schema inference on 100 TB is a full
+    extra scan — never pay it), and aggregate. Timestamps cross the
+    format as pre-rendered UTC strings (JSONL has no timestamp type;
+    round-tripping raw timestamps would be tz-lottery), and the value
+    column crosses as integer cents (the repo-wide exactness
+    convention)."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        (F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="acdp_jsonl_")
+    try:
+        t = f"{root}/events_jsonl"
+        ev.write.json(t)
+        back = spark.read.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts_s string, value_cents long"
+        ).json(t)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("value_cents").alias("value_cents_sum"),
+                F.min("ts_s").alias("first_ts"),
+                F.max("ts_s").alias("last_ts"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _join_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     a = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), "o_custkey"
@@ -1351,5 +1458,32 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     "t_stream_hll": """
 SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS est_ok
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+    # Storage-format roundtrips: the oracle aggregates the pre-registered
+    # parquet views directly — format fidelity (lossless write, complete
+    # read, pushdown without row drops) IS what the compare asserts.
+    "k_orc_roundtrip": """
+SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 1000000
+GROUP BY 1
+ORDER BY 1
+""",
+    "k_jsonl_roundtrip": """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS value_cents_sum,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
 """,
 }

@@ -289,6 +289,10 @@ HEADLINE = [
     "k_hll_store_roundtrip",
     "k_hll_compact",
     "t_stream_hll",
+    # r11-staged seventh batch: storage-format roundtrips (ORC with
+    # partition pruning + pushdown; JSONL with explicit schema)
+    "k_orc_roundtrip",
+    "k_jsonl_roundtrip",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

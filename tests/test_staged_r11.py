@@ -730,3 +730,58 @@ def test_hll_read_is_one_jvm_aggregate(spark):
         assert p.count("Exchange hashpartitioning") == 1
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- batch 7: storage-format roundtrips (ORC, JSONL) ----
+
+def test_orc_scan_prunes_partitions_and_pushes_predicates(spark):
+    # the partition filter must prune directories (PartitionFilters) and
+    # the value predicate must reach the ORC reader (PushedFilters) —
+    # the same discipline the parquet lake gets for free
+    facts = staged_r11.load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="orc_p_")
+    try:
+        facts.write.partitionBy("o_orderpriority").orc(f"{root}/t")
+        back = (
+            spark.read.orc(f"{root}/t")
+            .filter((F.col("o_orderpriority") == "1-URGENT")
+                    & (F.col("cents") > 1_000_000))
+        )
+        p = back._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan orc" in p
+        part = p.split("PartitionFilters", 1)[1][:200]
+        assert "o_orderpriority" in part
+        pushed = p.split("PushedFilters", 1)[1][:200]
+        assert "cents" in pushed
+        # pruning is real: only the matching partition's rows come back
+        assert back.select("o_orderpriority").distinct().collect()[0][0] == "1-URGENT"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_jsonl_roundtrip_is_lossless_vs_parquet_source(spark):
+    # the JSONL-roundtripped aggregate must equal the same aggregate
+    # straight off the parquet source — a lossy write, truncated read,
+    # or tz-shifted render would diverge
+    out = {tuple(r) for r in staged_r11.k_jsonl_roundtrip(spark, SF).collect()}
+    src = staged_r11.load_table(spark, SF, "events").select(
+        "event_type", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        (F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("value_cents"),
+    )
+    exp = {
+        tuple(r)
+        for r in src.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("value_cents").alias("value_cents_sum"),
+            F.min("ts_s").alias("first_ts"),
+            F.max("ts_s").alias("last_ts"),
+        ).collect()
+    }
+    assert out == exp
