@@ -646,3 +646,23 @@ def test_hll_store_exact_small_and_slicing_invariant(
     assert got == {k: len(vs) for k, vs in exact.items()}
     if alt_batches != n_batches:
         assert ingest(alt_batches) == got
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10**9, 10**9), TEXT), min_size=1, max_size=20))
+def test_jsonl_roundtrip_lossless_for_any_strings(spark, rows):
+    """JSONL write → explicit-schema read is LOSSLESS for any unicode
+    payload (quotes, backslashes, newlines, emoji — everything the JSON
+    escaper must handle): the row multiset survives bit-for-bit. The
+    k_jsonl_roundtrip lake path rides this guarantee."""
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(rows, "k long, s string")
+    root = tempfile.mkdtemp(prefix="jsonl_hyp_")
+    try:
+        df.write.json(f"{root}/t")
+        back = spark.read.schema("k long, s string").json(f"{root}/t")
+        assert sorted(map(tuple, back.collect())) == sorted(rows)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
