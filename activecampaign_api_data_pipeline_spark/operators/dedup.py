@@ -1140,3 +1140,95 @@ def block_store_append(
     out = firsts.select("bh", id_col, "bidx").localCheckpoint(eager=True)
     out.write.mode("append").parquet(f"{path}/blocks")
     ids.write.mode("append").parquet(f"{path}/docs")
+
+
+def repeated_span_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-SPAN removal — exact substring dedup in
+    the Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") sense, the op the repo's other detectors don't do:
+    they DROP whole near-duplicate documents; this SCRUBS the repeated
+    spans and keeps the rest. Any k-token window occurring >= ``min_df``
+    times across the corpus (including within one document) is removed
+    from every document carrying it; the survivors re-join in order.
+
+    Plan (all JVM expressions, one shuffle pair):
+
+    1. tokenize per row (map-only), emit each k-token shingle with its
+       1-based start position;
+    2. global shingle df (hash aggregate — THE shuffle; at 100 TB the
+       shingle key is what you'd also hash for minhash, same scale);
+    3. semi-join occurrences to the repeated set (same shuffle key),
+       fold each doc's repeated starts into a covered-position set;
+    4. left-join covered back to docs and filter each token list by
+       position — per-row array expressions, no Python.
+
+    Token positions are filtered with ``array_contains`` against the
+    covered set, O(L * covered) per doc — fine for bounded-length
+    documents (the 100 TB contract everywhere in this repo: documents
+    are row-sized, corpora are what scale). Docs shorter than ``k``
+    tokens have no shingles and pass through intact (the start sequence
+    is guarded — Spark's ``sequence(1, 0)`` is DESCENDING, the
+    text_bpe_pairs pitfall). Returns ``id_col``, ``n_tokens``,
+    ``n_kept``, ``cleaned`` (the scrubbed text, single-spaced).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    n = F.size("toks")
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    occ = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.array_join(F.slice("toks", i, k), " ").alias("shingle"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, "s.start", "s.shingle")
+    repeated = (
+        occ.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    covered = (
+        occ.join(repeated, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("start"), F.col("start") + (k - 1)))
+                )
+            ).alias("covered")
+        )
+    )
+    cov = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            "toks",
+            lambda t, i: F.struct((i + 1).cast("int").alias("p"), t.alias("t")),
+        ),
+        lambda s: ~F.array_contains(cov, s["p"]),
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            n.alias("n_tokens"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("cleaned"),
+        )
+    )

@@ -2208,16 +2208,17 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # must restate this arithmetic here, in SURVEY SS8 and in the policy
 # test together.
 #
-# The staged_r11 batch (TWENTY-ONE queries at r10 close: BPE trainer +
+# The staged_r11 batch (TWENTY-TWO queries at r10 close: BPE trainer +
 # tokenizer + per-doc encode, the matview family — single-table,
 # dim-enriched, compaction, streaming — the delta-join view pair, the
 # stream-stream LEFT OUTER interval join, TPC-H Q6, the TPC-H
 # shape-completion five (Q2/Q9/Q11/Q12/Q20 adapted to this schema),
-# the HLL sketch store trio (maintained approximate-distinct), and the
-# ORC/JSONL storage-format roundtrips; all typed-exact at two SFs on
-# landing) promotes at r13: N = 205 + 21 = 226, cadence stays
-# ceil(226/50) = 5. The r13 window = 21 promotions + the 5 r12-parked
-# r7-green entries + the next deadline set, same rule-4 mechanics.
+# the HLL sketch store trio (maintained approximate-distinct), the
+# ORC/JSONL storage-format roundtrips, and exact substring dedup
+# (llm_span_dedup); all typed-exact at two SFs on landing) promotes
+# at r13: N = 205 + 22 = 227, cadence stays ceil(227/50) = 5. The r13
+# window = 22 promotions + the 5 r12-parked r7-green entries + the
+# next deadline set, same rule-4 mechanics.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,

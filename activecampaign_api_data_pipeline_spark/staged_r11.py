@@ -10,9 +10,10 @@ the r7-deadline set; this batch stages until slots open (r13 at the
 earliest — it still benches, smokes and censuses like a registry entry
 from day one).
 
-Four frontier families (the r9 verdict's items 6 and 7, the
-delta-join extension, the HLL sketch store) plus the TPC-H shape
-completion and the storage-format roundtrips, TWENTY-ONE queries:
+Five frontier families (the r9 verdict's items 6 and 7, the
+delta-join extension, the HLL sketch store, exact substring dedup)
+plus the TPC-H shape completion and the storage-format roundtrips,
+TWENTY-TWO queries:
 
 - ``text_bpe_train``: the ITERATIVE BPE tokenizer trainer
   (``operators/bpe.py`` — Sennrich et al. 2016). ``text_bpe_pairs``
@@ -86,6 +87,15 @@ Seventh batch — storage-format roundtrips (``k_orc_roundtrip``,
 predicate pushdown, and JSON-lines through an explicit schema (no
 inference scan), both aggregated back against the parquet-view oracle
 so format fidelity is what the hash asserts.
+
+Eighth batch — exact substring dedup (``llm_span_dedup``;
+``operators/dedup.py`` repeated_span_scrub): cross-document
+repeated-SPAN removal in the Lee et al. 2022 sense — the dedup form
+that SCRUBS repeated spans and keeps the rest instead of dropping
+documents. One shuffle pair (global shingle df, per-doc covered
+fold); reconstruction is row-local array expressions. Hypothesis-
+armored against a brute-force Python reference on a two-letter
+alphabet (dense repeats, the covered-merge worst case).
 
 No reference-pipeline analog for any of these families
 (`scripts/run_ac_extraction.py` recomputes all digests per run and has
@@ -1021,6 +1031,32 @@ def k_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Eighth batch: exact substring (repeated-span) dedup — Lee et al. 2022.
+# Every other detector in the dedup family DROPS whole documents; this one
+# SCRUBS the repeated spans and keeps the rest, the form of dedup that
+# recovers the most training tokens from a crawl. operators/dedup.py
+# repeated_span_scrub; the oracle replays the identical span algebra in SQL
+# (lateral unnest for shingles, HAVING for the global df, NOT EXISTS for
+# the covered positions, ordered string_agg for the reconstruction).
+# ---------------------------------------------------------------------------
+
+
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub every 6-token span that occurs >= 2 times across the corpus
+    (including within one document) from every document carrying it;
+    emit per-doc token counts and the reconstructed cleaned text. One
+    shuffle pair (global shingle df + per-doc covered fold); everything
+    else is row-local array expressions — no Python, text never leaves
+    the row except as the shingle key."""
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        repeated_span_scrub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_span_scrub(docs, k=6, min_df=2).orderBy("doc_id")
+
+
 def _join_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     a = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), "o_custkey"
@@ -1473,6 +1509,44 @@ WHERE o_orderpriority = '1-URGENT'
   AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 1000000
 GROUP BY 1
 ORDER BY 1
+""",
+    # exact substring dedup: the same span algebra in SQL — shingles by
+    # lateral unnest, global df by HAVING, covered positions by NOT
+    # EXISTS, reconstruction by ordered string_agg
+    "llm_span_dedup": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, i AS start,
+         array_to_string(toks[i:i+5], ' ') AS shingle
+  FROM tok,
+       unnest(CASE WHEN len(toks) >= 6
+                   THEN range(1, len(toks) - 4) ELSE [] END) AS u(i)
+), rep AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, start FROM sh SEMI JOIN rep USING (shingle)) o,
+       unnest(range(o.start, o.start + 6)) AS g(p)
+), kept AS (
+  SELECT t.doc_id, s.p, t.toks[s.p] AS tok
+  FROM tok t, unnest(range(1, len(t.toks) + 1)) AS s(p)
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.p = s.p)
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+       COALESCE(a.cleaned, '') AS cleaned
+FROM tok t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
 """,
     "k_jsonl_roundtrip": """
 SELECT event_type,

@@ -293,6 +293,9 @@ HEADLINE = [
     # partition pruning + pushdown; JSONL with explicit schema)
     "k_orc_roundtrip",
     "k_jsonl_roundtrip",
+    # r11-staged eighth batch: exact substring dedup (repeated-span
+    # scrub — Lee et al. 2022 shape)
+    "llm_span_dedup",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -666,3 +666,45 @@ def test_jsonl_roundtrip_lossless_for_any_strings(spark, rows):
         assert sorted(map(tuple, back.collect())) == sorted(rows)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.integers(2, 4),
+)
+def test_span_scrub_matches_python_reference(spark, docs, k):
+    """repeated_span_scrub == the brute-force span algebra for ANY doc
+    set and window size: count every k-token window globally, cover the
+    positions of windows seen >= 2 times, keep the rest in order. The
+    two-letter alphabet makes repeats dense — the worst case for the
+    covered-set merge."""
+    from collections import Counter
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        repeated_span_scrub,
+    )
+
+    sh = Counter()
+    for d in docs:
+        for i in range(len(d) - k + 1):
+            sh[" ".join(d[i:i + k])] += 1
+    expected = {}
+    for j, d in enumerate(docs):
+        covered = set()
+        for i in range(len(d) - k + 1):
+            if sh[" ".join(d[i:i + k])] >= 2:
+                covered.update(range(i, i + k))
+        keep = [t for p, t in enumerate(d) if p not in covered]
+        expected[j] = (len(d), len(keep), " ".join(keep))
+    df = spark.createDataFrame(
+        [(j, " ".join(d)) for j, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["cleaned"])
+        for r in repeated_span_scrub(df, k=k).collect()
+    }
+    assert got == expected

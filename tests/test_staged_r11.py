@@ -785,3 +785,45 @@ def test_jsonl_roundtrip_is_lossless_vs_parquet_source(spark):
         ).collect()
     }
     assert out == exp
+
+
+# ---- batch 8: exact substring (repeated-span) dedup ----
+
+def test_span_scrub_removes_cross_doc_and_within_doc_repeats(spark):
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        repeated_span_scrub,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta COMMON one two three four five six TAIL"),
+        (2, "COMMON one two three four five six other words here now"),
+        (3, "totally unique text with no repeats at all whatsoever"),
+        (4, "short doc"),
+        (5, "rep rep rep rep rep rep rep rep rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["cleaned"])
+        for r in repeated_span_scrub(df, k=6).collect()
+    }
+    # the shared 7-token span vanishes from BOTH docs; flanks survive
+    assert got[1] == (14, 7, "alpha beta gamma delta epsilon zeta tail")
+    assert got[2] == (11, 4, "other words here now")
+    # unique text and sub-k docs pass through intact
+    assert got[3] == (9, 9, "totally unique text with no repeats at all whatsoever")
+    assert got[4] == (2, 2, "short doc")
+    # a within-doc repeated span scrubs the whole doc
+    assert got[5] == (12, 0, "")
+
+
+def test_span_dedup_plan_is_jvm_only(spark):
+    p = _plan(spark, "llm_span_dedup")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    out = staged_r11.llm_span_dedup(spark, SF)
+    rows = out.collect()
+    assert rows and all(0 <= r["n_kept"] <= r["n_tokens"] for r in rows)
+    # the corpus has planted near-duplicates: something must scrub, and
+    # most docs must survive untouched
+    scrubbed = [r for r in rows if r["n_kept"] < r["n_tokens"]]
+    assert 0 < len(scrubbed) < len(rows)
