@@ -1177,16 +1177,33 @@ def repeated_span_scrub(
     text_bpe_pairs pitfall). Returns ``id_col``, ``n_tokens``,
     ``n_kept``, ``cleaned`` (the scrubbed text, single-spaced).
     """
+    base = _span_token_table(docs, id_col, text_col)
+    occ = _span_occurrences(base, id_col, k)
+    repeated = (
+        occ.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    return _scrub_with_repeated(base, occ, repeated, id_col, k)
+
+
+def _span_token_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
         lambda t: t != F.lit(""),
     )
-    base = docs.select(F.col(id_col), toks.alias("toks"))
+    return docs.select(F.col(id_col), toks.alias("toks"))
+
+
+def _span_occurrences(base: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Every k-token window with its 1-based start position — the start
+    sequence is guarded (Spark's ``sequence(1, 0)`` is DESCENDING)."""
     n = F.size("toks")
     starts = F.when(
         n >= k, F.sequence(F.lit(1), n - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    occ = base.select(
+    return base.select(
         id_col,
         F.explode(
             F.transform(
@@ -1198,12 +1215,11 @@ def repeated_span_scrub(
             )
         ).alias("s"),
     ).select(id_col, "s.start", "s.shingle")
-    repeated = (
-        occ.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("shingle")
-    )
+
+
+def _scrub_with_repeated(
+    base: DataFrame, occ: DataFrame, repeated: DataFrame, id_col: str, k: int
+) -> DataFrame:
     covered = (
         occ.join(repeated, "shingle", "left_semi")
         .groupBy(id_col)
@@ -1227,8 +1243,71 @@ def repeated_span_scrub(
         base.join(covered, id_col, "left")
         .select(
             id_col,
-            n.alias("n_tokens"),
+            F.size("toks").alias("n_tokens"),
             F.size(kept).alias("n_kept"),
             F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("cleaned"),
         )
     )
+
+
+def span_store_ingest_scrub(
+    docs: DataFrame,
+    path: str,
+    batch_key: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_df: int = 2,
+) -> DataFrame:
+    """Incremental exact-substring dedup — the persisted twin every
+    other dedup family here already has (minhash / block / decontam /
+    CC stores): a span-frequency store maintained batch-by-batch, each
+    batch scrubbed against the corpus df AS OF its own ingest.
+
+    Semantics (the streaming-crawl contract, matching
+    :func:`incremental_block_dedup`'s first-occurrence-wins): an
+    occurrence in batch b is covered iff its shingle's cumulative df
+    over batches 1..b reaches ``min_df`` — a span's FIRST occurrence
+    survives (unless its own batch repeats it); every later occurrence
+    scrubs. Batch order is the store's ingest history, so the result is
+    deterministic given the batching (and SQL-expressible via a
+    cumulative window over per-batch counts, which is how the oracle
+    pins it). Full-corpus one-shot scrubbing
+    (:func:`repeated_span_scrub`) is strictly MORE aggressive — it also
+    removes the first occurrence retroactively; an incremental store
+    cannot un-emit history, so first-wins is the honest contract.
+
+    Mechanics: the store IS a matview keyed by shingle
+    (``operators/matview.py`` — per-batch count partials, batch-key
+    replay guard, crash-safe compaction all inherited for free; a
+    replayed batch key returns the batch scrubbed against the CURRENT
+    store without double-counting it). Ingest is O(batch): one grouped
+    count of the batch's shingles appended as a partial. The scrub read
+    joins the batch's occurrences to the store partials on shingle —
+    at 100 TB the store would be bucketed by shingle so this join
+    co-locates; posting reads are confined to the batch's shingle set
+    either way (Catalyst pushes the join's key filter into the
+    partials scan at the row-group level via min/max once bucketed).
+    """
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        append_matview,
+        build_matview,
+    )
+    from activecampaign_api_data_pipeline_spark.storage import path_exists
+
+    spark = docs.sparkSession
+    base = _span_token_table(docs, id_col, text_col).localCheckpoint(eager=True)
+    occ = _span_occurrences(base, id_col, k)
+    counts = occ.select(F.col("shingle"), F.col("start").alias("m"))
+    if not path_exists(spark, f"{path}/params.json"):
+        build_matview(counts, path, ["shingle"], "m", batch_key=batch_key)
+    else:
+        append_matview(counts, path, batch_key)
+    repeated = (
+        spark.read.parquet(f"{path}/partials")
+        .groupBy("shingle")
+        .agg(F.sum("n_rows").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    return _scrub_with_repeated(base, occ, repeated, id_col, k)

@@ -2214,11 +2214,12 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream-stream LEFT OUTER interval join, TPC-H Q6, the TPC-H
 # shape-completion five (Q2/Q9/Q11/Q12/Q20 adapted to this schema),
 # the HLL sketch store trio (maintained approximate-distinct), the
-# ORC/JSONL storage-format roundtrips, and exact substring dedup
-# (llm_span_dedup); all typed-exact at two SFs on landing) promotes
-# at r13: N = 205 + 22 = 227, cadence stays ceil(227/50) = 5. The r13
-# window = 22 promotions + the 5 r12-parked r7-green entries + the
-# next deadline set, same rule-4 mechanics.
+# ORC/JSONL storage-format roundtrips, and exact substring dedup with
+# its persisted incremental twin (llm_span_dedup /
+# k_span_store_roundtrip); all typed-exact at two SFs on landing)
+# promotes at r13: N = 205 + 23 = 228, cadence stays ceil(228/50) = 5.
+# The r13 window = 23 promotions + the 5 r12-parked r7-green entries +
+# the next deadline set, same rule-4 mechanics.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,

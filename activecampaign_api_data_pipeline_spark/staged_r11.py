@@ -11,9 +11,9 @@ earliest — it still benches, smokes and censuses like a registry entry
 from day one).
 
 Five frontier families (the r9 verdict's items 6 and 7, the
-delta-join extension, the HLL sketch store, exact substring dedup)
-plus the TPC-H shape completion and the storage-format roundtrips,
-TWENTY-TWO queries:
+delta-join extension, the HLL sketch store, exact substring dedup
+with its persisted incremental twin) plus the TPC-H shape completion
+and the storage-format roundtrips, TWENTY-THREE queries:
 
 - ``text_bpe_train``: the ITERATIVE BPE tokenizer trainer
   (``operators/bpe.py`` — Sennrich et al. 2016). ``text_bpe_pairs``
@@ -96,6 +96,12 @@ documents. One shuffle pair (global shingle df, per-doc covered
 fold); reconstruction is row-local array expressions. Hypothesis-
 armored against a brute-force Python reference on a two-letter
 alphabet (dense repeats, the covered-merge worst case).
+``k_span_store_roundtrip`` is its persisted incremental twin — the
+span-frequency store is a shingle-keyed matview (replay guard and
+O(batch) count appends inherited), each batch scrubbed against the
+corpus df AS OF its own ingest: first occurrence survives, later
+ones scrub (the incremental_block_dedup contract), oracle = the same
+history as a cumulative window over per-batch counts.
 
 No reference-pipeline analog for any of these families
 (`scripts/run_ac_extraction.py` recomputes all digests per run and has
@@ -1057,6 +1063,59 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_scrub(docs, k=6, min_df=2).orderBy("doc_id")
 
 
+def k_span_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup lifecycle: three document
+    batches (doc_id % 3, ingested in order) flow through the persisted
+    span-frequency store — each batch is scrubbed against the corpus df
+    AS OF its own ingest, so a span's first occurrence survives and
+    every later one scrubs (first-occurrence-wins, the
+    incremental_block_dedup contract; the store is a shingle-keyed
+    matview, so the batch-key replay guard and O(batch) count appends
+    come for free — a replayed batch re-scrubs against the CURRENT
+    store without double-counting, asserted below). The oracle replays
+    the identical history with a cumulative window over per-batch
+    shingle counts."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        span_store_ingest_scrub,
+    )
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        applied_batches_full,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="acdp_spanstore_")
+    try:
+        path = f"{root}/store"
+        outs = []
+        for b in range(3):
+            out = span_store_ingest_scrub(
+                docs.filter(F.col("doc_id") % 3 == b), path, f"batch_{b}"
+            )
+            outs.append(out.localCheckpoint(eager=True))
+        # replay guard: re-ingesting batch_1 must not double-count its
+        # spans (the store would otherwise see df inflated by one full
+        # batch and over-scrub every replayed-batch span)
+        assert applied_batches_full(spark, path) == {
+            "batch_0", "batch_1", "batch_2"
+        }
+        replay = span_store_ingest_scrub(
+            docs.filter(F.col("doc_id") % 3 == 1), path, "batch_1"
+        )
+        assert applied_batches_full(spark, path) == {
+            "batch_0", "batch_1", "batch_2"
+        }
+        replay.localCheckpoint(eager=True)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionAll(o)
+        return out.orderBy("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _join_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     a = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), "o_custkey"
@@ -1531,6 +1590,51 @@ WITH tok AS (
   SELECT DISTINCT doc_id, p
   FROM (SELECT doc_id, start FROM sh SEMI JOIN rep USING (shingle)) o,
        unnest(range(o.start, o.start + 6)) AS g(p)
+), kept AS (
+  SELECT t.doc_id, s.p, t.toks[s.p] AS tok
+  FROM tok t, unnest(range(1, len(t.toks) + 1)) AS s(p)
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.p = s.p)
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+       COALESCE(a.cleaned, '') AS cleaned
+FROM tok t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+""",
+    # incremental span store: same span algebra, but an occurrence is
+    # covered iff its shingle's CUMULATIVE df up to the occurrence's own
+    # ingest batch reaches 2 — first occurrence survives, later ones
+    # scrub (the store ingest history replayed as a window cumsum)
+    "k_span_store_roundtrip": """
+WITH tok AS (
+  SELECT doc_id, doc_id % 3 AS batch,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, batch, i AS start,
+         array_to_string(toks[i:i+5], ' ') AS shingle
+  FROM tok,
+       unnest(CASE WHEN len(toks) >= 6
+                   THEN range(1, len(toks) - 4) ELSE [] END) AS u(i)
+), bd AS (
+  SELECT shingle, batch, count(*) AS c FROM sh GROUP BY shingle, batch
+), cum AS (
+  SELECT shingle, batch,
+         sum(c) OVER (PARTITION BY shingle ORDER BY batch) AS cdf
+  FROM bd
+), cov AS (
+  SELECT DISTINCT s.doc_id, p
+  FROM sh s
+  JOIN cum c ON s.shingle = c.shingle AND s.batch = c.batch,
+       unnest(range(s.start, s.start + 6)) AS g(p)
+  WHERE c.cdf >= 2
 ), kept AS (
   SELECT t.doc_id, s.p, t.toks[s.p] AS tok
   FROM tok t, unnest(range(1, len(t.toks) + 1)) AS s(p)

@@ -294,8 +294,9 @@ HEADLINE = [
     "k_orc_roundtrip",
     "k_jsonl_roundtrip",
     # r11-staged eighth batch: exact substring dedup (repeated-span
-    # scrub — Lee et al. 2022 shape)
+    # scrub — Lee et al. 2022 shape) and its persisted incremental twin
     "llm_span_dedup",
+    "k_span_store_roundtrip",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the

@@ -827,3 +827,42 @@ def test_span_dedup_plan_is_jvm_only(spark):
     # most docs must survive untouched
     scrubbed = [r for r in rows if r["n_kept"] < r["n_tokens"]]
     assert 0 < len(scrubbed) < len(rows)
+
+
+def test_span_store_first_occurrence_wins_and_replay_guard(spark):
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        span_store_ingest_scrub,
+    )
+
+    rows = [
+        (0, "COMMON one two three four five six first copy survives here"),
+        (1, "COMMON one two three four five six second copy must scrub"),
+        (2, "unique text in the later batch stays entirely intact ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    root = tempfile.mkdtemp(prefix="spanstore_t_")
+    try:
+        got = {}
+        for b in range(3):
+            out = span_store_ingest_scrub(
+                df.filter(F.col("doc_id") % 3 == b), f"{root}/s", f"batch_{b}"
+            )
+            for r in out.collect():
+                got[r["doc_id"]] = (r["n_kept"], r["cleaned"])
+        # batch-0 copy survives (df=1 at its ingest); batch-1 copy scrubs
+        assert got[0] == (11, "common one two three four five six first copy survives here")
+        assert got[1] == (4, "second copy must scrub")
+        assert got[2] == (10, "unique text in the later batch stays entirely intact ok")
+        # replaying batch_1 scrubs against the CURRENT store without
+        # double-counting: its span df stays 2, result unchanged
+        replay = span_store_ingest_scrub(
+            df.filter(F.col("doc_id") % 3 == 1), f"{root}/s", "batch_1"
+        )
+        r = replay.collect()[0]
+        assert (r["n_kept"], r["cleaned"]) == got[1]
+        # store partials: one count row per (shingle, batch) — no growth
+        # from the replay
+        parts = spark.read.parquet(f"{root}/s/partials")
+        assert parts.select("_batch").distinct().count() == 3
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
