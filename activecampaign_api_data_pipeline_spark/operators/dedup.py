@@ -1189,9 +1189,16 @@ def repeated_span_scrub(
 
 
 def _span_token_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
-        lambda t: t != F.lit(""),
+    # coalesce BEFORE size/transform: a NULL text would otherwise ripple
+    # into size(NULL) = -1 under legacy sizeOfNull and a NULL cleaned
+    # column, breaking the 0 <= n_kept <= n_tokens invariant and
+    # diverging from the oracle's NULL-as-empty handling
+    toks = F.coalesce(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        ),
+        F.array().cast("array<string>"),
     )
     return docs.select(F.col(id_col), toks.alias("toks"))
 
@@ -1298,13 +1305,24 @@ def span_store_ingest_scrub(
     spark = docs.sparkSession
     base = _span_token_table(docs, id_col, text_col).localCheckpoint(eager=True)
     occ = _span_occurrences(base, id_col, k)
-    counts = occ.select(F.col("shingle"), F.col("start").alias("m"))
+    # constant measure: the scrub only ever reads n_rows, and the
+    # shingle-keyed store is the highest-cardinality store in the repo —
+    # min/max/sum of token positions would be three dead bigints per row
+    counts = occ.select(F.col("shingle"), F.lit(1).alias("m"))
     if not path_exists(spark, f"{path}/params.json"):
         build_matview(counts, path, ["shingle"], "m", batch_key=batch_key)
     else:
         append_matview(counts, path, batch_key)
+    # confine the df aggregate to the BATCH's shingle set before the
+    # group-sum: `repeated` is only ever consumed via a semi-join with
+    # the batch occurrences, so semi-joining the partials scan first is
+    # result-identical and keeps per-ingest read cost O(batch shingles ×
+    # matching store rows), not O(store) — with the store bucketed by
+    # shingle at real scale the probe co-locates
+    batch_shingles = occ.select("shingle").distinct()
     repeated = (
         spark.read.parquet(f"{path}/partials")
+        .join(batch_shingles, "shingle", "left_semi")
         .groupBy("shingle")
         .agg(F.sum("n_rows").alias("df"))
         .filter(F.col("df") >= min_df)

@@ -50,9 +50,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from activecampaign_api_data_pipeline_spark.operators.matview import (
-    COMPACTED,
     _write_params,
-    applied_batches,
+    applied_batches_full,
+    compact_with_fold,
     load_matview_params,
 )
 
@@ -96,7 +96,9 @@ def append_hll_view(batch: DataFrame, path: str, batch_key: str) -> bool:
     append its partial rows — history is never read on ingest. Returns
     False (no-op) when ``batch_key`` was already applied."""
     spark = batch.sparkSession
-    if batch_key in applied_hll_batches(spark, path):
+    # replay guard across compactions: live tags ∪ the compaction
+    # ledger — shared verbatim with the matview (same store layout)
+    if batch_key in applied_batches_full(spark, path):
         return False
     p = load_matview_params(spark, path)
     partials = _sketch_partials(p["key_cols"], p["col"], p["lg_k"], batch_key)(
@@ -123,46 +125,15 @@ def read_hll_view(spark: SparkSession, path: str) -> DataFrame:
 
 def compact_hll_view(spark: SparkSession, path: str) -> None:
     """Fold all partials into one sketch per key (tag ``__compacted__``)
-    through the crash-safe staging/rename swap — the matview discipline
-    including the mid-swap recovery branch and the ``applied`` ledger
-    (folded batch keys must stay replay-guarded). The stored binary is
-    the union result itself, so reads are bit-identical before/after
-    (measured: estimate(folded) == estimate(union of originals))."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    P = jvm.org.apache.hadoop.fs.Path
-    live = f"{path}/partials"
-    staging, old = f"{live}__compacting", f"{live}__old"
-    fs = P(live).getFileSystem(hconf)
-    if not fs.exists(P(live)):
-        if fs.exists(P(staging)):  # crashed between the two renames
-            fs.rename(P(staging), P(live))
-        else:
-            raise FileNotFoundError(f"compact_hll_view: no partials at {path}")
-    if fs.exists(P(old)):
-        fs.delete(P(old), True)
-    if fs.exists(P(staging)):
-        fs.delete(P(staging), True)
-    p = load_matview_params(spark, path)
-    seen = sorted(applied_batches(spark, path))
-    folded = (
-        spark.read.parquet(live)
-        .groupBy(*p["key_cols"])
-        .agg(F.hll_union_agg("sk").alias("sk"))
-        .withColumn("_batch", F.lit(COMPACTED))
-    )
-    folded.coalesce(1).write.mode("overwrite").parquet(staging)
-    # ledger BEFORE the swap (matview rationale: the recovery branch
-    # restores the folded copy, whose only live tag is __compacted__)
-    p["applied"] = sorted((set(p.get("applied", [])) | set(seen)) - {COMPACTED})
-    _write_params(spark, path, p)
-    fs.rename(P(live), P(old))
-    fs.rename(P(staging), P(live))
-    fs.delete(P(old), True)
+    through :func:`matview.compact_with_fold` — the shared crash-safe
+    swap (mid-swap recovery branch, ledger-before-swap) with the HLL
+    union as the fold. The stored binary is the union result itself, so
+    reads are bit-identical before/after (measured: estimate(folded) ==
+    estimate(union of originals))."""
 
+    def fold(partials, p):
+        return partials.groupBy(*p["key_cols"]).agg(
+            F.hll_union_agg("sk").alias("sk")
+        )
 
-def applied_hll_batches(spark: SparkSession, path: str) -> set[str]:
-    """Replay guard across compactions: live ``_batch`` tags plus the
-    keys the compaction fold recorded in params.json."""
-    p = load_matview_params(spark, path)
-    return applied_batches(spark, path) | set(p.get("applied", []))
+    compact_with_fold(spark, path, fold, "compact_hll_view")

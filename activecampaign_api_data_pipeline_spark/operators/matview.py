@@ -163,17 +163,19 @@ def read_matview(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def compact_matview(spark: SparkSession, path: str) -> None:
-    """Fold all partials into one row per key (batch tag
-    ``__compacted__``) through the crash-safe staging/rename swap
-    (the ``compact_text_index`` discipline, including the mid-swap
-    recovery branch: live missing + staging present → staging renames
-    back in before any delete). Merge associativity makes the read
-    bit-identical before/after; only partials-row and file counts drop.
-    Batch keys folded into ``__compacted__`` stay replay-guarded: the
-    fold records them under ``applied`` in ``params.json`` and
-    ``applied_batches_full`` unions that list with the live tags, so a
-    replayed pre-compaction batch is still recognized and skipped."""
+def compact_with_fold(spark: SparkSession, path: str, fold, op: str) -> None:
+    """The crash-safe compaction swap SHARED by every matview-layout
+    store (scalar partials here, HLL sketch partials in
+    ``hll_store``): recovery branch BEFORE any delete (live missing +
+    staging present → staging renames back in — staging is only ever
+    renamed after its write completed), stale-dir cleanup, fold to
+    staging via the caller's ``fold(partials_df, params) -> folded_df``
+    (``_batch`` tag appended here), applied-ledger write BEFORE the
+    swap (if the crash lands between the renames, the recovery branch
+    restores the folded copy whose only live tag is ``__compacted__`` —
+    the replay guard must already know the folded keys; recording them
+    early is harmless on a pre-swap crash since the same keys are still
+    live tags and the union is idempotent), then the double rename."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     P = jvm.org.apache.hadoop.fs.Path
@@ -184,35 +186,42 @@ def compact_matview(spark: SparkSession, path: str) -> None:
         if fs.exists(P(staging)):  # crashed between the two renames
             fs.rename(P(staging), P(live))
         else:
-            raise FileNotFoundError(f"compact_matview: no partials at {path}")
+            raise FileNotFoundError(f"{op}: no partials at {path}")
     if fs.exists(P(old)):
         fs.delete(P(old), True)
     if fs.exists(P(staging)):
         fs.delete(P(staging), True)
     p = load_matview_params(spark, path)
     seen = sorted(applied_batches(spark, path))
-    folded = (
-        spark.read.parquet(live)
-        .groupBy(*p["key_cols"])
-        .agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("sum_m").alias("sum_m"),
-            F.min("min_m").alias("min_m"),
-            F.max("max_m").alias("max_m"),
-        )
-        .withColumn("_batch", F.lit(COMPACTED))
+    folded = fold(spark.read.parquet(live), p).withColumn(
+        "_batch", F.lit(COMPACTED)
     )
     folded.coalesce(1).write.mode("overwrite").parquet(staging)
-    # ledger BEFORE the swap: if the crash lands between the renames the
-    # recovery branch restores the folded copy whose live tags are only
-    # __compacted__ — the replay guard must already know the folded keys.
-    # (Recording them early is harmless on a pre-swap crash: the same
-    # keys are still live tags, and the union is idempotent.)
     p["applied"] = sorted((set(p.get("applied", [])) | set(seen)) - {COMPACTED})
     _write_params(spark, path, p)
     fs.rename(P(live), P(old))
     fs.rename(P(staging), P(live))
     fs.delete(P(old), True)
+
+
+def compact_matview(spark: SparkSession, path: str) -> None:
+    """Fold all partials into one row per key (batch tag
+    ``__compacted__``) through the crash-safe staging/rename swap
+    (:func:`compact_with_fold` — the ``compact_text_index`` discipline,
+    including the mid-swap recovery branch). Merge associativity makes
+    the read bit-identical before/after; only partials-row and file
+    counts drop. Batch keys folded into ``__compacted__`` stay
+    replay-guarded via the ``applied`` ledger in ``params.json``."""
+
+    def fold(partials: DataFrame, p: dict) -> DataFrame:
+        return partials.groupBy(*p["key_cols"]).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_m").alias("sum_m"),
+            F.min("min_m").alias("min_m"),
+            F.max("max_m").alias("max_m"),
+        )
+
+    compact_with_fold(spark, path, fold, "compact_matview")
 
 
 def applied_batches_full(spark: SparkSession, path: str) -> set[str]:

@@ -2208,7 +2208,7 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # must restate this arithmetic here, in SURVEY SS8 and in the policy
 # test together.
 #
-# The staged_r11 batch (TWENTY-TWO queries at r10 close: BPE trainer +
+# The staged_r11 batch (TWENTY-THREE queries at r10 close: BPE trainer +
 # tokenizer + per-doc encode, the matview family — single-table,
 # dim-enriched, compaction, streaming — the delta-join view pair, the
 # stream-stream LEFT OUTER interval join, TPC-H Q6, the TPC-H

@@ -963,9 +963,7 @@ def k_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderpriority",
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
+        _cents("o_totalprice").alias("cents"),
     )
     root = tempfile.mkdtemp(prefix="acdp_orc_")
     try:
@@ -1575,8 +1573,8 @@ ORDER BY 1
     "llm_span_dedup": """
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                     t -> t <> '') AS toks
+         COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> ''), []) AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id, i AS start,
@@ -1614,8 +1612,8 @@ ORDER BY t.doc_id
     "k_span_store_roundtrip": """
 WITH tok AS (
   SELECT doc_id, doc_id % 3 AS batch,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                     t -> t <> '') AS toks
+         COALESCE(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> ''), []) AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id, batch, i AS start,

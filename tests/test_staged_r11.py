@@ -866,3 +866,23 @@ def test_span_store_first_occurrence_wins_and_replay_guard(spark):
         assert parts.select("_batch").distinct().count() == 3
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_span_scrub_handles_null_and_empty_text(spark):
+    # NULL text must behave as an empty document (n_tokens 0, cleaned
+    # ''), not ripple size(NULL) = -1 through the invariants
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        repeated_span_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some actual words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["cleaned"])
+        for r in repeated_span_scrub(df, k=3).collect()
+    }
+    assert got[1] == (0, 0, "")
+    assert got[2] == (0, 0, "")
+    assert got[3] == (4, 4, "some actual words here")
