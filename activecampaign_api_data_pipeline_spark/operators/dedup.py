@@ -1299,6 +1299,7 @@ def span_store_ingest_scrub(
     from activecampaign_api_data_pipeline_spark.operators.matview import (
         append_matview,
         build_matview,
+        load_matview_params,
     )
     from activecampaign_api_data_pipeline_spark.storage import path_exists
 
@@ -1310,8 +1311,22 @@ def span_store_ingest_scrub(
     # min/max/sum of token positions would be three dead bigints per row
     counts = occ.select(F.col("shingle"), F.lit(1).alias("m"))
     if not path_exists(spark, f"{path}/params.json"):
-        build_matview(counts, path, ["shingle"], "m", batch_key=batch_key)
+        # freeze the shingle spec in the sidecar (r10 advice): a later
+        # ingest with a different k would silently mix incompatible
+        # shingle lengths into one history; a different min_df would
+        # change what "repeated" meant for already-emitted batches
+        build_matview(
+            counts, path, ["shingle"], "m", batch_key=batch_key,
+            extra_params={"span_k": int(k), "span_min_df": int(min_df)},
+        )
     else:
+        frozen = load_matview_params(spark, path)
+        if (frozen.get("span_k"), frozen.get("span_min_df")) != (k, min_df):
+            raise ValueError(
+                f"span store at {path} was built with k={frozen.get('span_k')}"
+                f" min_df={frozen.get('span_min_df')}; ingest passed"
+                f" k={k} min_df={min_df} — the spec is frozen at build"
+            )
         append_matview(counts, path, batch_key)
     # confine the df aggregate to the BATCH's shingle set before the
     # group-sum: `repeated` is only ever consumed via a semi-join with

@@ -37,7 +37,10 @@ is estimate-preserving bit-for-bit. The store contracts are therefore:
   reads before/after are bit-identical; only partials rows drop.
 - **Bounded error**: |estimate - exact| <= eps * exact with the
   standard HLL eps ~= 1.04 / sqrt(2^lg_k) (~1.6% at the default
-  lg_k=12); oracle-paired queries assert a conservative 5%.
+  lg_k=12); oracle-paired queries assert |est - exact| <= exact/15
+  (~6.7%, ~4.1 sigma at lg_k=12 — wide enough that a legitimate
+  estimate essentially never flips the est_ok hash bit across groups
+  and scaled runs, per the r10 advice).
 
 No reference-pipeline analog (``scripts/run_ac_extraction.py`` has no
 approximate aggregates at all); this is the sketch-state extension of

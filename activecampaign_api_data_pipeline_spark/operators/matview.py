@@ -70,6 +70,144 @@ def _partial_aggs(measure: str) -> list:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Measure SPECS — the r10-verdict generalization: one maintained view
+# over MULTIPLE measures, avg as a (sum, count) partial pair, and an
+# approximate-distinct measure as an HLL sketch partial (composing the
+# register-max merge ``hll_store`` proves). The params schema gains an
+# optional ``spec`` list; every lifecycle function (append / read /
+# compact / stream) dispatches on its presence, so the replay guard,
+# the applied ledger and the crash-safe compaction swap are SHARED with
+# the single-measure layout rather than reimplemented.
+#
+# A spec is a list of measure dicts:
+#   {"col": "value",   "aggs": ["count", "sum", "avg", "min", "max"]}
+#   {"col": "user_id", "agg": "hll", "lg_k": 12}
+#
+# Partials hold the minimal distributive closure of the request: avg is
+# NOT distributive but (sum, non-null count) is, so avg stores that pair
+# and the READ computes sum/cnt; count-distinct is not distributive but
+# the HLL register vector is (merge = register max), so the partial is
+# the sketch binary and the read estimates. Partial columns per scalar
+# measure c: cnt_c / sum_c / min_c / max_c (only those the requested
+# aggs need); per HLL measure: hll_c (binary).
+# ---------------------------------------------------------------------------
+
+_SCALAR_AGGS = ("count", "sum", "avg", "min", "max")
+
+
+def _spec_partial_cols(m: dict) -> list[str]:
+    c = m["col"]
+    if m.get("agg") == "hll":
+        return [f"hll_{c}"]
+    want = set(m["aggs"])
+    bad = want - set(_SCALAR_AGGS)
+    if bad:
+        raise ValueError(f"unsupported aggs for {c}: {sorted(bad)}")
+    cols = []
+    if want & {"count", "avg"}:
+        cols.append(f"cnt_{c}")
+    if want & {"sum", "avg"}:
+        cols.append(f"sum_{c}")
+    if "min" in want:
+        cols.append(f"min_{c}")
+    if "max" in want:
+        cols.append(f"max_{c}")
+    return cols
+
+
+def _spec_partial_aggs(spec: list[dict]) -> list:
+    """Batch-side partials for a measure spec — every column merges
+    associatively (the IVM precondition), including the HLL binary
+    whose merge is register max."""
+    aggs = [F.count("*").alias("n_rows")]
+    for m in spec:
+        c = m["col"]
+        if m.get("agg") == "hll":
+            aggs.append(
+                F.hll_sketch_agg(c, F.lit(int(m.get("lg_k", 12)))).alias(f"hll_{c}")
+            )
+            continue
+        for pc in _spec_partial_cols(m):
+            kind = pc.split("_", 1)[0]
+            aggs.append(
+                {
+                    "cnt": F.count(c),
+                    "sum": F.sum(c),
+                    "min": F.min(c),
+                    "max": F.max(c),
+                }[kind].alias(pc)
+            )
+    return aggs
+
+
+def _spec_merge_aggs(spec: list[dict]) -> list:
+    """Partials-table merge (read AND compaction fold share it):
+    sum-of-counts/sums, min-of-mins, max-of-maxs, union-of-sketches —
+    keeping the BINARY for sketches so compaction stays
+    estimate-preserving (the hll_store contract)."""
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for m in spec:
+        for pc in _spec_partial_cols(m):
+            kind = pc.split("_", 1)[0]
+            aggs.append(
+                {
+                    "cnt": F.sum(pc),
+                    "sum": F.sum(pc),
+                    "min": F.min(pc),
+                    "max": F.max(pc),
+                    "hll": F.hll_union_agg(pc),
+                }[kind].alias(pc)
+            )
+    return aggs
+
+
+def _spec_read_cols(spec: list[dict]) -> list:
+    """Requested outputs from merged partials: count_c / sum_c / avg_c
+    (= sum/cnt, NULL on zero non-null rows, matching SQL AVG) / min_c /
+    max_c / n_distinct_c (sketch estimate)."""
+    cols = [F.col("n_rows")]
+    for m in spec:
+        c = m["col"]
+        if m.get("agg") == "hll":
+            cols.append(
+                F.hll_sketch_estimate(f"hll_{c}").alias(f"n_distinct_{c}")
+            )
+            continue
+        for a in m["aggs"]:
+            cols.append(
+                {
+                    "count": F.col(f"cnt_{c}").alias(f"count_{c}"),
+                    "sum": F.col(f"sum_{c}").alias(f"sum_{c}"),
+                    "avg": (
+                        F.col(f"sum_{c}")
+                        / F.when(F.col(f"cnt_{c}") > 0, F.col(f"cnt_{c}"))
+                    ).alias(f"avg_{c}"),
+                    "min": F.col(f"min_{c}").alias(f"min_{c}"),
+                    "max": F.col(f"max_{c}").alias(f"max_{c}"),
+                }[a]
+            )
+    return cols
+
+
+def build_matview_multi(
+    facts: DataFrame, path: str, key_cols: list[str], spec: list[dict],
+    batch_key: str = "batch_00000000",
+) -> None:
+    """Spec-based twin of :func:`build_matview`: same one-batch partial
+    aggregate + params-sidecar-last discipline, with the measure spec
+    frozen in params.json (later appends read it — per-call drift is
+    structurally impossible, the span-store lesson)."""
+    spark = facts.sparkSession
+    partials = facts.groupBy(*key_cols).agg(*_spec_partial_aggs(spec)).withColumn(
+        "_batch", F.lit(batch_key)
+    )
+    partials.write.mode("overwrite").parquet(f"{path}/partials")
+    _write_params(
+        spark, path, {"key_cols": list(key_cols), "spec": list(spec)}
+    )
+
+
 def _write_params(spark: SparkSession, path: str, params: dict) -> None:
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -104,18 +242,26 @@ def load_matview_params(spark: SparkSession, path: str) -> dict:
 def build_matview(
     facts: DataFrame, path: str, key_cols: list[str], measure: str,
     batch_key: str = "batch_00000000",
+    extra_params: dict | None = None,
 ) -> None:
     """Materialize the view from the first fact batch: one grouped
     partial aggregate, one parquet write, params sidecar last (a crashed
-    build leaves no params.json and is rebuilt, never half-read)."""
+    build leaves no params.json and is rebuilt, never half-read).
+    ``extra_params`` lets a composing store freeze ITS spec in the same
+    sidecar (the span store's shingle k / min_df — per-call drift on a
+    frozen store is a raise, not a silent mix; r10 advice)."""
     spark = facts.sparkSession
     partials = facts.groupBy(*key_cols).agg(*_partial_aggs(measure)).withColumn(
         "_batch", F.lit(batch_key)
     )
+    params = {"key_cols": list(key_cols), "measure": measure}
+    if extra_params:
+        clash = set(extra_params) & {"key_cols", "measure", "spec", "applied"}
+        if clash:
+            raise ValueError(f"extra_params may not shadow {sorted(clash)}")
+        params.update(extra_params)
     partials.write.mode("overwrite").parquet(f"{path}/partials")
-    _write_params(
-        spark, path, {"key_cols": list(key_cols), "measure": measure}
-    )
+    _write_params(spark, path, params)
 
 
 def applied_batches(spark: SparkSession, path: str) -> set[str]:
@@ -128,39 +274,59 @@ def applied_batches(spark: SparkSession, path: str) -> set[str]:
     }
 
 
+def _merge_aggs_for(p: dict) -> list:
+    """Single merge definition shared by read and compaction — the two
+    MUST agree or compaction would change results."""
+    if "spec" in p:
+        return _spec_merge_aggs(p["spec"])
+    return [
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_m").alias("sum_m"),
+        F.min("min_m").alias("min_m"),
+        F.max("max_m").alias("max_m"),
+    ]
+
+
 def append_matview(
     batch: DataFrame, path: str, batch_key: str
 ) -> bool:
     """Fold one fact batch into the view: aggregate THE BATCH ONLY and
     append its partial rows. Returns False (no-op) when ``batch_key``
     was already applied — the explicit replay guard that makes
-    at-least-once redelivery safe for additive state."""
+    at-least-once redelivery safe for additive state. Dispatches on the
+    frozen params (single measure or measure spec) — the caller never
+    restates the spec, so per-call drift cannot corrupt the store."""
     spark = batch.sparkSession
     if batch_key in applied_batches_full(spark, path):
         return False
     p = load_matview_params(spark, path)
-    partials = batch.groupBy(*p["key_cols"]).agg(
-        *_partial_aggs(p["measure"])
-    ).withColumn("_batch", F.lit(batch_key))
+    aggs = (
+        _spec_partial_aggs(p["spec"]) if "spec" in p
+        else _partial_aggs(p["measure"])
+    )
+    partials = batch.groupBy(*p["key_cols"]).agg(*aggs).withColumn(
+        "_batch", F.lit(batch_key)
+    )
     partials.write.mode("append").parquet(f"{path}/partials")
     return True
 
 
 def read_matview(spark: SparkSession, path: str) -> DataFrame:
     """The maintained view: merge partials per key (sum-of-counts,
-    sum-of-sums, min-of-mins, max-of-maxs). One aggregate over the
-    partials table — fact volume never enters the read path."""
+    sum-of-sums, min-of-mins, max-of-maxs, union-of-sketches for spec
+    stores). One aggregate over the partials table — fact volume never
+    enters the read path. Spec stores additionally project the
+    REQUESTED aggregates (avg = sum/cnt, n_distinct = sketch
+    estimate)."""
     p = load_matview_params(spark, path)
-    return (
+    merged = (
         spark.read.parquet(f"{path}/partials")
         .groupBy(*p["key_cols"])
-        .agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("sum_m").alias("sum_m"),
-            F.min("min_m").alias("min_m"),
-            F.max("max_m").alias("max_m"),
-        )
+        .agg(*_merge_aggs_for(p))
     )
+    if "spec" in p:
+        return merged.select(*p["key_cols"], *_spec_read_cols(p["spec"]))
+    return merged
 
 
 def compact_with_fold(spark: SparkSession, path: str, fold, op: str) -> None:
@@ -214,12 +380,9 @@ def compact_matview(spark: SparkSession, path: str) -> None:
     replay-guarded via the ``applied`` ledger in ``params.json``."""
 
     def fold(partials: DataFrame, p: dict) -> DataFrame:
-        return partials.groupBy(*p["key_cols"]).agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("sum_m").alias("sum_m"),
-            F.min("min_m").alias("min_m"),
-            F.max("max_m").alias("max_m"),
-        )
+        # the same merge the read path uses — spec stores keep the
+        # BINARY sketch through compaction (estimate-preserving)
+        return partials.groupBy(*p["key_cols"]).agg(*_merge_aggs_for(p))
 
     compact_with_fold(spark, path, fold, "compact_matview")
 

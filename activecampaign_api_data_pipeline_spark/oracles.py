@@ -2047,12 +2047,16 @@ SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset, n_users,
 FROM s
 """
 
-    # round-7/round-9 promotions: each staged batch keeps its oracles next
-    # to its implementations; merge them here so every REGISTRY entry
-    # resolves.
-    from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8
+    # round-7/round-9/round-11 promotions: each staged batch keeps its
+    # oracles next to its implementations; merge them here so every
+    # REGISTRY entry resolves.
+    from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8, staged_r9
 
-    for batch in (staged_r7.PROMOTED_ORACLES, staged_r8.PROMOTED_ORACLES):
+    for batch in (
+        staged_r7.PROMOTED_ORACLES,
+        staged_r8.PROMOTED_ORACLES,
+        staged_r9.PROMOTED_ORACLES,
+    ):
         overlap = set(o) & set(batch)
         assert not overlap, f"duplicate oracle keys: {overlap}"
         o.update(batch)

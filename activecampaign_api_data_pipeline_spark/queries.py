@@ -2185,28 +2185,47 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the r11 deadline window anyway; the two r9-green ones ride their
 # r13 cadence with the replica row as the touch cover.
 #
-# r11 WINDOW PRE-PLAN: the TWENTY-FOUR staged_r9 queries promote
-# (rule 1: REGISTRY head + PROMOTED_ORACLES merged into build_oracles,
-# the staged_r7/staged_r8 mechanics verbatim; N: 150 -> 174, cadence
-# ceil(174/50) = 4) and fill slots 1-24. Slot 25 =
-# sim_ivfpq_from_index (r5-green, the oldest row in the ledger).
-# Slots 26-50 = the first 25 of the 49 r7-green entries (deadline
-# r11), in registry order — the tail order below IS the slot order.
-# The remaining 24 r7-green entries displace under rule 4 (cousin
-# coverage is irrelevant at deadline — they simply overflow) and MUST
-# carry typed-replica rows that round, then own the r12 window
-# alongside the staged_r10 promotions.
+# r11 WINDOW (EXECUTED, per the r10 pre-plan verbatim): the
+# TWENTY-FOUR staged_r9 queries promote (rule 1: REGISTRY head +
+# PROMOTED_ORACLES merged into build_oracles, the staged_r7/staged_r8
+# mechanics verbatim; N: 150 -> 174, cadence ceil(174/50) = 4) and
+# fill slots 1-24. Slot 25 = sim_ivfpq_from_index (r5-green, the
+# oldest row in the ledger, at its reserved slot). Slots 26-50 = the
+# first 25 of the 49 r7-green entries (deadline r11), in prior
+# registry order. The remaining 24 r7-green entries displace under
+# rule 4 (cousin coverage is irrelevant at deadline — they simply
+# overflow), carry fresh typed-replica rows this session, and own the
+# r12 window alongside the staged_r10 promotions.
 #
-# The staged_r10 batch (THIRTY-ONE queries, typed-exact at two SFs
-# since landing) promotes at r12: N = 174 + 31 = 205, cadence
-# ceil(205/50) = 5. The r12 window = 31 promotions + the 24 r7-green
-# overflow = 55 > 50, so five of the overflow park again with replica
-# cover and take r13 slots. Accepting cadence 5 at N=205 is the
-# decided branch (the alternative — trimming five more entries to
-# reach 200 — has only two clean candidates, q_semi_join/q_anti_join
-# once Q4/Q22 promote, and would still leave 203); the r12 commit
-# must restate this arithmetic here, in SURVEY SS8 and in the policy
-# test together.
+# RULE-2 TOUCH LEDGER (r11): the last three registered streaming
+# queries gained the loud-failure `assert q.awaitTermination(300)`
+# (r10 verdict item 3 — same one-liner as the 13 sites that already
+# carry it): t_stream_enrich and t_stream_state_totals sit INSIDE the
+# r11 window (slots 48-49) for fresh driver rows; t_stream_anomaly is
+# in the r7-green overflow and carries a typed-replica row this
+# session as its touch cover. Results unchanged by construction (the
+# call was already made; only the ignored boolean is now checked).
+#
+# STAGED-LANE FREEZE (r11, per the r10 verdict): 78 staged queries
+# (24 staged_r9 promoted this round + 31 staged_r10 + 23 staged_r11)
+# was 34% of the oracle surface with promotions booked through r13 —
+# so staged_r12 is capped at FIVE entries, and only where a genuinely
+# new operator demands an oracle; surplus effort goes to depth
+# (matview generalization, BPE production-shaping, bench
+# self-diagnosis) and to draining the promotion debt.
+#
+# r12 WINDOW PRE-PLAN: the staged_r10 batch (THIRTY-ONE queries,
+# typed-exact at two SFs since landing) promotes: N = 174 + 31 = 205,
+# cadence ceil(205/50) = 5. The r12 window = 31 promotions + the 24
+# r7-green overflow = 55 > 50, so the LAST five of the overflow (in
+# the tail order below: mm_image_phash_neardup, sim_semantic_dedup,
+# t_stream_dedup, t_stream_interval_join, t_stream_topn) park again
+# with replica cover and take r13 slots. Accepting cadence 5 at N=205
+# is the decided branch (the alternative — trimming five more entries
+# to reach 200 — has only two clean candidates, q_semi_join/
+# q_anti_join once Q4/Q22 promote, and would still leave 203); the
+# r12 commit must restate this arithmetic here, in SURVEY SS8 and in
+# the policy test together.
 #
 # The staged_r11 batch (TWENTY-THREE queries at r10 close: BPE trainer +
 # tokenizer + per-doc encode, the matview family — single-table,
@@ -2281,9 +2300,120 @@ from activecampaign_api_data_pipeline_spark.staged_r8 import (  # noqa: E402
     w_pattern_match,
     w_rolling_median,
 )
+from activecampaign_api_data_pipeline_spark.staged_r9 import (  # noqa: E402
+    a_assoc_rules,
+    a_benford_digits,
+    a_funnel_windowed,
+    a_mann_whitney_u,
+    a_pivot_daily_types,
+    a_simpson_diversity,
+    dedup_prefix_jaccard,
+    g_cc_chain,
+    k_cc_store_roundtrip,
+    k_text_index_append,
+    k_text_index_roundtrip,
+    llm_quota_split,
+    q10_returned_revenue,
+    q18_large_orders,
+    q7_nation_volume,
+    sim_embedding_drift,
+    sim_recall_ivf,
+    t_debounce_events,
+    t_stream_debounce,
+    t_stream_text_index,
+    text_bm25_topk,
+    w_cusum_drift,
+    w_sliding_distinct,
+    w_time_weighted_avg,
+)
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- slots 1-49: last-green-r6 entries at their rule-3 deadline ----
+    # ---- slots 1-24: the staged_r9 promotions (rule 1 — new entries
+    #      land inside the window the round they register) ----
+    "w_cusum_drift": w_cusum_drift,
+    "t_debounce_events": t_debounce_events,
+    "t_stream_debounce": t_stream_debounce,
+    "w_sliding_distinct": w_sliding_distinct,
+    "llm_quota_split": llm_quota_split,
+    "a_benford_digits": a_benford_digits,
+    "a_mann_whitney_u": a_mann_whitney_u,
+    "text_bm25_topk": text_bm25_topk,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q18_large_orders": q18_large_orders,
+    "sim_embedding_drift": sim_embedding_drift,
+    "g_cc_chain": g_cc_chain,
+    "sim_recall_ivf": sim_recall_ivf,
+    "dedup_prefix_jaccard": dedup_prefix_jaccard,
+    "a_assoc_rules": a_assoc_rules,
+    "w_time_weighted_avg": w_time_weighted_avg,
+    "a_simpson_diversity": a_simpson_diversity,
+    "a_funnel_windowed": a_funnel_windowed,
+    "k_text_index_roundtrip": k_text_index_roundtrip,
+    "k_text_index_append": k_text_index_append,
+    "t_stream_text_index": t_stream_text_index,
+    "q7_nation_volume": q7_nation_volume,
+    "a_pivot_daily_types": a_pivot_daily_types,
+    "k_cc_store_roundtrip": k_cc_store_roundtrip,
+    # ---- slot 25: the oldest driver row in the ledger (last green r5;
+    #      parked under rule 4 in r9 and r10 with typed-replica cover;
+    #      this slot was reserved by the r10 pre-plan) ----
+    "sim_ivfpq_from_index": sim_ivfpq_from_index,
+    # ---- slots 26-50: the first 25 of the 49 r7-green entries at their
+    #      rule-3 deadline, in prior registry order ----
+    "k_scd2_history": k_scd2_history,
+    "mm_video_neardup": mm_video_neardup,
+    "mm_audio_neardup": mm_audio_neardup,
+    "j_rfm_scores": j_rfm_scores,
+    "w_running_analytics": w_running_analytics,
+    "sim_ann_index_refine": sim_ann_index_refine,
+    "t_incremental_replay": t_incremental_replay,
+    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
+    "a_event_funnel": a_event_funnel,
+    "llm_importance_state_roundtrip": llm_importance_state_roundtrip,
+    "a_grouping_sets": a_grouping_sets,
+    "w_event_transitions": w_event_transitions,
+    "p_pii_scrub": p_pii_scrub,
+    "a_zscore_outliers": a_zscore_outliers,
+    "k_drift_report": k_drift_report,
+    "j_copurchase_pairs": j_copurchase_pairs,
+    "t_event_gaps": t_event_gaps,
+    "text_normalize": text_normalize,
+    "a_winsorize": a_winsorize,
+    "sim_sq8_topk": sim_sq8_topk,
+    "sim_sq8_ivf_topk": sim_sq8_ivf_topk,
+    "sim_sq8_from_index": sim_sq8_from_index,
+    "t_stream_enrich": t_stream_enrich,
+    "t_stream_state_totals": t_stream_state_totals,
+    "t_session_occupancy": t_session_occupancy,
+    # ---- past the window: the 24 r7-green overflow (rule 4 — they
+    #      displace at deadline, each typed-replica exact at sf0.01 this
+    #      session, and own the r12 window with the staged_r10
+    #      promotions) ----
+    "j_attribution_last_touch": j_attribution_last_touch,
+    "q_salted_count_distinct": q_salted_count_distinct,
+    "q_salted_join_enrich": q_salted_join_enrich,
+    "g_pagerank_fixed": g_pagerank_fixed,
+    "j_fuzzy_block_match": j_fuzzy_block_match,
+    "a_exact_median_mad": a_exact_median_mad,
+    "w_ewma_per_key": w_ewma_per_key,
+    "a_cms_heavy_hitters": a_cms_heavy_hitters,
+    "j_bloom_prefilter_join": j_bloom_prefilter_join,
+    "g_triangle_count": g_triangle_count,
+    "w_anomaly_trailing_z": w_anomaly_trailing_z,
+    "a_kmv_setops": a_kmv_setops,
+    "p_json_props": p_json_props,
+    "w_share_of_total": w_share_of_total,
+    "w_cumulative_uniques": w_cumulative_uniques,
+    "a_value_histogram": a_value_histogram,
+    "a_ks_two_sample": a_ks_two_sample,
+    "w_holt_linear": w_holt_linear,
+    "t_stream_anomaly": t_stream_anomaly,
+    "mm_image_phash_neardup": mm_image_phash_neardup,
+    "sim_semantic_dedup": sim_semantic_dedup,
+    "t_stream_dedup": t_stream_dedup,
+    "t_stream_interval_join": t_stream_interval_join,
+    "t_stream_topn": t_stream_topn,
+    # ---- past the window: r10-green, deadline r14 ----
     "k_gold_ckpt_asof": k_gold_ckpt_asof,
     "k_dataset_diff": k_dataset_diff,
     "k_gold_asof": k_gold_asof,
@@ -2333,65 +2463,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnowing": text_winnowing,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_curation_pipeline": llm_curation_pipeline,
-    # ---- slot 50: rule-2 touched in r9 (size-gated broadcast), at its
-    #      ledgered r10 deadline ----
     "k_block_store_roundtrip": k_block_store_roundtrip,
-    # ---- past the window: the one surviving r9 rule-4 displacement
-    #      (last driver-green r5; typed-replica exact at sf0.01 again
-    #      this round; r11 slot reserved — see the pre-plan above) ----
-    "sim_ivfpq_from_index": sim_ivfpq_from_index,
-    # ---- past the window: r7-green, deadline r11 (rule 4: the five
-    #      streaming entries touched this round by the awaitTermination
-    #      assert are typed-replica exact at sf0.01 this session) ----
-    "k_scd2_history": k_scd2_history,
-    "mm_video_neardup": mm_video_neardup,
-    "mm_audio_neardup": mm_audio_neardup,
-    "j_rfm_scores": j_rfm_scores,
-    "w_running_analytics": w_running_analytics,
-    "sim_ann_index_refine": sim_ann_index_refine,
-    "t_incremental_replay": t_incremental_replay,
-    "a_kmv_distinct_tokens": a_kmv_distinct_tokens,
-    "a_event_funnel": a_event_funnel,
-    "llm_importance_state_roundtrip": llm_importance_state_roundtrip,
-    "a_grouping_sets": a_grouping_sets,
-    "w_event_transitions": w_event_transitions,
-    "p_pii_scrub": p_pii_scrub,
-    "a_zscore_outliers": a_zscore_outliers,
-    "k_drift_report": k_drift_report,
-    "j_copurchase_pairs": j_copurchase_pairs,
-    "t_event_gaps": t_event_gaps,
-    "text_normalize": text_normalize,
-    "a_winsorize": a_winsorize,
-    "sim_sq8_topk": sim_sq8_topk,
-    "sim_sq8_ivf_topk": sim_sq8_ivf_topk,
-    "sim_sq8_from_index": sim_sq8_from_index,
-    "t_stream_enrich": t_stream_enrich,
-    "t_stream_state_totals": t_stream_state_totals,
-    "t_session_occupancy": t_session_occupancy,
-    "j_attribution_last_touch": j_attribution_last_touch,
-    "q_salted_count_distinct": q_salted_count_distinct,
-    "q_salted_join_enrich": q_salted_join_enrich,
-    "g_pagerank_fixed": g_pagerank_fixed,
-    "j_fuzzy_block_match": j_fuzzy_block_match,
-    "a_exact_median_mad": a_exact_median_mad,
-    "w_ewma_per_key": w_ewma_per_key,
-    "a_cms_heavy_hitters": a_cms_heavy_hitters,
-    "j_bloom_prefilter_join": j_bloom_prefilter_join,
-    "g_triangle_count": g_triangle_count,
-    "w_anomaly_trailing_z": w_anomaly_trailing_z,
-    "a_kmv_setops": a_kmv_setops,
-    "p_json_props": p_json_props,
-    "w_share_of_total": w_share_of_total,
-    "w_cumulative_uniques": w_cumulative_uniques,
-    "a_value_histogram": a_value_histogram,
-    "a_ks_two_sample": a_ks_two_sample,
-    "w_holt_linear": w_holt_linear,
-    "t_stream_anomaly": t_stream_anomaly,
-    "mm_image_phash_neardup": mm_image_phash_neardup,
-    "sim_semantic_dedup": sim_semantic_dedup,
-    "t_stream_dedup": t_stream_dedup,
-    "t_stream_interval_join": t_stream_interval_join,
-    "t_stream_topn": t_stream_topn,
     # ---- past the window: r9-green, deadline r13 ----
     "w_pattern_match": w_pattern_match,
     "t_stream_pattern": t_stream_pattern,

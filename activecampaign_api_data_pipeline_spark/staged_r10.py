@@ -722,10 +722,11 @@ GROUP BY user_id
 
 # compaction is pure layout: the compacted index answers the standard
 # query bit-identically to the append lifecycle, so the oracle is shared
-# (see k_text_index_append in staged_r9 for the frozen-stats derivation)
+# (see k_text_index_append in staged_r9 — promoted r11 — for the
+# frozen-stats derivation)
 from activecampaign_api_data_pipeline_spark import staged_r9 as _r9  # noqa: E402
 
-STAGED_ORACLES["k_text_index_compact"] = _r9.STAGED_ORACLES["k_text_index_append"]
+STAGED_ORACLES["k_text_index_compact"] = _r9.PROMOTED_ORACLES["k_text_index_append"]
 
 
 STAGED_ORACLES["q4_priority_late"] = """

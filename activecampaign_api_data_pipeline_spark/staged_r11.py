@@ -809,13 +809,24 @@ def _hll_result(spark: SparkSession, root: str, facts: DataFrame) -> DataFrame:
     exact = facts.groupBy(key).agg(
         F.countDistinct(facts.columns[1]).alias("n_exact")
     )
+    # null-safe equi-join (r10 advice): a NULL group key must pair with
+    # its sketch row exactly like DuckDB's GROUP BY retains a NULL group
+    # — a plain inner equi-join would silently drop it Spark-side only.
+    # Bound: at lg_k=12 the HLL standard error is 1.04/sqrt(4096) ~= 1.6%;
+    # 1/15 ~= 6.7% is ~4.1 sigma, wide enough that a legitimate estimate
+    # essentially never flips est_ok across groups and scaled runs, tight
+    # enough that a broken sketch (off by >>sigma) still hash-fails.
     return (
-        exact.join(F.broadcast(est), key)
+        exact.alias("x")
+        .join(
+            F.broadcast(est).alias("e"),
+            F.col(f"x.{key}").eqNullSafe(F.col(f"e.{key}")),
+        )
         .select(
-            key,
+            F.col(f"x.{key}").alias(key),
             "n_exact",
             (
-                F.abs(F.col("n_distinct_est") - F.col("n_exact")) * 20
+                F.abs(F.col("n_distinct_est") - F.col("n_exact")) * 15
                 <= F.col("n_exact")
             ).alias("est_ok"),
         )

@@ -748,7 +748,7 @@ def t_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
     out = spark.read.parquet(sink)
     return out.groupBy(
         F.coalesce("c_mktsegment", F.lit("<none>")).alias("segment")
@@ -791,7 +791,7 @@ def t_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     q = stream_running_totals(stream, sink, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
     out = spark.read.parquet(sink)
     w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
     return (
@@ -861,7 +861,7 @@ def t_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     q = stream_trailing_anomaly(stream, sink, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
     out = spark.read.parquet(sink)
     return out.groupBy("user_id").agg(
         F.sum("n_new").alias("n_events"),

@@ -1,14 +1,15 @@
-"""Queries STAGED for the round-9 driver window.
+"""Queries staged in round 9, PROMOTED to the registry in round 11.
 
-Same contract as ``staged_r8``: each query ships with a DuckDB oracle in
-``STAGED_ORACLES`` and is verified by the typed Spark-vs-DuckDB compare
-(``tests/test_staged_r7.py`` parametrizes over this dict) at two SFs
-before it ever enters the registry. Per the rotation pre-plan (comment
-above ``REGISTRY``), the r9 window is owned by the 16 staged_r8
-promotions plus last-green-r6 entries; this batch stages through r9 and
-promotes when slots open.
+Same mechanics as the ``staged_r7``/``staged_r8`` promotions: every name
+in ``PROMOTED_ORACLES`` is now referenced from ``queries.py``'s REGISTRY
+(window head slots 1-24, per rotation rule 1; the r11 pre-plan above
+``REGISTRY`` was executed verbatim) and its oracle is merged into
+``oracles.build_oracles``. The implementations stay in this module so
+function history and the typed Spark-vs-DuckDB regression test
+(``tests/test_staged_r7.py`` parametrizes over this dict) remain in one
+place. New pre-registry work goes in ``staged_r10`` and later.
 
-Operator families the registry does not cover yet (8 queries):
+Operator families this batch added (24 queries):
 
 - ``w_cusum_drift``: CUSUM drift/changepoint statistic per key, with
   max-drawdown — the sequential-fold detector made window-expressible
@@ -81,7 +82,7 @@ from pyspark.sql import functions as F
 from activecampaign_api_data_pipeline_spark.functions.hashing import hash60
 from activecampaign_api_data_pipeline_spark.sources.tables import load_table
 
-__all__ = ["STAGED_ORACLES"]
+__all__ = ["PROMOTED_ORACLES"]
 
 #: epoch-seconds events projection (the staged_r8 convention); queries
 #: that do cents arithmetic additionally pin ``cents IS NOT NULL``
@@ -1310,7 +1311,7 @@ _EV_SQL = """
   FROM events
 """
 
-STAGED_ORACLES: dict[str, str] = {
+PROMOTED_ORACLES: dict[str, str] = {
     "w_cusum_drift": f"""
 WITH e AS ({_EV_SQL}),
 f AS (SELECT * FROM e WHERE cents IS NOT NULL),
@@ -1789,19 +1790,19 @@ GROUP BY x.query_id
 """
 
 
-STAGED_ORACLES["sim_recall_ivf"] = _recall_ivf_sql()
+PROMOTED_ORACLES["sim_recall_ivf"] = _recall_ivf_sql()
 
 # the index round-trip is bit-identical to the index-free scorer, so the
 # two queries share one oracle (the parquet round-trip is exact)
-STAGED_ORACLES["k_text_index_roundtrip"] = STAGED_ORACLES["text_bm25_topk"]
+PROMOTED_ORACLES["k_text_index_roundtrip"] = PROMOTED_ORACLES["text_bm25_topk"]
 
 # incremental store over the same final edge set as the one-shot query —
 # shared closure oracle pins build+append+replay against recomputed truth
-STAGED_ORACLES["k_cc_store_roundtrip"] = STAGED_ORACLES["g_cc_chain"]
+PROMOTED_ORACLES["k_cc_store_roundtrip"] = PROMOTED_ORACLES["g_cc_chain"]
 
 # streaming twin: batch 0 (doc_id % 3 = 0) builds and freezes the
 # normalization; batches 1-2 append — same SQL shape, base = slice 0
-STAGED_ORACLES["t_stream_text_index"] = """
+PROMOTED_ORACLES["t_stream_text_index"] = """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents WHERE trim(text) <> ''
@@ -1843,7 +1844,7 @@ FROM per_doc ORDER BY score_ppm DESC, doc_id ASC LIMIT 20
 
 # append twin: postings/df over ALL docs, stats FROZEN over the base
 # corpus only — pins the frozen-normalization contract
-STAGED_ORACLES["k_text_index_append"] = """
+PROMOTED_ORACLES["k_text_index_append"] = """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents WHERE trim(text) <> ''

@@ -925,9 +925,17 @@ def stream_into_matview(
             except (TypeError, ValueError, KeyError, IndexError):
                 complete = False
         if not complete:
-            MV.build_matview(
-                batch_df, path, key_cols, measure, batch_key=batch_key
-            )
+            # `measure` may be a single column name (legacy layout) or a
+            # measure-SPEC list (multi-measure / avg / HLL view) — the
+            # append path dispatches on the frozen params either way
+            if isinstance(measure, str):
+                MV.build_matview(
+                    batch_df, path, key_cols, measure, batch_key=batch_key
+                )
+            else:
+                MV.build_matview_multi(
+                    batch_df, path, key_cols, measure, batch_key=batch_key
+                )
             return
         MV.append_matview(batch_df, path, batch_key)
 

@@ -3,9 +3,10 @@ the same compare the replica harness applies to registered queries
 (Arrow schema families + canonical sorted-row value hash), run in
 pytest so a staged query carries a hard signal before it ever enters
 the driver window. The r7 batch is PROMOTED (registered) as of round
-7 and the r8 batch as of round 9; both keep this typed regression
-coverage. New pre-registry work in staged_r9 and later is picked up by
-the same parametrization automatically."""
+7, the r8 batch as of round 9, and the r9 batch as of round 11; all
+keep this typed regression coverage. New pre-registry work in
+staged_r10 and later is picked up by the same parametrization
+automatically."""
 
 import sys
 from pathlib import Path
@@ -29,7 +30,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 _TYPED = {
     **{n: (staged_r7, sql) for n, sql in staged_r7.PROMOTED_ORACLES.items()},
     **{n: (staged_r8, sql) for n, sql in staged_r8.PROMOTED_ORACLES.items()},
-    **{n: (staged_r9, sql) for n, sql in staged_r9.STAGED_ORACLES.items()},
+    **{n: (staged_r9, sql) for n, sql in staged_r9.PROMOTED_ORACLES.items()},
     **{n: (staged_r10, sql) for n, sql in staged_r10.STAGED_ORACLES.items()},
     **{n: (staged_r11, sql) for n, sql in staged_r11.STAGED_ORACLES.items()},
 }
