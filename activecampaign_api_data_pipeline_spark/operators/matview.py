@@ -295,7 +295,14 @@ def append_matview(
     was already applied — the explicit replay guard that makes
     at-least-once redelivery safe for additive state. Dispatches on the
     frozen params (single measure or measure spec) — the caller never
-    restates the spec, so per-call drift cannot corrupt the store."""
+    restates the spec, so per-call drift cannot corrupt the store.
+
+    EMPTY batches are a deliberate carve-out: the ``_batch`` tag is
+    rows-borne, so an empty batch leaves no tag and its replay returns
+    True again — vacuously harmless here (its partials are empty, the
+    view cannot change; hypothesis-pinned). This differs from
+    ``matview_join``, which MUST ledger empty deltas because the
+    opposite side's history grows between delivery and replay."""
     spark = batch.sparkSession
     if batch_key in applied_batches_full(spark, path):
         return False

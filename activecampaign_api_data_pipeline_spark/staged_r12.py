@@ -1,0 +1,239 @@
+"""Queries STAGED in round 11 for the r13+ promotion rounds.
+
+Same contract as ``staged_r10``/``staged_r11``: each query ships with a
+DuckDB oracle in ``STAGED_ORACLES`` and is verified by the typed
+Spark-vs-DuckDB compare (``tests/test_staged_r7.py`` parametrizes over
+this dict) at two SFs before it ever enters the registry.
+
+**This batch is deliberately SMALL (two queries).** The r10 verdict
+froze staged-lane growth until the promotion debt drains: 78 staged
+queries were 34% of the oracle surface with promotions booked through
+r13, so staged_r12 is capped at five entries and only where a genuinely
+new operator demands an oracle. The one new operator this round is the
+measure-SPEC matview (``operators/matview.py`` — the r10 verdict's
+"generalize the matview family to real view specs" item): one
+maintained view over MULTIPLE measures, ``avg`` maintained as a
+(sum, non-null count) partial pair, and an approximate-distinct measure
+maintained as an HLL sketch partial (the ``hll_store`` register-max
+merge composed INTO the matview layout). Everything else this round is
+depth on existing families (BPE production-shaping, bench
+self-diagnosis) and needs no new oracle.
+
+- ``k_matview_multi``: full spec-store lifecycle — build from the
+  first order batch, fold two more in, REPLAY a batch (guard no-ops),
+  COMPACT (estimate-preserving: sketches stay binary through the fold,
+  the ledger keeps folded batch keys replay-guarded), replay again
+  post-compaction, read. The group key is ``nullif(o_orderpriority,
+  '1-URGENT')`` — deliberately producing a NULL group so the
+  exact-to-estimate join's null-safe semantics (the r10 advice item)
+  are LOAD-BEARING in the oracle pair, not latent. Measures: order
+  cents (count/sum/avg/min/max), order epoch-seconds (min/max/avg),
+  and HLL distinct customers paired with the exact count + an
+  ``est_ok`` bound bit (|est - exact| <= exact/15, ~4.1 sigma at
+  lg_k=12 — see ``operators/hll_store.py``).
+- ``t_stream_matview_multi``: the same spec store maintained by a REAL
+  Structured Streaming job (``stream_into_matview`` with a spec list) —
+  three file micro-batches, exactly-once via the batch-key guard; the
+  SAME one-shot oracle pins stream == batch.
+
+Both oracles compute ``avg`` as the division of the exact integer
+aggregates (``CAST(sum AS DOUBLE) / CAST(count AS DOUBLE)``) rather
+than SQL ``AVG`` — the maintained view derives avg from merged
+(sum, count) partials, and IEEE division of identical integers is
+bit-identical across engines while incremental-mean AVG
+implementations need not be.
+
+100 TB design: identical to the single-measure matview (the spec layer
+changes WHAT the partials hold, not how they move) — O(batch) appends
+of one partial row per touched key, reads that never see fact volume,
+compaction bounding partials growth. The HLL column adds fixed
+2^lg_k-register state per key, cardinality-bound exactly as in
+``hll_store``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+__all__ = ["STAGED_ORACLES"]
+
+#: the spec under test: two scalar measures (one with the avg pair, one
+#: dates-as-integers) plus the approximate-distinct sketch measure
+_MULTI_SPEC = [
+    {"col": "cents", "aggs": ["count", "sum", "avg", "min", "max"]},
+    {"col": "osec", "aggs": ["min", "max", "avg"]},
+    {"col": "o_custkey", "agg": "hll", "lg_k": 12},
+]
+
+
+def _multi_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order facts with a DELIBERATE NULL group: '1-URGENT' maps to
+    NULL so the spec store maintains a NULL-keyed group end-to-end
+    (partials, sketch union, compaction, and the null-safe
+    exact-to-estimate join all have to handle it)."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"),
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        # TIMESTAMP_NTZ has no direct long cast; through TIMESTAMP with
+        # the session TZ pinned UTC (load_table) this is wall-clock epoch
+        # seconds, matching DuckDB epoch() on the same naive timestamp
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("osec"),
+    )
+
+
+def _multi_result(spark: SparkSession, root: str, facts: DataFrame) -> DataFrame:
+    """Read the maintained spec view and pair the sketch estimate with
+    the exact distinct count (the ``_hll_result`` oracle strategy:
+    DuckDB cannot replay DataSketches registers, so the paired frame
+    carries the exact count bit-for-bit plus the est_ok bound bit that
+    flips the value hash if the sketch drifts). The join is null-safe:
+    the NULL priority group must survive exactly like DuckDB's GROUP BY
+    retains its NULL group."""
+    from activecampaign_api_data_pipeline_spark.operators.matview import read_matview
+
+    est = read_matview(spark, root)
+    exact = facts.groupBy("prio").agg(
+        F.countDistinct("o_custkey").alias("n_exact_cust")
+    )
+    return (
+        exact.alias("x")
+        .join(
+            F.broadcast(est).alias("e"),
+            F.col("x.prio").eqNullSafe(F.col("e.prio")),
+        )
+        .select(
+            F.col("x.prio").alias("prio"),
+            "n_rows",
+            "count_cents",
+            "sum_cents",
+            "avg_cents",
+            "min_cents",
+            "max_cents",
+            "min_osec",
+            "max_osec",
+            "avg_osec",
+            "n_exact_cust",
+            (
+                F.abs(F.col("n_distinct_o_custkey") - F.col("n_exact_cust")) * 15
+                <= F.col("n_exact_cust")
+            ).alias("est_ok"),
+        )
+        .orderBy("prio")
+    )
+
+
+def k_matview_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-matview lifecycle: build from the first order batch, fold
+    two more in (O(batch) partial appends — scalar pairs AND sketch
+    binaries), replay batch 1 (guard no-ops), compact (sketches stay
+    binary, the applied ledger keeps folded keys guarded), replay again
+    post-compaction, read. Oracle: the one-shot multi-aggregate GROUP
+    BY over the full orders table — incremental == batch for every
+    measure at once, avg derived from the merged (sum, count) pair."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        append_matview,
+        build_matview_multi,
+        compact_matview,
+    )
+
+    facts = _multi_facts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="acdp_mvm_")
+    try:
+        b = [facts.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+        build_matview_multi(b[0], root, ["prio"], _MULTI_SPEC, batch_key="batch_0")
+        assert append_matview(b[1], root, "batch_1")
+        assert not append_matview(b[1], root, "batch_1")  # replay no-ops
+        compact_matview(spark, root)
+        assert not append_matview(b[1], root, "batch_1")  # guard survives fold
+        assert append_matview(b[2], root, "batch_2")
+        return _multi_result(spark, root, facts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def t_stream_matview_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: the SAME spec store maintained by a real
+    Structured Streaming job — three file micro-batches through
+    ``stream_into_matview`` (spec dispatch), exactly-once via the
+    batch-key replay guard. Stream == batch under the same oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_matview,
+    )
+
+    pin_confs(spark)
+    facts = _multi_facts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="acdp_mvms_")
+    try:
+        stream_dir, view, ckpt = (
+            os.path.join(root, d) for d in ("in", "view", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        for i in range(3):
+            sl = facts.where(F.col("o_orderkey") % 3 == i)
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema(
+                "prio string, o_custkey long, o_orderkey long,"
+                " cents long, osec long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = stream_into_matview(
+            stream, view, ckpt, key_cols=["prio"], measure=_MULTI_SPEC
+        )
+        assert q.awaitTermination(300), "spec-matview stream did not drain in 300s"
+        return _multi_result(spark, view, facts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_MULTI_SQL = """
+WITH f AS (
+  SELECT nullif(o_orderpriority, '1-URGENT') AS prio,
+         o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec
+  FROM orders
+)
+SELECT prio,
+       count(*) AS n_rows,
+       count(cents) AS count_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE) AS avg_cents,
+       min(cents) AS min_cents,
+       max(cents) AS max_cents,
+       min(osec) AS min_osec,
+       max(osec) AS max_osec,
+       CAST(sum(osec) AS DOUBLE) / CAST(count(osec) AS DOUBLE) AS avg_osec,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact_cust,
+       TRUE AS est_ok
+FROM f
+GROUP BY prio
+"""
+
+STAGED_ORACLES: dict[str, str] = {
+    "k_matview_multi": _MULTI_SQL,
+    "t_stream_matview_multi": _MULTI_SQL,
+}

@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -297,6 +298,12 @@ HEADLINE = [
     # scrub — Lee et al. 2022 shape) and its persisted incremental twin
     "llm_span_dedup",
     "k_span_store_roundtrip",
+    # r12-staged batch (typed-replica verified, pre-registry — resolved
+    # from staged_r12; the staged lane is FROZEN at these two until the
+    # promotion debt drains): measure-SPEC matview (multi-measure / avg
+    # pair / HLL sketch measure) lifecycle + streaming twin
+    "k_matview_multi",
+    "t_stream_matview_multi",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
@@ -311,10 +318,73 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _calibration_probe() -> dict:
+    """Fixed CPU + IO microprobe, timed identically at sweep start and
+    end (r10 verdict item 4): the official artifact must self-diagnose
+    machine state. The r10 driver bench read 1.44-1.54x on byte-
+    untouched code purely from host contention, and only a judge re-run
+    could adjudicate it; with a before/after probe pair plus end-of-run
+    canary re-measures, a scope inflation that tracks probe drift reads
+    as environment, not regression, from the artifact alone."""
+    import hashlib
+
+    t0 = time.time()
+    h = hashlib.sha256()
+    block = b"\x5a" * (1 << 20)
+    for _ in range(192):
+        h.update(block)
+    cpu = time.time() - t0
+    t0 = time.time()
+    fd, tmp = tempfile.mkstemp(prefix="acdp_bench_probe_")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            for _ in range(64):
+                fh.write(block)
+            fh.flush()
+            os.fsync(fh.fileno())
+        with open(tmp, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    finally:
+        os.unlink(tmp)
+    io = time.time() - t0
+    return {"cpu_sec": round(cpu, 3), "io_sec": round(io, 3)}
+
+
+def _clear_stale_tmp() -> list[str]:
+    """Debris hygiene before the sweep (the documented ~15% small-scope
+    inflation): drop scale-smoke dataset caches and acdp_* temp stores
+    left by crashed runs (>1h stale — live runs touch theirs constantly)
+    plus spark scratch dirs of dead sessions. Never touches anything
+    recent enough to belong to a concurrent process."""
+    import glob as _glob
+    import shutil as _shutil
+
+    removed = []
+    now = time.time()
+    for pat, min_age in (
+        ("/tmp/acdp_scale_sf*", 0),
+        ("/tmp/acdp_*", 3600),
+        ("/tmp/spark-*", 3600),
+        ("/tmp/blockmgr-*", 3600),
+    ):
+        for d in _glob.glob(pat):
+            try:
+                if now - os.path.getmtime(d) < min_age:
+                    continue
+                _shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+            except OSError:
+                continue
+    return removed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cleared = _clear_stale_tmp()
+    probe_before = _calibration_probe()
     spark = get_spark("acdp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -328,6 +398,7 @@ def main() -> None:
         staged_r9,
         staged_r10,
         staged_r11,
+        staged_r12,
     )
 
     for name in HEADLINE:
@@ -338,7 +409,7 @@ def main() -> None:
             staged_r8, name, None
         ) or getattr(staged_r9, name, None) or getattr(
             staged_r10, name, None
-        ) or getattr(staged_r11, name)
+        ) or getattr(staged_r11, name, None) or getattr(staged_r12, name)
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.time()
@@ -355,13 +426,52 @@ def main() -> None:
         timings[name] = round(_median(runs), 3)
         spread[name] = {"min": min(runs), "max": max(runs), "runs": runs}
 
+    # end-of-run machine-state sentinels: re-measure three cheap early
+    # canaries and the calibration probe; inflation that tracks these is
+    # host contention, not a plan change
+    canaries = [n for n in HEADLINE[:23] if timings.get(n, 9) < 3.0][:3]
+    canary = {}
+    for name in canaries:
+        fn = REGISTRY.get(name) or RETIRED.get(name)
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        canary[name] = {
+            "first_median": timings[name],
+            "end_of_run": round(time.time() - t0, 3),
+        }
+    probe_after = _calibration_probe()
+    drift = {
+        k: round(probe_after[k] / max(probe_before[k], 1e-9), 3)
+        for k in probe_before
+    }
+    canary_ratios = [
+        c["end_of_run"] / max(c["first_median"], 1e-9) for c in canary.values()
+    ]
+    calibration = {
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "probe_drift": drift,
+        "canary": canary,
+        "tmp_cleared": len(cleared),
+        "machine_state_suspect": bool(
+            max(drift.values(), default=1.0) > 1.3
+            or (canary_ratios and _median(canary_ratios) > 1.3)
+        ),
+    }
+
     total = round(sum(timings.values()), 3)
     spread_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_spread.json"
     )
     with open(spread_path, "w") as fh:
         json.dump(
-            {"sf": sf, "reps": reps, "queries": timings, "spread": spread},
+            {
+                "sf": sf,
+                "reps": reps,
+                "queries": timings,
+                "spread": spread,
+                "calibration": calibration,
+            },
             fh,
             indent=1,
         )
@@ -384,6 +494,12 @@ def main() -> None:
         "reps": reps,
         "n_queries": len(timings),
         "scopes": scopes,
+        "calibration": {
+            "probe_drift": drift,
+            "canary_ratio": round(_median(canary_ratios), 3) if canary_ratios else None,
+            "machine_state_suspect": calibration["machine_state_suspect"],
+            "tmp_cleared": len(cleared),
+        },
         "detail": "BENCH_spread.json",
         "queries": {n: round(t, 2) for n, t in timings.items()},
     }

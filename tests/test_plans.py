@@ -313,6 +313,7 @@ def test_registry_window_policy_invariants():
         staged_r9,
         staged_r10,
         staged_r11,
+        staged_r12,
     )
     from activecampaign_api_data_pipeline_spark.queries import RETIRED
 
@@ -324,8 +325,16 @@ def test_registry_window_policy_invariants():
         and n not in staged_r9.PROMOTED_ORACLES
         and n not in staged_r10.STAGED_ORACLES
         and n not in staged_r11.STAGED_ORACLES
+        and n not in staged_r12.STAGED_ORACLES
     ]
     assert not unresolved, f"bench entries without query or staged impl: {unresolved}"
+    # staged-lane freeze (r11, per the r10 verdict): staged_r12 is capped
+    # at FIVE entries until the promotion debt drains; the r12 window is
+    # 31 staged_r10 promotions (N 174 -> 205, cadence ceil(205/50) = 5)
+    # + the 24 r7-green overflow = 55 > 50, five of which park to r13
+    assert len(staged_r12.STAGED_ORACLES) <= 5, (
+        "staged-lane freeze violated: staged_r12 must stay <= 5 entries"
+    )
     # r10 trim invariants: retired entries are OUT of the driver contract
     # but keep their functions + oracles for frozen-prefix bench rows and
     # replica re-verification

@@ -708,3 +708,93 @@ def test_span_scrub_matches_python_reference(spark, docs, k):
         for r in repeated_span_scrub(df, k=k).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),
+            st.one_of(st.none(), st.integers(-50, 50)),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 4),
+    st.integers(0, 3),
+)
+def test_matview_spec_equals_oneshot_under_any_batching_and_replay(
+    spark, facts, n_batches, replay_idx
+):
+    """The measure-SPEC generalization under the same armor as the
+    single-measure store: any batching + any replay == the one-shot
+    aggregate, for ALL measures at once — n_rows vs non-null count
+    (NULL measures generated), avg derived from the merged (sum, cnt)
+    pair (NULL when every value in the group is NULL), min/max, and the
+    HLL measure (distinct row ids — exact at these cardinalities, the
+    DataSketches coupon path). NULL group keys are generated too: the
+    store must maintain a NULL-keyed group end-to-end."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        append_matview,
+        build_matview_multi,
+        read_matview,
+    )
+
+    df = spark.createDataFrame(
+        [(k, i, m, i) for i, (k, m) in enumerate(facts)],
+        "k long, i long, m long, u long",
+    )
+    spec = [
+        {"col": "m", "aggs": ["count", "sum", "avg", "min", "max"]},
+        {"col": "u", "agg": "hll", "lg_k": 12},
+    ]
+    root = tempfile.mkdtemp(prefix="mvspec_hyp_")
+    try:
+        build_matview_multi(
+            df.where(F.col("i") % n_batches == 0), root, ["k"], spec,
+            batch_key="b0",
+        )
+        for b in range(1, n_batches):
+            append_matview(df.where(F.col("i") % n_batches == b), root, f"b{b}")
+        rb = replay_idx % n_batches
+        replay_refused = not append_matview(
+            df.where(F.col("i") % n_batches == rb), root, f"b{rb}"
+        )
+        # a NON-EMPTY replay must be refused; an EMPTY one is vacuously
+        # harmless either way (rows-borne tags cannot record it, and its
+        # partials are empty — the documented matview carve-out)
+        if any(i % n_batches == rb for i in range(len(facts))):
+            assert replay_refused
+        got = {
+            r["k"]: (
+                r["n_rows"], r["count_m"], r["sum_m"], r["avg_m"],
+                r["min_m"], r["max_m"], r["n_distinct_u"],
+            )
+            for r in read_matview(spark, root).collect()
+        }
+        exp = {}
+        for i, (k, m) in enumerate(facts):
+            n, c, s, lo, hi, us = exp.get(k, (0, 0, 0, None, None, set()))
+            us = us | {i}
+            if m is None:
+                exp[k] = (n + 1, c, s, lo, hi, us)
+            else:
+                exp[k] = (
+                    n + 1, c + 1, s + m,
+                    m if lo is None else min(lo, m),
+                    m if hi is None else max(hi, m),
+                    us,
+                )
+        assert set(got) == set(exp)
+        for k, (n, c, s, lo, hi, us) in exp.items():
+            gn, gc, gs, gavg, glo, ghi, gdist = got[k]
+            assert (gn, gc, glo, ghi) == (n, c, lo, hi)
+            assert gs == (s if c else None)
+            assert gavg == (s / c if c else None)
+            # exact at these cardinalities (sparse coupon mode)
+            assert gdist == len(us)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

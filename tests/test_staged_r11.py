@@ -886,3 +886,56 @@ def test_span_scrub_handles_null_and_empty_text(spark):
     assert got[1] == (0, 0, "")
     assert got[2] == (0, 0, "")
     assert got[3] == (4, 4, "some actual words here")
+
+
+def test_bpe_batched_rounds_match_sequential_when_disjoint(spark):
+    # production flag (r10 verdict item 5b): non-interacting top pairs
+    # — 'ab' x9, 'cd' x8, 'ef' x7 share no symbols, so one batched
+    # round of 3 must learn EXACTLY the sequential trainer's list
+    words = spark.createDataFrame(
+        [("ab", 9), ("cd", 8), ("ef", 7)], "word string, cnt long"
+    )
+    seq, seq_state = bpe_train(words, 3)
+    bat, bat_state = bpe_train(words, 3, batch_merges=3)
+    assert [(m["lhs"], m["rhs"], m["n"]) for m in bat] == [
+        (m["lhs"], m["rhs"], m["n"]) for m in seq
+    ] == [("a", "b", 9), ("c", "d", 8), ("e", "f", 7)]
+    assert {r["word"]: r["s"] for r in bat_state.collect()} == {
+        r["word"]: r["s"] for r in seq_state.collect()
+    }
+
+
+def test_bpe_batched_defers_conflicting_pairs_to_next_round(spark):
+    # 'aaab' x3, 'ab' x2 (the greedy-overlap fixture): round-1 pairs
+    # (a,a)=6 and (a,b)=5 CONFLICT on 'a', and (a,b) additionally
+    # conflicts with merged 'aa' chaining — the batched trainer must
+    # take only (a,a) in round 1, recount, then learn (a,b)=5 with the
+    # POST-merge count, landing on the sequential result exactly
+    words = spark.createDataFrame(
+        [("aaab", 3), ("ab", 2)], "word string, cnt long"
+    )
+    seq, _ = bpe_train(words, 2)
+    bat, _ = bpe_train(words, 2, batch_merges=4)
+    assert [(m["lhs"], m["rhs"], m["n"]) for m in bat] == [
+        (m["lhs"], m["rhs"], m["n"]) for m in seq
+    ]
+
+
+def test_bpe_apply_chunked_equals_single_chain(spark):
+    # chunking is pure plan shape (r10 verdict item 5a): tokens must be
+    # byte-identical across chunk sizes that do / don't split the chain
+    words = spark.createDataFrame(
+        [("abcdef", 4), ("abcd", 3), ("abab", 2), ("cdef", 2)],
+        "word string, cnt long",
+    )
+    merges, _ = bpe_train(words, 5)
+    assert len(merges) == 5
+    one = {r["word"]: r["tokens"] for r in bpe_apply(words, merges).collect()}
+    for cs in (1, 2, 3):
+        got = {
+            r["word"]: r["tokens"]
+            for r in bpe_apply(words, merges, chunk_size=cs).collect()
+        }
+        assert got == one, f"chunk_size={cs} diverged"
+    # the chunked frame must not leak the scratch column
+    assert "_bpe_s" not in bpe_apply(words, merges, chunk_size=2).columns

@@ -22,6 +22,7 @@ from activecampaign_api_data_pipeline_spark import (
     staged_r9,
     staged_r10,
     staged_r11,
+    staged_r12,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -33,6 +34,7 @@ _TYPED = {
     **{n: (staged_r9, sql) for n, sql in staged_r9.PROMOTED_ORACLES.items()},
     **{n: (staged_r10, sql) for n, sql in staged_r10.STAGED_ORACLES.items()},
     **{n: (staged_r11, sql) for n, sql in staged_r11.STAGED_ORACLES.items()},
+    **{n: (staged_r12, sql) for n, sql in staged_r12.STAGED_ORACLES.items()},
 }
 
 # RETIRED registry entries (r10 trim) left the driver contract but the
@@ -142,7 +144,7 @@ def test_promoted_registered_staged_disjoint():
         for name in mod.PROMOTED_ORACLES:
             assert REGISTRY[name] is getattr(mod, name)
     # pre-registry staging stays disjoint until its own promotion round
-    for smod in (staged_r9, staged_r10, staged_r11):
+    for smod in (staged_r9, staged_r10, staged_r11, staged_r12):
         overlap = set(smod.STAGED_ORACLES) & set(REGISTRY)
         assert not overlap, f"staged queries already registered: {overlap}"
         for name in smod.STAGED_ORACLES:
