@@ -829,6 +829,32 @@ def sig_jaccard_est(a, b, num_perm: int):
     return F.round(agree.cast("double") / num_perm, 6)
 
 
+def _minhash_store_params(
+    spark, path: str, num_perm: int, bands: int, ngram: int
+) -> None:
+    """Freeze (num_perm, bands, ngram) in the store's params.json on
+    first ingest and RAISE on later drift (the frozen-sidecar-spec
+    discipline every other persisted store follows — r10 advice class):
+    a later append with a different num_perm would mix incompatible
+    signature lengths into one sigs table; a different ngram would
+    change what a signature even measures."""
+    import json as _json
+
+    spec = {"num_perm": int(num_perm), "bands": int(bands), "ngram": int(ngram)}
+    if path_exists(spark, f"{path}/params.json"):
+        raw = spark.read.text(f"{path}/params.json").collect()[0][0]
+        frozen = _json.loads(raw)
+        if frozen != spec:
+            raise ValueError(
+                f"minhash store at {path} was built with {frozen};"
+                f" call passed {spec} — the spec is frozen at first ingest"
+            )
+        return
+    spark.createDataFrame(
+        [(_json.dumps(spec),)], "p string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+
+
 def minhash_store_append(
     docs: DataFrame,
     path: str,
@@ -858,6 +884,7 @@ def minhash_store_append(
     and they would silently never generate near-dup candidates again.
     """
     spark = docs.sparkSession
+    _minhash_store_params(spark, path, num_perm, bands, ngram)
     sh = _shingle_sets(docs, id_col, text_col, ngram)
     sigs = minhash_signatures(sh, num_perm)
     if path_exists(spark, f"{path}/sigs"):
@@ -906,6 +933,10 @@ def incremental_minhash_pairs(
     batches that exceed broadcast memory — AQE picks the join strategy.
     """
     spark = new_docs.sparkSession
+    if path_exists(spark, f"{path}/params.json"):
+        # reads validate against the frozen spec too: probing a store
+        # with mismatched banding would silently find no candidates
+        _minhash_store_params(spark, path, num_perm, bands, ngram)
     sh = _shingle_sets(new_docs, id_col, text_col, ngram)
     new_sigs = minhash_signatures(sh, num_perm)
     new_bands = _banded(new_sigs, num_perm, bands)

@@ -597,3 +597,30 @@ def test_bucketed_global_rank_matches_global_row_number(spark):
         ).collect()
     }
     assert got_b == expect
+
+
+def test_minhash_store_spec_frozen_at_first_ingest(spark, tmp_path):
+    """The frozen-sidecar-spec discipline (r10 advice class, closed for
+    the one store that lacked it): (num_perm, bands, ngram) freeze in
+    params.json at first ingest; a later append OR probe with a drifted
+    spec raises instead of silently mixing incompatible signatures."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_store_append,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta " * 3)
+         for i in range(4)]
+    )
+    path = str(tmp_path / "sigstore")
+    minhash_store_append(docs, path)  # freezes 32/8/3
+    with _pytest.raises(ValueError, match="frozen at first ingest"):
+        minhash_store_append(docs, path, num_perm=16)
+    with _pytest.raises(ValueError, match="frozen at first ingest"):
+        incremental_minhash_pairs(docs, path, bands=4)
+    # matching spec still appends (replay no-op: same ids anti-joined)
+    minhash_store_append(docs, path)
