@@ -78,7 +78,7 @@ incrementally maintained APPROXIMATE DISTINCT counts, the one
 aggregate the matview family cannot maintain (COUNT DISTINCT is not
 distributive). Register-max merge gives O(batch) appends with fixed
 sketch state per key; the oracle pins the exact counts plus a
-within-5%-bound boolean on the estimate (DuckDB cannot replay
+within-bound boolean on the estimate (DuckDB cannot replay
 DataSketches registers — the boolean puts the sketch inside the value
 hash anyway).
 
@@ -788,8 +788,9 @@ def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB cannot replay DataSketches registers, so the paired frame returns
 # the EXACT per-group distinct count (computed Spark-side, oracle-matched
 # against DuckDB's COUNT(DISTINCT)) plus an `est_ok` boolean that the
-# sketch estimate landed within the conservative 5% bound — a drifted or
-# broken sketch flips est_ok to false and hash-fails the driver compare.
+# sketch estimate landed within the 1/15 (~4.1 sigma) bound — a drifted
+# or broken sketch flips est_ok to false and hash-fails the driver
+# compare (bound widened from 5% ~= 3 sigma per the r10 advice).
 # ---------------------------------------------------------------------------
 
 
@@ -839,7 +840,7 @@ def k_hll_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch view from the first order batch, fold two more in (O(batch)
     sketch partials), REPLAY batch 1 (the batch-key guard no-ops), read
     the maintained estimates. The returned frame pairs the EXACT
-    distinct count (oracle-matched) with the within-5%-bound boolean —
+    distinct count (oracle-matched) with the within-bound boolean —
     the sketch path is verified by est_ok flipping the value hash, the
     exact path bit-for-bit by DuckDB's COUNT(DISTINCT)."""
     import shutil
@@ -1549,8 +1550,10 @@ ORDER BY s_suppkey
 """,
     # HLL store family: DuckDB cannot replay DataSketches registers, so
     # the oracle pins the EXACT distinct counts (the Spark frame computes
-    # them exactly too) and asserts the sketch landed inside the 5% bound
-    # via est_ok — a drifted estimate flips the boolean and hash-fails.
+    # them exactly too) and asserts the sketch landed inside the 1/15
+    # (~6.7%, ~4.1 sigma at lg_k=12) bound via est_ok — a drifted
+    # estimate flips the boolean and hash-fails (bound widened from 5%
+    # per the r10 advice; derivation in operators/hll_store.py).
     "k_hll_store_roundtrip": """
 SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, TRUE AS est_ok
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority

@@ -362,6 +362,12 @@ def _clear_stale_tmp() -> list[str]:
 
     removed = []
     now = time.time()
+    # deliberate CROSS-RUN caches are exempt: the persisted ANN / SQ8 /
+    # decontam indexes are keyed by sf_dir and reused warm across
+    # sessions (the warm-index design scale_smoke measures warm-vs-cold
+    # around) — wiping them here would force cold rebuilds INTO the
+    # timings, the opposite of hygiene
+    keep = ("acdp_ann_index_", "acdp_sq8_index_", "acdp_decontam_")
     for pat, min_age in (
         ("/tmp/acdp_scale_sf*", 0),
         ("/tmp/acdp_*", 3600),
@@ -369,6 +375,9 @@ def _clear_stale_tmp() -> list[str]:
         ("/tmp/blockmgr-*", 3600),
     ):
         for d in _glob.glob(pat):
+            base = os.path.basename(d)
+            if any(base.startswith(k) for k in keep):
+                continue
             try:
                 if now - os.path.getmtime(d) < min_age:
                     continue
@@ -384,9 +393,14 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cleared = _clear_stale_tmp()
-    probe_before = _calibration_probe()
     spark = get_spark("acdp-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # probe AFTER the JVM is up so before/after run in the same memory
+    # regime — a probe beside a live 100+ GiB heap measures differently
+    # than one on a bare host, and the drift ratio must isolate HOST
+    # state, not JVM presence (the first three r11 runs read io drift
+    # 1.4-1.9x from exactly this asymmetry)
+    probe_before = _calibration_probe()
 
     # warmup: JVM + parquet footer reads, excluded from timings
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()

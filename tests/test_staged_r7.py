@@ -136,15 +136,16 @@ def test_drift_report_spine_complete(spark):
 def test_promoted_registered_staged_disjoint():
     from activecampaign_api_data_pipeline_spark.queries import REGISTRY
 
-    # r7/r9 promotions executed: every promoted query is registered, its
-    # REGISTRY entry IS the staged-module function, and its oracle resolves
-    for mod in (staged_r7, staged_r8):
+    # r7/r9/r11 promotions executed: every promoted query is registered,
+    # its REGISTRY entry IS the staged-module function, and its oracle
+    # resolves
+    for mod in (staged_r7, staged_r8, staged_r9):
         missing = set(mod.PROMOTED_ORACLES) - set(REGISTRY)
         assert not missing, f"promoted queries not registered: {missing}"
         for name in mod.PROMOTED_ORACLES:
             assert REGISTRY[name] is getattr(mod, name)
     # pre-registry staging stays disjoint until its own promotion round
-    for smod in (staged_r9, staged_r10, staged_r11, staged_r12):
+    for smod in (staged_r10, staged_r11, staged_r12):
         overlap = set(smod.STAGED_ORACLES) & set(REGISTRY)
         assert not overlap, f"staged queries already registered: {overlap}"
         for name in smod.STAGED_ORACLES:
