@@ -2047,15 +2047,21 @@ SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset, n_users,
 FROM s
 """
 
-    # round-7/round-9/round-11 promotions: each staged batch keeps its
-    # oracles next to its implementations; merge them here so every
-    # REGISTRY entry resolves.
-    from activecampaign_api_data_pipeline_spark import staged_r7, staged_r8, staged_r9
+    # round-7/round-9/round-11/round-12 promotions: each staged batch
+    # keeps its oracles next to its implementations; merge them here so
+    # every REGISTRY entry resolves.
+    from activecampaign_api_data_pipeline_spark import (
+        staged_r7,
+        staged_r8,
+        staged_r9,
+        staged_r10,
+    )
 
     for batch in (
         staged_r7.PROMOTED_ORACLES,
         staged_r8.PROMOTED_ORACLES,
         staged_r9.PROMOTED_ORACLES,
+        staged_r10.PROMOTED_ORACLES,
     ):
         overlap = set(o) & set(batch)
         assert not overlap, f"duplicate oracle keys: {overlap}"
@@ -2073,5 +2079,9 @@ _RETIRED_KEYS = (
     "sim_ivfpq_residual",
     "sim_ann_index_nprobe1",
     "llm_corpus_prep",
+    # r12 trim: subsumed by the promoted q4_priority_late /
+    # q22_idle_customers cousins (same semi/anti join shapes)
+    "q_semi_join",
+    "q_anti_join",
 )
 RETIRED_ORACLES: dict[str, str] = {}

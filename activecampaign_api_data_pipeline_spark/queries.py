@@ -2206,26 +2206,42 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session as its touch cover. Results unchanged by construction (the
 # call was already made; only the ignored boolean is now checked).
 #
-# STAGED-LANE FREEZE (r11, per the r10 verdict): 78 staged queries
-# (24 staged_r9 promoted this round + 31 staged_r10 + 23 staged_r11)
+# STAGED-LANE FREEZE (r11, per the r10 verdict): 77 staged queries
+# (24 staged_r9 promoted that round + 30 staged_r10 + 23 staged_r11)
 # was 34% of the oracle surface with promotions booked through r13 —
 # so staged_r12 is capped at FIVE entries, and only where a genuinely
 # new operator demands an oracle; surplus effort goes to depth
 # (matview generalization, BPE production-shaping, bench
 # self-diagnosis) and to draining the promotion debt.
 #
-# r12 WINDOW PRE-PLAN: the staged_r10 batch (THIRTY-ONE queries,
-# typed-exact at two SFs since landing) promotes: N = 174 + 31 = 205,
-# cadence ceil(205/50) = 5. The r12 window = 31 promotions + the 24
-# r7-green overflow = 55 > 50, so the LAST five of the overflow (in
-# the tail order below: mm_image_phash_neardup, sim_semantic_dedup,
-# t_stream_dedup, t_stream_interval_join, t_stream_topn) park again
-# with replica cover and take r13 slots. Accepting cadence 5 at N=205
-# is the decided branch (the alternative — trimming five more entries
-# to reach 200 — has only two clean candidates, q_semi_join/
-# q_anti_join once Q4/Q22 promote, and would still leave 203); the
-# r12 commit must restate this arithmetic here, in SURVEY SS8 and in
-# the policy test together.
+# r12 WINDOW (EXECUTED, per the r11 pre-plan with ONE ARITHMETIC
+# CORRECTION): the r9 close-note's "staged_r10 closed at THIRTY-ONE
+# queries" was a miscount that propagated into the pre-plan — the
+# batch's commit history sums to THIRTY (8+5+3+4+2+2+2 staged, minus
+# the four dropped duplicate drafts a_basket_lift / w_ewma_cents /
+# t_stream_interval_join / t_stream_exact_dedup, plus the four late
+# singles mm_audio_silence / t_stream_sessions / k_dpp_join /
+# text_bpe_pairs), and PROMOTED_ORACLES carries exactly 30 keys. So:
+# N = 174 + 30 = 204, cadence ceil(204/50) = 5; the r12 window =
+# 30 promotions (slots 1-30) + the FIRST TWENTY of the 24 r7-green
+# overflow (slots 31-50; mm_image_phash_neardup now fits), and FOUR
+# park to r13 (sim_semantic_dedup, t_stream_dedup,
+# t_stream_interval_join, t_stream_topn), each typed-replica exact at
+# sf0.01 this session, each with a reserved r13 slot. Accepting
+# cadence 5 at N=204 is the decided branch; the r12 TRIM below
+# (q_semi_join/q_anti_join retire now that Q4/Q22's promoted cousins
+# are registered — the branch the r11 ledger named) takes N to 202
+# without changing the cadence.
+#
+# r12 TRIM (EXECUTED — the named branch): q_semi_join and q_anti_join
+# are parameter-shape duplicates of the promoted TPC-H cousins —
+# q4_priority_late is the correlated EXISTS semi join on the same
+# orders/lineitem pair, q22_idle_customers the NOT-EXISTS anti join on
+# the same customer/orders pair — so both retire to the RETIRED map
+# (typed-replica exact at retirement; their oracles move to
+# oracles.RETIRED_ORACLES, and the frozen r5 bench prefix keeps timing
+# them via bench.py's RETIRED resolution). N: 204 -> 202, cadence
+# stays ceil(202/50) = 5.
 #
 # The staged_r11 batch (TWENTY-THREE queries at r10 close: BPE trainer +
 # tokenizer + per-doc encode, the matview family — single-table,
@@ -2236,9 +2252,10 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ORC/JSONL storage-format roundtrips, and exact substring dedup with
 # its persisted incremental twin (llm_span_dedup /
 # k_span_store_roundtrip); all typed-exact at two SFs on landing)
-# promotes at r13: N = 205 + 23 = 228, cadence stays ceil(228/50) = 5.
-# The r13 window = 23 promotions + the 5 r12-parked r7-green entries +
-# the next deadline set, same rule-4 mechanics.
+# promotes at r13: N = 202 + 23 = 225, cadence stays ceil(225/50) = 5.
+# The r13 window = 23 promotions + the 4 r12-parked r7-green entries
+# (reserved slots) + the first 23 of the r9-green deadline set, same
+# rule-4 mechanics for the remainder.
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,
@@ -2327,9 +2344,108 @@ from activecampaign_api_data_pipeline_spark.staged_r9 import (  # noqa: E402
     w_time_weighted_avg,
 )
 
+from activecampaign_api_data_pipeline_spark.staged_r10 import (  # noqa: E402
+    a_active_streaks,
+    a_exact_quantiles,
+    a_gini_concentration,
+    g_ppr_seeded,
+    j_asof_tolerance,
+    j_interval_overlap,
+    j_nearest_event,
+    k_bloom_point_lookup,
+    k_dpp_join,
+    k_hive_partition_prune,
+    k_schema_evolution,
+    k_text_index_compact,
+    k_zorder_compact,
+    k_zorder_skipping,
+    mm_audio_silence,
+    mm_video_scenes,
+    q4_priority_late,
+    q8_market_share,
+    q13_custdist,
+    q14_promo_share,
+    q15_top_supplier,
+    q16_supplier_variety,
+    q17_small_quantity,
+    q19_disjunctive_revenue,
+    q21_waiting_supplier,
+    q22_idle_customers,
+    t_stream_sessions,
+    text_bpe_pairs,
+    w_interval_coverage,
+    w_ols_trailing_slope,
+)
+
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- slots 1-24: the staged_r9 promotions (rule 1 — new entries
-    #      land inside the window the round they register) ----
+    # ---- slots 1-30: the staged_r10 promotions (rule 1 — new entries
+    #      land inside the window the round they register), in staged
+    #      module order ----
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "j_asof_tolerance": j_asof_tolerance,
+    "w_interval_coverage": w_interval_coverage,
+    "w_ols_trailing_slope": w_ols_trailing_slope,
+    "a_active_streaks": a_active_streaks,
+    "k_text_index_compact": k_text_index_compact,
+    "k_zorder_skipping": k_zorder_skipping,
+    "q4_priority_late": q4_priority_late,
+    "q14_promo_share": q14_promo_share,
+    "q22_idle_customers": q22_idle_customers,
+    "q16_supplier_variety": q16_supplier_variety,
+    "j_interval_overlap": j_interval_overlap,
+    "mm_video_scenes": mm_video_scenes,
+    "k_zorder_compact": k_zorder_compact,
+    "g_ppr_seeded": g_ppr_seeded,
+    "j_nearest_event": j_nearest_event,
+    "k_bloom_point_lookup": k_bloom_point_lookup,
+    "a_exact_quantiles": a_exact_quantiles,
+    "a_gini_concentration": a_gini_concentration,
+    "k_hive_partition_prune": k_hive_partition_prune,
+    "k_schema_evolution": k_schema_evolution,
+    "q13_custdist": q13_custdist,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
+    "q8_market_share": q8_market_share,
+    "mm_audio_silence": mm_audio_silence,
+    "t_stream_sessions": t_stream_sessions,
+    "k_dpp_join": k_dpp_join,
+    "text_bpe_pairs": text_bpe_pairs,
+    # ---- slots 31-50: the first 20 of the 24 r7-green overflow at
+    #      their rule-4-deferred deadline (displaced from the r11
+    #      window with typed-replica cover, ledgered for r12), in
+    #      prior registry order ----
+    "j_attribution_last_touch": j_attribution_last_touch,
+    "q_salted_count_distinct": q_salted_count_distinct,
+    "q_salted_join_enrich": q_salted_join_enrich,
+    "g_pagerank_fixed": g_pagerank_fixed,
+    "j_fuzzy_block_match": j_fuzzy_block_match,
+    "a_exact_median_mad": a_exact_median_mad,
+    "w_ewma_per_key": w_ewma_per_key,
+    "a_cms_heavy_hitters": a_cms_heavy_hitters,
+    "j_bloom_prefilter_join": j_bloom_prefilter_join,
+    "g_triangle_count": g_triangle_count,
+    "w_anomaly_trailing_z": w_anomaly_trailing_z,
+    "a_kmv_setops": a_kmv_setops,
+    "p_json_props": p_json_props,
+    "w_share_of_total": w_share_of_total,
+    "w_cumulative_uniques": w_cumulative_uniques,
+    "a_value_histogram": a_value_histogram,
+    "a_ks_two_sample": a_ks_two_sample,
+    "w_holt_linear": w_holt_linear,
+    "t_stream_anomaly": t_stream_anomaly,
+    "mm_image_phash_neardup": mm_image_phash_neardup,
+    # ---- past the window: the LAST FOUR of the 24 r7-green overflow
+    #      (rule 4 — the corrected r12 window is 30 + 24 = 54 > 50, so
+    #      four park, not the pre-plan's five: the staged_r10 batch
+    #      closed at THIRTY queries, not thirty-one — see the ledger
+    #      correction above; each typed-replica exact at sf0.01 this
+    #      session, and each takes a reserved r13 slot) ----
+    "sim_semantic_dedup": sim_semantic_dedup,
+    "t_stream_dedup": t_stream_dedup,
+    "t_stream_interval_join": t_stream_interval_join,
+    "t_stream_topn": t_stream_topn,
+    # ---- past the window: r11-green, deadline r16 (cadence 5) ----
     "w_cusum_drift": w_cusum_drift,
     "t_debounce_events": t_debounce_events,
     "t_stream_debounce": t_stream_debounce,
@@ -2354,12 +2470,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_nation_volume": q7_nation_volume,
     "a_pivot_daily_types": a_pivot_daily_types,
     "k_cc_store_roundtrip": k_cc_store_roundtrip,
-    # ---- slot 25: the oldest driver row in the ledger (last green r5;
-    #      parked under rule 4 in r9 and r10 with typed-replica cover;
-    #      this slot was reserved by the r10 pre-plan) ----
     "sim_ivfpq_from_index": sim_ivfpq_from_index,
-    # ---- slots 26-50: the first 25 of the 49 r7-green entries at their
-    #      rule-3 deadline, in prior registry order ----
     "k_scd2_history": k_scd2_history,
     "mm_video_neardup": mm_video_neardup,
     "mm_audio_neardup": mm_audio_neardup,
@@ -2385,34 +2496,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_stream_enrich": t_stream_enrich,
     "t_stream_state_totals": t_stream_state_totals,
     "t_session_occupancy": t_session_occupancy,
-    # ---- past the window: the 24 r7-green overflow (rule 4 — they
-    #      displace at deadline, each typed-replica exact at sf0.01 this
-    #      session, and own the r12 window with the staged_r10
-    #      promotions) ----
-    "j_attribution_last_touch": j_attribution_last_touch,
-    "q_salted_count_distinct": q_salted_count_distinct,
-    "q_salted_join_enrich": q_salted_join_enrich,
-    "g_pagerank_fixed": g_pagerank_fixed,
-    "j_fuzzy_block_match": j_fuzzy_block_match,
-    "a_exact_median_mad": a_exact_median_mad,
-    "w_ewma_per_key": w_ewma_per_key,
-    "a_cms_heavy_hitters": a_cms_heavy_hitters,
-    "j_bloom_prefilter_join": j_bloom_prefilter_join,
-    "g_triangle_count": g_triangle_count,
-    "w_anomaly_trailing_z": w_anomaly_trailing_z,
-    "a_kmv_setops": a_kmv_setops,
-    "p_json_props": p_json_props,
-    "w_share_of_total": w_share_of_total,
-    "w_cumulative_uniques": w_cumulative_uniques,
-    "a_value_histogram": a_value_histogram,
-    "a_ks_two_sample": a_ks_two_sample,
-    "w_holt_linear": w_holt_linear,
-    "t_stream_anomaly": t_stream_anomaly,
-    "mm_image_phash_neardup": mm_image_phash_neardup,
-    "sim_semantic_dedup": sim_semantic_dedup,
-    "t_stream_dedup": t_stream_dedup,
-    "t_stream_interval_join": t_stream_interval_join,
-    "t_stream_topn": t_stream_topn,
     # ---- past the window: r10-green, deadline r14 ----
     "k_gold_ckpt_asof": k_gold_ckpt_asof,
     "k_dataset_diff": k_dataset_diff,
@@ -2450,8 +2533,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_exact_dedup": a1_exact_dedup,
     "p2_rowhash": p2_rowhash,
     "p_scalar_derivations": p_scalar_derivations,
-    "q_anti_join": q_anti_join,
-    "q_semi_join": q_semi_join,
     "llm_split_assign": llm_split_assign,
     "llm_token_chunks": llm_token_chunks,
     "mm_frame_sample": mm_frame_sample,
@@ -2537,4 +2618,11 @@ RETIRED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_residual": sim_ivfpq_residual,
     "sim_ann_index_nprobe1": sim_ann_index_nprobe1,
     "llm_corpus_prep": llm_corpus_prep,
+    # r12 trim: shape-duplicates of the promoted TPC-H cousins
+    # (q4_priority_late = the same orders/lineitem correlated-EXISTS
+    # semi join; q22_idle_customers = the same customer/orders
+    # NOT-EXISTS anti join); both sit in the frozen r5 bench prefix so
+    # bench.py keeps timing them here.
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
 }

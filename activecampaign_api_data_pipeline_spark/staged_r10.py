@@ -1,14 +1,17 @@
-"""Queries STAGED in round 9 for a later promotion round.
+"""Queries staged in round 9, PROMOTED to the registry in round 12.
 
-Same contract as ``staged_r9``: each query ships with a DuckDB oracle
-in ``STAGED_ORACLES`` and is verified by the typed Spark-vs-DuckDB
-compare (``tests/test_staged_r7.py`` parametrizes over this dict) at
-two SFs before it ever enters the registry. Per the rotation pre-plan
-(comment above ``REGISTRY``), the r9 window is owned by the staged_r8
-promotions plus the r5-deadline set; this batch stages until slots
-open.
+Same mechanics as the ``staged_r7``/``staged_r8``/``staged_r9``
+promotions: every name in ``PROMOTED_ORACLES`` is now referenced from
+``queries.py``'s REGISTRY (window head slots 1-30, per rotation rule 1;
+the r12 pre-plan above ``REGISTRY`` was executed with one arithmetic
+correction — this batch closed at THIRTY queries, not the thirty-one
+the r9 close-note claimed; see the ledger) and its oracle is merged
+into ``oracles.build_oracles``. The implementations stay in this module
+so function history and the typed Spark-vs-DuckDB regression test
+(``tests/test_staged_r7.py`` parametrizes over this dict) remain in one
+place. New pre-registry work goes in ``staged_r11`` and later.
 
-Operator families the registry does not cover yet (8 queries):
+Operator families this batch added (first 8 queries):
 
 - ``q21_waiting_supplier`` / ``q19_disjunctive_revenue``: the two
   hardest TPC-H join shapes still missing — Q21's correlated
@@ -89,7 +92,7 @@ from pyspark.sql import functions as F
 
 from activecampaign_api_data_pipeline_spark.sources.tables import load_table
 
-__all__ = ["STAGED_ORACLES"]
+__all__ = ["PROMOTED_ORACLES"]
 
 
 #: epoch-seconds events projection (the staged_r8/r9 convention)
@@ -597,7 +600,7 @@ _EV_SQL = """
   FROM events
 """
 
-STAGED_ORACLES: dict[str, str] = {
+PROMOTED_ORACLES: dict[str, str] = {
     "q21_waiting_supplier": """
 SELECT s_name, n_name, count(*) AS numwait
 FROM lineitem l1
@@ -726,10 +729,10 @@ GROUP BY user_id
 # frozen-stats derivation)
 from activecampaign_api_data_pipeline_spark import staged_r9 as _r9  # noqa: E402
 
-STAGED_ORACLES["k_text_index_compact"] = _r9.PROMOTED_ORACLES["k_text_index_append"]
+PROMOTED_ORACLES["k_text_index_compact"] = _r9.PROMOTED_ORACLES["k_text_index_append"]
 
 
-STAGED_ORACLES["q4_priority_late"] = """
+PROMOTED_ORACLES["q4_priority_late"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
 WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
@@ -743,7 +746,7 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
-STAGED_ORACLES["q14_promo_share"] = """
+PROMOTED_ORACLES["q14_promo_share"] = """
 WITH j AS (
   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
@@ -760,7 +763,7 @@ SELECT CAST(sum(CASE WHEN is_promo THEN units ELSE 0 END) AS BIGINT) AS promo_un
 FROM j
 """
 
-STAGED_ORACLES["q22_idle_customers"] = f"""
+PROMOTED_ORACLES["q22_idle_customers"] = f"""
 WITH c AS (
   SELECT c_custkey, c_nationkey,
          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -785,7 +788,7 @@ SELECT c_nationkey, count(*) AS numcust,
 FROM idle GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
-STAGED_ORACLES["q16_supplier_variety"] = """
+PROMOTED_ORACLES["q16_supplier_variety"] = """
 SELECT p_brand, p_type, p_size,
        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
 FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -795,7 +798,7 @@ ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
 LIMIT 30
 """
 
-STAGED_ORACLES["j_interval_overlap"] = f"""
+PROMOTED_ORACLES["j_interval_overlap"] = f"""
 WITH e AS ({_EV_SQL}),
 p AS (
   SELECT user_id, event_id AS purchase_id, es AS ps,
@@ -963,9 +966,9 @@ def g_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES["k_zorder_compact"] = STAGED_ORACLES["k_zorder_skipping"]
+PROMOTED_ORACLES["k_zorder_compact"] = PROMOTED_ORACLES["k_zorder_skipping"]
 
-STAGED_ORACLES["mm_video_scenes"] = """
+PROMOTED_ORACLES["mm_video_scenes"] = """
 WITH m AS (
   SELECT doc_id AS media_id, text, length(text) AS len,
          (n_chars * 10) // 500 AS n_frames
@@ -1004,7 +1007,7 @@ SELECT media_id,
 FROM sc GROUP BY media_id
 """
 
-STAGED_ORACLES["g_ppr_seeded"] = """
+PROMOTED_ORACLES["g_ppr_seeded"] = """
 WITH pairs0 AS (
   SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
   FROM lineitem a JOIN lineitem b
@@ -1125,7 +1128,7 @@ def j_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES["j_nearest_event"] = f"""
+PROMOTED_ORACLES["j_nearest_event"] = f"""
 WITH e AS ({_EV_SQL}),
 n AS (
   SELECT user_id, event_id, event_type, es,
@@ -1198,7 +1201,7 @@ def k_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-STAGED_ORACLES["k_bloom_point_lookup"] = f"""
+PROMOTED_ORACLES["k_bloom_point_lookup"] = f"""
 WITH e AS ({_EV_SQL})
 SELECT user_id, count(*) AS n_events,
        CAST(sum(cents) AS BIGINT) AS cents_sum,
@@ -1318,7 +1321,7 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-STAGED_ORACLES["a_exact_quantiles"] = f"""
+PROMOTED_ORACLES["a_exact_quantiles"] = f"""
 WITH e AS ({_EV_SQL}),
 cum AS (
   SELECT event_type, cents,
@@ -1336,7 +1339,7 @@ SELECT event_type, CAST(max(n) AS BIGINT) AS n,
 FROM cum GROUP BY event_type ORDER BY event_type
 """
 
-STAGED_ORACLES["a_gini_concentration"] = f"""
+PROMOTED_ORACLES["a_gini_concentration"] = f"""
 WITH e AS ({_EV_SQL}),
 per_v AS (
   SELECT event_type, abs(cents) AS v, count(*) AS cnt
@@ -1440,7 +1443,7 @@ def k_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-STAGED_ORACLES["k_hive_partition_prune"] = f"""
+PROMOTED_ORACLES["k_hive_partition_prune"] = f"""
 WITH e AS ({_EV_SQL})
 SELECT es // 86400 AS day, count(*) AS n_events,
        CAST(sum(cents) AS BIGINT) AS cents_sum,
@@ -1449,7 +1452,7 @@ FROM e WHERE es // 86400 BETWEEN {_HIVE_DAYS[0]} AND {_HIVE_DAYS[1]}
 GROUP BY 1 ORDER BY 1
 """
 
-STAGED_ORACLES["k_schema_evolution"] = f"""
+PROMOTED_ORACLES["k_schema_evolution"] = f"""
 WITH e AS ({_EV_SQL})
 SELECT event_type, count(*) AS n_events,
        CAST(sum(CASE WHEN event_id % 3 = 0 AND cents IS NOT NULL
@@ -1616,7 +1619,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES["q13_custdist"] = """
+PROMOTED_ORACLES["q13_custdist"] = """
 WITH pc AS (
   SELECT c_custkey, count(o_orderkey) AS c_count
   FROM customer LEFT JOIN orders
@@ -1628,7 +1631,7 @@ FROM pc GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
 
-STAGED_ORACLES["q15_top_supplier"] = """
+PROMOTED_ORACLES["q15_top_supplier"] = """
 WITH r AS (
   SELECT l_suppkey,
          CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1645,7 +1648,7 @@ WHERE total_rev_c = (SELECT max(total_rev_c) FROM r)
 ORDER BY s_suppkey
 """
 
-STAGED_ORACLES["q17_small_quantity"] = """
+PROMOTED_ORACLES["q17_small_quantity"] = """
 WITH b AS (
   SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
@@ -1660,7 +1663,7 @@ FROM b JOIN pp ON l_partkey = pk
 WHERE qty * 5 * nq < sq
 """
 
-STAGED_ORACLES["q8_market_share"] = """
+PROMOTED_ORACLES["q8_market_share"] = """
 WITH rn AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 1),
 c AS (SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM rn)),
 o AS (
@@ -1752,7 +1755,7 @@ def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES["mm_audio_silence"] = f"""
+PROMOTED_ORACLES["mm_audio_silence"] = f"""
 WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
 w AS (SELECT media_id, text, n // 200 AS n_win FROM m WHERE n // 200 >= 1),
 i AS (SELECT media_id, text, unnest(generate_series(0, n_win - 1)) AS widx FROM w),
@@ -1879,7 +1882,7 @@ def t_stream_sessions(
         shutil.rmtree(root, ignore_errors=True)
 
 
-STAGED_ORACLES["t_stream_sessions"] = """
+PROMOTED_ORACLES["t_stream_sessions"] = """
 WITH l AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
@@ -1943,7 +1946,7 @@ def k_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-STAGED_ORACLES["k_dpp_join"] = f"""
+PROMOTED_ORACLES["k_dpp_join"] = f"""
 WITH e AS ({_EV_SQL}),
 d AS (
   SELECT es // 86400 AS day, user_id, event_id, cents FROM e
@@ -1987,7 +1990,7 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_ORACLES["text_bpe_pairs"] = """
+PROMOTED_ORACLES["text_bpe_pairs"] = """
 WITH w AS (
   SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
   FROM documents

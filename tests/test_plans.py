@@ -323,18 +323,25 @@ def test_registry_window_policy_invariants():
         and n not in RETIRED
         and n not in staged_r8.PROMOTED_ORACLES
         and n not in staged_r9.PROMOTED_ORACLES
-        and n not in staged_r10.STAGED_ORACLES
+        and n not in staged_r10.PROMOTED_ORACLES
         and n not in staged_r11.STAGED_ORACLES
         and n not in staged_r12.STAGED_ORACLES
     ]
     assert not unresolved, f"bench entries without query or staged impl: {unresolved}"
     # staged-lane freeze (r11, per the r10 verdict): staged_r12 is capped
-    # at FIVE entries until the promotion debt drains; the r12 window is
-    # 31 staged_r10 promotions (N 174 -> 205, cadence ceil(205/50) = 5)
-    # + the 24 r7-green overflow = 55 > 50, five of which park to r13
+    # at FIVE entries until the promotion debt drains. The r12 window as
+    # EXECUTED (with the 31->30 arithmetic correction — staged_r10's
+    # commit history and PROMOTED_ORACLES both sum to THIRTY): 30
+    # staged_r10 promotions (N 174 -> 204) + the first 20 of the 24
+    # r7-green overflow = 50 exactly; FOUR park to r13 with replica
+    # cover. The r12 trim then retires q_semi_join/q_anti_join (subsumed
+    # by the promoted Q4/Q22 cousins): N 204 -> 202, cadence
+    # ceil(202/50) = 5.
     assert len(staged_r12.STAGED_ORACLES) <= 5, (
         "staged-lane freeze violated: staged_r12 must stay <= 5 entries"
     )
+    assert len(staged_r10.PROMOTED_ORACLES) == 30, "r12 arithmetic basis"
+    assert len(names) == 202, "r12 post-trim registry size"
     # r10 trim invariants: retired entries are OUT of the driver contract
     # but keep their functions + oracles for frozen-prefix bench rows and
     # replica re-verification
