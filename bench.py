@@ -351,12 +351,40 @@ def _calibration_probe() -> dict:
     return {"cpu_sec": round(cpu, 3), "io_sec": round(io, 3)}
 
 
+def _newest_mtime(path: str, fresh_cutoff: float) -> float:
+    """Newest mtime anywhere under ``path`` (recursive). A directory's
+    own mtime does NOT change when files land in nested subdirectories
+    (r11 advice, medium): a live Spark JVM >1h old writes shuffle blocks
+    into blockmgr hash subdirs while the top-level dir mtime stays stale
+    — deletion must be gated on the newest NESTED mtime. Returns early
+    once anything newer than ``fresh_cutoff`` is seen (one fresh file
+    disqualifies deletion), so the walk stays cheap on live dirs."""
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return 0.0
+    if newest >= fresh_cutoff:
+        return newest
+    for root, dirs, files in os.walk(path):
+        for nm in dirs + files:
+            try:
+                m = os.path.getmtime(os.path.join(root, nm))
+            except OSError:
+                continue
+            if m > newest:
+                newest = m
+            if newest >= fresh_cutoff:
+                return newest
+    return newest
+
+
 def _clear_stale_tmp() -> list[str]:
     """Debris hygiene before the sweep (the documented ~15% small-scope
     inflation): drop scale-smoke dataset caches and acdp_* temp stores
     left by crashed runs (>1h stale — live runs touch theirs constantly)
     plus spark scratch dirs of dead sessions. Never touches anything
-    recent enough to belong to a concurrent process."""
+    recent enough to belong to a concurrent process — "recent" is judged
+    on the newest mtime found RECURSIVELY, not the top-level dir."""
     import glob as _glob
     import shutil as _shutil
 
@@ -369,7 +397,10 @@ def _clear_stale_tmp() -> list[str]:
     # timings, the opposite of hygiene
     keep = ("acdp_ann_index_", "acdp_sq8_index_", "acdp_decontam_")
     for pat, min_age in (
-        ("/tmp/acdp_scale_sf*", 0),
+        # scale-smoke datasets get the same 1h threshold as everything
+        # else (r11 advice, low): a CONCURRENT scale_smoke must not lose
+        # its dataset mid-run, and a recent warm dataset cache is reused
+        ("/tmp/acdp_scale_sf*", 3600),
         ("/tmp/acdp_*", 3600),
         ("/tmp/spark-*", 3600),
         ("/tmp/blockmgr-*", 3600),
@@ -379,13 +410,52 @@ def _clear_stale_tmp() -> list[str]:
             if any(base.startswith(k) for k in keep):
                 continue
             try:
-                if now - os.path.getmtime(d) < min_age:
+                if now - _newest_mtime(d, now - min_age) < min_age:
                     continue
                 _shutil.rmtree(d, ignore_errors=True)
                 removed.append(d)
             except OSError:
                 continue
     return removed
+
+
+def _stream_canary(spark) -> float:
+    """Fixed micro-batch streaming probe, timed at sweep start AND end
+    (r11 verdict item 2): the CPU/IO microprobe and sub-3s BATCH
+    canaries are blind to whatever taxes trigger scheduling and
+    state-store setup — the r11 artifact stamped machine_state_suspect
+    false while byte-untouched micro-batch streaming queries read 2-5x
+    their r9 medians. A trivial 3-file availableNow stream (one file
+    per trigger -> three micro-batches through a stateful agg, fresh
+    checkpoint each call) senses exactly that protocol path."""
+    import shutil as _shutil
+
+    base = tempfile.mkdtemp(prefix="acdp_bench_streamprobe_")
+    try:
+        src = os.path.join(base, "src")
+        for i in range(3):
+            spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id", "id % 7 AS k"
+            ).coalesce(1).write.mode("append").parquet(src)
+        t0 = time.time()
+        sdf = (
+            spark.readStream.schema("id BIGINT, k BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy("k")
+            .count()
+        )
+        q = (
+            sdf.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream canary stalled"
+        return round(time.time() - t0, 3)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 def main() -> None:
@@ -404,6 +474,14 @@ def main() -> None:
 
     # warmup: JVM + parquet footer reads, excluded from timings
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # one untimed throwaway sheds the one-time streaming class-load
+    # (~4 s in a fresh JVM) so before/after measure the same machinery;
+    # median-of-3 because the taxed state this probe exists to catch is
+    # ERRATIC (measured 7.5-46.6 s call-to-call on a taxed host vs
+    # ~2-4 s healthy) and a single draw would misread it
+    _stream_canary(spark)
+    stream_before_runs = [_stream_canary(spark) for _ in range(3)]
+    stream_before = _median(stream_before_runs)
 
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
@@ -415,15 +493,18 @@ def main() -> None:
         staged_r12,
     )
 
-    for name in HEADLINE:
+    def _resolve(name):
         # staged queries bench before they enter the registry
-        # RETIRED entries (r10 trim) left the driver contract but sit in
-        # frozen prefixes — keep timing the same still-importable code
-        fn = REGISTRY.get(name) or RETIRED.get(name) or getattr(
+        # RETIRED entries (r10/r12 trims) left the driver contract but
+        # sit in frozen prefixes — keep timing the still-importable code
+        return REGISTRY.get(name) or RETIRED.get(name) or getattr(
             staged_r8, name, None
         ) or getattr(staged_r9, name, None) or getattr(
             staged_r10, name, None
         ) or getattr(staged_r11, name, None) or getattr(staged_r12, name)
+
+    for name in HEADLINE:
+        fn = _resolve(name)
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.time()
@@ -446,18 +527,26 @@ def main() -> None:
     canaries = [n for n in HEADLINE[:23] if timings.get(n, 9) < 3.0][:3]
     canary = {}
     for name in canaries:
-        fn = REGISTRY.get(name) or RETIRED.get(name)
+        # same fallback chain as the sweep (r11 advice, low): a future
+        # fast staged-only entry in the prefix must not crash the very
+        # end of the run and lose the whole sweep's timings
+        fn = _resolve(name)
+        if fn is None:
+            continue
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         canary[name] = {
             "first_median": timings[name],
             "end_of_run": round(time.time() - t0, 3),
         }
+    stream_after_runs = [_stream_canary(spark) for _ in range(3)]
+    stream_after = _median(stream_after_runs)
     probe_after = _calibration_probe()
     drift = {
         k: round(probe_after[k] / max(probe_before[k], 1e-9), 3)
         for k in probe_before
     }
+    stream_drift = round(stream_after / max(stream_before, 1e-9), 3)
     canary_ratios = [
         c["end_of_run"] / max(c["first_median"], 1e-9) for c in canary.values()
     ]
@@ -465,11 +554,28 @@ def main() -> None:
         "probe_before": probe_before,
         "probe_after": probe_after,
         "probe_drift": drift,
+        # micro-batch streaming probe (r11 verdict item 2): senses
+        # trigger-scheduling / state-store setup cost the CPU/IO probe
+        # and batch canaries cannot. Threshold 1.5 (streaming setup is
+        # noisier than the batch probes; the r11 inflation read 2-5x).
+        "stream_canary": {
+            "before_sec": stream_before,
+            "after_sec": stream_after,
+            "before_runs": stream_before_runs,
+            "after_runs": stream_after_runs,
+            "drift": stream_drift,
+        },
         "canary": canary,
         "tmp_cleared": len(cleared),
         "machine_state_suspect": bool(
             max(drift.values(), default=1.0) > 1.3
             or (canary_ratios and _median(canary_ratios) > 1.3)
+            or stream_drift > 1.5
+            # absolute floor: a whole-session streaming tax inflates
+            # BOTH ends with flat drift — a healthy warm host runs this
+            # trivial 3-batch stream in ~2-4 s (measured; a taxed host
+            # read 7.5-46.6 s erratic — see BASELINE.md)
+            or min(stream_before, stream_after) > 8.0
         ),
     }
 
@@ -510,6 +616,7 @@ def main() -> None:
         "scopes": scopes,
         "calibration": {
             "probe_drift": drift,
+            "stream_canary": calibration["stream_canary"],
             "canary_ratio": round(_median(canary_ratios), 3) if canary_ratios else None,
             "machine_state_suspect": calibration["machine_state_suspect"],
             "tmp_cleared": len(cleared),
