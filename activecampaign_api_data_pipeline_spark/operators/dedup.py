@@ -829,30 +829,63 @@ def sig_jaccard_est(a, b, num_perm: int):
     return F.round(agree.cast("double") / num_perm, 6)
 
 
+def _minhash_spec(num_perm: int, bands: int, ngram: int) -> dict:
+    return {"num_perm": int(num_perm), "bands": int(bands), "ngram": int(ngram)}
+
+
 def _minhash_store_params(
     spark, path: str, num_perm: int, bands: int, ngram: int
-) -> None:
-    """Freeze (num_perm, bands, ngram) in the store's params.json on
-    first ingest and RAISE on later drift (the frozen-sidecar-spec
-    discipline every other persisted store follows — r10 advice class):
-    a later append with a different num_perm would mix incompatible
-    signature lengths into one sigs table; a different ngram would
-    change what a signature even measures."""
+) -> bool:
+    """Validate (num_perm, bands, ngram) against the store's frozen
+    params.json, RAISING on drift (the frozen-sidecar-spec discipline
+    every other persisted store follows — r10 advice class): a later
+    append with a different num_perm would mix incompatible signature
+    lengths into one sigs table; a different ngram would change what a
+    signature even measures.
+
+    Returns True when a frozen sidecar exists and matched, False when
+    the store has none yet — the CALLER writes it after the first sigs
+    append succeeds (sidecar-last, r11 advice: the old write-first order
+    meant a crash mid-build left a half-written sidecar that wedged the
+    store). A partially-written legacy sidecar (empty text dir from a
+    crashed pre-r12 coalesce-write) reads as absent and is replaced."""
     import json as _json
 
-    spec = {"num_perm": int(num_perm), "bands": int(bands), "ngram": int(ngram)}
-    if path_exists(spark, f"{path}/params.json"):
-        raw = spark.read.text(f"{path}/params.json").collect()[0][0]
-        frozen = _json.loads(raw)
-        if frozen != spec:
-            raise ValueError(
-                f"minhash store at {path} was built with {frozen};"
-                f" call passed {spec} — the spec is frozen at first ingest"
-            )
-        return
-    spark.createDataFrame(
-        [(_json.dumps(spec),)], "p string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    spec = _minhash_spec(num_perm, bands, ngram)
+    if not path_exists(spark, f"{path}/params.json"):
+        return False
+    rows = spark.read.text(f"{path}/params.json").collect()
+    if not rows:  # crashed legacy dir-write: no spec was ever frozen
+        return False
+    frozen = _json.loads(rows[0][0])
+    if frozen != spec:
+        raise ValueError(
+            f"minhash store at {path} was built with {frozen};"
+            f" call passed {spec} — the spec is frozen at first ingest"
+        )
+    return True
+
+
+def _write_minhash_params(spark, path: str, spec: dict) -> None:
+    """Atomic sidecar write: Hadoop tmp-file create + rename (the
+    matview ``_write_params`` pattern — r11 advice: the old
+    coalesce(1).write.text left a partial directory on crash). The
+    recursive delete also replaces a legacy DIRECTORY-shaped sidecar
+    (pre-r12 text-dir layout) with the single-file layout;
+    ``spark.read.text`` reads both."""
+    import json as _json
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(hconf)
+    tmp, final = P(f"{path}/_building_params.json"), P(f"{path}/params.json")
+    out = fs.create(tmp, True)
+    out.write(bytearray(_json.dumps(spec, sort_keys=True).encode()))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, True)
+    fs.rename(tmp, final)
 
 
 def minhash_store_append(
@@ -884,7 +917,7 @@ def minhash_store_append(
     and they would silently never generate near-dup candidates again.
     """
     spark = docs.sparkSession
-    _minhash_store_params(spark, path, num_perm, bands, ngram)
+    had_params = _minhash_store_params(spark, path, num_perm, bands, ngram)
     sh = _shingle_sets(docs, id_col, text_col, ngram)
     sigs = minhash_signatures(sh, num_perm)
     if path_exists(spark, f"{path}/sigs"):
@@ -893,6 +926,13 @@ def minhash_store_append(
     sigs = sigs.localCheckpoint(eager=True)  # two writes, one computation
     _banded(sigs, num_perm, bands).write.mode("append").parquet(f"{path}/bands")
     sigs.write.mode("append").parquet(f"{path}/sigs")
+    if not had_params:
+        # first ingest — or a legacy (pre-sidecar) store, which gets the
+        # sidecar BACKFILLED from this call's spec, first-caller-wins
+        # (r11 verdict: a later mismatched-banding probe must raise, not
+        # silently find no candidates). Written AFTER the sigs append
+        # succeeds (sidecar-last), atomically.
+        _write_minhash_params(spark, path, _minhash_spec(num_perm, bands, ngram))
 
 
 def incremental_minhash_pairs(
@@ -933,10 +973,15 @@ def incremental_minhash_pairs(
     batches that exceed broadcast memory — AQE picks the join strategy.
     """
     spark = new_docs.sparkSession
-    if path_exists(spark, f"{path}/params.json"):
-        # reads validate against the frozen spec too: probing a store
-        # with mismatched banding would silently find no candidates
-        _minhash_store_params(spark, path, num_perm, bands, ngram)
+    # reads validate against the frozen spec too: probing a store with
+    # mismatched banding would silently find no candidates
+    if not _minhash_store_params(spark, path, num_perm, bands, ngram) and path_exists(
+        spark, f"{path}/sigs"
+    ):
+        # legacy (pre-sidecar) store: backfill the sidecar from this
+        # call's spec, first-caller-wins (r11 verdict item 6), so a
+        # later mismatched probe raises instead of silently missing
+        _write_minhash_params(spark, path, _minhash_spec(num_perm, bands, ngram))
     sh = _shingle_sets(new_docs, id_col, text_col, ngram)
     new_sigs = minhash_signatures(sh, num_perm)
     new_bands = _banded(new_sigs, num_perm, bands)

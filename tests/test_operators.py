@@ -624,3 +624,67 @@ def test_minhash_store_spec_frozen_at_first_ingest(spark, tmp_path):
         incremental_minhash_pairs(docs, path, bands=4)
     # matching spec still appends (replay no-op: same ids anti-joined)
     minhash_store_append(docs, path)
+
+
+def test_minhash_store_legacy_sidecar_backfill(spark, tmp_path):
+    """Legacy-store upgrade path (r11 verdict item 6): a store built
+    before the sidecar existed (sigs present, no params.json) gets the
+    sidecar BACKFILLED from the first post-upgrade caller's spec —
+    append or probe, first-caller-wins — so a later mismatched-banding
+    probe raises instead of silently finding no candidates. A crashed
+    legacy dir-shaped sidecar (empty text dir) reads as absent and is
+    replaced by the atomic single-file write."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_store_append,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta " * 3)
+         for i in range(4)]
+    )
+
+    # legacy store: build normally, then strip the sidecar (the new
+    # layout is a single FILE; a real legacy store had a text dir)
+    import shutil
+
+    def _strip(pth):
+        if os.path.isdir(pth):
+            shutil.rmtree(pth)
+        else:
+            os.remove(pth)
+
+    path = str(tmp_path / "legacy_append")
+    minhash_store_append(docs, path)
+    _strip(f"{path}/params.json")
+    assert not os.path.exists(f"{path}/params.json")
+    # first post-upgrade APPEND backfills (with ITS spec — here 16/4/3)
+    more = spark.createDataFrame([Row(doc_id=10, text="eta theta iota " * 5)])
+    minhash_store_append(more, path, num_perm=16, bands=4)
+    assert os.path.isfile(f"{path}/params.json")  # single file, not a dir
+    with _pytest.raises(ValueError, match="frozen at first ingest"):
+        incremental_minhash_pairs(docs, path)  # default 32/8 now mismatches
+
+    # first post-upgrade PROBE backfills too
+    path2 = str(tmp_path / "legacy_probe")
+    minhash_store_append(docs, path2)
+    _strip(f"{path2}/params.json")
+    incremental_minhash_pairs(docs, path2).collect()
+    assert os.path.isfile(f"{path2}/params.json")
+    with _pytest.raises(ValueError, match="frozen at first ingest"):
+        minhash_store_append(docs, path2, num_perm=16)
+
+    # crashed legacy dir-write: empty params.json DIRECTORY wedges
+    # nothing — treated as absent, replaced atomically on next append
+    path3 = str(tmp_path / "legacy_crashed")
+    minhash_store_append(docs, path3)
+    _strip(f"{path3}/params.json")
+    os.makedirs(f"{path3}/params.json")
+    minhash_store_append(docs, path3)  # no wedge, replay no-op
+    assert os.path.isfile(f"{path3}/params.json")
+    assert spark.read.parquet(f"{path3}/sigs").count() == 4
