@@ -2243,6 +2243,17 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # them via bench.py's RETIRED resolution). N: 204 -> 202, cadence
 # stays ceil(202/50) = 5.
 #
+# RULE-2 TOUCH LEDGER (r12): t_stream_debounce (r11-green) gained a
+# scoped 8-partition state shuffle (the r11 verdict's weak-flag
+# adjudication — per-trigger cost is per-STATE-PARTITION store commits
+# + Arrow workers; 32 partitions read 9-36 s host-dependent at sf0.1,
+# 8 a stable ~5 s == its r9 median; results identical, stream==batch
+# oracle unchanged). The r12 window is owned by the promotion +
+# deadline set, so per rule 4 it parks with typed-replica cover at
+# sf0.001 AND sf0.01 this session; its next driver row rides the r16
+# cadence deadline (or sooner if a slot opens). Adjudication banked in
+# BASELINE.md.
+#
 # The staged_r11 batch (TWENTY-THREE queries at r10 close: BPE trainer +
 # tokenizer + per-doc encode, the matview family — single-table,
 # dim-enriched, compaction, streaming — the delta-join view pair, the

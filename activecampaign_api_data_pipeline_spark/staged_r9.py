@@ -235,8 +235,19 @@ def t_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(stream_dir)
         )
-        q = stream_debounce(stream, sink, ckpt, gap_s=_DEBOUNCE_GAP_S)
-        assert q.awaitTermination(300), "debounce stream did not drain in 300s"
+        # state partitions sized to the micro-batch volume, not the
+        # session default (r11 adjudication of this query's weak flag:
+        # per-trigger cost is per-STATE-PARTITION state-store commits +
+        # Arrow workers — 32 partitions read 9-36 s host-dependent,
+        # 8 a stable ~5 s, results identical; see
+        # streaming.stateful.scoped_state_partitions and BASELINE.md)
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            scoped_state_partitions,
+        )
+
+        with scoped_state_partitions(spark, 8):
+            q = stream_debounce(stream, sink, ckpt, gap_s=_DEBOUNCE_GAP_S)
+            assert q.awaitTermination(300), "debounce stream did not drain in 300s"
         out = spark.read.parquet(sink)
         return (
             out.groupBy("user_id")

@@ -15,10 +15,41 @@ last-seen event time, emitted on every batch the user appears in.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+@contextmanager
+def scoped_state_partitions(spark, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` around one micro-batch
+    streaming run (fresh-checkpoint queries only: the state partition
+    count is FROZEN from this conf at the stream's first batch).
+
+    Per-trigger cost scales with the state partition count, not the
+    data: every state partition pays a state-store open/delta-commit
+    (many small checkpoint files + fsyncs) and, for
+    ``applyInPandasWithState``, an Arrow python worker. Measured on
+    ``t_stream_debounce`` at sf0.1 (3 triggers): 32 partitions read
+    9.1-36.3 s per call depending on host state; 8 partitions a stable
+    4.9-5.7 s — identical results, since state is keyed and the
+    partition count only shards it. A trivial 3-batch stateful stream
+    isolates the same effect: ~1.0 s stateless, 5-10 s stateful at 32
+    partitions, ~1.3 s at 1 (bench.py's stream canary).
+
+    At 100 TB the SAME knob goes up with keyed batch volume (RocksDB
+    state store, one instance per partition, sized so each holds a
+    memory-resident working set); the design point is that state
+    partitioning must track the keyed data volume, not the session's
+    shuffle default."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 OUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts string"
 STATE_SCHEMA = "n long, total double, last_ts string"

@@ -1106,3 +1106,23 @@ def test_pattern_kernel_catches_boundary_spanning_match(spark):
     b3 = pd.DataFrame({"es": [7], "event_id": [17], "event_type": ["view"]})
     (o3,) = list(_update_pattern_match((7,), iter([b3]), st))
     assert o3.loc[0, "n_matches"] == 0 and o3.loc[0, "first_match_event"] is None
+
+
+def test_scoped_state_partitions_restores(spark):
+    """The state-partition scope restores the session conf on exit AND
+    on exception — a crashed streaming query must not leak a tiny
+    shuffle-partition count into every later batch query."""
+    import pytest as _pytest
+
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        scoped_state_partitions,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_state_partitions(spark, 8):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    with _pytest.raises(RuntimeError, match="boom"):
+        with scoped_state_partitions(spark, 4):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
