@@ -83,6 +83,7 @@ def _partial_aggs(measure: str) -> list:
 # A spec is a list of measure dicts:
 #   {"col": "value",   "aggs": ["count", "sum", "avg", "min", "max"]}
 #   {"col": "user_id", "agg": "hll", "lg_k": 12}
+#   {"col": "value",   "agg": "max_by", "by": "es"}   (also "min_by")
 #
 # Partials hold the minimal distributive closure of the request: avg is
 # NOT distributive but (sum, non-null count) is, so avg stores that pair
@@ -91,6 +92,16 @@ def _partial_aggs(measure: str) -> list:
 # the sketch binary and the read estimates. Partial columns per scalar
 # measure c: cnt_c / sum_c / min_c / max_c (only those the requested
 # aggs need); per HLL measure: hll_c (binary).
+#
+# max_by/min_by (r11 verdict item 8 — "latest value per key", the
+# reference's A2/W1 gold semantics, as a maintainable measure): the
+# partial is max(struct(by, col)) — struct comparison is lexicographic,
+# so (max by, argmax value) pairs merge associatively and ties on `by`
+# break DETERMINISTICALLY on the value itself. Rows where `by` OR the
+# value is NULL are EXCLUDED (SQL-aggregate null semantics, and it
+# keeps the tiebreak total — cross-engine null-ordering inside struct
+# comparisons is exactly the divergence this avoids). The read
+# extracts the value field as `{col}_at_max_{by}` / `{col}_at_min_{by}`.
 # ---------------------------------------------------------------------------
 
 _SCALAR_AGGS = ("count", "sum", "avg", "min", "max")
@@ -100,6 +111,11 @@ def _spec_partial_cols(m: dict) -> list[str]:
     c = m["col"]
     if m.get("agg") == "hll":
         return [f"hll_{c}"]
+    if m.get("agg") in ("max_by", "min_by"):
+        if not m.get("by"):
+            raise ValueError(f"{m['agg']} measure on {c} needs a 'by' column")
+        kind = "maxby" if m["agg"] == "max_by" else "minby"
+        return [f"{kind}_{c}_{m['by']}"]
     want = set(m["aggs"])
     bad = want - set(_SCALAR_AGGS)
     if bad:
@@ -127,6 +143,19 @@ def _spec_partial_aggs(spec: list[dict]) -> list:
             aggs.append(
                 F.hll_sketch_agg(c, F.lit(int(m.get("lg_k", 12)))).alias(f"hll_{c}")
             )
+            continue
+        if m.get("agg") in ("max_by", "min_by"):
+            (pc,) = _spec_partial_cols(m)
+            by = m["by"]
+            # NULL by/value rows are excluded (the when() yields a NULL
+            # struct, which min/max skip); field names are fixed so the
+            # partial schema is stable across batches
+            pair = F.when(
+                F.col(by).isNotNull() & F.col(c).isNotNull(),
+                F.struct(F.col(by).alias("b"), F.col(c).alias("v")),
+            )
+            agg = F.max(pair) if m["agg"] == "max_by" else F.min(pair)
+            aggs.append(agg.alias(pc))
             continue
         for pc in _spec_partial_cols(m):
             kind = pc.split("_", 1)[0]
@@ -157,6 +186,11 @@ def _spec_merge_aggs(spec: list[dict]) -> list:
                     "min": F.min(pc),
                     "max": F.max(pc),
                     "hll": F.hll_union_agg(pc),
+                    # struct max/min: lexicographic on (by, value) — the
+                    # same ordering the batch partial used, so merge is
+                    # associative and deterministic
+                    "maxby": F.max(pc),
+                    "minby": F.min(pc),
                 }[kind].alias(pc)
             )
     return aggs
@@ -173,6 +207,11 @@ def _spec_read_cols(spec: list[dict]) -> list:
             cols.append(
                 F.hll_sketch_estimate(f"hll_{c}").alias(f"n_distinct_{c}")
             )
+            continue
+        if m.get("agg") in ("max_by", "min_by"):
+            (pc,) = _spec_partial_cols(m)
+            side = "max" if m["agg"] == "max_by" else "min"
+            cols.append(F.col(pc)["v"].alias(f"{c}_at_{side}_{m['by']}"))
             continue
         for a in m["aggs"]:
             cols.append(

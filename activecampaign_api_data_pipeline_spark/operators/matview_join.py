@@ -87,29 +87,50 @@ def load_join_params(spark: SparkSession, path: str) -> dict:
     return json.loads(data.decode())
 
 
+def _spec_source_cols(spec: list[dict]) -> list[str]:
+    """Source columns a measure spec reads from the joined delta:
+    the measure col plus the max_by/min_by ``by`` column."""
+    cols: list[str] = []
+    for m in spec:
+        for c in (m["col"], m.get("by")):
+            if c and c not in cols:
+                cols.append(c)
+    return cols
+
+
 def create_join_view(
     spark: SparkSession,
     path: str,
     join_key: str,
     group_cols: list[str],
-    measure: str,
+    measure: str | None = None,
     n_buckets: int = 16,
+    spec: list[dict] | None = None,
 ) -> None:
     """Declare the view: both sides must carry ``join_key``; the joined
-    delta must surface ``group_cols`` + ``measure`` (each may live on
-    either side). Params sidecar lands atomically; histories and the
-    view materialize on first append."""
-    _write_params(
-        spark,
-        path,
-        {
-            "join_key": join_key,
-            "group_cols": list(group_cols),
-            "measure": measure,
-            "n_buckets": n_buckets,
-            "applied": [],
-        },
-    )
+    delta must surface ``group_cols`` + the measure columns (each may
+    live on either side). Params sidecar lands atomically; histories and
+    the view materialize on first append.
+
+    ``measure`` keeps the original single-measure layout; ``spec`` (r11
+    verdict item 7) is a matview measure-SPEC list — multi-measure, avg
+    as a (sum, count) pair, HLL sketch, max_by/min_by — maintained over
+    the delta join through the SAME ``matview`` partial/merge layer
+    (``_spec_partial_aggs`` / ``_spec_merge_aggs`` are reused verbatim
+    via the spec dispatch inside ``append_matview``/``read_matview``)."""
+    if (measure is None) == (spec is None):
+        raise ValueError("exactly one of measure / spec is required")
+    params: dict = {
+        "join_key": join_key,
+        "group_cols": list(group_cols),
+        "n_buckets": n_buckets,
+        "applied": [],
+    }
+    if spec is not None:
+        params["spec"] = list(spec)
+    else:
+        params["measure"] = measure
+    _write_params(spark, path, params)
 
 
 def _applied(spark: SparkSession, path: str, p: dict) -> set[str]:
@@ -176,13 +197,24 @@ def append_join_side(
         )
         hist = hist.filter(F.col("bucket").isin(touched)).drop("batch", "bucket")
         delta = bucketed.drop("bucket").join(hist, jk)
-        delta = delta.select(*p["group_cols"], p["measure"])
+        spec = p.get("spec")
+        delta = delta.select(
+            *p["group_cols"],
+            *(_spec_source_cols(spec) if spec else [p["measure"]]),
+        )
         empty = delta.isEmpty()
         if not _exists(spark, f"{view}/params.json"):
-            MV.build_matview(
-                delta, view, p["group_cols"], p["measure"], batch_key=key
-            )
+            if spec:
+                MV.build_matview_multi(
+                    delta, view, p["group_cols"], spec, batch_key=key
+                )
+            else:
+                MV.build_matview(
+                    delta, view, p["group_cols"], p["measure"], batch_key=key
+                )
         else:
+            # append dispatches on the VIEW's frozen params (single
+            # measure or spec) — the caller never restates the spec
             MV.append_matview(delta, view, key)
         folded = not empty
     else:

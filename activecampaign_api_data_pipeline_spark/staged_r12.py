@@ -5,11 +5,15 @@ DuckDB oracle in ``STAGED_ORACLES`` and is verified by the typed
 Spark-vs-DuckDB compare (``tests/test_staged_r7.py`` parametrizes over
 this dict) at two SFs before it ever enters the registry.
 
-**This batch is deliberately SMALL (two queries).** The r10 verdict
-froze staged-lane growth until the promotion debt drains: 78 staged
-queries were 34% of the oracle surface with promotions booked through
-r13, so staged_r12 is capped at five entries and only where a genuinely
-new operator demands an oracle. The one new operator this round is the
+**This batch is deliberately SMALL (FOUR queries — the freeze's 5-cap
+respected).** The r10 verdict froze staged-lane growth until the
+promotion debt drains: staged queries were 34% of the oracle surface
+with promotions booked through r13, so staged_r12 is capped at five
+entries and only where a genuinely new operator demands an oracle.
+The r11 pair covers the measure-SPEC matview; the r12 pair
+(``k_matview_join_multi``, ``k_matview_maxby`` — appended below) covers
+the two r11-verdict extensions of it: specs through the delta-join
+view, and the max_by/min_by argmax measure kind. The one new operator this round is the
 measure-SPEC matview (``operators/matview.py`` — the r10 verdict's
 "generalize the matview family to real view specs" item): one
 maintained view over MULTIPLE measures, ``avg`` maintained as a
@@ -237,3 +241,222 @@ STAGED_ORACLES: dict[str, str] = {
     "k_matview_multi": _MULTI_SQL,
     "t_stream_matview_multi": _MULTI_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# r12 additions (staged-lane freeze respected: 4 <= 5 cap). Two r11
+# verdict items, each a genuinely new operator capability needing an
+# oracle:
+#
+# - item 7: measure SPECS through the DELTA-JOIN view — a dim-enriched
+#   join view with avg + approximate-distinct measures, maintained
+#   while BOTH sides arrive in interleaved batches
+#   (``matview_join.create_join_view(spec=...)``; the spec
+#   partial/merge layer is ``matview``'s, reused via frozen-params
+#   dispatch).
+# - item 8: the max_by/min_by (argmax) measure kind — "latest value
+#   per key" (the reference's A2/W1 gold semantics,
+#   ``run_ac_extraction.py`` last-per-contact snapshots) as a
+#   MAINTAINABLE matview measure: the partial is max(struct(by, col)),
+#   struct comparison makes (by, value) pairs merge associatively with
+#   a deterministic value tiebreak; NULL by/value rows excluded.
+# ---------------------------------------------------------------------------
+
+
+def _ev12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged_r8/r9 epoch-seconds events projection."""
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("es"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+
+
+def k_matview_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-and-first value per key as MAINTAINED matview measures
+    (r11 verdict item 8): per user, the event value at the max and min
+    event time — the medallion gold "last per key" (A2/W1) unified
+    with the IVM family. Full lifecycle: build + two appends + replay
+    (guard no-ops) + compaction (struct partials fold associatively) +
+    post-compaction replay + read.
+
+    Tiebreak is pinned IDENTICALLY in both engines: the partial is
+    max(struct(es, cents)) — lexicographic, so es ties break on the
+    value — and the oracle orders by (es DESC, cents DESC). Rows with
+    NULL es or NULL cents are excluded from the argmax (SQL-aggregate
+    null semantics); n_rows still counts them."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview import (
+        append_matview,
+        build_matview_multi,
+        compact_matview,
+        read_matview,
+    )
+
+    e = _ev12(spark, sf_dir)
+    spec = [
+        {"col": "cents", "agg": "max_by", "by": "es"},
+        {"col": "cents", "agg": "min_by", "by": "es"},
+        {"col": "cents", "aggs": ["count"]},
+    ]
+    root = tempfile.mkdtemp(prefix="acdp_mvmb_")
+    try:
+        b = [e.where(F.col("event_id") % 3 == i) for i in range(3)]
+        build_matview_multi(b[0], root, ["user_id"], spec, batch_key="batch_0")
+        assert append_matview(b[1], root, "batch_1")
+        assert not append_matview(b[1], root, "batch_1")  # replay no-ops
+        compact_matview(spark, root)
+        assert not append_matview(b[1], root, "batch_1")  # guard survives fold
+        assert append_matview(b[2], root, "batch_2")
+        return (
+            read_matview(spark, root)
+            .select(
+                "user_id",
+                "n_rows",
+                "count_cents",
+                F.col("cents_at_max_es").alias("last_cents"),
+                F.col("cents_at_min_es").alias("first_cents"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def k_matview_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure SPECS through the delta-join view (r11 verdict item 7):
+    segment revenue dashboard maintained while BOTH sides arrive in
+    interleaved batches — orders (fact) ⋈ customer (dim rows arriving
+    late, as dims do) grouped by market segment, with count/sum/avg
+    cents AND an approximate-distinct-customers sketch measure. One
+    replayed fact batch pins the guard. The spec partial/merge layer is
+    matview's, dispatched from the view's frozen params
+    (``_spec_partial_aggs``/``_spec_merge_aggs`` reused verbatim).
+
+    Oracle strategy for the sketch (the ``hll_store`` pairing): the
+    result carries the EXACT distinct-customer count per segment
+    (oracle-matched bit-for-bit) plus an ``est_ok`` bound bit
+    (|est − exact| ≤ exact/15, ~4.1σ at lg_k=12) that flips the value
+    hash if the sketch drifts."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+        create_join_view,
+        read_join_view,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="acdp_mvjm_")
+    try:
+        path = root + "/view"
+        create_join_view(
+            spark, path, join_key="ck", group_cols=["c_mktsegment"],
+            n_buckets=8,
+            spec=[
+                {"col": "cents", "aggs": ["count", "sum", "avg"]},
+                {"col": "ck", "agg": "hll", "lg_k": 12},
+            ],
+        )
+        a = [orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+        bsides = [cust.where(F.col("ck") % 2 == i) for i in range(2)]
+        # interleaved arrival: facts before AND after their dim rows
+        assert append_join_side(a[0], path, "a", "k0")
+        assert append_join_side(bsides[0], path, "b", "k0")
+        assert append_join_side(a[1], path, "a", "k1")
+        assert not append_join_side(a[1], path, "a", "k1")  # replay no-ops
+        assert append_join_side(bsides[1], path, "b", "k1")
+        assert append_join_side(a[2], path, "a", "k2")
+        est = read_join_view(spark, path)
+        exact = (
+            orders.join(cust, "ck")
+            .groupBy("c_mktsegment")
+            .agg(F.countDistinct("ck").alias("n_exact_cust"))
+        )
+        return (
+            exact.alias("x")
+            .join(F.broadcast(est).alias("e"), "c_mktsegment")
+            .select(
+                "c_mktsegment",
+                "n_rows",
+                "count_cents",
+                "sum_cents",
+                "avg_cents",
+                "n_exact_cust",
+                (
+                    F.abs(F.col("n_distinct_ck") - F.col("n_exact_cust")) * 15
+                    <= F.col("n_exact_cust")
+                ).alias("est_ok"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STAGED_ORACLES["k_matview_maxby"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+nn AS (SELECT * FROM e WHERE es IS NOT NULL AND cents IS NOT NULL),
+r AS (
+  SELECT user_id, cents,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY es DESC, cents DESC
+         ) AS rn_max,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY es ASC, cents ASC
+         ) AS rn_min
+  FROM nn
+),
+agg AS (
+  SELECT user_id, count(*) AS n_rows, count(cents) AS count_cents
+  FROM e GROUP BY user_id
+)
+SELECT a.user_id, a.n_rows, a.count_cents,
+       mx.cents AS last_cents, mn.cents AS first_cents
+FROM agg a
+LEFT JOIN (SELECT user_id, cents FROM r WHERE rn_max = 1) mx USING (user_id)
+LEFT JOIN (SELECT user_id, cents FROM r WHERE rn_min = 1) mn USING (user_id)
+ORDER BY a.user_id
+"""
+
+STAGED_ORACLES["k_matview_join_multi"] = """
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+j AS (
+  SELECT c.c_mktsegment, o.cents, o.ck
+  FROM o JOIN customer c ON o.ck = c.c_custkey
+)
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       count(cents) AS count_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE) AS avg_cents,
+       CAST(count(DISTINCT ck) AS BIGINT) AS n_exact_cust,
+       TRUE AS est_ok
+FROM j
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -594,6 +594,83 @@ def test_join_view_equals_oneshot_under_any_interleave(spark, a_rows, b_rows, rn
 
 @settings(max_examples=6, deadline=None)
 @given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 3)), max_size=10),
+    st.lists(st.tuples(st.integers(0, 4), st.integers(-20, 20)), max_size=10),
+    st.randoms(use_true_random=False),
+)
+def test_join_view_spec_equals_oneshot_under_any_interleave(
+    spark, a_rows, b_rows, rng
+):
+    """Measure SPECS through the DELTA-JOIN view (r11 verdict item 7):
+    the join view maintained with a spec list — count/sum/avg, an HLL
+    distinct measure over b-side row ids, and max_by (m at the max
+    b-row id) — equals the one-shot join aggregate under ANY interleave
+    of side batches plus a replay. The spec partial/merge layer is the
+    matview one, reused through the view's frozen-params dispatch."""
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        append_join_side,
+        create_join_view,
+        read_join_view,
+    )
+
+    a = spark.createDataFrame(
+        [(ok, g, i) for i, (ok, g) in enumerate(a_rows)], "ok long, g long, i long"
+    )
+    b = spark.createDataFrame(
+        [(ok, m, 100 + i) for i, (ok, m) in enumerate(b_rows)],
+        "ok long, m long, bi long",
+    )
+    sched = [("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+    rng.shuffle(sched)
+    sched.append(sched[rng.randrange(4)])  # replay
+    root = tempfile.mkdtemp(prefix="jvspec_hyp_")
+    try:
+        create_join_view(
+            spark, root, join_key="ok", group_cols=["g"], n_buckets=4,
+            spec=[
+                {"col": "m", "aggs": ["count", "sum", "avg"]},
+                {"col": "bi", "agg": "hll", "lg_k": 12},
+                {"col": "m", "agg": "max_by", "by": "bi"},
+            ],
+        )
+        for side, idx in sched:
+            if side == "a":
+                batch = a.where(F.col("i") % 2 == idx).drop("i")
+            else:
+                batch = b.where(F.col("bi") % 2 == idx)
+            append_join_side(batch, root, side, f"k{idx}")
+        exp = {}
+        for ok_a, g in a_rows:
+            for j, (ok_b, m) in enumerate(b_rows):
+                if ok_a == ok_b:
+                    n, s, bis, pairs = exp.get(g, (0, 0, set(), []))
+                    exp[g] = (n + 1, s + m, bis | {100 + j}, pairs + [(100 + j, m)])
+        try:
+            got = {
+                r["g"]: (
+                    r["n_rows"], r["count_m"], r["sum_m"], r["avg_m"],
+                    r["n_distinct_bi"], r["m_at_max_bi"],
+                )
+                for r in read_join_view(spark, root).collect()
+            }
+        except FileNotFoundError:
+            got = {}
+        assert set(got) == set(exp)
+        for g, (n, s, bis, pairs) in exp.items():
+            gn, gc, gs, gavg, gdist, gmaxby = got[g]
+            assert (gn, gc, gs) == (n, n, s)
+            assert gavg == s / n
+            assert gdist == len(bis)  # exact: sparse coupon mode
+            assert gmaxby == max(pairs)[1]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
     st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 400)),
         min_size=1, max_size=60,
@@ -716,6 +793,7 @@ def test_span_scrub_matches_python_reference(spark, docs, k):
         st.tuples(
             st.one_of(st.none(), st.integers(0, 2)),
             st.one_of(st.none(), st.integers(-50, 50)),
+            st.one_of(st.none(), st.integers(0, 2)),
         ),
         min_size=1,
         max_size=20,
@@ -730,10 +808,13 @@ def test_matview_spec_equals_oneshot_under_any_batching_and_replay(
     single-measure store: any batching + any replay == the one-shot
     aggregate, for ALL measures at once — n_rows vs non-null count
     (NULL measures generated), avg derived from the merged (sum, cnt)
-    pair (NULL when every value in the group is NULL), min/max, and the
+    pair (NULL when every value in the group is NULL), min/max, the
     HLL measure (distinct row ids — exact at these cardinalities, the
-    DataSketches coupon path). NULL group keys are generated too: the
-    store must maintain a NULL-keyed group end-to-end."""
+    DataSketches coupon path), and max_by/min_by (value at max/min of a
+    tie-heavy `by` column: NULL by OR NULL value rows are excluded, and
+    ties on `by` break deterministically on the value — the struct-max
+    ordering). NULL group keys are generated too: the store must
+    maintain a NULL-keyed group end-to-end."""
     import shutil
     import tempfile
 
@@ -744,12 +825,14 @@ def test_matview_spec_equals_oneshot_under_any_batching_and_replay(
     )
 
     df = spark.createDataFrame(
-        [(k, i, m, i) for i, (k, m) in enumerate(facts)],
-        "k long, i long, m long, u long",
+        [(k, i, m, i, t) for i, (k, m, t) in enumerate(facts)],
+        "k long, i long, m long, u long, t long",
     )
     spec = [
         {"col": "m", "aggs": ["count", "sum", "avg", "min", "max"]},
         {"col": "u", "agg": "hll", "lg_k": 12},
+        {"col": "m", "agg": "max_by", "by": "t"},
+        {"col": "m", "agg": "min_by", "by": "t"},
     ]
     root = tempfile.mkdtemp(prefix="mvspec_hyp_")
     try:
@@ -772,29 +855,36 @@ def test_matview_spec_equals_oneshot_under_any_batching_and_replay(
             r["k"]: (
                 r["n_rows"], r["count_m"], r["sum_m"], r["avg_m"],
                 r["min_m"], r["max_m"], r["n_distinct_u"],
+                r["m_at_max_t"], r["m_at_min_t"],
             )
             for r in read_matview(spark, root).collect()
         }
         exp = {}
-        for i, (k, m) in enumerate(facts):
-            n, c, s, lo, hi, us = exp.get(k, (0, 0, 0, None, None, set()))
+        for i, (k, m, t) in enumerate(facts):
+            n, c, s, lo, hi, us, pairs = exp.get(
+                k, (0, 0, 0, None, None, set(), [])
+            )
             us = us | {i}
+            if t is not None and m is not None:
+                pairs = pairs + [(t, m)]
             if m is None:
-                exp[k] = (n + 1, c, s, lo, hi, us)
+                exp[k] = (n + 1, c, s, lo, hi, us, pairs)
             else:
                 exp[k] = (
                     n + 1, c + 1, s + m,
                     m if lo is None else min(lo, m),
                     m if hi is None else max(hi, m),
-                    us,
+                    us, pairs,
                 )
         assert set(got) == set(exp)
-        for k, (n, c, s, lo, hi, us) in exp.items():
-            gn, gc, gs, gavg, glo, ghi, gdist = got[k]
+        for k, (n, c, s, lo, hi, us, pairs) in exp.items():
+            gn, gc, gs, gavg, glo, ghi, gdist, gmaxby, gminby = got[k]
             assert (gn, gc, glo, ghi) == (n, c, lo, hi)
             assert gs == (s if c else None)
             assert gavg == (s / c if c else None)
             # exact at these cardinalities (sparse coupon mode)
             assert gdist == len(us)
+            assert gmaxby == (max(pairs)[1] if pairs else None)
+            assert gminby == (min(pairs)[1] if pairs else None)
     finally:
         shutil.rmtree(root, ignore_errors=True)
