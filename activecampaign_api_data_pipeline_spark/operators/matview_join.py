@@ -179,7 +179,10 @@ def append_join_side(
         "bucket", F.pmod(F.xxhash64(F.col(jk)), F.lit(nb)).cast("int")
     )
     (
-        bucketed.repartition("bucket")
+        # exactly one task per bucket: file sets align 1:1 with the hive
+        # bucket= dirs (the session's 32 shuffle partitions would spray
+        # the same nb dirs from 4x the tasks for nothing)
+        bucketed.repartition(int(nb), "bucket")
         .sortWithinPartitions(jk)
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -202,6 +205,11 @@ def append_join_side(
             *p["group_cols"],
             *(_spec_source_cols(spec) if spec else [p["measure"]]),
         )
+        # materialize the delta ONCE: isEmpty() and the fold below would
+        # otherwise each execute the bucket-pruned join (2x the append's
+        # dominant cost); the checkpoint holds O(batch ⋈ touched-bucket
+        # history) rows, exactly the bound the append already pays
+        delta = delta.localCheckpoint(eager=True)
         empty = delta.isEmpty()
         if not _exists(spark, f"{view}/params.json"):
             if spec:
@@ -272,7 +280,7 @@ def compact_join_history(spark: SparkSession, path: str, side: str) -> None:
     p = load_join_params(spark, path)
     hist = spark.read.option("basePath", live).parquet(live).drop("batch")
     (
-        hist.repartition("bucket")
+        hist.repartition(int(p["n_buckets"]), "bucket")
         .sortWithinPartitions(p["join_key"])
         .write.mode("overwrite")
         .partitionBy("bucket")

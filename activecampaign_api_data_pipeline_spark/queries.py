@@ -43,6 +43,7 @@ from activecampaign_api_data_pipeline_spark.operators.snapshots import (
     top_n_per_group,
 )
 from activecampaign_api_data_pipeline_spark.plans.chatter import chatter_master_from_dir
+from activecampaign_api_data_pipeline_spark.streaming.stateful import drain_scoped
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 DATE_FMT = "yyyy-MM-dd"
@@ -749,14 +750,13 @@ def t_stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
-    q = (
+    drain_scoped(spark, lambda: (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
-    )
-    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+    ))
     return spark.table(name)
 
 
@@ -825,7 +825,7 @@ def t_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = windowed_counts(stream, watermark=f"{span_h} hours").withColumnRenamed(
         "window_start", "hour_start"
     )
-    q = (
+    drain_scoped(spark, lambda: (
         agg.writeStream.foreachBatch(
             lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
         )
@@ -834,8 +834,7 @@ def t_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(f"stream_append_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
         .start()
-    )
-    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+    ))
     return spark.read.parquet(sink).filter(F.col("event_type") != "__sentinel__")
 
 
@@ -894,7 +893,7 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(
         stream, keys=["event_id"], ts_col="ts", watermark=f"{span_h} hours"
     )
-    q = (
+    drain_scoped(spark, lambda: (
         deduped.writeStream.foreachBatch(
             lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
         )
@@ -903,8 +902,7 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(f"stream_dedup_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
         .start()
-    )
-    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+    ))
     out = spark.read.parquet(sink)
     return out.select(
         "event_id", "user_id", "event_type",
@@ -959,7 +957,7 @@ def t_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback="1 hour",
         watermark=f"{span_h} hours",
     )
-    q = (
+    drain_scoped(spark, lambda: (
         joined.writeStream.foreachBatch(
             lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
         )
@@ -968,8 +966,7 @@ def t_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(f"stream_ij_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
         .start()
-    )
-    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+    ))
     out = spark.read.parquet(sink)
     return out.select(
         "user_id",
@@ -1031,7 +1028,7 @@ def t_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = stream_top_n_per_key(
         stream, key_col="user_id", value_col="value", id_col="event_id", n=3
     )
-    q = (
+    drain_scoped(spark, lambda: (
         ranked.writeStream.foreachBatch(
             lambda bdf, bid: bdf.withColumn("_bid", F.lit(bid))
             .write.mode("append")
@@ -1042,8 +1039,7 @@ def t_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(f"stream_topn_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
         .start()
-    )
-    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+    ))
     out = spark.read.parquet(sink)
     w = Window.partitionBy("user_id").orderBy(F.col("_bid").desc())
     return (
@@ -2253,6 +2249,27 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.001 AND sf0.01 this session; its next driver row rides the r16
 # cadence deadline (or sooner if a slot opens). Adjudication banked in
 # BASELINE.md.
+#
+# RULE-2 TOUCH LEDGER (r12, batch 2 — the same lever rolled out to the
+# whole micro-batch streaming family via streaming.stateful.
+# drain_scoped, the r10/r11 awaitTermination-batch mechanics): every
+# fresh-checkpoint bench stream now starts and drains under an
+# 8-partition state scope (results pinned by each oracle; the count
+# only shards keyed state). Touched registered queries and their
+# cover: t_stream_anomaly + t_stream_sessions sit INSIDE the r12
+# window (fresh driver rows; both re-verified exact at sf0.01 after
+# the change); t_stream_dedup / t_stream_interval_join / t_stream_topn
+# (the parked four's three streamers) had their parked replica cover
+# REFRESHED post-change; t_stream_window_hourly / t_stream_append /
+# t_stream_cdc / t_stream_pattern (r9-green, deadline r13) and
+# t_stream_enrich / t_stream_state_totals / t_stream_text_index
+# (r11-green) are typed-replica exact at sf0.01 this session; the
+# staged streamers (t_stream_matview / _join / _hll / _left_join /
+# _matview_multi) ride the parametrized two-SF gate. matview_join
+# additionally materializes each delta once (localCheckpoint before
+# the isEmpty probe — the join previously executed twice per append)
+# and writes history with one task per bucket; k_matview_join /
+# k_matview_join_multi / t_stream_matview_join replica-exact after.
 #
 # The staged_r11 batch (TWENTY-THREE queries at r10 close: BPE trainer +
 # tokenizer + per-doc encode, the matview family — single-table,

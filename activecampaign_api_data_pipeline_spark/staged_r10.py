@@ -1863,15 +1863,18 @@ def t_stream_sessions(
         sessions = session_rollup(
             stream, ts_col="ts", gap="30 minutes", key_col="user_id"
         )
-        q = (
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            drain_scoped,
+        )
+
+        drain_scoped(spark, lambda: (
             sessions.writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
-        )
-        assert q.awaitTermination(300), "session stream did not drain in 300s"
+        ))
         out = spark.read.parquet(sink).filter(F.col("user_id") != -1)
         return (
             out.select("user_id", "session_start", "session_end", "n_events")

@@ -285,10 +285,13 @@ def t_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(stream_dir)
         )
-        q = stream_into_matview(
-            stream, view, ckpt, key_cols=["o_custkey"], measure="cents"
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            drain_scoped,
         )
-        assert q.awaitTermination(300), "matview stream did not drain in 300s"
+
+        drain_scoped(spark, lambda: stream_into_matview(
+            stream, view, ckpt, key_cols=["o_custkey"], measure="cents"
+        ))
         return _matview_result(spark, view).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -436,7 +439,11 @@ def t_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark=f"{delay_s} seconds",
             how="leftOuter",
         )
-        q = (
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            drain_scoped,
+        )
+
+        drain_scoped(spark, lambda: (
             joined.writeStream.foreachBatch(
                 lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
             )
@@ -445,8 +452,7 @@ def t_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(f"stream_loj_{uuid.uuid4().hex[:8]}")
             .trigger(availableNow=True)
             .start()
-        )
-        assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+        ))
         out = spark.read.parquet(sink).filter(F.col("event_id") > 0)
         return out.select(
             "user_id",
@@ -939,10 +945,13 @@ def t_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(stream_dir)
         )
-        q = stream_into_hll_view(
-            stream, view, ckpt, ["event_type"], "user_id"
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            drain_scoped,
         )
-        assert q.awaitTermination(300), "hll stream did not drain in 300s"
+
+        drain_scoped(spark, lambda: stream_into_hll_view(
+            stream, view, ckpt, ["event_type"], "user_id"
+        ))
         return _hll_result(spark, view, facts).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1249,11 +1258,14 @@ def t_stream_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(stream_dir)
         )
-        q = stream_into_join_view(
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            drain_scoped,
+        )
+
+        drain_scoped(spark, lambda: stream_into_join_view(
             stream, view, ckpt,
             a_cols=["ok", "o_custkey"], b_cols=["ok", "cents"],
-        )
-        assert q.awaitTermination(300), "join-view stream did not drain in 300s"
+        ))
         return _join_view_result(spark, view).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -10,18 +10,16 @@ respected).** The r10 verdict froze staged-lane growth until the
 promotion debt drains: staged queries were 34% of the oracle surface
 with promotions booked through r13, so staged_r12 is capped at five
 entries and only where a genuinely new operator demands an oracle.
-The r11 pair covers the measure-SPEC matview; the r12 pair
-(``k_matview_join_multi``, ``k_matview_maxby`` — appended below) covers
-the two r11-verdict extensions of it: specs through the delta-join
-view, and the max_by/min_by argmax measure kind. The one new operator this round is the
-measure-SPEC matview (``operators/matview.py`` — the r10 verdict's
-"generalize the matview family to real view specs" item): one
-maintained view over MULTIPLE measures, ``avg`` maintained as a
-(sum, non-null count) partial pair, and an approximate-distinct measure
-maintained as an HLL sketch partial (the ``hll_store`` register-max
-merge composed INTO the matview layout). Everything else this round is
-depth on existing families (BPE production-shaping, bench
-self-diagnosis) and needs no new oracle.
+The r11 pair covers the one new r11 operator, the measure-SPEC matview
+(``operators/matview.py`` — the r10 verdict's "generalize the matview
+family to real view specs" item): one maintained view over MULTIPLE
+measures, ``avg`` maintained as a (sum, non-null count) partial pair,
+and an approximate-distinct measure maintained as an HLL sketch partial
+(the ``hll_store`` register-max merge composed INTO the matview
+layout). The r12 pair (``k_matview_join_multi``, ``k_matview_maxby`` —
+appended below) covers the two r11-verdict extensions of it: specs
+through the delta-join view, and the max_by/min_by argmax measure
+kind.
 
 - ``k_matview_multi``: full spec-store lifecycle — build from the
   first order batch, fold two more in, REPLAY a batch (guard no-ops),
@@ -204,10 +202,13 @@ def t_stream_matview_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(stream_dir)
         )
-        q = stream_into_matview(
-            stream, view, ckpt, key_cols=["prio"], measure=_MULTI_SPEC
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            drain_scoped,
         )
-        assert q.awaitTermination(300), "spec-matview stream did not drain in 300s"
+
+        drain_scoped(spark, lambda: stream_into_matview(
+            stream, view, ckpt, key_cols=["prio"], measure=_MULTI_SPEC
+        ))
         return _multi_result(spark, view, facts).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

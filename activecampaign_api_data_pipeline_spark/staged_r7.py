@@ -742,13 +742,16 @@ def t_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink)
 
-    q = (
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        drain_scoped,
+    )
+
+    drain_scoped(spark, lambda: (
         joined.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
-    )
-    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+    ))
     out = spark.read.parquet(sink)
     return out.groupBy(
         F.coalesce("c_mktsegment", F.lit("<none>")).alias("segment")
@@ -790,8 +793,11 @@ def t_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
-    q = stream_running_totals(stream, sink, ckpt)
-    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        drain_scoped,
+    )
+
+    drain_scoped(spark, lambda: stream_running_totals(stream, sink, ckpt))
     out = spark.read.parquet(sink)
     w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
     return (
@@ -860,8 +866,11 @@ def t_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
-    q = stream_trailing_anomaly(stream, sink, ckpt)
-    assert q.awaitTermination(300), f"{q.name} did not drain in 300s"
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        drain_scoped,
+    )
+
+    drain_scoped(spark, lambda: stream_trailing_anomaly(stream, sink, ckpt))
     out = spark.read.parquet(sink)
     return out.groupBy("user_id").agg(
         F.sum("n_new").alias("n_events"),

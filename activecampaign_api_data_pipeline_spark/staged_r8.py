@@ -347,13 +347,17 @@ def t_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(stream_dir)
         )
-        q = stream_into_store(
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            drain_scoped,
+        )
+
+        # availableNow trigger: a False return means the stream stalled —
+        # drain_scoped fails HERE, not as a confusing partial-snapshot
+        # parity mismatch
+        drain_scoped(spark, lambda: stream_into_store(
             stream, store, "cdc_state", ["user_id"], ckpt,
             updated_col="seq", tombstone_col="is_del",
-        )
-        # availableNow trigger: a False return means the stream stalled —
-        # fail HERE, not as a confusing partial-snapshot parity mismatch
-        assert q.awaitTermination(300), "CDC stream did not drain in 300s"
+        ))
         return store.read("gold", "cdc_state").select(
             "user_id",
             F.col("op").alias("last_op"),
@@ -530,8 +534,11 @@ def t_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(stream_dir)
         )
-        q = stream_pattern_match(stream, sink, ckpt)
-        assert q.awaitTermination(300), "pattern stream did not drain in 300s"
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            drain_scoped,
+        )
+
+        drain_scoped(spark, lambda: stream_pattern_match(stream, sink, ckpt))
         out = spark.read.parquet(sink)
         agg = out.groupBy("user_id").agg(
             F.sum("n_matches").alias("n_matches"),

@@ -1151,8 +1151,11 @@ def t_stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(stream_dir)
         )
-        q = stream_into_text_index(stream, idx, ckpt)
-        assert q.awaitTermination(300), "text-index stream did not drain in 300s"
+        from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+            drain_scoped,
+        )
+
+        drain_scoped(spark, lambda: stream_into_text_index(stream, idx, ckpt))
         return bm25_search_index(spark, idx, _BM25_TERMS, k=20).localCheckpoint(
             eager=True
         )
