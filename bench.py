@@ -507,7 +507,16 @@ def main() -> None:
             staged_r10, name, None
         ) or getattr(staged_r11, name, None) or getattr(staged_r12, name)
 
-    for name in HEADLINE:
+    # mid-sweep stream-canary draws: the first certified-quiet r12
+    # attempt had FLAT canary ends (2.5 -> 2.8 s) while per-rep spreads
+    # showed the host tax striking MID-sweep (t_stream_pattern reps
+    # 13.9/20.7/49.0 in a ~40-min run; the tax oscillates on ~half-hour
+    # scales). One draw after these HEADLINE indexes closes the blind
+    # window; any draw over the 8 s healthy floor marks the run suspect.
+    mid_points = {99, 140}
+    mid_canary: list[dict] = []
+    sweep_t0 = time.time()
+    for qi, name in enumerate(HEADLINE):
         fn = _resolve(name)
         runs: list[float] = []
         for _ in range(reps):
@@ -523,7 +532,20 @@ def main() -> None:
             # untouched — the warm-index design stands.
             spark.sparkContext._jvm.System.gc()
         timings[name] = round(_median(runs), 3)
-        spread[name] = {"min": min(runs), "max": max(runs), "runs": runs}
+        spread[name] = {
+            "min": min(runs), "max": max(runs), "runs": runs,
+            # seconds since sweep start: lets any retro-analysis
+            # correlate inflated entries with host-tax time windows
+            "at": round(t0 - sweep_t0, 1),
+        }
+        if qi + 1 in mid_points:
+            mid_canary.append(
+                {
+                    "after_entry": qi + 1,
+                    "at": round(time.time() - sweep_t0, 1),
+                    "sec": _stream_canary(spark),
+                }
+            )
 
     # end-of-run machine-state sentinels: re-measure three cheap early
     # canaries and the calibration probe; inflation that tracks these is
@@ -567,6 +589,7 @@ def main() -> None:
             "after_sec": stream_after,
             "before_runs": stream_before_runs,
             "after_runs": stream_after_runs,
+            "mid": mid_canary,
             "drift": stream_drift,
         },
         "canary": canary,
@@ -580,6 +603,9 @@ def main() -> None:
             # trivial 3-batch stream in ~2-4 s (measured; a taxed host
             # read 7.5-46.6 s erratic — see BASELINE.md)
             or min(stream_before, stream_after) > 8.0
+            # a mid-sweep draw over the floor catches the oscillating
+            # tax striking while both ends were quiet
+            or any(m["sec"] > 8.0 for m in mid_canary)
         ),
     }
 
