@@ -5,8 +5,8 @@ DuckDB oracle in ``STAGED_ORACLES`` and is verified by the typed
 Spark-vs-DuckDB compare (``tests/test_staged_r7.py`` parametrizes over
 this dict) at two SFs before it ever enters the registry.
 
-**This batch is deliberately SMALL (FOUR queries — the freeze's 5-cap
-respected).** The r10 verdict froze staged-lane growth until the
+**This batch is deliberately SMALL (FIVE queries — exactly the
+freeze's cap).** The r10 verdict froze staged-lane growth until the
 promotion debt drains: staged queries were 34% of the oracle surface
 with promotions booked through r13, so staged_r12 is capped at five
 entries and only where a genuinely new operator demands an oracle.
@@ -16,10 +16,12 @@ family to real view specs" item): one maintained view over MULTIPLE
 measures, ``avg`` maintained as a (sum, non-null count) partial pair,
 and an approximate-distinct measure maintained as an HLL sketch partial
 (the ``hll_store`` register-max merge composed INTO the matview
-layout). The r12 pair (``k_matview_join_multi``, ``k_matview_maxby`` —
-appended below) covers the two r11-verdict extensions of it: specs
-through the delta-join view, and the max_by/min_by argmax measure
-kind.
+layout). The r12 trio (``k_matview_join_multi``, ``k_matview_maxby``,
+``t_stream_matview_join_multi`` — appended below) covers the two
+r11-verdict extensions of it — specs through the delta-join view, and
+the max_by/min_by argmax measure kind — plus the spec join view's
+Structured-Streaming twin (every persisted store in this repo carries
+one; stream == batch under the same oracle).
 
 - ``k_matview_multi``: full spec-store lifecycle — build from the
   first order batch, fold two more in, REPLAY a batch (guard no-ops),
@@ -461,3 +463,117 @@ FROM j
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def t_stream_matview_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`k_matview_join_multi` — completes the
+    repo's store discipline (every persisted store carries a
+    Structured-Streaming twin): ONE interleaved changelog stream with
+    orders rows tagged ``a`` and customer-dim rows tagged ``b`` drives
+    ``stream_into_join_view`` against the SPEC-declared view in three
+    micro-batches. Co-arriving pairs count once (a-rows route before
+    b-rows inside each batch); the read equals the one-shot join
+    aggregate under the SAME oracle as the batch twin — stream == batch
+    for count/sum/avg AND the sketch measure's est_ok bound."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from activecampaign_api_data_pipeline_spark.operators.matview_join import (
+        create_join_view,
+        read_join_view,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import pin_confs
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_join_view,
+    )
+    from activecampaign_api_data_pipeline_spark.streaming.stateful import (
+        drain_scoped,
+    )
+
+    pin_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
+    )
+    tagged = orders.select(
+        F.lit("a").alias("side"), "ck", "cents",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.col("o_orderkey").alias("slice_key"),
+    ).unionByName(
+        cust.select(
+            F.lit("b").alias("side"), "ck",
+            F.lit(None).cast("bigint").alias("cents"),
+            "c_mktsegment",
+            F.col("ck").alias("slice_key"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="acdp_mvjms_")
+    try:
+        stream_dir, view, ckpt = (
+            os.path.join(root, d) for d in ("in", "view", "ckpt")
+        )
+        os.makedirs(stream_dir)
+        for i in range(3):
+            sl = tagged.where(F.col("slice_key") % 3 == i).drop("slice_key")
+            tmp = os.path.join(root, f"slice{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        create_join_view(
+            spark, view, join_key="ck", group_cols=["c_mktsegment"],
+            n_buckets=8,
+            spec=[
+                {"col": "cents", "aggs": ["count", "sum", "avg"]},
+                {"col": "ck", "agg": "hll", "lg_k": 12},
+            ],
+        )
+        stream = (
+            spark.readStream.schema(
+                "side string, ck long, cents long, c_mktsegment string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        drain_scoped(spark, lambda: stream_into_join_view(
+            stream, view, ckpt,
+            a_cols=["ck", "cents"], b_cols=["ck", "c_mktsegment"],
+        ))
+        est = read_join_view(spark, view)
+        exact = (
+            orders.join(cust, "ck")
+            .groupBy("c_mktsegment")
+            .agg(F.countDistinct("ck").alias("n_exact_cust"))
+        )
+        return (
+            exact.alias("x")
+            .join(F.broadcast(est).alias("e"), "c_mktsegment")
+            .select(
+                "c_mktsegment",
+                "n_rows",
+                "count_cents",
+                "sum_cents",
+                "avg_cents",
+                "n_exact_cust",
+                (
+                    F.abs(F.col("n_distinct_ck") - F.col("n_exact_cust")) * 15
+                    <= F.col("n_exact_cust")
+                ).alias("est_ok"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STAGED_ORACLES["t_stream_matview_join_multi"] = STAGED_ORACLES["k_matview_join_multi"]

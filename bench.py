@@ -304,10 +304,12 @@ HEADLINE = [
     # pair / HLL sketch measure) lifecycle + streaming twin
     "k_matview_multi",
     "t_stream_matview_multi",
-    # r12-staged additions (4 <= 5 cap): measure SPECS through the
-    # delta-join view + the max_by/min_by (argmax) measure kind
+    # r12-staged additions (5 == cap): measure SPECS through the
+    # delta-join view + its streaming twin + the max_by/min_by
+    # (argmax) measure kind
     "k_matview_join_multi",
     "k_matview_maxby",
+    "t_stream_matview_join_multi",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
