@@ -248,7 +248,7 @@ def ivfpq_search_index(
     """
     p = load_ann_params(spark, path)
     coarse = spark.read.parquet(f"{path}/coarse")
-    cells = spark.read.parquet(f"{path}/cells")
+    cells = _live_cells(spark, path, p)
     codes = spark.read.parquet(f"{path}/codes")
     cents = spark.read.parquet(f"{path}/codebooks")
     dsub = p.dim // p.m
@@ -310,6 +310,118 @@ def ivfpq_search_index(
         "query_id", "sub", F.col("cent_id").alias("code"), _l2(F.col("qv"), F.col("cv")).alias("d")
     )
     return _adc_topk(codes, dtab, p.id_col, k, cand=cand)
+
+
+def _live_cells(spark: SparkSession, path: str, p: AnnIndexParams) -> DataFrame:
+    """The candidate gate minus tombstoned ids: every search path flows
+    through ``cells`` (the gate feeding ``_adc_topk``'s ``cand``), so
+    one broadcast anti-join here hides deleted vectors from ALL reads
+    immediately — codes rows for them simply never match a candidate."""
+    from activecampaign_api_data_pipeline_spark.storage import path_exists
+
+    cells = spark.read.parquet(f"{path}/cells")
+    if path_exists(spark, f"{path}/tombstones"):
+        tomb = spark.read.parquet(f"{path}/tombstones").select(p.id_col).distinct()
+        cells = cells.join(F.broadcast(tomb), p.id_col, "left_anti")
+    return cells
+
+
+def delete_ann_index(spark: SparkSession, path: str, ids) -> None:
+    """Tombstone vectors out of the persisted index — the missing third
+    verb of the index lifecycle (build / append / DELETE), the
+    GDPR-erasure shape the medallion store already has for rows
+    (``storage`` CDC tombstones).
+
+    ``ids`` is a one-column DataFrame or a Python list of vector ids.
+    Cost is O(delete batch): one small parquet append to the
+    ``tombstones`` ledger. Effect is immediate — every search excludes
+    tombstoned ids via the ``cells`` gate anti-join — and idempotent
+    (the ledger is read distinct; re-deleting is harmless). Re-adding a
+    deleted id later is NOT supported without a vacuum first (the
+    ledger hides the id, not a specific row version — document, don't
+    guess). Physical bytes are reclaimed by :func:`vacuum_ann_index`.
+
+    At 100 TB: deletes are rare and small next to the corpus; paying a
+    broadcast anti-join of the (tiny) ledger per search beats rewriting
+    multi-TB ``codes`` per erasure request; periodic vacuum amortizes
+    the physical rewrite across many deletes."""
+    p = load_ann_params(spark, path)
+    _tombstone_ids(spark, path, p.id_col, ids)
+
+
+def _tombstone_ids(spark: SparkSession, path: str, id_col: str, ids) -> None:
+    if isinstance(ids, (list, tuple)):
+        ids_df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    else:
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    ids_df.distinct().write.mode("append").parquet(f"{path}/tombstones")
+
+
+def vacuum_ann_index(spark: SparkSession, path: str) -> None:
+    """Physically drop tombstoned rows from ``cells`` and ``codes`` and
+    clear the ledger — the LSM-style reclaim that bounds the per-search
+    anti-join cost after many deletes.
+
+    Crash-safe via the staging/rename discipline shared with every
+    compaction in this repo (recovery branch BEFORE any delete: live
+    missing + staging present → staging renames back in). The ledger is
+    removed LAST, so every intermediate crash state still reads
+    correctly: until both artifact swaps complete, the surviving
+    tombstones keep hiding the ids (the anti-join is simply vacuous for
+    an already-vacuumed artifact), and a re-run completes the job."""
+    p = load_ann_params(spark, path)
+    _vacuum_artifacts(spark, path, p.id_col, ("cells", "codes"))
+
+
+def _vacuum_artifacts(
+    spark: SparkSession, path: str, id_col: str, arts: tuple
+) -> None:
+    from activecampaign_api_data_pipeline_spark.storage import path_exists
+
+    if not path_exists(spark, f"{path}/tombstones"):
+        return
+    tomb = F.broadcast(
+        spark.read.parquet(f"{path}/tombstones").select(id_col).distinct()
+    )
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    for art in arts:
+        live = f"{path}/{art}"
+        staging, old = f"{live}__compacting", f"{live}__old"
+        if not fs.exists(P(live)):
+            if fs.exists(P(staging)):  # crashed between the two renames
+                fs.rename(P(staging), P(live))
+                if fs.exists(P(old)):
+                    fs.delete(P(old), True)
+                continue
+            raise FileNotFoundError(f"vacuum: no artifact at {live}")
+        if fs.exists(P(old)):
+            fs.delete(P(old), True)
+        if fs.exists(P(staging)):
+            fs.delete(P(staging), True)
+        kept = spark.read.parquet(live).join(tomb, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(staging)
+        fs.rename(P(live), P(old))
+        fs.rename(P(staging), P(live))
+        fs.delete(P(old), True)
+    fs.delete(P(f"{path}/tombstones"), True)
+
+
+def delete_sq8_index(spark: SparkSession, path: str, ids) -> None:
+    """SQ8 twin of :func:`delete_ann_index` — same tombstone ledger,
+    same immediacy (the code scan anti-joins the ledger), same
+    idempotency, reclaimed by :func:`vacuum_sq8_index`."""
+    p = load_sq8_params(spark, path)
+    _tombstone_ids(spark, path, p.id_col, ids)
+
+
+def vacuum_sq8_index(spark: SparkSession, path: str) -> None:
+    """SQ8 twin of :func:`vacuum_ann_index` (the SQ8 layout has one
+    per-vector artifact, ``codes``; frozen ``stats`` hold no rows)."""
+    p = load_sq8_params(spark, path)
+    _vacuum_artifacts(spark, path, p.id_col, ("codes",))
 
 
 def ivfpq_refine_index(
@@ -499,9 +611,16 @@ def sq8_search_index(
         sq8_encode,
     )
 
+    from activecampaign_api_data_pipeline_spark.storage import path_exists
+
     p = load_sq8_params(spark, path)
     stats = spark.read.parquet(f"{path}/stats")
     codes = spark.read.parquet(f"{path}/codes")
+    if path_exists(spark, f"{path}/tombstones"):
+        # deleted vectors drop out of the scan immediately (the SQ8
+        # layout has no cells gate, so the anti-join sits on codes)
+        tomb = spark.read.parquet(f"{path}/tombstones").select(p.id_col).distinct()
+        codes = codes.join(F.broadcast(tomb), p.id_col, "left_anti")
     qenc = sq8_encode(
         queries.select(
             F.col("query_id").alias(p.id_col), F.col("qv").alias(p.vec_col)

@@ -2271,6 +2271,18 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and writes history with one task per bucket; k_matview_join /
 # k_matview_join_multi / t_stream_matview_join replica-exact after.
 #
+# RULE-2 TOUCH LEDGER (r12, batch 3 — ANN index deletion lifecycle):
+# ivfpq_search_index now reads cells through the tombstone anti-join
+# gate (_live_cells) and sq8_search_index anti-joins its code scan —
+# a no-op when no tombstones exist (the registered queries' case; the
+# anti-join is skipped entirely without the ledger dir). Touched
+# registered queries typed-replica exact at sf0.01 this session:
+# sim_ivfpq_from_index, sim_ann_index_append, sim_ann_index_refine,
+# sim_sq8_from_index (+ the retired sim_ann_index_nprobe1). The new
+# delete/vacuum verbs (delete_ann_index / vacuum_ann_index /
+# delete_sq8_index / vacuum_sq8_index) are pytest-covered IO-lifecycle
+# ops under the rows-only carve-out, like the other store verbs.
+#
 # The staged_r11 batch (TWENTY-THREE queries at r10 close: BPE trainer +
 # tokenizer + per-doc encode, the matview family — single-table,
 # dim-enriched, compaction, streaming — the delta-join view pair, the

