@@ -77,6 +77,19 @@ def _write(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def _clear_tombstones(spark: SparkSession, path: str) -> None:
+    """Drop any leftover deletion ledger at build start: a rebuild at the
+    same path (what :func:`ensure_ann_index` does on a params mismatch)
+    encodes the CURRENT corpus, so a stale ledger from un-vacuumed deletes
+    against the OLD index would silently hide live, never-deleted vectors
+    from the new one."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(P(f"{path}/tombstones")):
+        fs.delete(P(f"{path}/tombstones"), True)
+
+
 def build_ann_index(
     emb: DataFrame,
     path: str,
@@ -103,6 +116,7 @@ def build_ann_index(
     spark.createDataFrame(
         [(json.dumps({"_building_": True}),)], "p string"
     ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    _clear_tombstones(spark, path)
 
     # 1. coarse quantizer (cosine k-means)
     coarse = _write(
@@ -353,7 +367,10 @@ def _tombstone_ids(spark: SparkSession, path: str, id_col: str, ids) -> None:
     if isinstance(ids, (list, tuple)):
         ids_df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
     else:
-        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        # cast to the ledger's canonical type: mixed appends (int batch
+        # after a long batch) would otherwise leave conflicting parquet
+        # schemas in the tombstones dir and break later ledger reads
+        ids_df = ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
     ids_df.distinct().write.mode("append").parquet(f"{path}/tombstones")
 
 
@@ -393,10 +410,14 @@ def _vacuum_artifacts(
         if not fs.exists(P(live)):
             if fs.exists(P(staging)):  # crashed between the two renames
                 fs.rename(P(staging), P(live))
-                if fs.exists(P(old)):
-                    fs.delete(P(old), True)
-                continue
-            raise FileNotFoundError(f"vacuum: no artifact at {live}")
+                # Fall through and re-vacuum against the CURRENT ledger
+                # (vacuous if already applied): the restored staging was
+                # built from the ledger AS OF the crashed run, so any
+                # tombstones appended since must still be absorbed before
+                # the ledger delete below — `continue` here would erase
+                # them unapplied, silently resurrecting deleted vectors.
+            else:
+                raise FileNotFoundError(f"vacuum: no artifact at {live}")
         if fs.exists(P(old)):
             fs.delete(P(old), True)
         if fs.exists(P(staging)):
@@ -560,6 +581,7 @@ def build_sq8_index(
     spark.createDataFrame(
         [(json.dumps({"_building_": True}),)], "p string"
     ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    _clear_tombstones(spark, path)
 
     stats = _write(sq8_stats(emb, id_col, vec_col), f"{path}/stats")
     _write(sq8_encode(emb, stats, id_col, vec_col), f"{path}/codes")

@@ -866,6 +866,34 @@ def _minhash_store_params(
     return True
 
 
+def _legacy_backfill_guard(spark, path: str, num_perm: int, bands: int) -> None:
+    """Gate the first-caller-wins sidecar backfill on the evidence the
+    artifacts already carry. A sidecar-less store with existing sigs is
+    either genuinely legacy (pre-sidecar layout) or the residue of a crash
+    between the first sigs append and the sidecar write; in the crash case
+    a NEXT caller with a different (num_perm, bands) must not freeze ITS
+    spec over incompatible signatures (r12 advice). Signature array length
+    pins num_perm exactly; the stored band indexes bound the band count —
+    a mismatch on either raises instead of silently mixing specs. ``ngram``
+    leaves no artifact trace, so a same-shape different-ngram caller is
+    accepted (documented limit of first-caller-wins)."""
+    row = spark.read.parquet(f"{path}/sigs").select(F.size("sig").alias("n")).first()
+    if row is not None and row["n"] != num_perm:
+        raise ValueError(
+            f"minhash store at {path} has no params sidecar but its stored"
+            f" signatures have length {row['n']} != num_perm={num_perm};"
+            " refusing to backfill a mismatched spec"
+        )
+    if path_exists(spark, f"{path}/bands"):
+        mb = spark.read.parquet(f"{path}/bands").agg(F.max("band")).first()[0]
+        if mb is not None and mb >= bands:
+            raise ValueError(
+                f"minhash store at {path} has no params sidecar but its"
+                f" stored band index max {mb} >= bands={bands};"
+                " refusing to backfill a mismatched spec"
+            )
+
+
 def _write_minhash_params(spark, path: str, spec: dict) -> None:
     """Atomic sidecar write: Hadoop tmp-file create + rename (the
     matview ``_write_params`` pattern — r11 advice: the old
@@ -918,6 +946,10 @@ def minhash_store_append(
     """
     spark = docs.sparkSession
     had_params = _minhash_store_params(spark, path, num_perm, bands, ngram)
+    if not had_params and path_exists(spark, f"{path}/sigs"):
+        # sidecar-less but sigs present: legacy store OR crash residue —
+        # verify this caller's spec against the artifacts BEFORE appending
+        _legacy_backfill_guard(spark, path, num_perm, bands)
     sh = _shingle_sets(docs, id_col, text_col, ngram)
     sigs = minhash_signatures(sh, num_perm)
     if path_exists(spark, f"{path}/sigs"):
@@ -980,7 +1012,9 @@ def incremental_minhash_pairs(
     ):
         # legacy (pre-sidecar) store: backfill the sidecar from this
         # call's spec, first-caller-wins (r11 verdict item 6), so a
-        # later mismatched probe raises instead of silently missing
+        # later mismatched probe raises instead of silently missing —
+        # gated on the stored artifacts actually matching this spec
+        _legacy_backfill_guard(spark, path, num_perm, bands)
         _write_minhash_params(spark, path, _minhash_spec(num_perm, bands, ngram))
     sh = _shingle_sets(new_docs, id_col, text_col, ngram)
     new_sigs = minhash_signatures(sh, num_perm)

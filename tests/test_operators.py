@@ -663,12 +663,16 @@ def test_minhash_store_legacy_sidecar_backfill(spark, tmp_path):
     minhash_store_append(docs, path)
     _strip(f"{path}/params.json")
     assert not os.path.exists(f"{path}/params.json")
-    # first post-upgrade APPEND backfills (with ITS spec — here 16/4/3)
+    # a first post-upgrade APPEND whose spec contradicts the stored
+    # artifacts must refuse (r12 advice: the crash-residue case), while
+    # an artifact-compatible caller backfills first-caller-wins
     more = spark.createDataFrame([Row(doc_id=10, text="eta theta iota " * 5)])
-    minhash_store_append(more, path, num_perm=16, bands=4)
+    with _pytest.raises(ValueError, match="refusing to backfill"):
+        minhash_store_append(more, path, num_perm=16, bands=4)
+    minhash_store_append(more, path)  # default 32/8 matches the artifacts
     assert os.path.isfile(f"{path}/params.json")  # single file, not a dir
     with _pytest.raises(ValueError, match="frozen at first ingest"):
-        incremental_minhash_pairs(docs, path)  # default 32/8 now mismatches
+        incremental_minhash_pairs(docs, path, num_perm=16, bands=4)
 
     # first post-upgrade PROBE backfills too
     path2 = str(tmp_path / "legacy_probe")
@@ -688,3 +692,51 @@ def test_minhash_store_legacy_sidecar_backfill(spark, tmp_path):
     minhash_store_append(docs, path3)  # no wedge, replay no-op
     assert os.path.isfile(f"{path3}/params.json")
     assert spark.read.parquet(f"{path3}/sigs").count() == 4
+
+
+def test_minhash_sidecar_backfill_gated_on_artifact_evidence(spark, tmp_path):
+    """r12 advice: a sidecar-less store with existing sigs (legacy layout
+    OR a crash between the first sigs append and the sidecar write) must
+    not let a mismatched caller freeze ITS spec over incompatible stored
+    signatures. The backfill is gated on the artifacts: signature array
+    length pins num_perm, stored band indexes bound the band count."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        _banded,
+        _shingle_sets,
+        incremental_minhash_pairs,
+        minhash_signatures,
+        minhash_store_append,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta eta") for i in range(3)]
+    )
+    path = str(tmp_path / "legacy")
+    # simulate the crash residue: sigs + bands landed (num_perm=32,
+    # bands=8) but the sidecar write never happened
+    sh = _shingle_sets(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, 32)
+    _banded(sigs, 32, 8).write.mode("append").parquet(f"{path}/bands")
+    sigs.write.mode("append").parquet(f"{path}/sigs")
+
+    # a different num_perm must refuse to backfill — append AND probe
+    with _pytest.raises(ValueError, match="refusing to backfill"):
+        minhash_store_append(docs, path, num_perm=16, bands=8)
+    batch = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta epsilon zeta eta")])
+    with _pytest.raises(ValueError, match="refusing to backfill"):
+        incremental_minhash_pairs(batch, path, num_perm=16, bands=8)
+    # same num_perm but fewer bands than the stored band indexes: refuse
+    with _pytest.raises(ValueError, match="refusing to backfill"):
+        minhash_store_append(docs, path, num_perm=32, bands=4)
+    assert not (tmp_path / "legacy" / "params.json").exists()
+
+    # the matching spec backfills first-caller-wins and works end-to-end
+    pairs = incremental_minhash_pairs(batch, path, num_perm=32, bands=8, threshold=0.5)
+    assert pairs.count() == 3
+    assert (tmp_path / "legacy" / "params.json").exists()
+    # and the frozen sidecar now rejects mismatches the normal way
+    with _pytest.raises(ValueError, match="frozen at first ingest"):
+        minhash_store_append(docs, path, num_perm=16, bands=8)

@@ -815,3 +815,103 @@ def test_sq8_index_delete_and_vacuum(spark, tmp_path):
         tuple(r) for r in AIX.sq8_search_index(spark, path, queries, k=3).collect()
     }
     assert post == after
+
+
+def test_sq8_vacuum_crash_recovery_applies_current_ledger(spark, tmp_path):
+    """r12 advice: a vacuum re-run after a crash between the two renames
+    must NOT `continue` past the restored artifact — the staging copy was
+    folded against the ledger AS OF the crashed run, so tombstones
+    appended since (a new delete) must still be absorbed before the
+    ledger delete. The old code restored staging verbatim and then erased
+    the ledger, silently resurrecting the newly-deleted vector."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = spark.createDataFrame(
+        _rand_vecs(60, 6), "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    path = str(tmp_path / "sq8crash")
+    AIX.build_sq8_index(emb, path)
+    victim = sorted(
+        {r["neighbor_id"] for r in AIX.sq8_search_index(spark, path, queries, k=3).collect()}
+    )[0]
+    AIX.delete_sq8_index(spark, path, [victim])
+    # simulate the crash: a prior vacuum (of an EARLIER ledger state) died
+    # between `rename(live, old)` and `rename(staging, live)` — staging
+    # holds a copy that has NOT absorbed the victim's tombstone
+    shutil.move(f"{path}/codes", f"{path}/codes__compacting")
+    AIX.vacuum_sq8_index(spark, path)
+    assert os.path.exists(f"{path}/codes")
+    assert not os.path.exists(f"{path}/codes__compacting")
+    assert not os.path.exists(f"{path}/tombstones")
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.filter(F.col("vec_id") == victim).count() == 0, (
+        "crash-recovered vacuum resurrected a deleted vector"
+    )
+    got = AIX.sq8_search_index(spark, path, queries, k=3).collect()
+    assert not any(r["neighbor_id"] == victim for r in got)
+
+
+def test_rebuild_clears_stale_tombstone_ledger(spark, tmp_path):
+    """r12 advice: rebuilding at the same path (ensure_* does this on a
+    params mismatch) must drop any un-vacuumed ledger — the new index
+    encodes the CURRENT corpus, and a stale ledger would silently hide
+    live, never-deleted vectors from it. Both codecs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = spark.createDataFrame(
+        _rand_vecs(60, 6), "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "rebuild")
+    AIX.build_ann_index(emb, path, n_centroids=4, m=2, ksub=3, n_iters=1)
+    AIX.delete_ann_index(spark, path, [1, 2, 3])
+    AIX.build_ann_index(emb, path, n_centroids=4, m=2, ksub=3, n_iters=1)
+    assert not os.path.exists(f"{path}/tombstones")
+    p = AIX.load_ann_params(spark, path)
+    live = AIX._live_cells(spark, path, p)
+    assert live.count() == 60  # every live vector is a candidate again
+
+    spath = str(tmp_path / "rebuild_sq8")
+    AIX.build_sq8_index(emb, spath)
+    AIX.delete_sq8_index(spark, spath, [5])
+    AIX.build_sq8_index(emb, spath)
+    assert not os.path.exists(f"{spath}/tombstones")
+    codes = spark.read.parquet(f"{spath}/codes")
+    assert codes.filter(F.col("vec_id") == 5).count() == 1
+
+
+def test_tombstone_dataframe_ids_cast_to_canonical_type(spark, tmp_path):
+    """r12 advice: the DataFrame branch of the tombstone append casts ids
+    to the ledger's canonical long — a list-batch (long) followed by an
+    int-typed DataFrame batch must not leave conflicting parquet schemas
+    in the ledger dir."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    emb = spark.createDataFrame(
+        _rand_vecs(40, 6), "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "mixed")
+    AIX.build_sq8_index(emb, path)
+    AIX.delete_sq8_index(spark, path, [7])  # list branch: long
+    int_ids = spark.createDataFrame([(8,)], T.StructType([T.StructField("some_id", T.IntegerType())]))
+    AIX.delete_sq8_index(spark, path, int_ids)  # DataFrame branch: int -> cast long
+    ledger = spark.read.parquet(f"{path}/tombstones")
+    assert [f.dataType.simpleString() for f in ledger.schema.fields] == ["bigint"]
+    assert {r["vec_id"] for r in ledger.collect()} == {7, 8}
+    AIX.vacuum_sq8_index(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.filter(F.col("vec_id").isin([7, 8])).count() == 0
