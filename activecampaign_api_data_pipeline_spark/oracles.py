@@ -2055,6 +2055,7 @@ FROM s
         staged_r8,
         staged_r9,
         staged_r10,
+        staged_r11,
     )
 
     for batch in (
@@ -2062,6 +2063,7 @@ FROM s
         staged_r8.PROMOTED_ORACLES,
         staged_r9.PROMOTED_ORACLES,
         staged_r10.PROMOTED_ORACLES,
+        staged_r11.PROMOTED_ORACLES,
     ):
         overlap = set(o) & set(batch)
         assert not overlap, f"duplicate oracle keys: {overlap}"
@@ -2083,5 +2085,17 @@ _RETIRED_KEYS = (
     # q22_idle_customers cousins (same semi/anti join shapes)
     "q_semi_join",
     "q_anti_join",
+    # r13 trim (the verdict-named size hold, executed as the staged_r11
+    # promotion lands): each entry is a parameter/shape variant strictly
+    # covered by a registered cousin on the same kernel — see the
+    # REGISTRY ledger note for the per-entry cousin arguments
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_sq8_topk",
+    "a_cube_events",
+    "dedup_exact_fingerprint",
+    "k_gold_asof",
+    "g_pagerank_fixed",
+    "a_count_distinct",
 )
 RETIRED_ORACLES: dict[str, str] = {}

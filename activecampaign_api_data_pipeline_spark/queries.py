@@ -2296,6 +2296,42 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The r13 window = 23 promotions + the 4 r12-parked r7-green entries
 # (reserved slots) + the first 23 of the r9-green deadline set, same
 # rule-4 mechanics for the remainder.
+#
+# r13 WINDOW (EXECUTED, per the r12 pre-plan): staged_r11's 23 queries
+# promote (PROMOTED_ORACLES merged into build_oracles, the prior
+# batches' mechanics verbatim) and fill slots 1-23. Slots 24-27 = the
+# four r7-green entries parked in r12 at their reserved slots
+# (sim_semantic_dedup, t_stream_dedup, t_stream_interval_join,
+# t_stream_topn — the only cadence debt in the ledger, retired here).
+# Slots 28-50 = the first 23 of the r9-green deadline set in prior
+# registry order, AFTER the r13 trim removes a_count_distinct /
+# sim_ivf_topk / sim_pq_topk from that set (so slot 50 is
+# a_percentiles). The remaining 24 r9-green entries displace under
+# rule 4 (typed-replica exact at sf0.01 this session) and OWN the r14
+# window alongside the staged_r12 promotions (5 + 24 = 29 slots; the
+# r10-green set hits its r14 deadline and takes the remaining 21 by
+# prior registry order, with the overflow parking under rule 4).
+#
+# r13 TRIM (EXECUTED — the verdict-item-6 size hold): EIGHT entries
+# retire to the RETIRED map, each a parameter/shape variant strictly
+# covered by a registered cousin on the same kernel (per-entry cousin
+# arguments at the RETIRED map below), each typed-replica exact at
+# sf0.01 at retirement, oracles moved to oracles.RETIRED_ORACLES, and
+# frozen bench prefixes still timing them via bench.py's RETIRED
+# resolution: sim_ivf_topk, sim_pq_topk, sim_sq8_topk, a_cube_events,
+# dedup_exact_fingerprint, k_gold_asof, g_pagerank_fixed,
+# a_count_distinct. N: 225 - 8 = 217, cadence stays ceil(217/50) = 5.
+#
+# RULE-2 TOUCH LEDGER (r13): the ANN index store gained the r12-advice
+# hardening — vacuum crash recovery re-applies the CURRENT ledger
+# after a staging restore (never `continue`s past it), rebuilds clear
+# leftover tombstones, tombstone DataFrame appends cast to long — and
+# the minhash store's sidecar backfill is gated on artifact evidence.
+# Registered queries on the touched paths, all typed-replica exact at
+# sf0.01 this session after the change: sim_ivfpq_from_index,
+# sim_ann_index_append, sim_ann_index_refine, sim_sq8_from_index,
+# sim_sq8_ivf_topk (+ the retiring sim_sq8_topk). No registered query
+# reads the minhash store (pytest surface only).
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,
@@ -2417,10 +2453,95 @@ from activecampaign_api_data_pipeline_spark.staged_r10 import (  # noqa: E402
     w_ols_trailing_slope,
 )
 
+from activecampaign_api_data_pipeline_spark.staged_r11 import (  # noqa: E402
+    k_hll_compact,
+    k_hll_store_roundtrip,
+    k_jsonl_roundtrip,
+    k_matview_compact,
+    k_matview_dim_roundtrip,
+    k_matview_join_roundtrip,
+    k_matview_roundtrip,
+    k_orc_roundtrip,
+    k_span_store_roundtrip,
+    llm_span_dedup,
+    q2_min_cost_supplier,
+    q6_forecast_revenue,
+    q9_product_profit,
+    q11_important_parts,
+    q12_priority_shipping,
+    q20_promotion_parts,
+    t_stream_hll,
+    t_stream_left_join,
+    t_stream_matview,
+    t_stream_matview_join,
+    text_bpe_encode,
+    text_bpe_tokenize,
+    text_bpe_train,
+)
+
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- slots 1-30: the staged_r10 promotions (rule 1 — new entries
+    # ---- slots 1-23: the staged_r11 promotions (rule 1 — new entries
     #      land inside the window the round they register), in staged
     #      module order ----
+    "text_bpe_train": text_bpe_train,
+    "text_bpe_tokenize": text_bpe_tokenize,
+    "text_bpe_encode": text_bpe_encode,
+    "k_matview_roundtrip": k_matview_roundtrip,
+    "k_matview_compact": k_matview_compact,
+    "t_stream_matview": t_stream_matview,
+    "k_matview_dim_roundtrip": k_matview_dim_roundtrip,
+    "k_matview_join_roundtrip": k_matview_join_roundtrip,
+    "t_stream_matview_join": t_stream_matview_join,
+    "t_stream_left_join": t_stream_left_join,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q20_promotion_parts": q20_promotion_parts,
+    "k_hll_store_roundtrip": k_hll_store_roundtrip,
+    "k_hll_compact": k_hll_compact,
+    "t_stream_hll": t_stream_hll,
+    "k_orc_roundtrip": k_orc_roundtrip,
+    "llm_span_dedup": llm_span_dedup,
+    "k_span_store_roundtrip": k_span_store_roundtrip,
+    "k_jsonl_roundtrip": k_jsonl_roundtrip,
+    # ---- slots 24-27: the four r7-green entries parked in r12, at the
+    #      reserved slots the r12 ledger booked (their last driver row
+    #      is r7 — the oldest in the ledger; this retires the only
+    #      cadence debt) ----
+    "sim_semantic_dedup": sim_semantic_dedup,
+    "t_stream_dedup": t_stream_dedup,
+    "t_stream_interval_join": t_stream_interval_join,
+    "t_stream_topn": t_stream_topn,
+    # ---- slots 28-50: the first 23 of the r9-green deadline set (the
+    #      r13 TRIM below removes a_count_distinct/sim_ivf_topk/
+    #      sim_pq_topk from that set first), in prior registry order ----
+    "w_pattern_match": w_pattern_match,
+    "t_stream_pattern": t_stream_pattern,
+    "k_cdc_merge": k_cdc_merge,
+    "k_cdc_store_roundtrip": k_cdc_store_roundtrip,
+    "t_stream_cdc": t_stream_cdc,
+    "a_weighted_sample": a_weighted_sample,
+    "llm_ngram_novelty": llm_ngram_novelty,
+    "w_rolling_median": w_rolling_median,
+    "a_bucket_quantiles": a_bucket_quantiles,
+    "w_lag1_autocorr": w_lag1_autocorr,
+    "text_bigram_familiarity": text_bigram_familiarity,
+    "g_kcore": g_kcore,
+    "text_dict_tag": text_dict_tag,
+    "llm_temporal_split": llm_temporal_split,
+    "a_survival_hazard": a_survival_hazard,
+    "k_profile_orders": k_profile_orders,
+    "t_stream_append": t_stream_append,
+    "t_stream_window_hourly": t_stream_window_hourly,
+    "t_sessionize": t_sessionize,
+    "q1_pricing_summary": q1_pricing_summary,
+    "w2_top3_per_user": w2_top3_per_user,
+    "w3_earliest3_per_user": w3_earliest3_per_user,
+    "a_percentiles": a_percentiles,
+    # ---- past the window: r12-green, deadline r17 (cadence 5);
+    #      g_pagerank_fixed retired by the r13 trim ----
     "q21_waiting_supplier": q21_waiting_supplier,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "j_asof_tolerance": j_asof_tolerance,
@@ -2451,14 +2572,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_stream_sessions": t_stream_sessions,
     "k_dpp_join": k_dpp_join,
     "text_bpe_pairs": text_bpe_pairs,
-    # ---- slots 31-50: the first 20 of the 24 r7-green overflow at
-    #      their rule-4-deferred deadline (displaced from the r11
-    #      window with typed-replica cover, ledgered for r12), in
-    #      prior registry order ----
     "j_attribution_last_touch": j_attribution_last_touch,
     "q_salted_count_distinct": q_salted_count_distinct,
     "q_salted_join_enrich": q_salted_join_enrich,
-    "g_pagerank_fixed": g_pagerank_fixed,
     "j_fuzzy_block_match": j_fuzzy_block_match,
     "a_exact_median_mad": a_exact_median_mad,
     "w_ewma_per_key": w_ewma_per_key,
@@ -2475,17 +2591,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_holt_linear": w_holt_linear,
     "t_stream_anomaly": t_stream_anomaly,
     "mm_image_phash_neardup": mm_image_phash_neardup,
-    # ---- past the window: the LAST FOUR of the 24 r7-green overflow
-    #      (rule 4 — the corrected r12 window is 30 + 24 = 54 > 50, so
-    #      four park, not the pre-plan's five: the staged_r10 batch
-    #      closed at THIRTY queries, not thirty-one — see the ledger
-    #      correction above; each typed-replica exact at sf0.01 this
-    #      session, and each takes a reserved r13 slot) ----
-    "sim_semantic_dedup": sim_semantic_dedup,
-    "t_stream_dedup": t_stream_dedup,
-    "t_stream_interval_join": t_stream_interval_join,
-    "t_stream_topn": t_stream_topn,
-    # ---- past the window: r11-green, deadline r16 (cadence 5) ----
+    # ---- past the window: r11-green, deadline r16 (cadence 5);
+    #      sim_sq8_topk retired by the r13 trim ----
     "w_cusum_drift": w_cusum_drift,
     "t_debounce_events": t_debounce_events,
     "t_stream_debounce": t_stream_debounce,
@@ -2530,16 +2637,16 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_event_gaps": t_event_gaps,
     "text_normalize": text_normalize,
     "a_winsorize": a_winsorize,
-    "sim_sq8_topk": sim_sq8_topk,
     "sim_sq8_ivf_topk": sim_sq8_ivf_topk,
     "sim_sq8_from_index": sim_sq8_from_index,
     "t_stream_enrich": t_stream_enrich,
     "t_stream_state_totals": t_stream_state_totals,
     "t_session_occupancy": t_session_occupancy,
-    # ---- past the window: r10-green, deadline r14 ----
+    # ---- past the window: r10-green, deadline r14; k_gold_asof /
+    #      a_cube_events / dedup_exact_fingerprint retired by the r13
+    #      trim ----
     "k_gold_ckpt_asof": k_gold_ckpt_asof,
     "k_dataset_diff": k_dataset_diff,
-    "k_gold_asof": k_gold_asof,
     "k2_medallion_snapshot": k2_medallion_snapshot,
     "a_vocab_topk": a_vocab_topk,
     "text_tfidf_topterms": text_tfidf_topterms,
@@ -2557,7 +2664,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_srp_neardup": sim_srp_neardup,
     "sim_embedding_neardup": sim_embedding_neardup,
-    "a_cube_events": a_cube_events,
     "a_pivot_events": a_pivot_events,
     "flagship_chatter": flagship_chatter,
     "j_range_events_in_window": j_range_events_in_window,
@@ -2569,7 +2675,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_asof_last_order": j_asof_last_order,
     "j1_broadcast_enrich": j1_broadcast_enrich,
     "u2_conform_union": u2_conform_union,
-    "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "a1_exact_dedup": a1_exact_dedup,
     "p2_rowhash": p2_rowhash,
     "p_scalar_derivations": p_scalar_derivations,
@@ -2585,31 +2690,10 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_pack_sequences": llm_pack_sequences,
     "llm_curation_pipeline": llm_curation_pipeline,
     "k_block_store_roundtrip": k_block_store_roundtrip,
-    # ---- past the window: r9-green, deadline r13 ----
-    "w_pattern_match": w_pattern_match,
-    "t_stream_pattern": t_stream_pattern,
-    "k_cdc_merge": k_cdc_merge,
-    "k_cdc_store_roundtrip": k_cdc_store_roundtrip,
-    "t_stream_cdc": t_stream_cdc,
-    "a_weighted_sample": a_weighted_sample,
-    "llm_ngram_novelty": llm_ngram_novelty,
-    "w_rolling_median": w_rolling_median,
-    "a_bucket_quantiles": a_bucket_quantiles,
-    "w_lag1_autocorr": w_lag1_autocorr,
-    "text_bigram_familiarity": text_bigram_familiarity,
-    "g_kcore": g_kcore,
-    "text_dict_tag": text_dict_tag,
-    "llm_temporal_split": llm_temporal_split,
-    "a_survival_hazard": a_survival_hazard,
-    "k_profile_orders": k_profile_orders,
-    "t_stream_append": t_stream_append,
-    "t_stream_window_hourly": t_stream_window_hourly,
-    "t_sessionize": t_sessionize,
-    "q1_pricing_summary": q1_pricing_summary,
-    "w2_top3_per_user": w2_top3_per_user,
-    "w3_earliest3_per_user": w3_earliest3_per_user,
-    "a_count_distinct": a_count_distinct,
-    "a_percentiles": a_percentiles,
+    # ---- past the window: the 24 r9-green entries displaced from the
+    #      r13 window under rule 4 (deadline was r13 — each carries a
+    #      typed-replica row this session; they OWN the r14 window
+    #      alongside the staged_r12 promotions) ----
     "a_rollup_revenue": a_rollup_revenue,
     "j3_left_join_coalesce": j3_left_join_coalesce,
     "j5_chained_lookup": j5_chained_lookup,
@@ -2623,8 +2707,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "t_window_hourly": t_window_hourly,
-    "sim_ivf_topk": sim_ivf_topk,
-    "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ann_index_append": sim_ann_index_append,
     "text_repetition": text_repetition,
@@ -2665,4 +2747,42 @@ RETIRED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # bench.py keeps timing them here.
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
+    # r13 trim (the verdict-named size hold, executed as the staged_r11
+    # promotion lands; every entry typed-replica exact at sf0.01 at
+    # retirement, oracles in oracles.RETIRED_ORACLES, frozen bench
+    # prefixes resolving here). Cousin arguments:
+    # - sim_ivf_topk: sim_ivfpq_topk runs the same ivf cell-gate kernel
+    #   (plus PQ) and sim_recall_ivf measures the same ivf_topk against
+    #   brute force — the verdict-named overlap.
+    # - sim_pq_topk: sim_ivfpq_topk exercises the same pq_codebooks/
+    #   pq_encode/_adc_topk kernel; the IVF gate is purely additive.
+    # - sim_sq8_topk: sim_sq8_ivf_topk (same SQ8 encode/distance kernel
+    #   + cell gate) and sim_sq8_from_index (bit-identical persisted
+    #   twin of the SAME search) both cover it.
+    # - a_cube_events: CUBE is one Expand-based multi-grouping shape;
+    #   a_grouping_sets (the general form) and a_rollup_revenue (the
+    #   rollup shape) keep the kernel covered from both ends.
+    # - dedup_exact_fingerprint: a one-function projection of
+    #   functions/text.fingerprint; p2_rowhash covers the stable
+    #   content-hash projection shape and text_winnowing the windowed
+    #   generalization of the same rolling hash.
+    # - k_gold_asof: strict subset of k_gold_ckpt_asof (which runs
+    #   gold_asof AND the checkpoint/vacuum restore on top) — the
+    #   llm_corpus_prep ⊂ llm_corpus_pipeline precedent.
+    # - g_pagerank_fixed: g_ppr_seeded runs the same exact-integer
+    #   power-iteration kernel (one join + one dst aggregation per
+    #   round, shared edge/degree localCheckpoint) with the seeded
+    #   restart generalizing the uniform one.
+    # - a_count_distinct: plain exact distinct-per-group; the same
+    #   aggregate semantics are proven by q_salted_count_distinct (the
+    #   skew-safe form, equal by contract) and q16_supplier_variety
+    #   (count-distinct over TPC-H).
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_pq_topk": sim_pq_topk,
+    "sim_sq8_topk": sim_sq8_topk,
+    "a_cube_events": a_cube_events,
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "k_gold_asof": k_gold_asof,
+    "g_pagerank_fixed": g_pagerank_fixed,
+    "a_count_distinct": a_count_distinct,
 }

@@ -1,14 +1,14 @@
-"""Queries STAGED in round 10 for the r12+ promotion rounds.
+"""Queries staged in round 10, PROMOTED to the registry in round 13.
 
 Same contract as ``staged_r9``/``staged_r10``: each query ships with a
-DuckDB oracle in ``STAGED_ORACLES`` and is verified by the typed
+DuckDB oracle in ``PROMOTED_ORACLES`` and is verified by the typed
 Spark-vs-DuckDB compare (``tests/test_staged_r7.py`` parametrizes over
 this dict) at two SFs before it ever enters the registry. Per the
-rotation pre-plan (comment above ``REGISTRY``), the r10 window is owned
+rotation pre-plan (comment above ``REGISTRY``), the r10 window was owned
 by the r6-deadline set and the r11 window by the staged_r9 promotions +
-the r7-deadline set; this batch stages until slots open (r13 at the
-earliest — it still benches, smokes and censuses like a registry entry
-from day one).
+the r7-deadline set; this batch benched, smoked and censused like a
+registry entry from day one and promoted on schedule in the r13 window
+(slots 1-23).
 
 Five frontier families (the r9 verdict's items 6 and 7, the
 delta-join extension, the HLL sketch store, exact substring dedup
@@ -1399,7 +1399,7 @@ FROM j
 GROUP BY n_name
 """
 
-STAGED_ORACLES: dict[str, str] = {
+PROMOTED_ORACLES: dict[str, str] = {
     "text_bpe_train": _bpe_train_sql(_BPE_MERGES),
     "text_bpe_tokenize": _bpe_tokenize_sql(_BPE_MERGES),
     "text_bpe_encode": _bpe_encode_sql(_BPE_MERGES),

@@ -324,7 +324,7 @@ def test_registry_window_policy_invariants():
         and n not in staged_r8.PROMOTED_ORACLES
         and n not in staged_r9.PROMOTED_ORACLES
         and n not in staged_r10.PROMOTED_ORACLES
-        and n not in staged_r11.STAGED_ORACLES
+        and n not in staged_r11.PROMOTED_ORACLES
         and n not in staged_r12.STAGED_ORACLES
     ]
     assert not unresolved, f"bench entries without query or staged impl: {unresolved}"
@@ -341,7 +341,13 @@ def test_registry_window_policy_invariants():
         "staged-lane freeze violated: staged_r12 must stay <= 5 entries"
     )
     assert len(staged_r10.PROMOTED_ORACLES) == 30, "r12 arithmetic basis"
-    assert len(names) == 202, "r12 post-trim registry size"
+    # r13 window as EXECUTED: staged_r11's 23 promote (N 202 -> 225),
+    # the four r12-parked r7-green entries take their reserved slots,
+    # the first 23 of the r9-green deadline set fill the rest; the r13
+    # trim then retires 8 named-cousin duplicates: N 225 - 8 = 217,
+    # cadence ceil(217/50) = 5.
+    assert len(staged_r11.PROMOTED_ORACLES) == 23, "r13 arithmetic basis"
+    assert len(names) == 217, "r13 post-trim registry size"
     # r10 trim invariants: retired entries are OUT of the driver contract
     # but keep their functions + oracles for frozen-prefix bench rows and
     # replica re-verification

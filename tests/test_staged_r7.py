@@ -33,7 +33,7 @@ _TYPED = {
     **{n: (staged_r8, sql) for n, sql in staged_r8.PROMOTED_ORACLES.items()},
     **{n: (staged_r9, sql) for n, sql in staged_r9.PROMOTED_ORACLES.items()},
     **{n: (staged_r10, sql) for n, sql in staged_r10.PROMOTED_ORACLES.items()},
-    **{n: (staged_r11, sql) for n, sql in staged_r11.STAGED_ORACLES.items()},
+    **{n: (staged_r11, sql) for n, sql in staged_r11.PROMOTED_ORACLES.items()},
     **{n: (staged_r12, sql) for n, sql in staged_r12.STAGED_ORACLES.items()},
 }
 
@@ -134,18 +134,18 @@ def test_drift_report_spine_complete(spark):
 
 
 def test_promoted_registered_staged_disjoint():
-    from activecampaign_api_data_pipeline_spark.queries import REGISTRY
+    from activecampaign_api_data_pipeline_spark.queries import REGISTRY, RETIRED
 
-    # r7/r9/r11 promotions executed: every promoted query is registered,
-    # its REGISTRY entry IS the staged-module function, and its oracle
-    # resolves
-    for mod in (staged_r7, staged_r8, staged_r9, staged_r10):
-        missing = set(mod.PROMOTED_ORACLES) - set(REGISTRY)
+    # r7/r9/r11/r13 promotions executed: every promoted query is either
+    # registered or named-trim retired (never silently dropped), its
+    # entry IS the staged-module function, and its oracle resolves
+    for mod in (staged_r7, staged_r8, staged_r9, staged_r10, staged_r11):
+        missing = set(mod.PROMOTED_ORACLES) - set(REGISTRY) - set(RETIRED)
         assert not missing, f"promoted queries not registered: {missing}"
         for name in mod.PROMOTED_ORACLES:
-            assert REGISTRY[name] is getattr(mod, name)
+            assert (REGISTRY.get(name) or RETIRED[name]) is getattr(mod, name)
     # pre-registry staging stays disjoint until its own promotion round
-    for smod in (staged_r11, staged_r12):
+    for smod in (staged_r12,):
         overlap = set(smod.STAGED_ORACLES) & set(REGISTRY)
         assert not overlap, f"staged queries already registered: {overlap}"
         for name in smod.STAGED_ORACLES:
