@@ -285,6 +285,7 @@ def _ivfpq_sql(
     residual: bool = False,
     train_where: str | None = None,
     refine_r: int | None = None,
+    delete_where: str | None = None,
 ) -> str:
     """IVF-PQ twin of operators.similarity.ivfpq_topk: the coarse k-means
     cell pyramid (cosine argmax, prefix g*) gates candidates; the shared
@@ -297,7 +298,10 @@ def _ivfpq_sql(
     build-on-base + append_ann_index-on-the-rest. ``refine_r`` adds the
     FAISS refine tail (ann_index.ivfpq_refine_index): the top-``refine_r``
     ADC candidates are re-ranked by exact L2 over the raw vectors and the
-    final top-``k`` is reported with the exact distance."""
+    final top-``k`` is reported with the exact distance. ``delete_where``
+    excludes matching corpus ids from CANDIDACY only (training, cells and
+    codes still cover them) — the twin of ann_index tombstone deletion,
+    where the ledger anti-join sits on the cells gate."""
     parts = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
     ]
@@ -325,9 +329,10 @@ def _ivfpq_sql(
         "grf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn FROM gsf)",
         "gcells AS (SELECT vec_id, cent_id AS cell FROM grf WHERE rn = 1)",
         f"gqc AS (SELECT vec_id AS query_id, cent_id AS cell FROM grf WHERE vec_id < {max_query_id} AND rn <= {nprobe})",
-        """cand AS (
+        f"""cand AS (
   SELECT query_id, gcells.vec_id AS cvid
-  FROM gqc JOIN gcells USING (cell) WHERE gcells.vec_id <> query_id
+  FROM gqc JOIN gcells USING (cell) WHERE gcells.vec_id <> query_id{
+      f" AND NOT ({delete_where})" if delete_where else ""}
 )""",
     ]
     if residual:

@@ -579,12 +579,17 @@ _SQ8_DIST = (
 )
 
 
-def _sq8_sql(k: int = 3, max_query_id: int = 10) -> str:
+def _sq8_sql(
+    k: int = 3, max_query_id: int = 10, delete_where: str | None = None
+) -> str:
+    # delete_where mirrors ann_index tombstone deletion: matching corpus
+    # ids drop out of the scored scan (the SQ8 layout anti-joins codes)
     parts = _SQ8_ENC_PARTS + [
         f"q AS (SELECT vec_id AS query_id, code AS qcode FROM enc WHERE vec_id < {max_query_id})",
         f"""scored AS (
   SELECT query_id, e.vec_id AS neighbor_id, {_SQ8_DIST} AS qdist
-  FROM q CROSS JOIN enc e WHERE e.vec_id <> query_id
+  FROM q CROSS JOIN enc e WHERE e.vec_id <> query_id{
+      f" AND NOT ({delete_where})" if delete_where else ""}
 )""",
         """r AS (
   SELECT *, row_number() OVER (PARTITION BY query_id

@@ -310,6 +310,11 @@ HEADLINE = [
     "k_matview_join_multi",
     "k_matview_maxby",
     "t_stream_matview_join_multi",
+    # r13-staged batch (typed-replica verified, pre-registry — resolved
+    # from staged_r13): the persisted ANN index DELETION lifecycle
+    # (tombstone delete + crash-safe vacuum), both codecs
+    "k_ann_delete_vacuum",
+    "k_sq8_delete_vacuum",
 ]
 
 # frozen per-round prefixes (BASELINE.md) — scope totals reported on the
@@ -497,17 +502,21 @@ def main() -> None:
         staged_r10,
         staged_r11,
         staged_r12,
+        staged_r13,
     )
 
     def _resolve(name):
         # staged queries bench before they enter the registry
-        # RETIRED entries (r10/r12 trims) left the driver contract but
-        # sit in frozen prefixes — keep timing the still-importable code
+        # RETIRED entries (r10/r12/r13 trims) left the driver contract
+        # but sit in frozen prefixes — keep timing the still-importable
+        # code
         return REGISTRY.get(name) or RETIRED.get(name) or getattr(
             staged_r8, name, None
         ) or getattr(staged_r9, name, None) or getattr(
             staged_r10, name, None
-        ) or getattr(staged_r11, name, None) or getattr(staged_r12, name)
+        ) or getattr(staged_r11, name, None) or getattr(
+            staged_r12, name, None
+        ) or getattr(staged_r13, name)
 
     # mid-sweep stream-canary draws: the first certified-quiet r12
     # attempt had FLAT canary ends (2.5 -> 2.8 s) while per-rep spreads

@@ -314,6 +314,7 @@ def test_registry_window_policy_invariants():
         staged_r10,
         staged_r11,
         staged_r12,
+        staged_r13,
     )
     from activecampaign_api_data_pipeline_spark.queries import RETIRED
 
@@ -326,6 +327,7 @@ def test_registry_window_policy_invariants():
         and n not in staged_r10.PROMOTED_ORACLES
         and n not in staged_r11.PROMOTED_ORACLES
         and n not in staged_r12.STAGED_ORACLES
+        and n not in staged_r13.STAGED_ORACLES
     ]
     assert not unresolved, f"bench entries without query or staged impl: {unresolved}"
     # staged-lane freeze (r11, per the r10 verdict): staged_r12 is capped
@@ -347,6 +349,11 @@ def test_registry_window_policy_invariants():
     # trim then retires 8 named-cousin duplicates: N 225 - 8 = 217,
     # cadence ceil(217/50) = 5.
     assert len(staged_r11.PROMOTED_ORACLES) == 23, "r13 arithmetic basis"
+    # staged-lane freeze holds for r13: only genuinely new operators
+    # (the ANN deletion lifecycle pair) enter the staged lane
+    assert len(staged_r13.STAGED_ORACLES) <= 5, (
+        "staged-lane freeze violated: staged_r13 must stay <= 5 entries"
+    )
     assert len(names) == 217, "r13 post-trim registry size"
     # r10 trim invariants: retired entries are OUT of the driver contract
     # but keep their functions + oracles for frozen-prefix bench rows and

@@ -23,6 +23,7 @@ from activecampaign_api_data_pipeline_spark import (
     staged_r10,
     staged_r11,
     staged_r12,
+    staged_r13,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -35,6 +36,7 @@ _TYPED = {
     **{n: (staged_r10, sql) for n, sql in staged_r10.PROMOTED_ORACLES.items()},
     **{n: (staged_r11, sql) for n, sql in staged_r11.PROMOTED_ORACLES.items()},
     **{n: (staged_r12, sql) for n, sql in staged_r12.STAGED_ORACLES.items()},
+    **{n: (staged_r13, sql) for n, sql in staged_r13.STAGED_ORACLES.items()},
 }
 
 # RETIRED registry entries (r10 trim) left the driver contract but the
@@ -145,7 +147,7 @@ def test_promoted_registered_staged_disjoint():
         for name in mod.PROMOTED_ORACLES:
             assert (REGISTRY.get(name) or RETIRED[name]) is getattr(mod, name)
     # pre-registry staging stays disjoint until its own promotion round
-    for smod in (staged_r12,):
+    for smod in (staged_r12, staged_r13):
         overlap = set(smod.STAGED_ORACLES) & set(REGISTRY)
         assert not overlap, f"staged queries already registered: {overlap}"
         for name in smod.STAGED_ORACLES:

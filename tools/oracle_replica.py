@@ -101,9 +101,9 @@ def main() -> int:
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     # staged queries verify through the same gate before registration
-    from activecampaign_api_data_pipeline_spark import staged_r12
+    from activecampaign_api_data_pipeline_spark import staged_r12, staged_r13
 
-    for mod in (staged_r12,):
+    for mod in (staged_r12, staged_r13):
         for name in mod.STAGED_ORACLES:
             if name not in qs:
                 qs[name] = getattr(mod, name)

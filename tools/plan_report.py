@@ -68,7 +68,7 @@ def main() -> None:
             f" {c['pushed']} | {c['cartesian']} |"
         )
 
-    from activecampaign_api_data_pipeline_spark import staged_r12  # noqa: E402
+    from activecampaign_api_data_pipeline_spark import staged_r12, staged_r13  # noqa: E402
 
     print(
         "\n## staged queries (typed-replica verified, pre-registry —"
@@ -76,7 +76,7 @@ def main() -> None:
     )
     print("| query | hash shuffles | rr widen | broadcast | SMJ | arrow py | row py | pushed filters | cartesian |")
     print("|---|---|---|---|---|---|---|---|---|")
-    for mod in (staged_r12,):
+    for mod in (staged_r12, staged_r13):
         for name in sorted(mod.STAGED_ORACLES):
             df = getattr(mod, name)(spark, sf_dir)
             c = census(df._jdf.queryExecution().executedPlan().toString())
