@@ -177,6 +177,7 @@ def main() -> None:
         staged_r10,
         staged_r11,
         staged_r12,
+        staged_r13,
     )
     from activecampaign_api_data_pipeline_spark.queries import REGISTRY, RETIRED
     from activecampaign_api_data_pipeline_spark.session import get_spark
@@ -217,7 +218,8 @@ def main() -> None:
             or getattr(staged_r9, name, None)
             or getattr(staged_r10, name, None)
             or getattr(staged_r11, name, None)
-            or getattr(staged_r12, name)
+            or getattr(staged_r12, name, None)
+            or getattr(staged_r13, name)
         )
         warm_twice = name in PERSISTED_INDEX
         base_cold = run(fn, SRC)
