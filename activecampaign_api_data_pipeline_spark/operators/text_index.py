@@ -12,11 +12,20 @@ contract, same crash-safe ``params.json`` sidecar protocol).
 Artifacts under ``<path>/``:
 
 - ``postings``  — ``(tok, doc_id, tf)``: one row per distinct
-  (term, doc) pair — the ONLY per-document data a search scans, and the
-  scan is gated by an ``IN (terms)`` pushed filter, so a q-term query
-  reads q postings lists, not the corpus. At 100 TB, bucket this table
-  by ``tok`` (``storage.save_bucketed``) so searches are single-bucket
-  reads and df aggregation is shuffle-free.
+  (term, doc) pair — the ONLY per-document data a search scans. Since
+  r13 the table is written HASH-BUCKETED BY TERM as hive partitions
+  (``tokb = pmod(xxhash64(tok), tok_buckets)`` directories — the
+  path-based equivalent of ``storage.save_bucketed``, which needs a
+  catalog and would break this store's any-process/any-session path
+  contract): a q-term search computes the q bucket ids driver-side and
+  the scan PRUNES to those partition directories (PartitionFilters),
+  with the ``IN (terms)`` row filter pushed inside them — it lists and
+  reads ≤ q bucket dirs, never every segment. At 100 TB raise
+  ``tok_buckets`` so a bucket ≪ executor memory; appends land one file
+  per TOUCHED bucket and compaction folds each bucket to one sorted
+  file. Legacy (pre-r13) flat stores load with ``tok_buckets == 0``
+  and keep the flat scan; ``compact_text_index`` upgrades them to the
+  bucketed layout in place (pure layout — results bit-identical).
 - ``doclen``    — ``(doc_id, dl)``: token count per doc, the BM25 length
   normalizer; joined only for docs that matched a term.
 - ``stats``     — ONE row ``(n_docs, avgdl)``, FROZEN at build time.
@@ -54,9 +63,62 @@ from activecampaign_api_data_pipeline_spark.operators.ann_index import _write
 class TextIndexParams:
     id_col: str = "doc_id"
     text_col: str = "text"
+    # term-hash bucket count for the postings layout; 0 = legacy flat
+    # (pre-r13 stores, whose sidecars lack the field — load_text_params
+    # backfills 0 so searches keep the flat scan until a compact upgrades)
+    tok_buckets: int = 16
 
     def to_dict(self) -> dict:
         return dict(self.__dict__)
+
+
+def _tokb(n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col("tok")), F.lit(n_buckets))
+
+
+def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
+    """Bucket ids for the query terms, computed with the SAME engine hash
+    as the layout (one q-row job — the bounded-scalar collect class)."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "tok string")
+        .select(_tokb(n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return [r["b"] for r in rows]
+
+
+def _write_postings_bucketed(
+    postings: DataFrame, dst: str, n_buckets: int, mode: str = "append"
+) -> None:
+    """One sorted file per touched bucket directory: repartition on the
+    bucket id so a task owns whole buckets, sort by term inside, write as
+    ``tokb=<b>`` hive partitions."""
+    (
+        postings.withColumn("tokb", _tokb(n_buckets))
+        .repartition(n_buckets, F.col("tokb"))
+        .sortWithinPartitions("tok")
+        .write.partitionBy("tokb")
+        .mode(mode)
+        .parquet(dst)
+    )
+
+
+def postings_file_count(spark: SparkSession, path: str) -> int:
+    """Recursive part-file count under the postings dir (one RemoteIterator
+    metadata sweep — the ``compact_artifact`` probe generalized to the
+    bucketed hive layout, whose files live one level down)."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(P(f"{path}/postings")):
+        return 0
+    it = fs.listFiles(P(f"{path}/postings"), True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().startswith("part-"):
+            n += 1
+    return n
 
 
 def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -78,15 +140,23 @@ def build_text_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tok_buckets: int = 16,
 ) -> TextIndexParams:
-    """Tokenize + count once, persist postings/doclen/stats at ``path``."""
+    """Tokenize + count once, persist postings/doclen/stats at ``path``.
+    Postings land term-hash-bucketed (``tokb`` hive partitions) so every
+    later search prunes to the query terms' buckets."""
     spark = docs.sparkSession
     spark.createDataFrame(
         [(json.dumps({"_building_": True}),)], "p string"
     ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
 
     dl = _write(_doclen(docs, id_col, text_col), f"{path}/doclen")
-    _write(_postings(docs, id_col, text_col), f"{path}/postings")
+    _write_postings_bucketed(
+        _postings(docs, id_col, text_col),
+        f"{path}/postings",
+        tok_buckets,
+        mode="overwrite",
+    )
     _write(
         dl.agg(
             F.count("*").alias("n_docs"),
@@ -95,7 +165,7 @@ def build_text_index(
         f"{path}/stats",
     )
 
-    params = TextIndexParams(id_col, text_col)
+    params = TextIndexParams(id_col, text_col, tok_buckets)
     spark.createDataFrame([(json.dumps(params.to_dict()),)], "p string").coalesce(
         1
     ).write.mode("overwrite").text(f"{path}/params.json")
@@ -104,7 +174,12 @@ def build_text_index(
 
 def load_text_params(spark: SparkSession, path: str) -> TextIndexParams:
     raw = spark.read.text(f"{path}/params.json").collect()[0][0]
-    return TextIndexParams(**json.loads(raw))
+    parsed = json.loads(raw)
+    # legacy (pre-r13) sidecars predate the bucketed layout: their
+    # postings are flat files, so the absent field means 0 (flat scan),
+    # NOT the current build default
+    parsed.setdefault("tok_buckets", 0)
+    return TextIndexParams(**parsed)
 
 
 def append_text_index(new_docs: DataFrame, path: str) -> None:
@@ -112,11 +187,15 @@ def append_text_index(new_docs: DataFrame, path: str) -> None:
     O(new rows): their postings and lengths append; ``n_docs``/``avgdl``
     stay the build-time values (the SQ8 frozen-calibration contract —
     drift is a rebuild, never a silent re-score). The caller owns id
-    uniqueness, exactly as with ``append_sq8_index``."""
+    uniqueness, exactly as with ``append_sq8_index``. Bucketed stores
+    gain one file per TOUCHED bucket; legacy flat stores keep appending
+    flat segments until a compact upgrades the layout."""
     p = load_text_params(new_docs.sparkSession, path)
-    _postings(new_docs, p.id_col, p.text_col).write.mode("append").parquet(
-        f"{path}/postings"
-    )
+    new_postings = _postings(new_docs, p.id_col, p.text_col)
+    if p.tok_buckets:
+        _write_postings_bucketed(new_postings, f"{path}/postings", p.tok_buckets)
+    else:
+        new_postings.write.mode("append").parquet(f"{path}/postings")
     _doclen(new_docs, p.id_col, p.text_col).write.mode("append").parquet(
         f"{path}/doclen"
     )
@@ -128,16 +207,23 @@ def bm25_search_index(
     terms: list[str],
     k: int = 20,
 ) -> DataFrame:
-    """Top-k BM25 over a persisted index: the postings scan carries the
-    term filter (pushed to parquet), df aggregates from the q matching
-    postings lists (support-sized, broadcast), doclen joins only matched
-    docs, and the global top-k is orderBy+limit
-    (TakeOrderedAndProject). On the corpus the index was built from,
-    results are bit-identical to ``staged_r9.text_bm25_topk`` — parquet
-    round-trips of BIGINTs are exact — which is how the oracle checks
-    this module."""
+    """Top-k BM25 over a persisted index: on a bucketed store the
+    postings scan first PRUNES to the query terms' ``tokb`` partition
+    directories (≤ q bucket dirs listed, PartitionFilters in the plan)
+    and then applies the term filter (pushed to parquet) inside them; df
+    aggregates from the q matching postings lists (support-sized,
+    broadcast), doclen joins only matched docs, and the global top-k is
+    orderBy+limit (TakeOrderedAndProject). On the corpus the index was
+    built from, results are bit-identical to ``staged_r9.text_bm25_topk``
+    — parquet round-trips of BIGINTs are exact — which is how the oracle
+    checks this module."""
+    p = load_text_params(spark, path)
     stats = spark.read.parquet(f"{path}/stats")
-    tf = spark.read.parquet(f"{path}/postings").filter(F.col("tok").isin(list(terms)))
+    tf = spark.read.parquet(f"{path}/postings")
+    if p.tok_buckets:
+        buckets = _term_buckets(spark, list(terms), p.tok_buckets)
+        tf = tf.filter(F.col("tokb").isin(buckets))
+    tf = tf.filter(F.col("tok").isin(list(terms))).select("tok", "doc_id", "tf")
     dl = spark.read.parquet(f"{path}/doclen")
     dfre = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
@@ -177,20 +263,29 @@ def ensure_text_index(docs: DataFrame, path: str, **params) -> str:
     return path
 
 
-def compact_text_index(spark: SparkSession, path: str, files_per_artifact: int = 4) -> None:
+def compact_text_index(
+    spark: SparkSession,
+    path: str,
+    files_per_artifact: int = 4,
+    tok_buckets: int = 16,
+) -> None:
     """Segment-merge maintenance for an appended index: every
-    ``append_text_index`` call lands one file set per artifact, so a
-    year of ingest is thousands of tiny postings segments and every
-    search pays the open-file tax across ALL of them. Compaction
-    rewrites ``postings`` range-clustered and sorted by ``tok`` (a
-    q-term search then touches ~q files instead of every segment —
-    the Lucene segment-merge idea expressed as a parquet re-layout) and
-    ``doclen`` clustered by ``doc_id``. Pure layout: (term, doc) pairs
-    are unique across appends (the caller owns id uniqueness), so
-    content — and therefore every search result — is bit-identical
-    before and after; only file count and clustering change. ``stats``
-    and ``params.json`` are untouched (the frozen-normalization
-    contract).
+    ``append_text_index`` call lands one file set per artifact (per
+    touched bucket on a bucketed store), so a year of ingest is
+    thousands of tiny postings segments and every search pays the
+    open-file tax across ALL of them. Compaction rewrites ``postings``
+    into the term-hash-BUCKETED layout — one ``tok``-sorted file per
+    ``tokb`` partition directory, upgrading legacy flat stores in place
+    (the sidecar is rewritten with the new ``tok_buckets`` AFTER the
+    postings swap completes; a crash in between leaves a bucketed
+    layout read through the still-flat sidecar, which is correct —
+    ``tokb`` reads as a partition column and the flat scan just skips
+    the pruning until a re-run finishes the upgrade) — and ``doclen``
+    clustered by ``doc_id``. Pure layout: (term, doc) pairs are unique
+    across appends (the caller owns id uniqueness), so content — and
+    therefore every search result — is bit-identical before and after;
+    only file count and clustering change. ``stats`` stays untouched
+    (the frozen-normalization contract).
 
     Crash-safe via the same staging/rename discipline as
     ``storage.compact_artifact`` (write ``__compacting``, rename live
@@ -204,6 +299,7 @@ def compact_text_index(spark: SparkSession, path: str, files_per_artifact: int =
     def P(p):
         return jvm.org.apache.hadoop.fs.Path(p)
 
+    params = load_text_params(spark, path)
     for artifact, key in (("postings", "tok"), ("doclen", "doc_id")):
         live = f"{path}/{artifact}"
         staging, old = f"{live}__compacting", f"{live}__old"
@@ -217,13 +313,29 @@ def compact_text_index(spark: SparkSession, path: str, files_per_artifact: int =
             fs.delete(P(old), True)
         if fs.exists(P(staging)):
             fs.delete(P(staging), True)
-        (
-            spark.read.parquet(live)
-            .repartitionByRange(files_per_artifact, F.col(key))
-            .sortWithinPartitions(key)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        if artifact == "postings":
+            _write_postings_bucketed(
+                spark.read.parquet(live).select("tok", "doc_id", "tf"),
+                staging,
+                tok_buckets,
+                mode="overwrite",
+            )
+        else:
+            (
+                spark.read.parquet(live)
+                .repartitionByRange(files_per_artifact, F.col(key))
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
         fs.rename(P(live), P(old))
         fs.rename(P(staging), P(live))
         fs.delete(P(old), True)
+    if params.tok_buckets != tok_buckets:
+        # layout upgrade (or re-bucket): record the new bucket count LAST,
+        # after the postings swap — every intermediate crash state reads
+        # correctly through the old sidecar
+        upgraded = TextIndexParams(params.id_col, params.text_col, tok_buckets)
+        spark.createDataFrame(
+            [(json.dumps(upgraded.to_dict()),)], "p string"
+        ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")

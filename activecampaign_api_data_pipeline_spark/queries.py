@@ -2332,6 +2332,19 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_ann_index_append, sim_ann_index_refine, sim_sq8_from_index,
 # sim_sq8_ivf_topk (+ the retiring sim_sq8_topk). No registered query
 # reads the minhash store (pytest surface only).
+#
+# RULE-2 TOUCH LEDGER (r13, batch 2 — tok-bucketed postings, the r12
+# verdict's item 5): text_index postings now write as term-hash hive
+# partitions (tokb = pmod(xxhash64(tok), tok_buckets)); searches prune
+# to the query terms' bucket dirs (plan test:
+# test_text_index_search_prunes_to_term_buckets), appends land one
+# file per touched bucket, compact folds each bucket to one sorted
+# file and upgrades legacy flat stores in place. Pure layout — every
+# oracle row unchanged. Touched registered queries typed-replica exact
+# at sf0.01 after the change: k_text_index_roundtrip,
+# k_text_index_append, k_text_index_compact, t_stream_text_index.
+# (This landed AFTER the k_text_index_roundtrip certified-quiet
+# adjudication in BASELINE.md, which pins the pre-layout floor.)
 
 from activecampaign_api_data_pipeline_spark.staged_r7 import (  # noqa: E402
     a_cms_heavy_hitters,

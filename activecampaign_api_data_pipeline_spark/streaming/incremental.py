@@ -875,8 +875,18 @@ def stream_into_text_index(
         fresh = batch_df.join(seen, id_col, "left_anti")
         if not fresh.isEmpty():
             TIX.append_text_index(fresh, path)
-        compact_artifact(spark, f"{path}/postings")
-        compact_artifact(spark, f"{path}/doclen")
+        # postings are term-hash-bucketed hive partitions (r13): the blind
+        # coalescer would flatten the tokb layout, so maintenance goes
+        # through the layout-aware compactor, gated on the same cheap
+        # metadata probe (recursive part-file count; appends land one file
+        # per TOUCHED bucket, so steady state is tok_buckets files)
+        p = TIX.load_text_params(spark, path)
+        if TIX.postings_file_count(spark, path) > 3 * max(1, p.tok_buckets):
+            # a legacy flat store (tok_buckets == 0) upgrades to the
+            # default bucket count here
+            TIX.compact_text_index(spark, path, tok_buckets=p.tok_buckets or 16)
+        else:
+            compact_artifact(spark, f"{path}/doclen")
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -126,12 +126,18 @@ def test_text_index_compact_layout_only(spark):
                 root,
             )
         before = bm25_search_index(spark, root, ["spark", "query", "join"], k=20).collect()
-        files_before = len(glob.glob(f"{root}/postings/part-*.parquet"))
+        # bucketed layout (r13): part files live under tokb=<b>/ dirs
+        files_before = len(glob.glob(f"{root}/postings/**/part-*.parquet", recursive=True))
         compact_text_index(spark, root, files_per_artifact=2)
-        files_after = len(glob.glob(f"{root}/postings/part-*.parquet"))
+        files_after = len(glob.glob(f"{root}/postings/**/part-*.parquet", recursive=True))
         after = bm25_search_index(spark, root, ["spark", "query", "join"], k=20).collect()
         assert files_after < files_before  # three write batches collapsed
-        assert files_after <= 2
+        # compaction folds each bucket to ONE sorted file
+        per_bucket = {
+            d: len(glob.glob(f"{d}/part-*.parquet"))
+            for d in glob.glob(f"{root}/postings/tokb=*")
+        }
+        assert per_bucket and all(n == 1 for n in per_bucket.values()), per_bucket
         assert after == before  # pure layout: search bit-identical
         # stats stayed frozen (compaction never touches normalization)
         assert spark.read.parquet(f"{root}/stats").count() == 1
@@ -857,3 +863,98 @@ def test_interval_overlap_drops_degenerate_intervals(spark):
     ).collect()
     assert len(out) == 1  # only the forward non-empty interval pairs
     assert out[0]["ls"] == 100 and out[0]["overlap_s"] == 800
+
+
+def test_text_index_search_prunes_to_term_buckets(spark):
+    """r12 verdict item 5: a q-term BM25 search over the bucketed index
+    must PRUNE the postings scan to the query terms' tokb partition
+    directories — the file listing contains ONLY matched bucket dirs,
+    never every segment."""
+    from activecampaign_api_data_pipeline_spark.operators.text_index import (
+        _term_buckets,
+        bm25_search_index,
+        build_text_index,
+        load_text_params,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="tixp_t_")
+    try:
+        build_text_index(docs, root)
+        p = load_text_params(spark, root)
+        assert p.tok_buckets == 16
+        terms = ["spark", "query", "join"]
+        want = {f"tokb={b}" for b in _term_buckets(spark, terms, p.tok_buckets)}
+        assert len(want) <= len(terms)
+        df = bm25_search_index(spark, root, terms, k=20)
+        # the physical postings scan must carry the bucket partition
+        # filter (directory-level pruning, decided at listing time —
+        # inputFiles() reflects the pre-pruning index, so the plan is
+        # the authoritative probe) alongside the pushed term filter
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scan = next(
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and "/postings" in ln
+        )
+        assert "PartitionFilters" in scan and "tokb" in scan.split("PartitionFilters")[1], scan
+        assert "PushedFilters" in scan and "In(tok" in scan.split("PushedFilters")[1], scan
+        # empirical: every file actually read lives in a matched bucket
+        tf_leg = (
+            spark.read.parquet(f"{root}/postings")
+            .filter(F.col("tokb").isin(_term_buckets(spark, terms, p.tok_buckets)))
+            .filter(F.col("tok").isin(terms))
+        )
+        read_dirs = {
+            r[0].split("/postings/")[1].split("/")[0]
+            for r in tf_leg.select(F.input_file_name()).distinct().collect()
+        }
+        assert read_dirs and read_dirs <= want, (read_dirs, want)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_text_index_legacy_flat_store_upgrades_via_compact(spark):
+    """Pre-r13 stores (flat postings, sidecar without tok_buckets) keep
+    working through the flat scan, and compact upgrades them to the
+    bucketed layout in place with bit-identical search results."""
+    import json as _json
+
+    from activecampaign_api_data_pipeline_spark.operators.text_index import (
+        _doclen,
+        _postings,
+        bm25_search_index,
+        compact_text_index,
+        load_text_params,
+    )
+    from activecampaign_api_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as _F
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").filter(
+        _F.col("doc_id") < 200
+    )
+    root = tempfile.mkdtemp(prefix="tixl_t_")
+    try:
+        # hand-build a LEGACY store: flat postings, v1 sidecar
+        _postings(docs, "doc_id", "text").write.parquet(f"{root}/postings")
+        dl = _doclen(docs, "doc_id", "text")
+        dl.write.parquet(f"{root}/doclen")
+        dl.agg(
+            _F.count("*").alias("n_docs"),
+            _F.expr("sum(dl) div count(*)").alias("avgdl"),
+        ).write.parquet(f"{root}/stats")
+        spark.createDataFrame(
+            [(_json.dumps({"id_col": "doc_id", "text_col": "text"}),)], "p string"
+        ).coalesce(1).write.mode("overwrite").text(f"{root}/params.json")
+
+        p = load_text_params(spark, root)
+        assert p.tok_buckets == 0  # legacy reads as flat
+        terms = ["spark", "query", "join"]
+        before = bm25_search_index(spark, root, terms, k=20).collect()
+        compact_text_index(spark, root)  # upgrades the layout
+        assert load_text_params(spark, root).tok_buckets == 16
+        assert glob.glob(f"{root}/postings/tokb=*")
+        after = bm25_search_index(spark, root, terms, k=20).collect()
+        assert after == before
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
