@@ -1126,3 +1126,31 @@ def test_scoped_state_partitions_restores(spark):
         with scoped_state_partitions(spark, 4):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_state_store_provider_invariant_results(spark):
+    """r12 verdict item 4: results of the stateful micro-batch family
+    must be IDENTICAL under the default HDFS-backed state store and the
+    RocksDB provider (the 100 TB configuration — amortized commits, no
+    per-delta small-file tax, memory-resident working set with spill).
+    The provider only changes where state bytes live; the conf composes
+    with scoped_state_partitions. A/B timings live in BASELINE.md."""
+    PROV = "spark.sql.streaming.stateStore.providerClass"
+    ROCKS = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    HDFS = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    from activecampaign_api_data_pipeline_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = {}
+    for label, prov in (("hdfs", HDFS), ("rocksdb", ROCKS)):
+        spark.conf.set(PROV, prov)
+        try:
+            # one applyInPandasWithState kernel + one native stateful agg
+            out[label] = {
+                name: sorted(map(tuple, REGISTRY[name](spark, sf).collect()))
+                for name in ("t_stream_debounce", "t_stream_sessions")
+            }
+        finally:
+            spark.conf.unset(PROV)
+    assert out["hdfs"] == out["rocksdb"]
+    assert all(len(rows) > 0 for rows in out["hdfs"].values())
