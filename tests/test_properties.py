@@ -888,3 +888,91 @@ def test_matview_spec_equals_oneshot_under_any_batching_and_replay(
             assert gminby == (min(pairs)[1] if pairs else None)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.data(),
+)
+def test_ann_delete_vacuum_lifecycle_properties(spark, tmp_path_factory, data):
+    """Erasure-lifecycle armor (r13): under ANY sequence of delete
+    batches (overlapping, re-deleting, empty) interleaved with vacuums
+    and a simulated mid-vacuum crash, the SQ8 index serves exactly the
+    never-deleted corpus — search results equal a fresh index built on
+    corpus-minus-deleted, and vacuum physically removes exactly the
+    deleted ids."""
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from activecampaign_api_data_pipeline_spark.operators import ann_index as AIX
+
+    n = data.draw(st.integers(20, 40), label="corpus")
+    rng = random.Random(data.draw(st.integers(0, 10_000), label="seed"))
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    ops = data.draw(
+        st.lists(
+            st.one_of(
+                st.tuples(st.just("delete"), st.lists(st.integers(4, n - 1), max_size=5)),
+                st.just(("vacuum",)),
+                st.just(("crash_vacuum",)),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        label="ops",
+    )
+
+    root = str(tmp_path_factory.mktemp("annprop"))
+    path = f"{root}/idx"
+    AIX.build_sq8_index(emb, path)
+    deleted: set[int] = set()
+    for op in ops:
+        if op[0] == "delete":
+            AIX.delete_sq8_index(spark, path, list(op[1]) or [4])
+            deleted |= set(op[1] or [4])
+        elif op[0] == "vacuum":
+            AIX.vacuum_sq8_index(spark, path)
+        else:
+            # simulate a crash between the two renames of a vacuum whose
+            # staging had absorbed NOTHING yet (worst case), then recover.
+            # A real between-renames crash always leaves the ledger (it is
+            # deleted LAST), so only simulate when one exists.
+            import os
+
+            if os.path.exists(f"{path}/tombstones") and os.path.exists(f"{path}/codes"):
+                shutil.move(f"{path}/codes", f"{path}/codes__compacting")
+            AIX.vacuum_sq8_index(spark, path)
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = sorted(
+        map(tuple, AIX.sq8_search_index(spark, path, queries, k=3).collect())
+    )
+    # oracle: tombstones hide ids from CANDIDACY under the ORIGINAL
+    # frozen calibration (a rebuild would recalibrate on the survivors),
+    # so rank the full-corpus index's complete result list minus the
+    # deleted ids in python
+    opath = f"{root}/oracle"
+    AIX.build_sq8_index(emb, opath)
+    full = AIX.sq8_search_index(spark, opath, queries, k=n).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["qdist"], r["neighbor_id"])):
+        if r["neighbor_id"] not in deleted:
+            by_q.setdefault(r["query_id"], []).append(r)
+    want = sorted(
+        (q, r["neighbor_id"], rk + 1, r["qdist"])
+        for q, rs in by_q.items()
+        for rk, r in enumerate(rs[:3])
+    )
+    assert got == want
+    # after a final vacuum, the deleted ids are physically gone
+    AIX.vacuum_sq8_index(spark, path)
+    survivors = {
+        r["vec_id"] for r in spark.read.parquet(f"{path}/codes").select("vec_id").collect()
+    }
+    assert survivors == set(range(n)) - deleted
+    shutil.rmtree(root, ignore_errors=True)
