@@ -2090,17 +2090,9 @@ _RETIRED_KEYS = (
     # q22_idle_customers cousins (same semi/anti join shapes)
     "q_semi_join",
     "q_anti_join",
-    # r13 trim (the verdict-named size hold, executed as the staged_r11
-    # promotion lands): each entry is a parameter/shape variant strictly
-    # covered by a registered cousin on the same kernel — see the
-    # REGISTRY ledger note for the per-entry cousin arguments
-    "sim_ivf_topk",
-    "sim_pq_topk",
-    "sim_sq8_topk",
-    "a_cube_events",
-    "dedup_exact_fingerprint",
-    "k_gold_asof",
-    "g_pagerank_fixed",
-    "a_count_distinct",
+    # r13 trim DEFERRED: the eight named-cousin duplicates the r13
+    # window retired were restored to REGISTRY (the optimization-round
+    # contract forbids removing a declared query), so their oracles stay
+    # in build_oracles; the trim re-executes in the next BUILD window.
 )
 RETIRED_ORACLES: dict[str, str] = {}

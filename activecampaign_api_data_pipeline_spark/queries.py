@@ -2731,6 +2731,22 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "llm_decontaminate": llm_decontaminate,
     "llm_corpus_pipeline": llm_corpus_pipeline,
+    # ---- r13 TRIM DEFERRED (optimization-round contract): the eight
+    #      named-cousin duplicates the r13 window retired stay DECLARED —
+    #      the optimization rounds forbid removing any query the driver
+    #      saw declared in r12 ("a query that disappeared makes the round
+    #      a REGRESSION regardless of speed"), so the trim re-executes in
+    #      the next BUILD window instead. Cousin arguments unchanged (see
+    #      the ledger note above); code byte-identical, oracle rows kept
+    #      in build_oracles. N: 217 + 8 = 225, cadence ceil(225/50) = 5. ----
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_pq_topk": sim_pq_topk,
+    "sim_sq8_topk": sim_sq8_topk,
+    "a_cube_events": a_cube_events,
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "k_gold_asof": k_gold_asof,
+    "g_pagerank_fixed": g_pagerank_fixed,
+    "a_count_distinct": a_count_distinct,
 }
 
 # RETIRED registry entries (r10 trim — the branch the r9 ledger left
@@ -2760,10 +2776,11 @@ RETIRED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # bench.py keeps timing them here.
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
-    # r13 trim (the verdict-named size hold, executed as the staged_r11
-    # promotion lands; every entry typed-replica exact at sf0.01 at
-    # retirement, oracles in oracles.RETIRED_ORACLES, frozen bench
-    # prefixes resolving here). Cousin arguments:
+    # r13 trim — DEFERRED to the next build window (see the REGISTRY
+    # tail note: the optimization-round contract forbids removing a
+    # declared query, so the eight named entries below were restored to
+    # REGISTRY and left out of this map). Cousin arguments, kept for the
+    # build round that re-executes the trim:
     # - sim_ivf_topk: sim_ivfpq_topk runs the same ivf cell-gate kernel
     #   (plus PQ) and sim_recall_ivf measures the same ivf_topk against
     #   brute force — the verdict-named overlap.
@@ -2790,12 +2807,4 @@ RETIRED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   aggregate semantics are proven by q_salted_count_distinct (the
     #   skew-safe form, equal by contract) and q16_supplier_variety
     #   (count-distinct over TPC-H).
-    "sim_ivf_topk": sim_ivf_topk,
-    "sim_pq_topk": sim_pq_topk,
-    "sim_sq8_topk": sim_sq8_topk,
-    "a_cube_events": a_cube_events,
-    "dedup_exact_fingerprint": dedup_exact_fingerprint,
-    "k_gold_asof": k_gold_asof,
-    "g_pagerank_fixed": g_pagerank_fixed,
-    "a_count_distinct": a_count_distinct,
 }

@@ -345,16 +345,16 @@ def test_registry_window_policy_invariants():
     assert len(staged_r10.PROMOTED_ORACLES) == 30, "r12 arithmetic basis"
     # r13 window as EXECUTED: staged_r11's 23 promote (N 202 -> 225),
     # the four r12-parked r7-green entries take their reserved slots,
-    # the first 23 of the r9-green deadline set fill the rest; the r13
-    # trim then retires 8 named-cousin duplicates: N 225 - 8 = 217,
-    # cadence ceil(217/50) = 5.
+    # the first 23 of the r9-green deadline set fill the rest. The r13
+    # trim is DEFERRED (optimization-round contract: no declared query
+    # may disappear), so N stays 225, cadence ceil(225/50) = 5.
     assert len(staged_r11.PROMOTED_ORACLES) == 23, "r13 arithmetic basis"
     # staged-lane freeze holds for r13: only genuinely new operators
     # (the ANN deletion lifecycle pair) enter the staged lane
     assert len(staged_r13.STAGED_ORACLES) <= 5, (
         "staged-lane freeze violated: staged_r13 must stay <= 5 entries"
     )
-    assert len(names) == 217, "r13 post-trim registry size"
+    assert len(names) == 225, "r13 registry size (trim deferred)"
     # r10 trim invariants: retired entries are OUT of the driver contract
     # but keep their functions + oracles for frozen-prefix bench rows and
     # replica re-verification
