@@ -45,6 +45,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from activecampaign_api_data_pipeline_spark.storage import (
+    read_text_sidecar,
+    write_text_sidecar,
+)
+
 from activecampaign_api_data_pipeline_spark.operators.similarity import (
     _adc_topk,
     _l2,
@@ -113,9 +118,9 @@ def build_ann_index(
     # would accept that mix as a complete index.
     # ``_building_`` is not an AnnIndexParams field, so load_ann_params
     # raises on it and ensure_ann_index treats the index as incomplete.
-    spark.createDataFrame(
-        [(json.dumps({"_building_": True}),)], "p string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    write_text_sidecar(
+        spark, f"{path}/params.json", json.dumps({"_building_": True})
+    )
     _clear_tombstones(spark, path)
 
     # 1. coarse quantizer (cosine k-means)
@@ -171,15 +176,16 @@ def build_ann_index(
         )
 
     params = AnnIndexParams(n_centroids, m, ksub, n_iters, dim, residual, id_col, vec_col)
-    # params sidecar: one-row JSON via Spark so the index works on any DFS
-    spark.createDataFrame([(json.dumps(params.to_dict()),)], "p string").coalesce(
-        1
-    ).write.mode("overwrite").text(f"{path}/params.json")
+    # params sidecar: one-line JSON, direct-FS single file (works on any
+    # DFS; reads also accept the legacy Spark-text directory layout)
+    write_text_sidecar(spark, f"{path}/params.json", json.dumps(params.to_dict()))
     return params
 
 
 def load_ann_params(spark: SparkSession, path: str) -> AnnIndexParams:
-    raw = spark.read.text(f"{path}/params.json").collect()[0][0]
+    raw = read_text_sidecar(spark, f"{path}/params.json")
+    if raw is None:
+        raise FileNotFoundError(f"no params sidecar at {path}/params.json")
     return AnnIndexParams(**json.loads(raw))
 
 
@@ -578,23 +584,23 @@ def build_sq8_index(
 
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
-    spark.createDataFrame(
-        [(json.dumps({"_building_": True}),)], "p string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    write_text_sidecar(
+        spark, f"{path}/params.json", json.dumps({"_building_": True})
+    )
     _clear_tombstones(spark, path)
 
     stats = _write(sq8_stats(emb, id_col, vec_col), f"{path}/stats")
     _write(sq8_encode(emb, stats, id_col, vec_col), f"{path}/codes")
 
     params = Sq8IndexParams(dim, id_col, vec_col)
-    spark.createDataFrame([(json.dumps(params.to_dict()),)], "p string").coalesce(
-        1
-    ).write.mode("overwrite").text(f"{path}/params.json")
+    write_text_sidecar(spark, f"{path}/params.json", json.dumps(params.to_dict()))
     return params
 
 
 def load_sq8_params(spark: SparkSession, path: str) -> Sq8IndexParams:
-    raw = spark.read.text(f"{path}/params.json").collect()[0][0]
+    raw = read_text_sidecar(spark, f"{path}/params.json")
+    if raw is None:
+        raise FileNotFoundError(f"no params sidecar at {path}/params.json")
     return Sq8IndexParams(**json.loads(raw))
 
 

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from activecampaign_api_data_pipeline_spark.functions.hashing import hash60, with_row_hash
 from activecampaign_api_data_pipeline_spark.functions.text import word_ngrams
-from activecampaign_api_data_pipeline_spark.storage import path_exists
+from activecampaign_api_data_pipeline_spark.storage import (
+    path_exists,
+    read_text_sidecar,
+    write_text_sidecar,
+)
 
 #: Mersenne prime modulus for the universal-hash permutations. Small enough
 #: that a*x+b stays inside int64 in BOTH Spark and DuckDB (no int128 needed).
@@ -464,8 +468,6 @@ def largestar_smallstar_components(
         .distinct()
         .localCheckpoint()
     )
-    if not e0.take(1):
-        return e0.select(F.col("u").alias("node"), F.col("v").alias("label"))
 
     def _checksum(e: DataFrame) -> tuple:
         r = e.agg(
@@ -476,8 +478,7 @@ def largestar_smallstar_components(
         ).first()
         return (r["n"], r["h"])
 
-    cur, sig = e0, _checksum(e0)
-    for _ in range(max_iters):
+    def _alternation(cur: DataFrame) -> DataFrame:
         # large-star: symmetrize, point larger neighbors at the local min
         sym = cur.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
             cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -497,15 +498,35 @@ def largestar_smallstar_components(
         # small-star: per high node, fold every low neighbor (and the
         # node itself) onto the minimum low neighbor
         smin = lrg.groupBy("u").agg(F.min("v").alias("m"))
-        nxt = (
+        return (
             lrg.join(smin, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .unionAll(smin.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
             .distinct()
-            .localCheckpoint()
         )
+
+    sig = _checksum(e0)  # one agg doubles as the emptiness probe (n == 0)
+    if sig[0] == 0:
+        return e0.select(F.col("u").alias("node"), F.col("v").alias("label"))
+
+    cur = e0
+    for _ in range(max_iters):
+        # TWO alternations per convergence check: every alternation must
+        # still localCheckpoint (its frame feeds four branches of the
+        # next one — leaving it lazy duplicates the whole subtree in the
+        # downstream plan, measured 2x WORSE at sf0.1), but the
+        # convergence checksum only needs to run once per pair: the
+        # alternation is deterministic and its fixpoint is stable
+        # (applying it to converged edges reproduces them bit-for-bit),
+        # so checking every second alternation yields the identical
+        # label set, at worst one extra no-op pair. 3 driver-barrier
+        # jobs per 2 alternations instead of 4 — these are
+        # support-sized frames, so the barrier, not the shuffle, is the
+        # round cost, locally and at 100 TB alike.
+        mid = _alternation(cur).localCheckpoint()
+        nxt = _alternation(mid).localCheckpoint()
         nsig = _checksum(nxt)
         cur = nxt
         if nsig == sig:
@@ -535,14 +556,14 @@ def build_cc_store(edges: DataFrame, path: str) -> None:
     import json
 
     spark = edges.sparkSession
-    spark.createDataFrame(
-        [(json.dumps({"_building_": True}),)], "p string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    write_text_sidecar(
+        spark, f"{path}/params.json", json.dumps({"_building_": True})
+    )
     labels = largestar_smallstar_components(edges)
     labels.write.mode("overwrite").parquet(f"{path}/labels")
-    spark.createDataFrame(
-        [(json.dumps({"kind": "cc_labels"}),)], "p string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    write_text_sidecar(
+        spark, f"{path}/params.json", json.dumps({"kind": "cc_labels"})
+    )
 
 
 def append_cc_edges(new_edges: DataFrame, path: str) -> None:
@@ -705,9 +726,9 @@ def decontam_store_build(
     import json as _json
 
     spark = test_docs.sparkSession
-    spark.createDataFrame(
-        [(_json.dumps({"_building_": True}),)], "p string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    write_text_sidecar(
+        spark, f"{path}/params.json", _json.dumps({"_building_": True})
+    )
     te = (
         _shingle_sets(test_docs, id_col, text_col, ngram)
         .select(F.col("doc_id").alias("test_id"), F.explode("shingles").alias("s"))
@@ -726,9 +747,11 @@ def decontam_store_build(
     te.groupBy("test_id").agg(F.count("*").alias("n_test")).write.mode(
         "overwrite"
     ).parquet(f"{path}/sizes")
-    spark.createDataFrame(
-        [(_json.dumps({"ngram": ngram, "max_df": max_df}),)], "p string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    write_text_sidecar(
+        spark,
+        f"{path}/params.json",
+        _json.dumps({"ngram": ngram, "max_df": max_df}),
+    )
 
 
 def ensure_decontam_store(
@@ -747,8 +770,7 @@ def ensure_decontam_store(
 
     spark = test_docs.sparkSession
     try:
-        raw = spark.read.text(f"{path}/params.json").collect()[0][0]
-        existing = _json.loads(raw)
+        existing = _json.loads(read_text_sidecar(spark, f"{path}/params.json"))
         if existing.get("ngram") == ngram and existing.get("max_df") == max_df:
             return path
     except Exception:
@@ -777,8 +799,8 @@ def incremental_decontaminate(
     import json as _json
 
     spark = new_docs.sparkSession
-    raw = spark.read.text(f"{path}/params.json").collect()[0][0]
-    params = _json.loads(raw)
+    raw = read_text_sidecar(spark, f"{path}/params.json")
+    params = _json.loads(raw) if raw is not None else {}
     if "ngram" not in params:
         raise ValueError(f"decontam store at {path} is incomplete (mid-rebuild?)")
     tr = (
@@ -852,12 +874,10 @@ def _minhash_store_params(
     import json as _json
 
     spec = _minhash_spec(num_perm, bands, ngram)
-    if not path_exists(spark, f"{path}/params.json"):
+    raw = read_text_sidecar(spark, f"{path}/params.json")
+    if raw is None:  # absent, or crashed legacy dir-write: no frozen spec
         return False
-    rows = spark.read.text(f"{path}/params.json").collect()
-    if not rows:  # crashed legacy dir-write: no spec was ever frozen
-        return False
-    frozen = _json.loads(rows[0][0])
+    frozen = _json.loads(raw)
     if frozen != spec:
         raise ValueError(
             f"minhash store at {path} was built with {frozen};"

@@ -167,17 +167,23 @@ def append_join_side(
     key = f"{side}:{batch_key}"
     if key in _applied(spark, path, p):
         return False
-    if batch.isEmpty():
+    jk, nb = p["join_key"], p["n_buckets"]
+    bucketed = batch.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(jk)), F.lit(nb)).cast("int")
+    )
+    # ONE pass over the batch answers both questions every append needs —
+    # is it empty, and which buckets does it touch — where the old shape
+    # paid a separate isEmpty() job before the write and a distinct()
+    # job after it (the batch is the small side; this is a bounded
+    # ≤ n_buckets collect either way)
+    touched = [r["bucket"] for r in bucketed.select("bucket").distinct().collect()]
+    if not touched:
         # ledger the key and write NO history dir: an empty batch=
         # directory has no parquet footers and would break every later
         # history read with UNABLE_TO_INFER_SCHEMA (hypothesis-caught)
         p["applied"] = sorted(set(p.get("applied", [])) | {key})
         _write_params(spark, path, p)
         return True
-    jk, nb = p["join_key"], p["n_buckets"]
-    bucketed = batch.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(jk)), F.lit(nb)).cast("int")
-    )
     (
         # exactly one task per bucket: file sets align 1:1 with the hive
         # bucket= dirs (the session's 32 shuffle partitions would spray
@@ -191,10 +197,6 @@ def append_join_side(
     other = "b" if side == "a" else "a"
     view = f"{path}/view"
     if _exists(spark, f"{path}/{other}"):
-        touched = [
-            r["bucket"]
-            for r in bucketed.select("bucket").distinct().collect()
-        ]
         hist = spark.read.option("basePath", f"{path}/{other}").parquet(
             f"{path}/{other}"
         )

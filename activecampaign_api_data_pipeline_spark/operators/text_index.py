@@ -57,6 +57,10 @@ from pyspark.sql import functions as F
 
 from activecampaign_api_data_pipeline_spark.functions.text import tokens
 from activecampaign_api_data_pipeline_spark.operators.ann_index import _write
+from activecampaign_api_data_pipeline_spark.storage import (
+    read_text_sidecar,
+    write_text_sidecar,
+)
 
 
 @dataclass(frozen=True)
@@ -146,16 +150,29 @@ def build_text_index(
     Postings land term-hash-bucketed (``tokb`` hive partitions) so every
     later search prunes to the query terms' buckets."""
     spark = docs.sparkSession
-    spark.createDataFrame(
-        [(json.dumps({"_building_": True}),)], "p string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+    write_text_sidecar(
+        spark, f"{path}/params.json", json.dumps({"_building_": True})
+    )
 
-    dl = _write(_doclen(docs, id_col, text_col), f"{path}/doclen")
+    # ONE tokenize pass over the corpus: postings carry everything doclen
+    # needs — every token lands in exactly one (tok, doc) row, so
+    # dl == sum(tf) per doc. doclen therefore derives from the WRITTEN
+    # postings plus a column-pruned id scan (docs with zero tokens keep
+    # dl = 0) instead of a second tokenize+explode pass over the text,
+    # and stats aggregate from the written doclen. Halves the corpus
+    # passes of a build; at 100 TB the saved pass is the dominant cost.
     _write_postings_bucketed(
         _postings(docs, id_col, text_col),
         f"{path}/postings",
         tok_buckets,
         mode="overwrite",
+    )
+    tf = spark.read.parquet(f"{path}/postings")
+    dl = _write(
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")), "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")),
+        f"{path}/doclen",
     )
     _write(
         dl.agg(
@@ -166,14 +183,16 @@ def build_text_index(
     )
 
     params = TextIndexParams(id_col, text_col, tok_buckets)
-    spark.createDataFrame([(json.dumps(params.to_dict()),)], "p string").coalesce(
-        1
-    ).write.mode("overwrite").text(f"{path}/params.json")
+    write_text_sidecar(spark, f"{path}/params.json", json.dumps(params.to_dict()))
     return params
 
 
 def load_text_params(spark: SparkSession, path: str) -> TextIndexParams:
-    raw = spark.read.text(f"{path}/params.json").collect()[0][0]
+    raw = read_text_sidecar(spark, f"{path}/params.json")
+    if raw is None:
+        # absent or crashed-empty sidecar: same "incomplete store" class
+        # the callers already handle (ensure_* rebuilds, streams self-heal)
+        raise ValueError(f"no params sidecar at {path}/params.json")
     parsed = json.loads(raw)
     # legacy (pre-r13) sidecars predate the bucketed layout: their
     # postings are flat files, so the absent field means 0 (flat scan),
@@ -336,6 +355,6 @@ def compact_text_index(
         # after the postings swap — every intermediate crash state reads
         # correctly through the old sidecar
         upgraded = TextIndexParams(params.id_col, params.text_col, tok_buckets)
-        spark.createDataFrame(
-            [(json.dumps(upgraded.to_dict()),)], "p string"
-        ).coalesce(1).write.mode("overwrite").text(f"{path}/params.json")
+        write_text_sidecar(
+            spark, f"{path}/params.json", json.dumps(upgraded.to_dict())
+        )

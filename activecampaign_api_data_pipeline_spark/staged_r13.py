@@ -63,13 +63,13 @@ def _queries_frame(emb: DataFrame, max_query_id: int = 10) -> DataFrame:
 
 
 def _assert_bit_identical(a: DataFrame, b: DataFrame, what: str) -> None:
-    # both inputs are localCheckpointed by the callers: two bounded
-    # symmetric-difference probes, no recompute of the searches
-    extra = a.exceptAll(b).count()
-    missing = b.exceptAll(a).count()
-    assert extra == 0 and missing == 0, (
-        f"{what}: tombstoned vs vacuumed search diverged"
-        f" (+{extra}/-{missing} rows)"
+    # both inputs are localCheckpointed by the callers: ONE bounded
+    # symmetric-difference probe (both directions unioned into a single
+    # job — two separate counts paid a second driver barrier for the
+    # same answer), no recompute of the searches
+    diverged = a.exceptAll(b).unionAll(b.exceptAll(a)).count()
+    assert diverged == 0, (
+        f"{what}: tombstoned vs vacuumed search diverged ({diverged} rows)"
     )
 
 

@@ -87,6 +87,77 @@ class PersistResult:
     new_silver_buckets: list[int]
 
 
+def write_text_sidecar(spark: SparkSession, path: str, payload: str) -> None:
+    """One-file text sidecar via direct FileSystem ops — NO Spark job.
+
+    Replaces the ``createDataFrame([(json,)]).coalesce(1).write.text(path)``
+    pattern for params.json markers: that shape schedules a full Spark job
+    (driver→executor round-trip, task launch, commit protocol) to move
+    ~100 bytes — locally a fixed ~0.2-0.4 s per call, at 100 TB a
+    cluster-wide barrier per sidecar. The store protocols are unchanged:
+    callers still write a ``_building_`` marker first and finalize last;
+    this writes ``<path>.__tmp__`` and renames over the target, so the
+    crash window (missing/partial sidecar ⇒ store reads as incomplete) is
+    no worse than the old overwrite-commit window. The target may be a
+    legacy DIRECTORY layout (old text-writer output) — deleted before the
+    rename. Same mechanism as the matview/minhash param writers this
+    generalizes; works on any Hadoop FileSystem.
+    """
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    target = P(path)
+    fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    parent = target.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    tmp = P(path + ".__tmp__")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(target):
+        fs.delete(target, True)  # recursive: legacy layout is a directory
+    fs.rename(tmp, target)
+
+
+def read_text_sidecar(spark: SparkSession, path: str) -> str | None:
+    """First non-empty line of a text sidecar — single-file OR legacy
+    directory layout (part-* files from the old Spark text writer) — via
+    direct FileSystem ops, no Spark job. Returns ``None`` when the sidecar
+    is absent or empty (the crashed-legacy-dir-write case); genuine IO
+    errors propagate."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    target = P(path)
+    fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(target):
+        return None
+    paths = (
+        [
+            st.getPath()
+            for st in fs.listStatus(target)
+            if st.getPath().getName().startswith("part-")
+        ]
+        if fs.getFileStatus(target).isDirectory()
+        else [target]
+    )
+    for p in paths:
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                stream.readAllBytes()
+                if hasattr(stream, "readAllBytes")
+                else jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        for line in data.decode("utf-8").splitlines():
+            if line.strip():
+                return line
+    return None
+
+
 def path_exists(spark: SparkSession, path: str) -> bool:
     """Explicit Hadoop-FS existence probe.
 
@@ -231,13 +302,21 @@ class TableStore:
             .withColumn(HASH_COL, row_hash(df, content_cols))
             .withColumn(BUCKET_COL, _key_bucket(key_cols, self.n_buckets))
         )
-        # batch-internal exact dedup first (A1 within the run), then cluster
-        # by bucket so every partitioned write below emits one file per
-        # touched bucket instead of (tasks × buckets) small files. At 100 TB
-        # this shuffle-before-dynamic-partition-insert is the standard
-        # pattern (or AQE rebalance) — without it a 1000-task stage writing
+        # cluster by bucket FIRST, then batch-internal exact dedup (A1
+        # within the run) keyed (bucket, hash): equal hashes imply equal
+        # content, hence equal keys, hence the same bucket, so the dedup
+        # result is identical — but the bucket partitioning now satisfies
+        # the dedup's clustering requirement and the whole stage runs on
+        # ONE exchange where dedup-then-repartition paid two full
+        # shuffles of the batch (plan-verified: 2 Exchange → 1). The
+        # bucket clustering also keeps every partitioned write below at
+        # one file per touched bucket instead of (tasks × buckets) small
+        # files — at 100 TB this shuffle-before-dynamic-partition-insert
+        # is the standard pattern; without it a 1000-task stage writing
         # 4096 buckets would create millions of files.
-        staged = staged.dropDuplicates([HASH_COL]).repartition(F.col(BUCKET_COL))
+        staged = staged.repartition(F.col(BUCKET_COL)).dropDuplicates(
+            [BUCKET_COL, HASH_COL]
+        )
         staged.persist()
         try:
             # one job yields the batch size AND its buckets
@@ -262,7 +341,14 @@ class TableStore:
 
             # 2. silver: anti-join on (_kb, _row_hash) — bucket-pruned probe
             silver_path = self._path("silver", table)
-            if self._exists(silver_path):
+            first_batch = not self._exists(silver_path)
+            if first_batch:
+                # no silver yet: the anti-join is vacuous, fresh IS staged —
+                # reuse the per-bucket stats already collected above instead
+                # of paying a second count job over the same rows
+                fresh = staged
+                fresh_per_bucket = per_bucket
+            else:
                 old = (
                     self.read("silver", table)
                     .filter(F.col(BUCKET_COL).isin(buckets))
@@ -271,13 +357,11 @@ class TableStore:
                 fresh = staged.join(old, [BUCKET_COL, HASH_COL], "left_anti").repartition(
                     F.col(BUCKET_COL)
                 )
-            else:
-                fresh = staged
-            fresh.persist()
-            # collect BEFORE the append: writing to silver_path invalidates
-            # any cached plan that reads it (fresh's anti-join does), and a
-            # recompute after the append would anti-join away its own rows.
-            fresh_per_bucket = fresh.groupBy(BUCKET_COL).count().collect()
+                fresh.persist()
+                # collect BEFORE the append: writing to silver_path invalidates
+                # any cached plan that reads it (fresh's anti-join does), and a
+                # recompute after the append would anti-join away its own rows.
+                fresh_per_bucket = fresh.groupBy(BUCKET_COL).count().collect()
             n_new = sum(r["count"] for r in fresh_per_bucket)
             touched = [r[BUCKET_COL] for r in fresh_per_bucket]
             if n_new:
@@ -298,7 +382,8 @@ class TableStore:
                     table, key_cols, updated_col, buckets=buckets,
                     tombstone_col=tombstone_col,
                 )
-            fresh.unpersist()
+            if not first_batch:
+                fresh.unpersist()
         finally:
             staged.unpersist()
         return PersistResult(table, run_id, n_delta, n_new, sorted(buckets), sorted(touched))
