@@ -493,6 +493,14 @@ def largestar_smallstar_components(
             .join(lmin, "a")
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
+            # NOTE (measured, r13): a keyed repartition("u") +
+            # dropDuplicates(["u","v"]) here would let the dedup, the
+            # small-star groupBy and the u-keyed join share ONE
+            # exchange — but a user repartition pins the partition
+            # count and AQE stops coalescing it, which measured SLOWER
+            # at bench scale (3 coalesced exchanges beat 1 uncoalesced
+            # one). Left as distinct(); revisit only with a
+            # rebalance-style hint that stays AQE-coalescible.
             .distinct()
         )
         # small-star: per high node, fold every low neighbor (and the
@@ -1253,7 +1261,8 @@ def block_store_append(
     spark = docs.sparkSession
     hint = F.broadcast if broadcast_new else (lambda df: df)
     new_ids = docs.select(id_col).distinct()
-    if path_exists(spark, f"{path}/docs"):
+    had_docs = path_exists(spark, f"{path}/docs")
+    if had_docs:
         seen = spark.read.parquet(f"{path}/docs")
         new_ids = new_ids.join(seen, id_col, "left_anti")
     if firsts is None:
@@ -1262,12 +1271,18 @@ def block_store_append(
         )
     else:
         firsts = firsts.join(hint(new_ids), id_col, "left_semi")
-    if path_exists(spark, f"{path}/blocks"):
+    had_blocks = path_exists(spark, f"{path}/blocks")
+    if had_blocks:
         stored = spark.read.parquet(f"{path}/blocks")
         firsts = _drop_stored_hits(firsts, stored, hint)
-    ids = new_ids.localCheckpoint(eager=True)
-    # checkpoint breaks the lineage on {path}/blocks before appending to it
-    out = firsts.select("bh", id_col, "bidx").localCheckpoint(eager=True)
+    # the checkpoints break the plans' lineage on {path}/docs and
+    # {path}/blocks before appending to those same paths — load-bearing
+    # ONLY when the store existed to be read (a first append has no such
+    # lineage, and each eager checkpoint is a full extra job)
+    ids = new_ids.localCheckpoint(eager=True) if had_docs else new_ids
+    out = firsts.select("bh", id_col, "bidx")
+    if had_blocks:
+        out = out.localCheckpoint(eager=True)
     out.write.mode("append").parquet(f"{path}/blocks")
     ids.write.mode("append").parquet(f"{path}/docs")
 

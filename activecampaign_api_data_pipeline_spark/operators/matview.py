@@ -327,7 +327,7 @@ def _merge_aggs_for(p: dict) -> list:
 
 
 def append_matview(
-    batch: DataFrame, path: str, batch_key: str
+    batch: DataFrame, path: str, batch_key: str, skip_replay_check: bool = False
 ) -> bool:
     """Fold one fact batch into the view: aggregate THE BATCH ONLY and
     append its partial rows. Returns False (no-op) when ``batch_key``
@@ -341,9 +341,17 @@ def append_matview(
     True again — vacuously harmless here (its partials are empty, the
     view cannot change; hypothesis-pinned). This differs from
     ``matview_join``, which MUST ledger empty deltas because the
-    opposite side's history grows between delivery and replay."""
+    opposite side's history grows between delivery and replay.
+
+    ``skip_replay_check=True`` is for callers that already consulted
+    :func:`applied_batches_full` for this exact key in the same logical
+    transaction (``matview_join.append_join_side`` guards on a superset
+    ledger before ever computing the delta) — the scan of the partials
+    tags is one Spark job per call, and paying it twice per append is
+    pure barrier overhead. Callers that cannot prove the prior check
+    (streams, direct API users) keep the default."""
     spark = batch.sparkSession
-    if batch_key in applied_batches_full(spark, path):
+    if not skip_replay_check and batch_key in applied_batches_full(spark, path):
         return False
     p = load_matview_params(spark, path)
     aggs = (

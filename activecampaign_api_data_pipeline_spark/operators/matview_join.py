@@ -224,8 +224,11 @@ def append_join_side(
                 )
         else:
             # append dispatches on the VIEW's frozen params (single
-            # measure or spec) — the caller never restates the spec
-            MV.append_matview(delta, view, key)
+            # measure or spec) — the caller never restates the spec.
+            # Replay was already ruled out by the _applied superset
+            # check at the top of this append, so the matview's own
+            # tag scan (one job) is skipped.
+            MV.append_matview(delta, view, key, skip_replay_check=True)
         folded = not empty
     else:
         folded = False
