@@ -39,6 +39,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size post-shuffle partitions by BYTES (the advisory target),
+        # not by core count: with parallelismFirst=true AQE stops
+        # coalescing at defaultParallelism partitions, so a KB-sized
+        # shuffle still schedules 32 reduce tasks whose launch overhead
+        # dominates small stages (guide §2.2 "fewer, larger reduce
+        # partitions"; measured -16% on a 10-query interleaved A/B at
+        # sf0.1). Scale-adaptive by construction — a 10 TB shuffle at
+        # the same advisory size still yields ~160k partitions — and
+        # the advisory value is env-tunable for cluster memory budgets
+        # (guide §9 suggests 256m on big-memory executors).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
