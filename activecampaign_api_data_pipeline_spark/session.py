@@ -39,20 +39,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size post-shuffle partitions by BYTES (the advisory target),
-        # not by core count: with parallelismFirst=true AQE stops
-        # coalescing at defaultParallelism partitions, so a KB-sized
-        # shuffle still schedules 32 reduce tasks whose launch overhead
-        # dominates small stages (guide §2.2 "fewer, larger reduce
-        # partitions"; measured -16% on a 10-query interleaved A/B at
-        # sf0.1). Scale-adaptive by construction — a 10 TB shuffle at
-        # the same advisory size still yields ~160k partitions — and
-        # the advisory value is env-tunable for cluster memory budgets
-        # (guide §9 suggests 256m on big-memory executors).
+        # Coalesce post-shuffle partitions by BYTES (the advisory
+        # target), not by core count. Interleaved 3-config A/B at sf0.1
+        # (2 rounds, alternating sessions, graph + scan-agg queries):
+        # stock parallelismFirst=true 26.2 s, false+64m 35.0 s,
+        # false+1m 21.3 s — a large advisory serializes CPU-dense
+        # stages downstream of small shuffles (the pair-explosion graph
+        # family), while the 1m target merges only genuinely tiny
+        # partitions and beat stock on every query class. Coalescing
+        # only ever MERGES the initial partitions, so a small advisory
+        # is scale-safe (it under-merges, never over-splits); raise it
+        # via SPARK_GRAFT_ADVISORY_PARTITION on clusters where fewer,
+        # larger reduce partitions matter more than tail parallelism
+        # (guide §2.2/§9 suggests 64-256m for multi-TB shuffles).
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

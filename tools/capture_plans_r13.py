@@ -122,7 +122,8 @@ def main() -> None:
         .withColumn(HASH_COL, row_hash(ev, content_cols))
         .withColumn(BUCKET_COL, _key_bucket(["user_id"], 8))
     )
-    if "dropDuplicates([BUCKET_COL, HASH_COL])" in _i.getsource(S.TableStore.persist):
+    _psrc = "".join(_i.getsource(S.TableStore.persist).split())
+    if "repartition(F.col(BUCKET_COL)).dropDuplicates([BUCKET_COL,HASH_COL])" in _psrc:
         staged = base.repartition(F.col(BUCKET_COL)).dropDuplicates([BUCKET_COL, HASH_COL])
     else:
         staged = base.dropDuplicates([HASH_COL]).repartition(F.col(BUCKET_COL))
