@@ -40,22 +40,28 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Coalesce post-shuffle partitions by BYTES (the advisory
-        # target), not by core count. Interleaved 3-config A/B at sf0.1
-        # (2 rounds, alternating sessions, graph + scan-agg queries):
-        # stock parallelismFirst=true 26.2 s, false+64m 35.0 s,
-        # false+1m 21.3 s — a large advisory serializes CPU-dense
-        # stages downstream of small shuffles (the pair-explosion graph
-        # family), while the 1m target merges only genuinely tiny
-        # partitions and beat stock on every query class. Coalescing
-        # only ever MERGES the initial partitions, so a small advisory
-        # is scale-safe (it under-merges, never over-splits); raise it
-        # via SPARK_GRAFT_ADVISORY_PARTITION on clusters where fewer,
-        # larger reduce partitions matter more than tail parallelism
-        # (guide §2.2/§9 suggests 64-256m for multi-TB shuffles).
+        # target), not by core count: with parallelismFirst at its true
+        # default, AQE refuses to coalesce below one reduce task per
+        # core and KB-sized shuffles schedule 32 tasks of launch
+        # overhead (measured -16% from respecting the advisory on the
+        # scan-agg tail). The advisory VALUE steers two opposing costs
+        # — too big serializes CPU-dense stages downstream of MB-sized
+        # shuffles (64m: pair-explosion graph family +75%), too small
+        # multiplies output files on coalesce-before-write paths (1m:
+        # jsonl/span stores +60%) — and a quiet-host interleaved sweep
+        # over graph + write-heavy + scan-agg classes picked 4m as the
+        # U-curve minimum (35.9 s vs 38.9 @1m, 41.9 @16m, and every
+        # class at-or-better than the parallelismFirst default).
+        # Coalescing only ever MERGES the initial partitions, so a
+        # small advisory is scale-safe (it under-merges, never
+        # over-splits); raise SPARK_GRAFT_ADVISORY_PARTITION to
+        # 64-256m on clusters where fewer, larger reduce partitions
+        # and >=128 MB output files matter more than tail parallelism
+        # (guide §2.2/§6/§9).
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "1m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
