@@ -458,8 +458,10 @@ def largestar_smallstar_components(
 
     Returns ``(node, label)`` for every node with degree ≥ 1, where
     ``label`` is the component's minimum node id. Raises if the edge set
-    has not stabilized within ``max_iters`` alternations (loud, not
-    silently-wrong — at 2^30 nodes the bound is still generous).
+    has not stabilized within ``max_iters`` alternation PAIRS (the loop
+    runs two alternations per convergence check, so up to 2·max_iters
+    alternations — loud, not silently-wrong; at 2^30 nodes the bound is
+    still generous).
     """
     e0 = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -493,14 +495,20 @@ def largestar_smallstar_components(
             .join(lmin, "a")
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            # NOTE (measured, r13): a keyed repartition("u") +
-            # dropDuplicates(["u","v"]) here would let the dedup, the
-            # small-star groupBy and the u-keyed join share ONE
-            # exchange — but a user repartition pins the partition
-            # count and AQE stops coalescing it, which measured SLOWER
-            # at bench scale (3 coalesced exchanges beat 1 uncoalesced
-            # one). Left as distinct(); revisit only with a
-            # rebalance-style hint that stays AQE-coalescible.
+            # NOTE (measured, r13 AND r14): two rewrites of this dedup
+            # were tried and both measured SLOWER at bench scale, so the
+            # plain distinct() stays. r13: keyed repartition("u") +
+            # dropDuplicates(["u","v"]) (one shared exchange) — a user
+            # repartition pins the partition count and AQE stops
+            # coalescing (k_cc_store 8.1→10.0). r14: REMOVING the
+            # distinct outright (it is semantically redundant — smin's
+            # MIN absorbs duplicates and the final distinct canonicalizes
+            # the output, label-identity pinned by the multigraph test) —
+            # interleaved A/B read k_cc_store 11.4→14.6, g_cc_chain
+            # 6.7→7.5: the dedup'd stage's smaller materialized stats
+            # feed AQE's runtime join planning, and the duplicate rows
+            # flowing into the final distinct cost more than the saved
+            # exchange. Barrier count is NOT the whole story here.
             .distinct()
         )
         # small-star: per high node, fold every low neighbor (and the
@@ -542,7 +550,8 @@ def largestar_smallstar_components(
         sig = nsig
     else:
         raise RuntimeError(
-            f"largestar_smallstar_components did not converge in {max_iters} rounds"
+            "largestar_smallstar_components did not converge in "
+            f"{max_iters} alternation pairs"
         )
     # fixpoint: every edge is (member, component-min); roots label themselves
     return (
@@ -941,7 +950,10 @@ def _write_minhash_params(spark, path: str, spec: dict) -> None:
     out.close()
     if fs.exists(final):
         fs.delete(final, True)
-    fs.rename(tmp, final)
+    # rename failures can be reported by RETURNING false; the old
+    # sidecar is already deleted, so surface them (storage.write_text_sidecar)
+    if not fs.rename(tmp, final):
+        raise IOError(f"params rename failed: {tmp} -> {final}")
 
 
 def minhash_store_append(
@@ -1322,8 +1334,17 @@ def repeated_span_scrub(
     text_bpe_pairs pitfall). Returns ``id_col``, ``n_tokens``,
     ``n_kept``, ``cleaned`` (the scrubbed text, single-spaced).
     """
-    base = _span_token_table(docs, id_col, text_col)
-    occ = _span_occurrences(base, id_col, k)
+    # ONE tokenize pass and ONE shingle-explode pass (r14, the r13
+    # text-index lesson applied here): `base` feeds three plan branches
+    # (the df aggregate, the covered fold, the final re-join) and `occ`
+    # two — Catalyst does not share common subtrees across join
+    # branches, so left lazy the single action tokenizes the corpus
+    # three times and explodes it twice. Checkpointing each once makes
+    # every branch read the materialized frame; at 100 TB the saved
+    # passes are the dominant scrub cost exactly as they were for the
+    # text-index build.
+    base = _span_token_table(docs, id_col, text_col).localCheckpoint(eager=True)
+    occ = _span_occurrences(base, id_col, k).localCheckpoint(eager=True)
     repeated = (
         occ.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -1450,7 +1471,12 @@ def span_store_ingest_scrub(
 
     spark = docs.sparkSession
     base = _span_token_table(docs, id_col, text_col).localCheckpoint(eager=True)
-    occ = _span_occurrences(base, id_col, k)
+    # one shingle-explode pass per ingest (r14): `occ` feeds the count
+    # append, the batch-shingle probe AND the covered fold — three plan
+    # branches that would each re-explode the checkpointed tokens;
+    # batch-sized either way, so materializing it is the O(batch) cost
+    # the ingest already pays once
+    occ = _span_occurrences(base, id_col, k).localCheckpoint(eager=True)
     # constant measure: the scrub only ever reads n_rows, and the
     # shingle-keyed store is the highest-cardinality store in the repo —
     # min/max/sum of token positions would be three dead bigints per row

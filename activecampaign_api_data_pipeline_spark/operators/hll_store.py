@@ -94,14 +94,22 @@ def build_hll_view(
     )
 
 
-def append_hll_view(batch: DataFrame, path: str, batch_key: str) -> bool:
+def append_hll_view(
+    batch: DataFrame, path: str, batch_key: str, skip_replay_check: bool = False
+) -> bool:
     """Fold one fact batch into the view: sketch THE BATCH ONLY and
     append its partial rows — history is never read on ingest. Returns
-    False (no-op) when ``batch_key`` was already applied."""
+    False (no-op) when ``batch_key`` was already applied.
+
+    ``skip_replay_check=True`` follows the ``append_matview`` contract:
+    for callers that already consulted :func:`applied_batches_full` for
+    this exact key in the same logical transaction (the streaming sink's
+    once-per-run seeded guard), the tag scan is one redundant Spark job
+    per append."""
     spark = batch.sparkSession
     # replay guard across compactions: live tags ∪ the compaction
     # ledger — shared verbatim with the matview (same store layout)
-    if batch_key in applied_batches_full(spark, path):
+    if not skip_replay_check and batch_key in applied_batches_full(spark, path):
         return False
     p = load_matview_params(spark, path)
     partials = _sketch_partials(p["key_cols"], p["col"], p["lg_k"], batch_key)(

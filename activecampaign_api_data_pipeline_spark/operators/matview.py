@@ -258,7 +258,10 @@ def _write_params(spark: SparkSession, path: str, params: dict) -> None:
     out.close()
     if fs.exists(final):
         fs.delete(final, False)
-    fs.rename(tmp, final)
+    # rename failures can be reported by RETURNING false; the old
+    # sidecar is already deleted, so surface them (storage.write_text_sidecar)
+    if not fs.rename(tmp, final):
+        raise IOError(f"params rename failed: {tmp} -> {final}")
 
 
 def load_matview_params(spark: SparkSession, path: str) -> dict:

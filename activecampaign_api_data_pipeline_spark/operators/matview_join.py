@@ -68,7 +68,10 @@ def _write_params(spark: SparkSession, path: str, params: dict) -> None:
     out.close()
     if fs.exists(final):
         fs.delete(final, False)
-    fs.rename(tmp, final)
+    # rename failures can be reported by RETURNING false; the old
+    # sidecar is already deleted, so surface them (storage.write_text_sidecar)
+    if not fs.rename(tmp, final):
+        raise IOError(f"params rename failed: {tmp} -> {final}")
 
 
 def load_join_params(spark: SparkSession, path: str) -> dict:
@@ -142,6 +145,13 @@ def _applied(spark: SparkSession, path: str, p: dict) -> set[str]:
     return got
 
 
+def applied_keys(spark: SparkSession, path: str) -> set[str]:
+    """Public form of the replay-guard set (side-qualified batch keys):
+    lets a single-writer caller — the streaming sink — seed the guard
+    ONCE per run and skip the per-append tag scan thereafter."""
+    return _applied(spark, path, load_join_params(spark, path))
+
+
 def _exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
@@ -150,7 +160,8 @@ def _exists(spark: SparkSession, path: str) -> bool:
 
 
 def append_join_side(
-    batch: DataFrame, path: str, side: str, batch_key: str
+    batch: DataFrame, path: str, side: str, batch_key: str,
+    skip_applied_check: bool = False,
 ) -> bool:
     """Fold one batch of side ``a`` or ``b`` into the join view.
 
@@ -160,12 +171,18 @@ def append_join_side(
     key-sorted; (3) delta-join it against the OTHER side's history,
     pruned to the batch's bucket set; (4) fold the delta's partials into
     the view (the matview guard makes a crash-replay of this step a
-    no-op); (5) an empty delta records its key in params instead."""
+    no-op); (5) an empty delta records its key in params instead.
+
+    ``skip_applied_check=True`` is for single-writer callers that
+    already consulted :func:`applied_keys` for this exact side-qualified
+    key in the same logical transaction (the ``append_matview``
+    contract) — the guard's view-tag scan is one Spark job per append.
+    """
     assert side in ("a", "b")
     spark = batch.sparkSession
     p = load_join_params(spark, path)
     key = f"{side}:{batch_key}"
-    if key in _applied(spark, path, p):
+    if not skip_applied_check and key in _applied(spark, path, p):
         return False
     jk, nb = p["join_key"], p["n_buckets"]
     bucketed = batch.withColumn(

@@ -133,9 +133,16 @@ def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _doclen(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # NULL text must count as dl = 0, matching the build path (which
+    # derives dl from written postings with coalesce(sum(tf), 0) — a NULL
+    # text emits no postings): an un-coalesced size(tokens(NULL)) yields
+    # -1/NULL and appended docs would disagree with built docs on
+    # corpora containing null texts (r13 advice).
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+        F.size(
+            F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+        ).cast("long").alias("dl"),
     )
 
 

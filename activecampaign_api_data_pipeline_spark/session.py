@@ -14,6 +14,7 @@ below are chosen to also hold on a multi-executor cluster at 100 TB:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -64,6 +65,28 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The advisory above is ALSO AQE's skew-join SPLIT target: with a
+        # 4m advisory, a multi-GB skewed partition on a cluster would
+        # shatter into thousands of ~4 MB tasks. The threshold below is
+        # Spark's default, pinned explicitly to document the interplay:
+        # splits only fire for partitions >256 MB, which cannot occur at
+        # local bench scale (KB-MB shuffles), so the 4m advisory never
+        # reaches the skew path here; cluster deployments that keep
+        # skew-splitting sane must raise SPARK_GRAFT_ADVISORY_PARTITION
+        # to 64-256m (the documented cluster setting above), which
+        # restores a sensible split size as well.
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
+        # Shuffle/spill codec (guide §2.3): lz4 is Spark's default; zstd
+        # trades CPU for ratio. Banked interleaved A/B at sf0.1 (r14,
+        # OPTIMIZATION_r14.md): at this engine's KB-MB shuffle sizes the
+        # two are within host noise locally, so the default stays lz4;
+        # at 100 TB, where shuffle bytes cross NICs, zstd's ~2x ratio is
+        # usually worth the CPU — flip SPARK_GRAFT_IO_CODEC=zstd on
+        # clusters and re-measure stage times (no universal answer).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -85,3 +108,32 @@ def pin_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark
+
+
+@contextmanager
+def scoped_advisory_partition(spark: SparkSession, size: str):
+    """Scope ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` around
+    one query's EXECUTION (the ``scoped_state_partitions`` pattern for
+    batch plans).
+
+    The session default (4m) is the all-class U-curve minimum, but the
+    advisory steers two opposing costs and a handful of query classes sit
+    far from that optimum (r13 change 8, r13 verdict items 1/3): the
+    pair-mining class (MB-scale shuffles feeding CPU-dense in-row array
+    stages — prefix filtering, basket pair expansion) loses ~2x when its
+    mid-stages coalesce to a handful of tasks, and wants a SMALLER target
+    so AQE keeps those stages wide. AQE reads the conf at execution time,
+    not plan-build time, so callers must run their action (or an eager
+    ``localCheckpoint``) INSIDE the scope. Coalescing only ever merges
+    the initial shuffle partitions, so a small scoped advisory remains
+    scale-safe at 100 TB: it under-merges (more, smaller reduce tasks —
+    exactly what a CPU-dense consumer wants), never over-splits, and the
+    write-path file sizing of other queries is untouched because the
+    scope ends with the query."""
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old = spark.conf.get(key)
+    spark.conf.set(key, size)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)

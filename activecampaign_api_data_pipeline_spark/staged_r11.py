@@ -1097,16 +1097,34 @@ def k_span_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="acdp_spanstore_")
+    try:
+        return _k_span_store_lifecycle(spark, docs, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _k_span_store_lifecycle(spark, docs, root) -> DataFrame:
     from activecampaign_api_data_pipeline_spark.operators.dedup import (
         span_store_ingest_scrub,
     )
     from activecampaign_api_data_pipeline_spark.operators.matview import (
         applied_batches_full,
     )
+    from activecampaign_api_data_pipeline_spark.session import (
+        scoped_advisory_partition,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="acdp_spanstore_")
-    try:
+    # span scrubbing is the pair-mining shape (MB-scale shingle shuffles
+    # feeding CPU-dense in-row covered-fold/array-filter stages): the 4m
+    # session advisory narrows those stages and serializes the CPU
+    # (r13 verdict item 1 — this query's one confirmed r13 regression).
+    # A scoped 1m advisory keeps them wide; the whole lifecycle executes
+    # eagerly in-scope (every ingest localCheckpoints), so the scope
+    # covers all store writes and scrub reads. Merge-only coalescing
+    # keeps a small scoped advisory scale-safe (session.py rationale).
+    with scoped_advisory_partition(spark, "1m"):
         path = f"{root}/store"
         outs = []
         for b in range(3):
@@ -1131,8 +1149,6 @@ def k_span_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for o in outs[1:]:
             out = out.unionAll(o)
         return out.orderBy("doc_id").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def _join_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

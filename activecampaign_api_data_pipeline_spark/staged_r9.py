@@ -733,8 +733,25 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Exact verify joins the survivors back to the shingle arrays.
     """
     from activecampaign_api_data_pipeline_spark.operators.dedup import _shingle_sets
+    from activecampaign_api_data_pipeline_spark.session import (
+        scoped_advisory_partition,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # pair-mining class: MB-scale shuffles feed CPU-dense in-row stages
+    # (prefix slice, positional-filter join, array_intersect verify); the
+    # session's 4m advisory coalesces those stages to a handful of tasks
+    # and serializes the CPU (r13 change 8's measured casualty, ~2x).
+    # Scope a 1m advisory around the whole computation — executed eagerly
+    # in-scope via localCheckpoint — so AQE keeps the mid-stages wide;
+    # results are unchanged (partitioning never reaches declared output).
+    with scoped_advisory_partition(spark, "1m"):
+        return _dedup_prefix_jaccard_body(spark, docs).localCheckpoint(eager=True)
+
+
+def _dedup_prefix_jaccard_body(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    from activecampaign_api_data_pipeline_spark.operators.dedup import _shingle_sets
+
     sh = _shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     dfc = ex.groupBy("s").agg(F.count("*").alias("df"))
@@ -826,7 +843,20 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps N at ~9e8 baskets for min-support 2 — past that, lift lifts to
     DECIMAL(38,0) (same expression, wider type).
     """
+    from activecampaign_api_data_pipeline_spark.session import (
+        scoped_advisory_partition,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # same pair-mining shape as dedup_prefix_jaccard (basket-bounded
+    # in-row pair expansion downstream of an MB-scale shuffle): scope the
+    # 1m advisory and execute eagerly in-scope so the expansion stages
+    # stay wide under AQE (r13 change 8's second measured casualty).
+    with scoped_advisory_partition(spark, "1m"):
+        return _a_assoc_rules_body(li).localCheckpoint(eager=True)
+
+
+def _a_assoc_rules_body(li: DataFrame) -> DataFrame:
     sets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )

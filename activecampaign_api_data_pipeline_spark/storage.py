@@ -118,7 +118,13 @@ def write_text_sidecar(spark: SparkSession, path: str, payload: str) -> None:
         out.close()
     if fs.exists(target):
         fs.delete(target, True)  # recursive: legacy layout is a directory
-    fs.rename(tmp, target)
+    # Hadoop FileSystem.rename reports some failures by RETURNING false
+    # (not raising) — e.g. a missing parent on some implementations. At
+    # this point the old sidecar is already deleted, so a swallowed false
+    # would silently degrade the store to "incomplete" (forcing a
+    # rebuild) with no error surfaced. Make it loud.
+    if not fs.rename(tmp, target):
+        raise IOError(f"sidecar rename failed: {tmp} -> {target}")
 
 
 def read_text_sidecar(spark: SparkSession, path: str) -> str | None:

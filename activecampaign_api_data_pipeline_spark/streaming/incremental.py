@@ -922,7 +922,21 @@ def stream_into_matview(
     """
     from activecampaign_api_data_pipeline_spark.operators import matview as MV
 
+    # Replay guard, paid ONCE per stream run instead of once per batch
+    # (r13 change 5's proven-superset pattern extended to the stream
+    # sink): the applied set is seeded from the store on the first append
+    # this run — or known exactly when this run BUILT the store — and
+    # later batches consult/extend the closure set with zero Spark jobs.
+    # This is sound because the sink is the store's single writer (the
+    # foreachBatch contract all these stores document): the only writes
+    # that can land between two of this run's batches are its own, which
+    # the closure records. A crash-replay restarts the stream, which
+    # builds a FRESH closure and re-seeds from the store — the replayed
+    # batch key is found in the seeded set and no-ops, exactly as before.
+    applied: set[str] | None = None
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal applied
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -946,8 +960,14 @@ def stream_into_matview(
                 MV.build_matview_multi(
                     batch_df, path, key_cols, measure, batch_key=batch_key
                 )
+            applied = {batch_key}
             return
-        MV.append_matview(batch_df, path, batch_key)
+        if applied is None:
+            applied = MV.applied_batches_full(spark, path)
+        if batch_key in applied:
+            return
+        MV.append_matview(batch_df, path, batch_key, skip_replay_check=True)
+        applied.add(batch_key)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
@@ -979,7 +999,11 @@ def stream_into_hll_view(
     from activecampaign_api_data_pipeline_spark.operators import hll_store as HS
     from activecampaign_api_data_pipeline_spark.operators import matview as MV
 
+    # once-per-run seeded replay guard — see stream_into_matview
+    applied: set[str] | None = None
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal applied
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -995,8 +1019,14 @@ def stream_into_hll_view(
             HS.build_hll_view(
                 batch_df, path, key_cols, col, lg_k=lg_k, batch_key=batch_key
             )
+            applied = {batch_key}
             return
-        HS.append_hll_view(batch_df, path, batch_key)
+        if applied is None:
+            applied = MV.applied_batches_full(spark, path)
+        if batch_key in applied:
+            return
+        HS.append_hll_view(batch_df, path, batch_key, skip_replay_check=True)
+        applied.add(batch_key)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
@@ -1031,17 +1061,31 @@ def stream_into_join_view(
     """
     from activecampaign_api_data_pipeline_spark.operators.matview_join import (
         append_join_side,
+        applied_keys,
     )
 
+    # once-per-run seeded replay guard — see stream_into_matview; keys
+    # here are side-qualified ("a:batch_N"/"b:batch_N") and the sink is
+    # the store's single writer, so the closure stays authoritative
+    applied: set[str] | None = None
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal applied
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        if applied is None:
+            applied = applied_keys(spark, path)
         a = batch_df.filter(F.col(side_col) == "a").select(*a_cols)
         b = batch_df.filter(F.col(side_col) == "b").select(*b_cols)
-        if not a.isEmpty():
-            append_join_side(a, path, "a", f"batch_{batch_id:08d}")
-        if not b.isEmpty():
-            append_join_side(b, path, "b", f"batch_{batch_id:08d}")
+        for side, rows in (("a", a), ("b", b)):
+            key = f"{side}:batch_{batch_id:08d}"
+            if key in applied or rows.isEmpty():
+                continue
+            append_join_side(
+                rows, path, side, f"batch_{batch_id:08d}", skip_applied_check=True
+            )
+            applied.add(key)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -740,3 +740,101 @@ def test_minhash_sidecar_backfill_gated_on_artifact_evidence(spark, tmp_path):
     # and the frozen sidecar now rejects mismatches the normal way
     with _pytest.raises(ValueError, match="frozen at first ingest"):
         minhash_store_append(docs, path, num_perm=16, bands=8)
+
+
+def test_largestar_smallstar_parallel_edges_same_labels(spark):
+    """r14: the large-star frame no longer dedups its (u, v) rows before
+    the small-star fold (one exchange per alternation removed) — the MIN
+    aggregate and the alternation's final distinct absorb duplicates, so
+    a multigraph input (parallel edges, both orientations, self-loops)
+    must label identically to its deduplicated simple graph."""
+    from activecampaign_api_data_pipeline_spark.operators.dedup import (
+        largestar_smallstar_components,
+    )
+
+    edges = [
+        (1, 2), (2, 1), (2, 3), (2, 3), (3, 4), (4, 3), (4, 4),
+        (10, 11), (11, 12), (12, 10), (10, 11),
+        (20, 21),
+    ]
+    multi = spark.createDataFrame(edges, "src long, dst long")
+    simple = (
+        multi.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    got_multi = sorted(
+        map(tuple, largestar_smallstar_components(multi).collect())
+    )
+    got_simple = sorted(
+        map(tuple, largestar_smallstar_components(simple).collect())
+    )
+    assert got_multi == got_simple
+    assert got_multi == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    ]
+
+
+def test_doclen_null_text_counts_zero_like_build(spark, tmp_path):
+    """r14 (r13 advice): append-path doclen must count a NULL text as 0
+    tokens, exactly as the build path derives it (coalesce(sum(tf), 0)
+    over written postings) — otherwise appended null-text docs diverge
+    from built ones on avgdl-sensitive scoring."""
+    from activecampaign_api_data_pipeline_spark.operators.text_index import (
+        _doclen,
+        append_text_index,
+        build_text_index,
+    )
+
+    schema = "doc_id long, text string"
+    dl = {
+        r["doc_id"]: r["dl"]
+        for r in _doclen(
+            spark.createDataFrame(
+                [(1, "alpha beta"), (2, None), (3, ""), (4, "   ")], schema
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert dl == {1: 2, 2: 0, 3: 0, 4: 0}
+
+    # end-to-end parity: a store built over docs INCLUDING a null text
+    # equals build(half) + append(half with the null) on the doclen rows
+    docs = [(1, "alpha beta gamma"), (2, None), (3, "alpha"), (4, None)]
+    built = str(tmp_path / "built")
+    build_text_index(spark.createDataFrame(docs, schema), built)
+    half = str(tmp_path / "half")
+    build_text_index(spark.createDataFrame(docs[:2], schema), half)
+    append_text_index(spark.createDataFrame(docs[2:], schema), half)
+    a = sorted(map(tuple, spark.read.parquet(f"{built}/doclen").collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{half}/doclen").collect()))
+    assert a == b
+
+
+def test_scoped_advisory_partition_restores_conf(spark):
+    """The batch-scoped advisory helper must restore the session value on
+    exit, including on error — and must not change query results."""
+    import pytest as _pytest
+
+    from activecampaign_api_data_pipeline_spark.session import (
+        scoped_advisory_partition,
+    )
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old = spark.conf.get(key)
+    df = spark.range(100).groupBy((F.col("id") % 7).alias("k")).count()
+    base = sorted(map(tuple, df.collect()))
+    with scoped_advisory_partition(spark, "1m"):
+        assert spark.conf.get(key) == "1m"
+        assert sorted(map(tuple, df.localCheckpoint(eager=True).collect())) == base
+    assert spark.conf.get(key) == old
+    with _pytest.raises(RuntimeError, match="boom"):
+        with scoped_advisory_partition(spark, "2m"):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == old

@@ -1154,3 +1154,56 @@ def test_state_store_provider_invariant_results(spark):
             spark.conf.unset(PROV)
     assert out["hdfs"] == out["rocksdb"]
     assert all(len(rows) > 0 for rows in out["hdfs"].values())
+
+
+def test_stream_into_matview_second_run_replays_noop(spark, tmp_path):
+    """r14: the matview/hll/join-view sinks seed their replay guard ONCE
+    per stream run (closure set) instead of scanning the partials tags
+    per batch. The load-bearing case is a SECOND stream run over the same
+    source with a FRESH checkpoint: its batch ids restart at 0, every
+    batch key is already applied, and the seeded guard must no-op them
+    all — the view equals the single-run result exactly."""
+    import os
+
+    from activecampaign_api_data_pipeline_spark.operators import matview as MV
+    from activecampaign_api_data_pipeline_spark.streaming.incremental import (
+        stream_into_matview,
+    )
+
+    rows = [(i, f"u{i % 5}", i * 10) for i in range(60)]
+    schema = "event_id long, user string, value long"
+    batches = [rows[:20], rows[20:40], rows[40:]]
+    src = tmp_path / "mv_stream"
+    src.mkdir()
+    for bno, chunk in enumerate(batches):
+        f = src / f"b{bno}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(str(f) + "_tmp")
+        os.rename(str(f) + "_tmp", str(f))
+        base = 1_600_000_000 + bno * 60
+        for p in (str(f),) + tuple(
+            os.path.join(str(f), x) for x in os.listdir(str(f))
+        ):
+            os.utime(p, (base, base))
+
+    view = str(tmp_path / "view")
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/b*")
+        )
+        q = stream_into_matview(
+            stream, view, checkpoint=str(tmp_path / ckpt),
+            key_cols=["user"], measure="value",
+        )
+        assert q.awaitTermination(180)
+
+    run("ckpt1")
+    once = sorted(map(tuple, MV.read_matview(spark, view).collect()))
+    applied_once = MV.applied_batches_full(spark, view)
+    # second run, fresh checkpoint: batch ids 0..2 again, all replays
+    run("ckpt2")
+    again = sorted(map(tuple, MV.read_matview(spark, view).collect()))
+    assert again == once
+    assert MV.applied_batches_full(spark, view) == applied_once
