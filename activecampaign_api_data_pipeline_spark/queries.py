@@ -1107,6 +1107,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPU-dense class (r14): executed eagerly under a scoped 1m
+    advisory — the session's 4m target coalesces the MB-scale
+    mid-stages of this shape to a handful of tasks and serializes
+    the in-row array/join work (warm interleaved A/B 3.25->2.58 s;
+    OPTIMIZATION_r14.md). Results identical — see the body below."""
+    from activecampaign_api_data_pipeline_spark.session import (
+        run_with_advisory,
+    )
+
+    return run_with_advisory(
+        spark, "1m", lambda: _dedup_ngram_jaccard_body(spark, sf_dir)
+    )
+
+
+def _dedup_ngram_jaccard_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs, ngram=3, threshold=0.1, max_df=1000)
 

@@ -137,3 +137,15 @@ def scoped_advisory_partition(spark: SparkSession, size: str):
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def run_with_advisory(spark: SparkSession, size: str, df_fn):
+    """Execute ``df_fn()`` eagerly under :func:`scoped_advisory_partition`
+    and return the materialized frame — the one-liner for declared
+    queries in the CPU-dense class (pair mining, iterative graph
+    shapes): their MB-scale shuffles feed in-row array/join stages that
+    the session's 4m advisory coalesces down to a handful of tasks.
+    Results are unchanged (partitioning never reaches declared output;
+    the driver consumes the checkpointed rows)."""
+    with scoped_advisory_partition(spark, size):
+        return df_fn().localCheckpoint(eager=True)

@@ -895,6 +895,21 @@ def k_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def g_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPU-dense class (r14): executed eagerly under a scoped 1m
+    advisory — the session's 4m target coalesces the MB-scale
+    mid-stages of this shape to a handful of tasks and serializes
+    the in-row array/join work (warm interleaved A/B 6.88->5.33 s;
+    OPTIMIZATION_r14.md). Results identical — see the body below."""
+    from activecampaign_api_data_pipeline_spark.session import (
+        run_with_advisory,
+    )
+
+    return run_with_advisory(
+        spark, "1m", lambda: _g_ppr_seeded_body(spark, sf_dir)
+    )
+
+
+def _g_ppr_seeded_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (3 unrolled iterations, damping 0.85,
     restart mass pinned to a seed set — parts with ``key % 20 == 0``)
     over the co-purchase graph: the recommendation/expansion primitive

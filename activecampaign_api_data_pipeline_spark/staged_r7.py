@@ -1053,6 +1053,21 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def g_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPU-dense class (r14): executed eagerly under a scoped 1m
+    advisory — the session's 4m target coalesces the MB-scale
+    mid-stages of this shape to a handful of tasks and serializes
+    the in-row array/join work (warm interleaved A/B 5.50->4.90 s;
+    OPTIMIZATION_r14.md). Results identical — see the body below."""
+    from activecampaign_api_data_pipeline_spark.session import (
+        run_with_advisory,
+    )
+
+    return run_with_advisory(
+        spark, "1m", lambda: _g_pagerank_fixed_body(spark, sf_dir)
+    )
+
+
+def _g_pagerank_fixed_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (3 unrolled iterations, damping 0.85)
     over the co-purchase part graph — the repo's first ITERATIVE graph
     propagation beyond connected components. Ranks are BIGINT
@@ -1518,6 +1533,21 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPU-dense class (r14): executed eagerly under a scoped 1m
+    advisory — the session's 4m target coalesces the MB-scale
+    mid-stages of this shape to a handful of tasks and serializes
+    the in-row array/join work (warm interleaved A/B 3.79->2.93 s;
+    OPTIMIZATION_r14.md). Results identical — see the body below."""
+    from activecampaign_api_data_pipeline_spark.session import (
+        run_with_advisory,
+    )
+
+    return run_with_advisory(
+        spark, "1m", lambda: _g_triangle_count_body(spark, sf_dir)
+    )
+
+
+def _g_triangle_count_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census + global clustering coefficient over the
     thresholded co-purchase graph (edge weight = co-order count ≥ 2 —
     the sparsifying support filter, ~3.5k edges at BOTH sf0.01 and

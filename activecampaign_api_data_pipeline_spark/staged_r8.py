@@ -550,6 +550,21 @@ def t_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPU-dense class (r14): executed eagerly under a scoped 1m
+    advisory — the session's 4m target coalesces the MB-scale
+    mid-stages of this shape to a handful of tasks and serializes
+    the in-row array/join work (warm interleaved A/B 3.81->3.18 s;
+    OPTIMIZATION_r14.md). Results identical — see the body below."""
+    from activecampaign_api_data_pipeline_spark.session import (
+        run_with_advisory,
+    )
+
+    return run_with_advisory(
+        spark, "1m", lambda: _g_kcore_body(spark, sf_dir)
+    )
+
+
+def _g_kcore_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core decomposition (k=3, three peel rounds) over the
     thresholded co-purchase graph — the graph-curation primitive that
     strips low-engagement periphery (spam/noise nodes shed first; the
