@@ -21,8 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from activecampaign_api_data_pipeline_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
-    "dedup_prefix_jaccard",
-    "a_assoc_rules",
+    # dedup_prefix_jaccard / a_assoc_rules are captured via the
+    # `specials` block below on --bodies runs (their bodies take
+    # pre-built inputs); on before-runs they capture here
     "g_pagerank_fixed",
     "g_ppr_seeded",
     "g_kcore",
@@ -48,9 +49,11 @@ def main() -> None:
     mods = [Q, staged_r7, staged_r8, staged_r9, staged_r10, staged_r11]
 
     def resolve(name):
+        if bodies:
+            for m in mods:
+                if hasattr(m, f"_{name}_body"):
+                    return getattr(m, f"_{name}_body")
         for m in mods:
-            if bodies and hasattr(m, f"_{name}_body"):
-                return getattr(m, f"_{name}_body")
             if hasattr(m, name):
                 return getattr(m, name)
         raise KeyError(name)
